@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Relational, RelationalOracles}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Channel-KPI analog (SURVEY §7.2-6): broadcast dim chain + multi-key
+    * agg + KPI ratios — the reference's showcase shape. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q04ChannelKpi(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"    -> (Relational.q01PricingSummary _),
+    "q02_topk_parts"         -> (Relational.q02TopkParts _),
+    "q03_margin_having"      -> (Relational.q03MarginHaving _),
+    "q04_channel_kpi"        -> (Relational.q04ChannelKpi _),
+    "q05_full_outer_merge"   -> (Relational.q05FullOuterMerge _),
+    "q06_fanout_join"        -> (Relational.q06FanoutJoin _),
+    "q07_first_order_repeat" -> (Relational.q07FirstOrderRepeat _),
+    "q08_retention_scalar"   -> (Relational.q08RetentionScalar _),
+    "q09_acctbal_bands"      -> (Relational.q09AcctbalBands _),
+    "q10_frequency_bands"    -> (Relational.q10FrequencyBands _),
+    "q11_quadrant"           -> (Relational.q11Quadrant _),
+    "q12_window_rank"        -> (Relational.q12WindowRank _),
+    "q13_running_sum"        -> (Relational.q13RunningSum _),
+    "q14_set_ops"            -> (Relational.q14SetOps _),
+    "q15_semi_anti"          -> (Relational.q15SemiAnti _),
+    "q16_distinct_count"     -> (Relational.q16DistinctCount _),
+    "q17_events_filter_agg"  -> (Relational.q17EventsFilterAgg _),
+    "q18_date_parts"         -> (Relational.q18DateParts _),
+    "q19_regexp_extract"     -> (Relational.q19RegexpExtract _),
+    "q20_pnl_summary"        -> (Relational.q20PnlSummary _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = RelationalOracles.sql
 }

@@ -1,0 +1,238 @@
+package graft.queries
+
+/** DuckDB-runnable ANSI SQL equivalents of [[Relational]] (driver t2 gate).
+  *
+  * Determinism contract (SURVEY §5.2-3): identical round() on every float
+  * aggregate, full-tie-break ORDER BY, explicit casts where DuckDB's type
+  * widening differs from Spark (sum(BIGINT)→HUGEINT, extract()→BIGINT).
+  */
+object RelationalOracles {
+
+  val sql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_topk_parts" ->
+      """SELECT p_partkey, p_name,
+        |  round(sum(l_quantity), 2) AS units,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name
+        |ORDER BY units DESC, p_partkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q03_margin_having" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice), 2) AS gross,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS net,
+        |  round(sum(l_extendedprice * l_discount)
+        |        / nullif(sum(l_extendedprice), 0), 6) AS discount_rate
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |HAVING round(sum(l_extendedprice), 2) > 1000.0
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q04_channel_kpi" ->
+      """SELECT r_name, n_name,
+        |  count(*) AS orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  round(avg(o_totalprice), 2) AS aov
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q05_full_outer_merge" ->
+      """WITH returned AS (
+        |  SELECT l_suppkey, l_linestatus,
+        |    round(sum(l_quantity), 2) AS r_qty,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS r_rev
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |  GROUP BY l_suppkey, l_linestatus),
+        |kept AS (
+        |  SELECT l_suppkey, l_linestatus,
+        |    round(sum(l_quantity), 2) AS k_qty,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS k_rev
+        |  FROM lineitem WHERE l_returnflag <> 'R'
+        |  GROUP BY l_suppkey, l_linestatus)
+        |SELECT l_suppkey, l_linestatus,
+        |  coalesce(r_qty, 0.0) AS returned_qty,
+        |  coalesce(k_qty, 0.0) AS kept_qty,
+        |  round(coalesce(r_rev, 0.0) + coalesce(k_rev, 0.0), 2) AS total_rev
+        |FROM returned FULL OUTER JOIN kept USING (l_suppkey, l_linestatus)
+        |ORDER BY l_suppkey, l_linestatus""".stripMargin,
+
+    "q06_fanout_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS inflated_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS line_revenue,
+        |  count(*) AS joined_rows
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |HAVING count(*) > 10
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q07_first_order_repeat" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate FROM orders),
+        |first AS (
+        |  SELECT o_custkey, min(odate) AS first_date FROM o GROUP BY o_custkey)
+        |SELECT o.o_custkey,
+        |  count(*) AS total_orders,
+        |  count(*) FILTER (WHERE odate > first_date) AS repeat_orders,
+        |  min(first_date) AS first_date,
+        |  round((count(*) FILTER (WHERE odate > first_date))
+        |        / CAST(nullif(count(*), 0) AS DOUBLE), 4) AS repeat_rate
+        |FROM o JOIN first USING (o_custkey)
+        |GROUP BY o.o_custkey
+        |ORDER BY o.o_custkey""".stripMargin,
+
+    "q08_retention_scalar" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+        |SELECT count(*) AS customers,
+        |  count(*) FILTER (WHERE cnt >= 2) AS repeat_customers,
+        |  round((count(*) FILTER (WHERE cnt >= 2))
+        |        / CAST(nullif(count(*), 0) AS DOUBLE), 4) AS retention_rate
+        |FROM per_cust""".stripMargin,
+
+    "q09_acctbal_bands" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |  WHEN c_acctbal BETWEEN 0 AND 3000 THEN 'low'
+        |  WHEN c_acctbal BETWEEN 3000 AND 7000 THEN 'mid'
+        |  ELSE 'high' END AS band,
+        |  count(*) AS customers,
+        |  count(DISTINCT c_nationkey) AS nations,
+        |  round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+
+    "q10_frequency_bands" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey),
+        |banded AS (
+        |  SELECT CASE WHEN cnt = 1 THEN 'one'
+        |    WHEN cnt BETWEEN 2 AND 4 THEN 'two_to_four'
+        |    WHEN cnt BETWEEN 5 AND 9 THEN 'five_to_nine'
+        |    ELSE 'ten_plus' END AS freq_band, cnt
+        |  FROM per_cust),
+        |totals AS (SELECT count(*) AS total_customers FROM per_cust)
+        |SELECT freq_band,
+        |  count(*) AS customers,
+        |  CAST(sum(cnt) AS BIGINT) AS orders,
+        |  round(count(*) / CAST(total_customers AS DOUBLE), 4) AS customer_share
+        |FROM banded CROSS JOIN totals
+        |GROUP BY freq_band, total_customers
+        |ORDER BY freq_band""".stripMargin,
+
+    "q11_quadrant" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |    sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY l_partkey),
+        |avgs AS (
+        |  SELECT avg(revenue) AS avg_revenue, avg(qty) AS avg_qty FROM per_part)
+        |SELECT CASE
+        |  WHEN revenue >= avg_revenue AND qty >= avg_qty THEN 'hero'
+        |  WHEN revenue >= avg_revenue AND qty < avg_qty THEN 'premium'
+        |  WHEN revenue < avg_revenue AND qty >= avg_qty THEN 'volume'
+        |  ELSE 'dud' END AS quadrant,
+        |  count(*) AS parts,
+        |  round(sum(revenue), 2) AS revenue
+        |FROM per_part CROSS JOIN avgs
+        |GROUP BY quadrant
+        |ORDER BY quadrant""".stripMargin,
+
+    "q12_window_rank" ->
+      """WITH per_part AS (
+        |  SELECT p_brand, p_partkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, revenue, rnk FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS INT) AS rnk
+        |  FROM per_part)
+        |WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin,
+
+    "q13_running_sum" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, odate, o_orderkey""".stripMargin,
+
+    "q14_set_ops" ->
+      """WITH building AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |active AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT k FROM building UNION SELECT k FROM active)) AS union_count,
+        |  (SELECT count(*) FROM (SELECT k FROM building INTERSECT SELECT k FROM active)) AS intersect_count,
+        |  (SELECT count(*) FROM (SELECT k FROM building EXCEPT SELECT k FROM active)) AS except_count""".stripMargin,
+
+    "q15_semi_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
+        |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders""".stripMargin,
+
+    "q16_distinct_count" ->
+      """SELECT count(*) AS distinct_triples FROM
+        |  (SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem)""".stripMargin,
+
+    "q17_events_filter_agg" ->
+      """SELECT event_type,
+        |  count(*) AS events,
+        |  count(*) FILTER (WHERE value > 100) AS big_events,
+        |  round(avg(value), 4) AS avg_value,
+        |  count(DISTINCT user_id) AS users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q18_date_parts" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT CAST(extract(year FROM d) AS INT) AS year,
+        |  CAST(extract(month FROM d) AS INT) AS month,
+        |  count(*) AS orders,
+        |  CAST(min(epoch(CAST(d AS TIMESTAMP))) AS BIGINT) AS min_date_id,
+        |  CAST(max(extract(week FROM d)) AS INT) AS max_week
+        |FROM d
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q19_regexp_extract" ->
+      """SELECT trim(regexp_extract(p_brand, '^[^0-9]+')) AS brand_prefix,
+        |  regexp_extract(p_brand, '[0-9]+') AS brand_num,
+        |  count(*) AS parts
+        |FROM part
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q20_pnl_summary" ->
+      """SELECT
+        |  round(sum(l_extendedprice), 2) AS gross_revenue,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS net_revenue,
+        |  round(sum(l_extendedprice * l_discount), 2) AS total_discount,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * l_tax), 2) AS total_tax,
+        |  count(*) AS line_count
+        |FROM lineitem""".stripMargin,
+  )
+}

@@ -1,0 +1,316 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 operator inventory, restated over the driver's TPC-H-ish
+  * testdata so the DuckDB oracle can verify each one (SURVEY §5.2-3).
+  *
+  * Every query:
+  *  - is a declarative DataFrame plan (Catalyst handles pushdown / pruning /
+  *    join selection / partial aggregation — SURVEY §4.2);
+  *  - broadcasts dimension-sized sides explicitly where the optimizer's
+  *    size estimate could miss at 100 TB fact scale;
+  *  - ends in a deterministic total ORDER BY (full tie-breaks) and rounds
+  *    every floating aggregate, so Spark and DuckDB hash-match bit-for-bit.
+  *
+  * Reference lineage is cited per query (file:line of
+  * /root/reference — the semantics source, not the implementation).
+  */
+object Relational {
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** A1/A2/A3/A5: multi-key hash aggregate with sums/avg/count.
+    * Reference: analytics_queries.sql:26-35 grouping shape; TPC-H Q1 analog. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(rev), 2).as("sum_disc_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J1 (fact↔dim broadcast join) + A1/A2 + O2 top-k.
+    * Reference: analytics_queries.sql:26-35 (Q1.1 top-5 best sellers). */
+  def q02TopkParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p  = Tables.part(spark, dir).select("p_partkey", "p_name")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_partkey", "p_name")
+      .agg(
+        round(sum("l_quantity"), 2).as("units"),
+        round(sum(rev), 2).as("revenue"))
+      .orderBy(col("units").desc, col("p_partkey").asc)
+      .limit(10)
+  }
+
+  /** P5 HAVING + P10 null-guard ratio + F5 round.
+    * Reference: analytics_queries.sql:49-62 (Q1.3 margin products w/ HAVING). */
+  def q03MarginHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum("l_extendedprice"), 2).as("gross"),
+        round(sum(rev), 2).as("net"),
+        round(
+          sum(col("l_extendedprice") * col("l_discount")) /
+            when(sum("l_extendedprice") === 0, lit(null)).otherwise(sum("l_extendedprice")),
+          6).as("discount_rate"))
+      .filter(col("gross") > 1000.0)
+      .orderBy("l_returnflag")
+
+  /** J1 chain fact→dim→dim→dim (all dims broadcast) + KPI ratios.
+    * Reference: 04_views.sql:70-147 (mv_kpi_channel: grouped KPI ratios). */
+  def q04ChannelKpi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice", "o_orderkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("orders"),
+        round(sum("o_totalprice"), 2).as("revenue"),
+        round(avg("o_totalprice"), 2).as("aov"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** J3 full-outer merge on a composite key + P9 COALESCE zero-fill — the
+    * exact semantic core of the reference's KPI views.
+    * Reference: 04_views.sql:17-46 (fs_agg FULL OUTER JOIN sp_agg ON
+    * (date_id, campaign_id), COALESCE both sides). */
+  def q05FullOuterMerge(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val returned = li.filter(col("l_returnflag") === "R")
+      .groupBy("l_suppkey", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("r_qty"), round(sum(rev), 2).as("r_rev"))
+    val kept = li.filter(col("l_returnflag") =!= "R")
+      .groupBy("l_suppkey", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("k_qty"), round(sum(rev), 2).as("k_rev"))
+    returned.join(kept, Seq("l_suppkey", "l_linestatus"), "full_outer")
+      .select(
+        col("l_suppkey"), col("l_linestatus"),
+        coalesce(col("r_qty"), lit(0.0)).as("returned_qty"),
+        coalesce(col("k_qty"), lit(0.0)).as("kept_qty"),
+        round(coalesce(col("r_rev"), lit(0.0)) + coalesce(col("k_rev"), lit(0.0)), 2).as("total_rev"))
+      .orderBy("l_suppkey", "l_linestatus")
+  }
+
+  /** J6 fan-out left join kept verbatim + P5 multi-predicate HAVING.
+    * Reference: analytics_queries.sql:196-211 (Q6 spend-waste: the 1:N join
+    * inflates both sides before SUM — reproduced deliberately, SURVEY §0.2-7). */
+  def q06FanoutJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum("o_totalprice"), 2).as("inflated_price"), // fan-out preserved
+        round(sum(rev), 2).as("line_revenue"),
+        count(lit(1)).as("joined_rows"))
+      .filter(col("joined_rows") > 10)
+      .orderBy("o_orderpriority")
+  }
+
+  /** J8 groupBy-min + rejoin (reference's window-free idiom) + P6 FILTER agg.
+    * Reference: analytics_queries.sql:95-120 (Q3 repeat-purchase drivers). */
+  def q07FirstOrderRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("odate"))
+    val first = o.groupBy("o_custkey").agg(min("odate").as("first_date"))
+    o.join(first, Seq("o_custkey"))
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("total_orders"),
+        count(when(col("odate") > col("first_date"), lit(1))).as("repeat_orders"),
+        min("first_date").as("first_date"))
+      .withColumn("repeat_rate",
+        round(col("repeat_orders").cast("double") /
+          when(col("total_orders") === 0, lit(null)).otherwise(col("total_orders")), 4))
+      .orderBy("o_custkey")
+  }
+
+  /** A8 scalar (grand-total) aggregate + P10 guard + F5 — one-row KPI.
+    * Reference: analytics_queries.sql:217-230 (Q7 retention rate). */
+  def q08RetentionScalar(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    perCust.agg(
+      count(lit(1)).as("customers"),
+      count(when(col("cnt") >= 2, lit(1))).as("repeat_customers"))
+      .withColumn("retention_rate",
+        round(col("repeat_customers").cast("double") /
+          when(col("customers") === 0, lit(null)).otherwise(col("customers")), 4))
+  }
+
+  /** P7 multi-branch CASE + P8 BETWEEN + A4 countDistinct.
+    * Reference: analytics_queries.sql:236-272 (Q8 demographic bands). */
+  def q09AcctbalBands(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("band",
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal").between(0, 3000), "low")
+          .when(col("c_acctbal").between(3000, 7000), "mid")
+          .otherwise("high"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("customers"),
+        countDistinct("c_nationkey").as("nations"),
+        round(avg("c_acctbal"), 2).as("avg_bal"))
+      .orderBy("band")
+
+  /** P7 frequency bands + J4 cross-join 1-row totals for share-of-total.
+    * Reference: analytics_queries.sql:278-319 (Q9 frequency segmentation:
+    * bands CTE + totals CTE + cross join). */
+  def q10FrequencyBands(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    val banded = perCust.withColumn("freq_band",
+      when(col("cnt") === 1, "one")
+        .when(col("cnt").between(2, 4), "two_to_four")
+        .when(col("cnt").between(5, 9), "five_to_nine")
+        .otherwise("ten_plus"))
+    val totals = perCust.agg(count(lit(1)).as("total_customers"))
+    banded.groupBy("freq_band")
+      .agg(count(lit(1)).as("customers"), sum("cnt").as("orders"))
+      .crossJoin(broadcast(totals)) // 1-row totals: auto-broadcast at any scale
+      .withColumn("customer_share",
+        round(col("customers").cast("double") / col("total_customers"), 4))
+      .drop("total_customers")
+      .orderBy("freq_band")
+  }
+
+  /** J4 cross join of global averages + P7 quadrant CASE over per-part aggs.
+    * Reference: analytics_queries.sql:162-190 (Q5 Hero vs Free Rider). */
+  def q11Quadrant(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    // Keep intermediate sums UNROUNDED: re-aggregating pre-rounded doubles
+    // amplifies engine-specific rounding-boundary flips (oracle parity).
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(rev).as("revenue"), sum("l_quantity").as("qty"))
+    val avgs = perPart.agg(avg("revenue").as("avg_revenue"), avg("qty").as("avg_qty"))
+    perPart.crossJoin(broadcast(avgs))
+      .withColumn("quadrant",
+        when(col("revenue") >= col("avg_revenue") && col("qty") >= col("avg_qty"), "hero")
+          .when(col("revenue") >= col("avg_revenue") && col("qty") < col("avg_qty"), "premium")
+          .when(col("revenue") < col("avg_revenue") && col("qty") >= col("avg_qty"), "volume")
+          .otherwise("dud"))
+      .groupBy("quadrant")
+      .agg(count(lit(1)).as("parts"), round(sum("revenue"), 2).as("revenue"))
+      .orderBy("quadrant")
+  }
+
+  /** §2.5 window capability: rank-within-group (deterministic tie-break in
+    * the window ORDER BY), top-3 per group. Reference idiom J8 rewritten as
+    * a window — allowed internal rewrite per SURVEY §2.5. */
+  def q12WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_extendedprice", "l_discount")
+    val p  = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val perPart = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(round(sum(rev), 2).as("revenue"))
+    val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey").asc)
+    perPart.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("p_brand", "rnk")
+  }
+
+  /** §2.5 window capability: running (cumulative) sum per key over time. */
+  def q13RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date").as("odate"), col("o_totalprice"))
+      .filter(col("o_custkey") < 100)
+    val w = Window.partitionBy("o_custkey").orderBy(col("odate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "odate", "running_total")
+      .orderBy("o_custkey", "odate", "o_orderkey")
+  }
+
+  /** §2.7 set operations: UNION / INTERSECT / EXCEPT over key sets.
+    * Not in the reference surface (SURVEY §2.7) — engine completeness. */
+  def q14SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val active = Tables.orders(spark, dir).select(col("o_custkey").as("k")).distinct()
+    val u = building.union(active).distinct().agg(count(lit(1)).as("union_count"))
+    val i = building.intersect(active).agg(count(lit(1)).as("intersect_count"))
+    val e = building.except(active).agg(count(lit(1)).as("except_count"))
+    u.crossJoin(i).crossJoin(e)
+  }
+
+  /** §2.3 semi/anti joins (free Spark capability noted in SURVEY §2.3). */
+  def q15SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir).select("o_custkey")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("without_orders"))
+    withOrders.crossJoin(withoutOrders)
+  }
+
+  /** P12/S7 DISTINCT dedup on a composite natural key.
+    * Reference: 03_transform.sql:6,19,26,32 (dim extraction via DISTINCT). */
+  def q16DistinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .distinct()
+      .agg(count(lit(1)).as("distinct_triples"))
+
+  /** P6 conditional (FILTER) aggregation over the events table.
+    * Reference: analytics_queries.sql:110-114 (COUNT(*) FILTER (WHERE ...)). */
+  def q17EventsFilterAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("events"),
+        count(when(col("value") > 100, lit(1))).as("big_events"),
+        round(avg("value"), 4).as("avg_value"),
+        countDistinct("user_id").as("users"))
+      .orderBy("event_type")
+
+  /** F1-F3 date/calendar extraction incl. ISO week + epoch surrogate id.
+    * Reference: 03_transform.sql:5-14 (dim_date: epoch date_id, day, ISO
+    * week, month, year). */
+  def q18DateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("date").as("d"))
+      .withColumn("year", year(col("d")))
+      .withColumn("month", month(col("d")))
+      .withColumn("week", weekofyear(col("d")))
+      .withColumn("date_id", col("d").cast("timestamp").cast("long"))
+      .groupBy("year", "month")
+      .agg(count(lit(1)).as("orders"), min("date_id").as("min_date_id"), max("week").as("max_week"))
+      .orderBy("year", "month")
+
+  /** F4 regexp channel-derivation pattern + trim.
+    * Reference: 03_transform.sql:32 (REGEXP_SUBSTR(name,'^[^0-9]+') + the
+    * trailing-space trim decision, SURVEY §0.2-4). */
+  def q19RegexpExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .withColumn("brand_prefix", trim(regexp_extract(col("p_brand"), "^[^0-9]+", 0)))
+      .withColumn("brand_num", regexp_extract(col("p_brand"), "[0-9]+", 0))
+      .groupBy("brand_prefix", "brand_num")
+      .agg(count(lit(1)).as("parts"))
+      .orderBy("brand_prefix", "brand_num")
+
+  /** A8+A10 scalar P&L over expressions (arith inside agg).
+    * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
+    * expression inside SUM). */
+  def q20PnlSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      round(sum("l_extendedprice"), 2).as("gross_revenue"),
+      round(sum(rev), 2).as("net_revenue"),
+      round(sum(col("l_extendedprice") * col("l_discount")), 2).as("total_discount"),
+      round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * col("l_tax")), 2).as("total_tax"),
+      count(lit(1)).as("line_count"))
+}
