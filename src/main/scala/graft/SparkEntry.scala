@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Relational, RelationalOracles}
+import graft.ops.{Dedup, Multimodal, OpsOracles, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -34,9 +35,22 @@ object SparkEntry {
     "q18_date_parts"         -> (Relational.q18DateParts _),
     "q19_regexp_extract"     -> (Relational.q19RegexpExtract _),
     "q20_pnl_summary"        -> (Relational.q20PnlSummary _),
+    // LLM-data-pipeline operators (BASELINE.json north-star)
+    "t01_token_stats"        -> (TextAnalysis.tokenStats _),
+    "t02_quality_score"      -> (TextAnalysis.qualityScore _),
+    "t03_lang_stats"         -> (TextAnalysis.langStats _),
+    "t04_lang_id"            -> (TextAnalysis.langId _),
+    "d01_exact_dedup"        -> (Dedup.exactDedup _),
+    "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
+    "d03_ngram_jaccard"      -> (Dedup.ngramJaccard _),
+    "d04_minhash_lsh"        -> (Dedup.minhashLsh _),
+    "s01_knn_brute"          -> (Similarity.knnBrute _),
+    "s02_ann_ivf"            -> (Similarity.annIvf _),
+    "m01_decoded_meta"       -> (Multimodal.decodedMeta _),
+    "m02_format_summary"     -> (Multimodal.formatSummary _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = RelationalOracles.sql
+  def oracleSql: Map[String, String] = RelationalOracles.sql ++ OpsOracles.sql
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` with typed
+  * metadata, batch "decode" over partitions.
+  *
+  * The container has no image/audio codecs (builder rules), so decode is a
+  * clearly-marked deterministic STUB ([[DecodeStub]]); the Spark-side
+  * plumbing — binary column, schema, partition-wise batch processing,
+  * summary aggregation — is real and oracle-verified (the stub is pure
+  * arithmetic on byte length, so DuckDB can recompute it).
+  *
+  * At 100 TB the binary payloads dominate I/O: metadata extraction projects
+  * only (doc_id, n_chars/byte-length) so Parquet column pruning skips the
+  * payload pages entirely on the summary path.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte], n_chars: Long)
+  final case class DecodedMeta(doc_id: Long, bytes: Long, width: Long,
+                               height: Long, format: String)
+
+  /** STUB decoder: in production this would call an image codec per batch
+    * (partition-wise, codec initialized once per partition — the shape a
+    * real libjpeg/ffmpeg binding needs). Deterministic fake: dimensions
+    * derived from payload size. */
+  object DecodeStub {
+    def decode(r: MediaRow): DecodedMeta = {
+      val bytes = r.media.length.toLong
+      DecodedMeta(
+        doc_id = r.doc_id,
+        bytes = bytes,
+        width = 64L + bytes % 512L,
+        height = 64L + (bytes * 7L) % 512L,
+        format = (bytes % 3L) match {
+          case 0L => "jpeg"; case 1L => "png"; case _ => "webp"
+        })
+    }
+  }
+
+  /** documents.text re-typed as an opaque binary media column. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"), col("n_chars"))
+
+  /** Partition-wise batch decode through the typed Dataset API —
+    * mapPartitions so a real codec would amortize per-partition init. */
+  def decodeBatch(spark: SparkSession, dir: String): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.map(DecodeStub.decode))
+  }
+
+  /** Decoded-metadata rows, deterministic order (oracle-checkable because
+    * the stub is pure arithmetic on octet length). */
+  def decodedMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeBatch(spark, dir).toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Per-format corpus summary over the decoded metadata. */
+  def formatSummary(spark: SparkSession, dir: String): DataFrame =
+    decodedMeta(spark, dir)
+      .groupBy("format")
+      .agg(
+        count(lit(1)).as("images"),
+        round(avg("bytes"), 4).as("avg_bytes"),
+        round(avg("width"), 4).as("avg_width"),
+        round(avg("height"), 4).as("avg_height"))
+      .orderBy("format")
+}

@@ -1,0 +1,195 @@
+package graft.ops
+
+/** DuckDB oracle SQL for the LLM-pipeline operators (documents /
+  * embeddings tables). Same determinism contract as RelationalOracles;
+  * higher-order list functions mirror Spark's transform/filter/aggregate
+  * (DuckDB list subscripts are 1-based where Spark's are 0-based — index
+  * arithmetic below accounts for it).
+  */
+object OpsOracles {
+
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(CASE WHEN len(l) < 3 THEN []
+      |         ELSE list_transform(range(len(l)-2),
+      |              i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]) END) AS shingle
+      |  FROM toks)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_m,
+        |  round(length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS chars_per_token
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "t02_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  round(len(list_filter(toks, w -> w IN ('the','a','of','and','is')))
+        |        / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
+        |  round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS repetition_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, stop_ratio, repetition_ratio,
+        |  CASE WHEN n_tokens < 10 THEN 'too_short'
+        |       WHEN repetition_ratio > 0.8 THEN 'repetitive'
+        |       WHEN stop_ratio > 0.4 THEN 'boilerplate'
+        |       ELSE 'ok' END AS quality_band
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "t03_lang_stats" ->
+      """SELECT lang,
+        |  count(*) AS docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |  count(DISTINCT source) AS sources
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "t04_lang_id" ->
+      """WITH t AS (SELECT lang,
+        |  len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','a','of','and','is'))) AS en_hits
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN en_hits >= 2 THEN 'en' ELSE 'und' END AS predicted,
+        |  count(*) AS docs,
+        |  round(avg(en_hits), 4) AS avg_hits
+        |FROM t
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "d01_exact_dedup" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS fp, count(*) AS copies, min(doc_id) AS keeper
+        |  FROM documents GROUP BY md5(text))
+        |SELECT count(*) AS distinct_texts,
+        |  CAST(sum(copies) AS BIGINT) AS docs,
+        |  count(*) FILTER (WHERE copies > 1) AS dup_groups
+        |FROM g""".stripMargin,
+
+    "d02_fingerprint_dedup" ->
+      """WITH g AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    count(*) AS copies, min(doc_id) AS keeper
+        |  FROM documents GROUP BY 1)
+        |SELECT count(*) AS distinct_docs,
+        |  CAST(sum(copies) AS BIGINT) AS docs,
+        |  count(*) FILTER (WHERE copies > 1) AS dup_groups
+        |FROM g""".stripMargin,
+
+    "d03_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON d1 = sa.doc_id
+        |JOIN sizes sb ON d2 = sb.doc_id
+        |WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    "d04_minhash_lsh" ->
+      s"""WITH $shingleCte,
+        |sig AS (SELECT doc_id,
+        |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+        |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+        |  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+        |  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM sig UNION ALL
+        |  SELECT doc_id, 1, h2 || h3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, h4 || h5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, h6 || h7 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON d1 = sa.doc_id
+        |JOIN sizes sb ON d2 = sb.doc_id
+        |WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    "s01_knn_brute" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS cosine
+        |  FROM n q CROSS JOIN n c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "s02_ann_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS cosine
+        |  FROM n q JOIN n c ON q.label = c.label
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "m01_decoded_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS bytes,
+        |  64 + octet_length(encode(text)) % 512 AS width,
+        |  64 + (octet_length(encode(text)) * 7) % 512 AS height,
+        |  CASE octet_length(encode(text)) % 3
+        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "m02_format_summary" ->
+      """WITH m AS (
+        |  SELECT octet_length(encode(text)) AS bytes,
+        |    64 + octet_length(encode(text)) % 512 AS width,
+        |    64 + (octet_length(encode(text)) * 7) % 512 AS height,
+        |    CASE octet_length(encode(text)) % 3
+        |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+        |  FROM documents)
+        |SELECT format, count(*) AS images,
+        |  round(avg(bytes), 4) AS avg_bytes,
+        |  round(avg(width), 4) AS avg_width,
+        |  round(avg(height), 4) AS avg_height
+        |FROM m
+        |GROUP BY format
+        |ORDER BY format""".stripMargin,
+  )
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: Array[Float]`, 64-dim; `label` as the coarse partition).
+  *
+  * Two paths (BASELINE.json north-star):
+  *  - [[knnBrute]]: brute-force cosine top-k — the exactness baseline.
+  *    O(queries × corpus); fine for a broadcast-able query set, the
+  *    verification oracle at any scale.
+  *  - [[annIvf]]: IVF-style pruned search — candidates restricted to the
+  *    query's coarse cell (`label`, standing in for a k-means centroid
+  *    assignment). The join becomes a co-partitioned equi-join on the cell
+  *    id, so corpus shuffle is hash(cell), not a full cross product:
+  *    this is the 100 TB path.
+  *
+  * Cosine is computed as an explicit left-to-right fold in DOUBLE
+  * (zip_with + aggregate — whole-stage-codegen'd, no UDF) so Spark and
+  * DuckDB agree bitwise before the deterministic 6-dp round. Norms are
+  * precomputed per vector (once per row, not once per pair).
+  */
+object Similarity {
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+
+  private def cosineTopK(queries: DataFrame, candidates: DataFrame,
+                         joinKeys: Seq[String], k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"), col("v").as("qv"), col("norm").as("qnorm"))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      col("label").as("clabel"), col("v").as("cv"), col("norm").as("cnorm"))
+    val joined =
+      if (joinKeys.isEmpty) broadcast(q).crossJoin(c)
+      else broadcast(q).join(c, col("qlabel") === col("clabel"))
+    val scored = joined
+      .withColumn("dot", expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("qnorm") * col("cnorm")), 6))
+    // Rank on the ROUNDED score with a full tie-break so both engines
+    // produce the identical top-k even at float boundaries.
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Brute-force cosine top-3 for queries vec_id < 10 over the rest. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    cosineTopK(vs.filter(col("vec_id") < 10), vs.filter(col("vec_id") >= 10), Seq.empty, 3)
+  }
+
+  /** IVF-pruned cosine top-3: candidates share the query's coarse cell. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    cosineTopK(vs.filter(col("vec_id") < 10), vs.filter(col("vec_id") >= 10), Seq("label"), 3)
+  }
+}

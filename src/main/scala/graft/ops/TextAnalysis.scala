@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table (BASELINE.json north-star: language-ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * All scoring is per-row (narrow) — no shuffle until the final summary
+  * aggregate, so every operator here scales linearly with input splits:
+  * at 100 TB the scan parallelism is the only knob.
+  *
+  * Higher-order functions (`transform`/`filter`/`aggregate`) stay inside
+  * whole-stage codegen — no UDFs anywhere (SURVEY §4.2 / builder rules).
+  */
+object TextAnalysis {
+
+  /** Stopword list used by both quality scoring and language ID; mirrored
+    * verbatim in the DuckDB oracles. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+
+  /** Token counting: whitespace tokens + distinct tokens + chars/token. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    withToks(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        length(col("text")).as("n_chars_m"),
+        round(length(col("text")).cast("double") / size(col("toks")), 4).as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio, repetition ratio, length band. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = EnStopwords.map(w => s"'$w'").mkString(", ")
+    withToks(Tables.documents(spark, dir))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_hits", expr(s"size(filter(toks, w -> w in ($stopList)))"))
+      .withColumn("stop_ratio",
+        round(col("stop_hits").cast("double") / col("n_tokens"), 4))
+      .withColumn("repetition_ratio",
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_tokens"), 4))
+      .withColumn("quality_band",
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("repetition_ratio") > 0.8, "repetitive")
+          .when(col("stop_ratio") > 0.4, "boilerplate")
+          .otherwise("ok"))
+      .select("doc_id", "n_tokens", "stop_ratio", "repetition_ratio", "quality_band")
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic (stopword-hit n-gram signal) cross-tabulated
+    * against the labeled `lang` column. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = EnStopwords.map(w => s"'$w'").mkString(", ")
+    withToks(Tables.documents(spark, dir))
+      .withColumn("en_hits", expr(s"size(filter(toks, w -> w in ($stopList)))"))
+      .withColumn("predicted", when(col("en_hits") >= 2, "en").otherwise("und"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("docs"), round(avg("en_hits"), 4).as("avg_hits"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Per-language corpus profile (summary aggregate). */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    withToks(Tables.documents(spark, dir))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg(size(col("toks"))), 4).as("avg_tokens"),
+        countDistinct("source").as("sources"))
+      .orderBy("lang")
+}
