@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.Pipeline
 import graft.queries.{Relational, RelationalOracles}
 import graft.ops.{Dedup, Multimodal, OpsOracles, Similarity, TextAnalysis}
 
@@ -48,7 +49,30 @@ object SparkEntry {
     "s02_ann_ivf"            -> (Similarity.annIvf _),
     "m01_decoded_meta"       -> (Multimodal.decodedMeta _),
     "m02_format_summary"     -> (Multimodal.formatSummary _),
-  )
+  ) ++ refCatalog
+
+  /** The full reference-parity surface (marketing star schema → KPI views →
+    * Q0–Q9) run on the reference's own CSVs; sfDir is ignored — these are
+    * rows-only driver checks (no oracleSql: the raw CSVs aren't among the
+    * oracle's parquet tables). Golden value assertions live in
+    * GoldenPipelineSpec. q6_spend_waste is excluded: its reference
+    * thresholds legitimately select 0 rows (would trip a rows>0 check). */
+  private def refCatalog: Map[String, (SparkSession, String) => DataFrame] = {
+    var cached: Option[Map[String, () => DataFrame]] = None
+    def catalog(spark: SparkSession): Map[String, () => DataFrame] = synchronized {
+      cached.getOrElse {
+        val c = Pipeline.queryCatalog(Pipeline.run(spark))
+        cached = Some(c); c
+      }
+    }
+    val names = Seq("mv_channel_daily", "mv_kpi_channel", "mv_kpi_campaign",
+      "q0_pnl", "q1_best_sellers", "q1_top_profit", "q1_top_margin",
+      "q2_channel_kpis", "q3_repeat_drivers", "q4_category",
+      "q5_hero_products", "q7_retention", "q8_demographics", "q9_frequency")
+    names.map { n =>
+      s"ref_$n" -> ((spark: SparkSession, _: String) => catalog(spark)(n)())
+    }.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

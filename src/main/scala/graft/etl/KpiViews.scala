@@ -1,0 +1,103 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The three KPI views (reference: etl_script/04_views.sql).
+  *
+  * Structure preserved from the reference: pre-aggregate BOTH facts to the
+  * (date_id, campaign_id) grain FIRST, then FULL OUTER merge + COALESCE
+  * zeros (04_views.sql:17-46). The pre-agg is load-bearing for correctness
+  * (without it the merge double-counts — SURVEY §7.5-2) and for scale (the
+  * shuffled rows are date×campaign grains, not raw facts; both sides then
+  * share hash partitioning on the same key, so the full-outer join
+  * colocates without an extra exchange).
+  *
+  * KPI formulas (04_views.sql:114-142): aov revenue/orders, ctr
+  * clicks/impressions, roas revenue/spend, profit_roas (revenue-cost)/spend,
+  * roi (revenue-spend)/spend, profit_roi (revenue-cost-spend)/spend — NULL
+  * on zero denominator, 4dp (ctr 6dp, spend 2dp).
+  *
+  * Deviation (documented, SURVEY §0.2-5): mv_channel_daily's reference ctr
+  * is Postgres INT/INT division (always 0); we compute the true ratio, as
+  * the reference's own kpi views do.
+  */
+object KpiViews {
+
+  private def nullifZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
+
+  /** fs_agg ⟗ sp_agg at (date_id, campaign_id) grain with COALESCE zeros
+    * (04_views.sql:17-46) — shared by all three views. */
+  def merged(star: Warehouse.Star): DataFrame = {
+    val fsAgg = star.factSales
+      .groupBy("date_id", "campaign_id")
+      .agg(
+        sum("revenue").as("revenue"),
+        sum("cost").as("cost"),
+        countDistinct("sale_id").as("orders"))
+    val spAgg = star.factSpend
+      .groupBy("date_id", "campaign_id")
+      .agg(
+        sum("spend").as("spend"),
+        sum("clicks").as("clicks"),
+        sum("impressions").as("impressions"))
+    fsAgg.join(spAgg, Seq("date_id", "campaign_id"), "full_outer")
+      .select(
+        col("date_id"), col("campaign_id"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        coalesce(col("cost"), lit(0.0)).as("cost"),
+        coalesce(col("orders"), lit(0L)).as("orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        coalesce(col("clicks"), lit(0L)).as("clicks"),
+        coalesce(col("impressions"), lit(0L)).as("impressions"))
+  }
+
+  /** mv_channel_daily (04_views.sql:16-64): date × channel daily rollup. */
+  def channelDaily(star: Warehouse.Star): DataFrame =
+    merged(star)
+      .join(broadcast(star.dimCampaigns.select("campaign_id", "channel")),
+        Seq("campaign_id"), "left")
+      .join(broadcast(star.dimDate.select("date_id", "date")), Seq("date_id"))
+      .groupBy("date", "channel")
+      .agg(
+        sum("revenue").as("revenue"),
+        sum("cost").as("cost"),
+        round(sum("spend"), 2).as("spend"),
+        sum("clicks").as("clicks"),
+        sum("impressions").as("impressions"),
+        round(sum("clicks").cast("double") / nullifZero(sum("impressions")), 6).as("ctr"),
+        sum("orders").as("orders"))
+      .orderBy("date", "channel")
+
+  private def kpiCols: Seq[Column] = Seq(
+    sum(col("revenue")).as("revenue"),
+    sum(col("cost")).as("cost"),
+    round(sum(col("spend")), 2).as("spend"),
+    sum(col("revenue") - col("cost")).as("gross_profit"),
+    sum(col("clicks")).as("clicks"),
+    sum(col("impressions")).as("impressions"),
+    sum(col("orders")).as("orders"),
+    round(sum(col("revenue")) / nullifZero(sum(col("orders"))), 4).as("aov"),
+    round(sum(col("clicks")).cast("double") / nullifZero(sum(col("impressions"))), 6).as("ctr"),
+    round(sum(col("revenue")) / nullifZero(sum(col("spend"))), 4).as("roas"),
+    round((sum(col("revenue")) - sum(col("cost"))) / nullifZero(sum(col("spend"))), 4).as("profit_roas"),
+    round((sum(col("revenue")) - sum(col("spend"))) / nullifZero(sum(col("spend"))), 4).as("roi"),
+    round((sum(col("revenue")) - sum(col("cost")) - sum(col("spend"))) / nullifZero(sum(col("spend"))), 4).as("profit_roi"))
+
+  /** mv_kpi_channel (04_views.sql:70-147). */
+  def kpiChannel(star: Warehouse.Star): DataFrame =
+    merged(star)
+      .join(broadcast(star.dimCampaigns.select("campaign_id", "channel")),
+        Seq("campaign_id"), "left")
+      .groupBy("channel")
+      .agg(kpiCols.head, kpiCols.tail: _*)
+      .orderBy("channel")
+
+  /** mv_kpi_campaign (04_views.sql:153-232). */
+  def kpiCampaign(star: Warehouse.Star): DataFrame =
+    merged(star)
+      .join(broadcast(star.dimCampaigns), Seq("campaign_id"), "left")
+      .groupBy("campaign_id", "campaign_name", "channel")
+      .agg(kpiCols.head, kpiCols.tail: _*)
+      .orderBy("campaign_id")
+}

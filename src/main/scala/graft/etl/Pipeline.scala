@@ -1,0 +1,50 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end pipeline orchestration (reference: run_etl.sh — but one
+  * driver program, no process/network hops; SURVEY §3.1).
+  *
+  * The reference's 5-step shell pipeline (createdb → DDL → pandas load →
+  * transform → views) collapses to: read 2 CSVs → build 6 lazy DataFrames →
+  * register temp views. Stage boundaries exist only at shuffles; Catalyst
+  * plans each downstream action end-to-end (views inline into the
+  * LogicalPlan exactly like Postgres view rewriting, §3.2).
+  */
+object Pipeline {
+
+  val DefaultRawDir = "/root/reference/data/raw"
+
+  /** Build the star schema and register all warehouse + view temp views.
+    * Views are registered as builder results — like the reference's
+    * non-materialized views they re-derive per query; callers wanting
+    * reuse across many queries can .cache() the Star frames. */
+  def run(spark: SparkSession, rawDir: String = DefaultRawDir): Warehouse.Star = {
+    val star = Warehouse.fromRawDir(spark, rawDir)
+    star.registerTempViews()
+    KpiViews.channelDaily(star).createOrReplaceTempView("mv_channel_daily")
+    KpiViews.kpiChannel(star).createOrReplaceTempView("mv_kpi_channel")
+    KpiViews.kpiCampaign(star).createOrReplaceTempView("mv_kpi_campaign")
+    star
+  }
+
+  /** All named query surfaces over a built star — the analyst-facing
+    * catalog (reference: analytics_queries.sql + 04_views.sql). */
+  def queryCatalog(star: Warehouse.Star): Map[String, () => DataFrame] = Map(
+    "mv_channel_daily" -> (() => KpiViews.channelDaily(star)),
+    "mv_kpi_channel"   -> (() => KpiViews.kpiChannel(star)),
+    "mv_kpi_campaign"  -> (() => KpiViews.kpiCampaign(star)),
+    "q0_pnl"           -> (() => AnalyticsQueries.q0Pnl(star)),
+    "q1_best_sellers"  -> (() => AnalyticsQueries.q1BestSellers(star)),
+    "q1_top_profit"    -> (() => AnalyticsQueries.q1TopProfit(star)),
+    "q1_top_margin"    -> (() => AnalyticsQueries.q1TopMargin(star)),
+    "q2_channel_kpis"  -> (() => AnalyticsQueries.q2ChannelKpis(star)),
+    "q3_repeat_drivers"-> (() => AnalyticsQueries.q3RepeatDrivers(star)),
+    "q4_category"      -> (() => AnalyticsQueries.q4CategoryLoyalty(star)),
+    "q5_hero_products" -> (() => AnalyticsQueries.q5HeroProducts(star)),
+    "q6_spend_waste"   -> (() => AnalyticsQueries.q6SpendWaste(star)),
+    "q7_retention"     -> (() => AnalyticsQueries.q7Retention(star)),
+    "q8_demographics"  -> (() => AnalyticsQueries.q8Demographics(star)),
+    "q9_frequency"     -> (() => AnalyticsQueries.q9Frequency(star)),
+  )
+}
