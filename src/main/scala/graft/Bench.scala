@@ -17,7 +17,12 @@ object Bench {
     // Warm the JVM + parquet footer caches once so per-query timings
     // measure the query, not first-touch JIT/class-loading noise.
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Headline = the sfDir-parameterized suite. ref_* queries always read
+    // the fixed-size reference CSVs regardless of sfDir — timing them per
+    // scale factor would be noise, not signal.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("ref_"))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
