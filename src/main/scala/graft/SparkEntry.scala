@@ -36,6 +36,7 @@ object SparkEntry {
     "q18_date_parts"         -> (Relational.q18DateParts _),
     "q19_regexp_extract"     -> (Relational.q19RegexpExtract _),
     "q20_pnl_summary"        -> (Relational.q20PnlSummary _),
+    "q21_weighted_mean"      -> (Relational.q21WeightedMean _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

@@ -226,6 +226,13 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    "q21_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q20_pnl_summary" ->
       """SELECT
         |  round(sum(l_extendedprice), 2) AS gross_revenue,

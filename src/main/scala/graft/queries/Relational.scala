@@ -303,6 +303,17 @@ object Relational {
       .agg(count(lit(1)).as("parts"))
       .orderBy("brand_prefix", "brand_num")
 
+  /** §2.10 custom-aggregate extension point exercised end-to-end: the
+    * typed WeightedMean Aggregator as an untyped UDAF (udaf()), verified
+    * against the oracle's sum(x*w)/sum(w). */
+  def q21WeightedMean(spark: SparkSession, dir: String): DataFrame = {
+    val wm = udaf(graft.functions.WeightedMean)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(round(wm(col("l_extendedprice"), col("l_quantity")), 4).as("weighted_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

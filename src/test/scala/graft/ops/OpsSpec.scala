@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.functions.WeightedMean
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the LLM-pipeline operators (dedup / similarity / multimodal /
+  * custom aggregate) on the sf0.001 testdata. */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("exact dedup accounts for every document") {
+    val r = Dedup.exactDedup(spark, dir).collect()(0)
+    val total = graft.Tables.documents(spark, dir).count()
+    assert(r.getAs[Long]("docs") === total)
+    assert(r.getAs[Long]("distinct_texts") <= total)
+  }
+
+  test("minhash LSH finds the all-pairs Jaccard near-dups") {
+    val exact = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh.subsetOf(exact))      // LSH never invents pairs (verified)
+    // With planted pairs at jaccard ≥0.9 the 4×2 band scheme finds
+    // essentially all of them
+    assert(lsh.size >= exact.size * 9 / 10)
+  }
+
+  test("jaccard pairs are canonical (d1 < d2) and thresholded") {
+    Dedup.ngramJaccard(spark, dir).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getAs[Double]("jaccard") >= 0.5 && r.getAs[Double]("jaccard") <= 1.0)
+    }
+  }
+
+  test("brute-force kNN: ranks are 1..3 per query, cosine in [-1, 1]") {
+    val rows = Similarity.knnBrute(spark, dir).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 10)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq === Seq(1, 2, 3))
+      val cosines = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cosine"))
+      assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cosines.sameElements(cosines.sortBy(-_))) // descending by rank
+    }
+  }
+
+  test("IVF candidates never beat brute force (pruned subset property)") {
+    val brute = Similarity.knnBrute(spark, dir).collect()
+      .filter(_.getAs[Int]("rnk") === 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    Similarity.annIvf(spark, dir).collect()
+      .filter(_.getAs[Int]("rnk") === 1)
+      .foreach { r =>
+        assert(r.getAs[Double]("cosine") <= brute(r.getAs[Long]("query_id")) + 1e-9)
+      }
+  }
+
+  test("multimodal decode stub: deterministic meta matches arithmetic") {
+    val rows = Multimodal.decodedMeta(spark, dir).collect()
+    assert(rows.length === graft.Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bytes")
+      assert(r.getAs[Long]("width") === 64 + b % 512)
+      assert(r.getAs[Long]("height") === 64 + (b * 7) % 512)
+    }
+  }
+
+  test("typed Aggregator extension point: weighted mean with partials") {
+    val s = spark; import s.implicits._
+    val ds = Seq((10.0, 1.0), (20.0, 3.0)).toDS()
+    val wm = ds.select(WeightedMean.toColumn).collect()(0)
+    assert(math.abs(wm - 17.5) < 1e-12) // (10*1 + 20*3) / 4
+    val empty = Seq.empty[(Double, Double)].toDS()
+    assert(empty.select(WeightedMean.toColumn).collect()(0).isNaN)
+  }
+}
