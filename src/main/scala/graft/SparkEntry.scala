@@ -46,8 +46,11 @@ object SparkEntry {
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
     "d03_ngram_jaccard"      -> (Dedup.ngramJaccard _),
     "d04_minhash_lsh"        -> (Dedup.minhashLsh _),
+    "d05_simhash"            -> (Dedup.simhash _),
+    "d06_embedding_neardup"  -> (Similarity.embeddingNearDup _),
     "s01_knn_brute"          -> (Similarity.knnBrute _),
     "s02_ann_ivf"            -> (Similarity.annIvf _),
+    "s03_knn_native"         -> (Similarity.knnNative _),
     "m01_decoded_meta"       -> (Multimodal.decodedMeta _),
     "m02_format_summary"     -> (Multimodal.formatSummary _),
   ) ++ refCatalog

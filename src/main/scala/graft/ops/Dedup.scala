@@ -140,4 +140,32 @@ object Dedup {
       .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
     jaccardOf(inter, ds, 0.5)
   }
+
+  /** Portable 16-bit SimHash per document: each distinct token hashes to a
+    * 16-bit value (first 4 hex chars of md5, decoded arithmetically so
+    * Spark and DuckDB agree), each bit votes ±1, the sign of the vote sum
+    * sets the output bit. Per-doc fingerprints cluster near-dups into
+    * hamming-close codes — at scale the dedup join is on simhash bands,
+    * like MinHash but constant-size signatures. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("m", md5(col("tok")))
+      .withColumn("v",
+        expr("""(instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+               |(instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+               |(instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+               |(instr('0123456789abcdef', substr(m, 4, 1)) - 1)
+               |""".stripMargin.replaceAll("\n", " ")))
+    val voteCols = (0 until 16).map { b =>
+      sum(expr(s"2 * (shiftright(v, $b) & 1) - 1")).as(s"s$b")
+    }
+    val bitsExpr = (0 until 16).map(b => s"(case when s$b > 0 then ${1 << b} else 0 end)")
+      .mkString(" + ")
+    tok.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .withColumn("simhash", expr(bitsExpr))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+  }
 }

@@ -16,7 +16,66 @@ object OpsOracles {
       |              i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]) END) AS shingle
       |  FROM toks)""".stripMargin
 
+  private val knnBruteSql =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+      |          / (q.norm * c.norm), 6) AS cosine
+      |  FROM n q CROSS JOIN n c
+      |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+      |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
+  private val simhashSql = {
+    val votes = (0 until 16)
+      .map(b => s"sum(2 * ((v >> $b) & 1) - 1) AS s$b").mkString(", ")
+    val bits = (0 until 16)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok0 AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents),
+      |tok AS (SELECT doc_id, md5(t) AS m FROM tok0),
+      |tv AS (
+      |  SELECT doc_id,
+      |    (strpos('0123456789abcdef', m[1]) - 1) * 4096 +
+      |    (strpos('0123456789abcdef', m[2]) - 1) * 256 +
+      |    (strpos('0123456789abcdef', m[3]) - 1) * 16 +
+      |    (strpos('0123456789abcdef', m[4]) - 1) AS v
+      |  FROM tok),
+      |votes AS (SELECT doc_id, $votes FROM tv GROUP BY doc_id)
+      |SELECT doc_id, CAST($bits AS INT) AS simhash
+      |FROM votes
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "s03_knn_native" -> knnBruteSql,
+
+    "d05_simhash" -> simhashSql,
+
+    "d06_embedding_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+        |          / (a.norm * b.norm), 6) AS cosine
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT v1, v2, cosine FROM (
+        |  SELECT *, row_number() OVER (ORDER BY cosine DESC, v1 ASC, v2 ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 20
+        |ORDER BY cosine DESC, v1 ASC, v2 ASC""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -130,23 +189,7 @@ object OpsOracles {
         |WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
-    "s01_knn_brute" ->
-      """WITH n AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
-        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |    round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
-        |          / (q.norm * c.norm), 6) AS cosine
-        |  FROM n q CROSS JOIN n c
-        |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
-        |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
-        |  FROM scored)
-        |WHERE rnk <= 3
-        |ORDER BY query_id, rnk""".stripMargin,
+    "s01_knn_brute" -> knnBruteSql,
 
     "s02_ann_ivf" ->
       """WITH n AS (

@@ -64,4 +64,42 @@ object Similarity {
     val vs = vectors(spark, dir)
     cosineTopK(vs.filter(col("vec_id") < 10), vs.filter(col("vec_id") >= 10), Seq("label"), 3)
   }
+
+  /** Brute-force kNN through the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — numerically identical to [[knnBrute]] (same left-to-right
+    * double accumulation) but whole-stage-codegen'd instead of interpreted
+    * HOF lambdas: the hot-loop form for corpus-scale scans. */
+  def knnNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .filter(col("query_id") < 10)
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .filter(col("cand_id") >= 10)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(q).crossJoin(c)
+      .withColumn("cosine", round(expr("cosine_sim(qv, cv)"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "cand_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Embedding-cosine near-dup detection: top-20 most-similar pairs within
+    * the same coarse cell (label). The cell restriction is the scale lever:
+    * the pair join is co-partitioned on the cell id, never all-pairs. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("label"), col("embedding").as("e2"))
+    val w = Window.orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
+    a.join(b, Seq("label"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cosine", round(expr("cosine_sim(e1, e2)"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("v1", "v2", "cosine")
+      .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
+  }
 }
