@@ -53,6 +53,7 @@ object SparkEntry {
     "s03_knn_native"         -> (Similarity.knnNative _),
     "m01_decoded_meta"       -> (Multimodal.decodedMeta _),
     "m02_format_summary"     -> (Multimodal.formatSummary _),
+    "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),
   ) ++ refCatalog
 
   /** The full reference-parity surface (marketing star schema → KPI views →

@@ -219,6 +219,15 @@ object OpsOracles {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    "w01_event_windows" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+        |  event_type,
+        |  count(*) AS events,
+        |  round(sum(value), 4) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "m02_format_summary" ->
       """WITH m AS (
         |  SELECT octet_length(encode(text)) AS bytes,

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY §2.9: the
+  * reference's only "freshness" mechanism is a nightly batch rerun; this
+  * module is the engine's incremental path).
+  *
+  * Design: file-source streaming with `Trigger.AvailableNow` — processes
+  * everything currently in the directory with streaming semantics
+  * (checkpointable, incremental on re-run) then stops. The same plan runs
+  * continuously against a live directory/Kafka source unchanged. Watermark
+  * bounds state: late events beyond 10 minutes are dropped, so window state
+  * is O(active windows), not O(stream length) — the property that keeps
+  * state bounded on an unbounded 100 TB/day stream.
+  */
+object EventStream {
+
+  /** events.parquet schema, declared explicitly (streaming sources require
+    * a user schema). `ts` is TIMESTAMP(NANOS) stored as int64 — read as
+    * long (matching spark.sql.legacy.parquet.nanosAsLong=true) and
+    * converted to a microsecond timestamp column. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events with an event-time column. The file
+    * source wants a directory; the sf dir is the basePath and the glob
+    * filter selects the events table. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_time", timestamp_seconds(col("ts").cast("double") / 1e9))
+
+  /** Tumbling 1-hour windows per event_type with a 10-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("events"), round(sum("value"), 4).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("events"), col("total_value"))
+
+  /** The same aggregation as a batch plan — used by tests to prove the
+    * streaming result equals the batch result on a static directory. */
+  def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame =
+    windowedCounts(
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("event_time", timestamp_seconds(col("ts").cast("double") / 1e9)))
+
+  /** Driver-contract form of the windowed aggregation: window start as
+    * epoch seconds (timestamp columns don't compare portably across
+    * engines at nanosecond precision), deterministic order. */
+  def windowedCountsVerify(spark: SparkSession, dir: String): DataFrame =
+    windowedCountsBatch(spark, dir)
+      .withColumn("window_start_epoch", unix_timestamp(col("window_start")))
+      .select("window_start_epoch", "event_type", "events", "total_value")
+      .orderBy("window_start_epoch", "event_type")
+
+  final case class Event(user_id: Long, event_time: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, events: Int, total: Double)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+                           events: Int, total_value: Double)
+
+  /** Stateful sessionization via flatMapGroupsWithState: a session closes
+    * after 30 minutes of inactivity (processing-time timeout drives state
+    * expiry; with AvailableNow the final batch flushes open sessions on
+    * timeout after the source drains). State per user is one fixed-size
+    * record — bounded regardless of stream length. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove()
+            Iterator(Session(userId, s.start, s.last, s.events, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.event_time.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.event_time.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.events + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.last, s.events, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run the windowed aggregation with AvailableNow into a memory sink and
+    * return the collected result. Complete mode: every window emits its
+    * final value once the source drains. */
+  def runWindowedAvailableNow(spark: SparkSession, dir: String,
+                              queryName: String = "graft_windowed"): DataFrame = {
+    val q = windowedCounts(readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming surface: AvailableNow windowed aggregation equals the batch
+  * plan on a static directory; sessionization closes sessions on gaps. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("AvailableNow windowed aggregation matches the batch equivalent") {
+    val streamed = EventStream.runWindowedAvailableNow(spark, dir, "spec_windowed")
+      .orderBy("window_start", "event_type").collect()
+    val batch = EventStream.windowedCountsBatch(spark, dir)
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    assert(streamed.map(_.getAs[Long]("events")).sum ===
+      spark.read.parquet(s"$dir/events.parquet").count())
+  }
+
+  test("sessionization: gap splits sessions, totals preserved") {
+    val s = spark; import s.implicits._
+    def ev(uid: Long, minute: Long, v: Double) = EventStream.Event(
+      uid, new java.sql.Timestamp(minute * 60000L), v)
+    // user 1: events at t=0,10 then gap > 30min then t=60 → two sessions
+    // user 2: single event → one session
+    val input = Seq(ev(1, 0, 1.0), ev(1, 10, 2.0), ev(1, 60, 4.0), ev(2, 5, 8.0))
+    // In batch (single invocation per group), only gap-closed sessions are
+    // emitted; the trailing open session stays in state awaiting timeout.
+    val sessions = EventStream.sessionize(input.toDS()).collect()
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.length === 1) // first session closed by the 50-minute gap
+    assert(u1(0).events === 2 && u1(0).total_value === 3.0)
+    assert(u1(0).start_ms === 0L && u1(0).end_ms === 10 * 60000L)
+    assert(sessions.count(_.user_id == 2) === 0) // still open, in state
+  }
+}
