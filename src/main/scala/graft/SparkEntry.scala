@@ -37,6 +37,7 @@ object SparkEntry {
     "q19_regexp_extract"     -> (Relational.q19RegexpExtract _),
     "q20_pnl_summary"        -> (Relational.q20PnlSummary _),
     "q21_weighted_mean"      -> (Relational.q21WeightedMean _),
+    "q22_json_extract"       -> (Relational.q22JsonExtract _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

@@ -226,6 +226,18 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    "q22_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |  FROM events)
+        |SELECT event_type, k_val % 10 AS k_bucket,
+        |  count(*) AS events,
+        |  round(avg(k_val), 4) AS avg_k
+        |FROM e
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "q21_weighted_mean" ->
       """SELECT l_returnflag,
         |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_price

@@ -303,6 +303,18 @@ object Relational {
       .agg(count(lit(1)).as("parts"))
       .orderBy("brand_prefix", "brand_num")
 
+  /** Semi-structured extraction: JSON path over the events.props column
+    * (engine completeness — the reference has no JSON, SURVEY §2.8; LLM
+    * pipelines carry metadata as JSON routinely). get_json_object is
+    * codegen'd; the cast-to-int happens after extraction. */
+  def q22JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_bucket", col("k_val") % 10)
+      .groupBy("event_type", "k_bucket")
+      .agg(count(lit(1)).as("events"), round(avg("k_val"), 4).as("avg_k"))
+      .orderBy("event_type", "k_bucket")
+
   /** §2.10 custom-aggregate extension point exercised end-to-end: the
     * typed WeightedMean Aggregator as an untyped UDAF (udaf()), verified
     * against the oracle's sum(x*w)/sum(w). */
