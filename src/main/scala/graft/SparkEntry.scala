@@ -52,6 +52,7 @@ object SparkEntry {
     "s01_knn_brute"          -> (Similarity.knnBrute _),
     "s02_ann_ivf"            -> (Similarity.annIvf _),
     "s03_knn_native"         -> (Similarity.knnNative _),
+    "s04_knn_autoaccel"      -> (Similarity.knnAutoAccel _),
     "m01_decoded_meta"       -> (Multimodal.decodedMeta _),
     "m02_format_summary"     -> (Multimodal.formatSummary _),
     "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),

@@ -59,6 +59,8 @@ object OpsOracles {
   val sql: Map[String, String] = Map(
     "s03_knn_native" -> knnBruteSql,
 
+    "s04_knn_autoaccel" -> knnBruteSql,
+
     "d05_simhash" -> simhashSql,
 
     "d06_embedding_neardup" ->
@@ -80,6 +82,7 @@ object OpsOracles {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpeish_tokens,
         |  CAST(length(text) AS INT) AS n_chars_m,
         |  round(length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS chars_per_token
         |FROM documents

@@ -85,6 +85,15 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** [[knnBrute]] with [[graft.functions.RewriteDotProduct]] installed:
+    * the SAME declarative HOF plan, auto-rewritten by the optimizer rule
+    * into the codegen'd DotProduct — results bitwise-identical (same
+    * oracle as s01 proves it through the driver gate). */
+  def knnAutoAccel(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.RewriteDotProduct.install(spark)
+    knnBrute(spark, dir)
+  }
+
   /** Embedding-cosine near-dup detection: top-20 most-similar pairs within
     * the same coarse cell (label). The cell restriction is the scale lever:
     * the pair join is co-partitioned on the cell id, never all-pairs. */

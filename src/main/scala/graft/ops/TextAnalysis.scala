@@ -24,13 +24,20 @@ object TextAnalysis {
   private def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
 
-  /** Token counting: whitespace tokens + distinct tokens + chars/token. */
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation —
+    * the character-class approximation of a byte-pair pre-tokenizer.
+    * Class-based, so Java regex (Spark) and RE2 (DuckDB) agree. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Token counting: whitespace tokens, distinct tokens, BPE-ish regex
+    * tokens, chars/token. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     withToks(Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        regexp_count(col("text"), lit(BpeishPattern)).cast("int").as("n_bpeish_tokens"),
         length(col("text")).as("n_chars_m"),
         round(length(col("text")).cast("double") / size(col("toks")), 4).as("chars_per_token"))
       .orderBy("doc_id")

@@ -84,6 +84,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("RewriteDotProduct rule: HOF fold rewrites to native DotProduct, same values") {
+    // Parquet-backed input: local literal frames constant-fold into a
+    // LocalRelation before the extra-optimization batch, leaving nothing
+    // to rewrite — the rule targets real scans.
+    val hof = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    val df = graft.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+    val before = df.selectExpr("vec_id", s"$hof as dot")
+      .orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+    graft.functions.RewriteDotProduct.install(spark)
+    val accel = df.selectExpr("vec_id", s"$hof as dot").orderBy("vec_id")
+    // scan every plan node (the top node is the Sort, not the Project)
+    val rewritten = accel.queryExecution.optimizedPlan
+      .collect { case p => p.expressions }.flatten.exists(_.exists {
+        case _: graft.functions.DotProduct => true
+        case _ => false
+      })
+    assert(rewritten, "optimizer should swap the HOF fold for DotProduct")
+    assert(accel.collect().map(_.getDouble(1)).toSeq === before) // bitwise equal
+    // null semantics preserved: unequal lengths → null under both forms
+    val s = spark; import s.implicits._
+    val uneven = Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+    assert(uneven.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) as dot")
+      .collect()(0).isNullAt(0))
+  }
+
   test("typed Aggregator extension point: weighted mean with partials") {
     val s = spark; import s.implicits._
     val ds = Seq((10.0, 1.0), (20.0, 3.0)).toDS()
