@@ -38,6 +38,7 @@ object SparkEntry {
     "q20_pnl_summary"        -> (Relational.q20PnlSummary _),
     "q21_weighted_mean"      -> (Relational.q21WeightedMean _),
     "q22_json_extract"       -> (Relational.q22JsonExtract _),
+    "q23_two_phase_distinct" -> (Relational.q23TwoPhaseDistinct _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

@@ -49,6 +49,18 @@ object Ingest {
     StructField("promo_code", StringType),
     StructField("discount_pct", IntegerType)))
 
+  /** campaigns_details.csv — configured but never loaded by the canonical
+    * pipeline (SURVEY §0.2-2); optional enrichment source. ISO dates,
+    * unlike the other CSVs. (Both enrichment CSVs start with a UTF-8 BOM;
+    * explicit schemas make that moot — the header line is skipped.) */
+  val campaignsDetailsSchema: StructType = StructType(Seq(
+    StructField("campaign_id", IntegerType),
+    StructField("campaign_name", StringType),
+    StructField("channel", StringType),
+    StructField("promo_code", StringType),
+    StructField("start_date", DateType),
+    StructField("end_date", DateType)))
+
   private def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
@@ -60,4 +72,7 @@ object Ingest {
 
   def promo(spark: SparkSession, rawDir: String): DataFrame =
     csv(spark, s"$rawDir/promotion_reference.csv", promoSchema)
+
+  def campaignsDetails(spark: SparkSession, rawDir: String): DataFrame =
+    csv(spark, s"$rawDir/campaigns_details.csv", campaignsDetailsSchema)
 }

@@ -130,6 +130,40 @@ object Warehouse {
         col("Clicks").as("clicks"),
         col("Observed CTR").as("observed_ctr"))
 
+  /** Optional enrichments (documented extensions, SURVEY §0.2-2/3 — the
+    * reference configures these sources but never wires them). */
+  object Enrichment {
+
+    /** dim_promotions from promotion_reference.csv (legacy schema.sql:26-29
+      * declares it; canonical pipeline loads the CSV and drops it). */
+    def dimPromotions(promo: DataFrame): DataFrame =
+      promo.select(
+        col("promo_code"),
+        col("discount_pct"))
+        .na.fill("", Seq("promo_code"))
+        .dropDuplicates("promo_code")
+
+    /** dim_campaigns enriched with promo_code + run dates by joining
+      * campaigns_details on the natural key (campaign_name). Derived
+      * channel is kept and checked against the file's channel column. */
+    def enrichCampaigns(dimCampaigns: DataFrame, details: DataFrame): DataFrame =
+      dimCampaigns.join(
+        broadcast(details.select(
+          col("campaign_name"),
+          col("channel").as("declared_channel"),
+          col("promo_code"), col("start_date"), col("end_date"))),
+        Seq("campaign_name"), "left")
+
+    /** Legacy season bucketing (etil_pipeline.sql:108-112, F9): Mar–May
+      * Summer, Jun–Sep Rainy, else Cool — the canonical pipeline leaves
+      * dim_date.season NULL; this fills it for the legacy-variant user. */
+    def withSeason(dimDate: DataFrame): DataFrame =
+      dimDate.withColumn("season",
+        when(month(col("date")).between(3, 5), "Summer")
+          .when(month(col("date")).between(6, 9), "Rainy")
+          .otherwise("Cool"))
+  }
+
   /** Full transform: raw frames → star schema. */
   def build(tx: DataFrame, spend: DataFrame): Star = {
     val dd = dimDate(tx)

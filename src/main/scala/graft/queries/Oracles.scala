@@ -226,6 +226,12 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    "q23_two_phase_distinct" ->
+      """SELECT user_id, count(DISTINCT event_type) AS distinct_types
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     "q22_json_extract" ->
       """WITH e AS (
         |  SELECT event_type,

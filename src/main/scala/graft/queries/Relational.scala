@@ -315,6 +315,19 @@ object Relational {
       .agg(count(lit(1)).as("events"), round(avg("k_val"), 4).as("avg_k"))
       .orderBy("event_type", "k_bucket")
 
+  /** Skew-resistant exact COUNT(DISTINCT): two-phase aggregation. Phase 1
+    * dedupes (key, value) pairs — a hot key's values hash-spread across
+    * ALL partitions (the salting effect, with the value itself as salt);
+    * phase 2 counts per key. A direct countDistinct pulls each key's whole
+    * value set to one task: with a skewed key at 100 TB that task is the
+    * job. Same result, oracle-verified against COUNT(DISTINCT). */
+  def q23TwoPhaseDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct()    // phase 1: pair dedup
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("distinct_types"))       // phase 2: count per key
+      .orderBy("user_id")
+
   /** §2.10 custom-aggregate extension point exercised end-to-end: the
     * typed WeightedMean Aggregator as an untyped UDAF (udaf()), verified
     * against the oracle's sum(x*w)/sum(w). */

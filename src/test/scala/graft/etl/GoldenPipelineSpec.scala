@@ -100,6 +100,27 @@ class GoldenPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(AnalyticsQueries.q5HeroProducts(star).count() === 19)
   }
 
+  test("optional enrichments: promotions dim, campaign details, season") {
+    val promo = Warehouse.Enrichment.dimPromotions(
+      Ingest.promo(spark, Pipeline.DefaultRawDir))
+    assert(promo.count() === 4)
+    assert(promo.filter("discount_pct NOT IN (0, 10, 15, 20)").count() === 0)
+
+    val enriched = Warehouse.Enrichment.enrichCampaigns(
+      star.dimCampaigns, Ingest.campaignsDetails(spark, Pipeline.DefaultRawDir))
+    assert(enriched.count() === 48)
+    // derived channel (trimmed regexp) agrees with the declared channel
+    assert(enriched.filter("channel != declared_channel").count() === 0)
+    assert(enriched.filter("start_date IS NULL OR end_date IS NULL").count() === 0)
+
+    val seasons = Warehouse.Enrichment.withSeason(star.dimDate)
+      .groupBy("season").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 365 days spanning 2024-11 → 2025-10: Summer 92 (Mar-May),
+    // Rainy 122 (Jun-Sep), Cool 151 (Oct-Feb)
+    assert(seasons === Map("Summer" -> 92L, "Rainy" -> 122L, "Cool" -> 151L))
+  }
+
   test("Q9 frequency segments partition all 2,450 customers") {
     val segs = AnalyticsQueries.q9Frequency(star).collect()
     assert(segs.map(_.getAs[Long]("customers")).sum === 10000L) // row-grain semantics
