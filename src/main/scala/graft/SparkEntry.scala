@@ -39,6 +39,9 @@ object SparkEntry {
     "q21_weighted_mean"      -> (Relational.q21WeightedMean _),
     "q22_json_extract"       -> (Relational.q22JsonExtract _),
     "q23_two_phase_distinct" -> (Relational.q23TwoPhaseDistinct _),
+    "q24_rollup"             -> (Relational.q24Rollup _),
+    "q25_pivot"              -> (Relational.q25Pivot _),
+    "q26_median"             -> (Relational.q26Median _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

@@ -226,6 +226,32 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    "q24_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q25_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1.0 - l_discount))
+        |        FILTER (WHERE l_linestatus = 'F'), 2) AS rev_f,
+        |  round(sum(l_extendedprice * (1.0 - l_discount))
+        |        FILTER (WHERE l_linestatus = 'O'), 2) AS rev_o
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q26_median" ->
+      """SELECT l_returnflag,
+        |  round(median(l_extendedprice), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q23_two_phase_distinct" ->
       """SELECT user_id, count(DISTINCT event_type) AS distinct_types
         |FROM events

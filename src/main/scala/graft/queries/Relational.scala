@@ -339,6 +339,37 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Multi-level aggregation in one pass: ROLLUP (returnflag → (flag,
+    * status) → grand total). Engine completeness beyond the reference
+    * (SURVEY §2.4 notes grouping sets absent). One shuffle produces every
+    * grouping level — vs. N separate aggregations + union. */
+  def q24Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Pivot: linestatus values become columns (conditional-aggregation
+    * form, which is what Spark's pivot lowers to — the oracle states it
+    * explicitly). */
+  def q25Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(rev), 2))
+      .withColumnRenamed("F", "rev_f")
+      .withColumnRenamed("O", "rev_o")
+      .orderBy("l_returnflag")
+
+  /** Exact median (linear interpolation) per group. */
+  def q26Median(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(median(col("l_extendedprice")), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      .orderBy("l_returnflag")
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */
