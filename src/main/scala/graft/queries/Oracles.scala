@@ -55,20 +55,20 @@ object RelationalOracles {
     "q05_full_outer_merge" ->
       """WITH returned AS (
         |  SELECT l_suppkey, l_linestatus,
-        |    round(sum(l_quantity), 2) AS r_qty,
-        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS r_rev
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS r_qty,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS r_rev
         |  FROM lineitem WHERE l_returnflag = 'R'
         |  GROUP BY l_suppkey, l_linestatus),
         |kept AS (
         |  SELECT l_suppkey, l_linestatus,
-        |    round(sum(l_quantity), 2) AS k_qty,
-        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS k_rev
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS k_qty,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS k_rev
         |  FROM lineitem WHERE l_returnflag <> 'R'
         |  GROUP BY l_suppkey, l_linestatus)
         |SELECT l_suppkey, l_linestatus,
-        |  coalesce(r_qty, 0.0) AS returned_qty,
-        |  coalesce(k_qty, 0.0) AS kept_qty,
-        |  round(coalesce(r_rev, 0.0) + coalesce(k_rev, 0.0), 2) AS total_rev
+        |  CAST(round(coalesce(r_qty, 0), 2) AS DOUBLE) AS returned_qty,
+        |  CAST(round(coalesce(k_qty, 0), 2) AS DOUBLE) AS kept_qty,
+        |  CAST(round(coalesce(r_rev, 0) + coalesce(k_rev, 0), 2) AS DOUBLE) AS total_rev
         |FROM returned FULL OUTER JOIN kept USING (l_suppkey, l_linestatus)
         |ORDER BY l_suppkey, l_linestatus""".stripMargin,
 
@@ -139,18 +139,19 @@ object RelationalOracles {
     "q11_quadrant" ->
       """WITH per_part AS (
         |  SELECT l_partkey,
-        |    sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
-        |    sum(l_quantity) AS qty
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
         |  FROM lineitem GROUP BY l_partkey),
         |avgs AS (
-        |  SELECT avg(revenue) AS avg_revenue, avg(qty) AS avg_qty FROM per_part)
+        |  SELECT avg(CAST(revenue AS DOUBLE)) AS avg_revenue,
+        |         avg(CAST(qty AS DOUBLE)) AS avg_qty FROM per_part)
         |SELECT CASE
         |  WHEN revenue >= avg_revenue AND qty >= avg_qty THEN 'hero'
         |  WHEN revenue >= avg_revenue AND qty < avg_qty THEN 'premium'
         |  WHEN revenue < avg_revenue AND qty >= avg_qty THEN 'volume'
         |  ELSE 'dud' END AS quadrant,
         |  count(*) AS parts,
-        |  round(sum(revenue), 2) AS revenue
+        |  CAST(round(sum(revenue), 2) AS DOUBLE) AS revenue
         |FROM per_part CROSS JOIN avgs
         |GROUP BY quadrant
         |ORDER BY quadrant""".stripMargin,

@@ -89,18 +89,27 @@ object Relational {
     * (date_id, campaign_id), COALESCE both sides). */
   def q05FullOuterMerge(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // Exact-sum discipline: cast each ROW to decimal(18,6) before summing.
+    // Per-row doubles are bitwise identical across engines (same IEEE
+    // products); decimal addition is exact and order-independent, so the
+    // group sums — and everything downstream — match regardless of
+    // partitioning/accumulation order. (Float sums rounded at 2dp flip at
+    // half-cent boundaries between engines — observed at sf0.1.)
+    val dec = "decimal(18,6)"
     val returned = li.filter(col("l_returnflag") === "R")
       .groupBy("l_suppkey", "l_linestatus")
-      .agg(round(sum("l_quantity"), 2).as("r_qty"), round(sum(rev), 2).as("r_rev"))
+      .agg(sum(col("l_quantity").cast(dec)).as("r_qty"), sum(rev.cast(dec)).as("r_rev"))
     val kept = li.filter(col("l_returnflag") =!= "R")
       .groupBy("l_suppkey", "l_linestatus")
-      .agg(round(sum("l_quantity"), 2).as("k_qty"), round(sum(rev), 2).as("k_rev"))
+      .agg(sum(col("l_quantity").cast(dec)).as("k_qty"), sum(rev.cast(dec)).as("k_rev"))
+    val zero = lit(0).cast(dec)
     returned.join(kept, Seq("l_suppkey", "l_linestatus"), "full_outer")
       .select(
         col("l_suppkey"), col("l_linestatus"),
-        coalesce(col("r_qty"), lit(0.0)).as("returned_qty"),
-        coalesce(col("k_qty"), lit(0.0)).as("kept_qty"),
-        round(coalesce(col("r_rev"), lit(0.0)) + coalesce(col("k_rev"), lit(0.0)), 2).as("total_rev"))
+        round(coalesce(col("r_qty"), zero), 2).cast("double").as("returned_qty"),
+        round(coalesce(col("k_qty"), zero), 2).cast("double").as("kept_qty"),
+        round(coalesce(col("r_rev"), zero) + coalesce(col("k_rev"), zero), 2)
+          .cast("double").as("total_rev"))
       .orderBy("l_suppkey", "l_linestatus")
   }
 
@@ -192,11 +201,14 @@ object Relational {
     * Reference: analytics_queries.sql:162-190 (Q5 Hero vs Free Rider). */
   def q11Quadrant(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-    // Keep intermediate sums UNROUNDED: re-aggregating pre-rounded doubles
-    // amplifies engine-specific rounding-boundary flips (oracle parity).
+    // Exact-sum discipline (see q05): decimal row casts make group sums
+    // order-independent and bitwise-identical across engines.
+    val dec = "decimal(18,6)"
     val perPart = li.groupBy("l_partkey")
-      .agg(sum(rev).as("revenue"), sum("l_quantity").as("qty"))
-    val avgs = perPart.agg(avg("revenue").as("avg_revenue"), avg("qty").as("avg_qty"))
+      .agg(sum(rev.cast(dec)).as("revenue"), sum(col("l_quantity").cast(dec)).as("qty"))
+    val avgs = perPart.agg(
+      avg(col("revenue").cast("double")).as("avg_revenue"),
+      avg(col("qty").cast("double")).as("avg_qty"))
     perPart.crossJoin(broadcast(avgs))
       .withColumn("quadrant",
         when(col("revenue") >= col("avg_revenue") && col("qty") >= col("avg_qty"), "hero")
@@ -204,7 +216,8 @@ object Relational {
           .when(col("revenue") < col("avg_revenue") && col("qty") >= col("avg_qty"), "volume")
           .otherwise("dud"))
       .groupBy("quadrant")
-      .agg(count(lit(1)).as("parts"), round(sum("revenue"), 2).as("revenue"))
+      .agg(count(lit(1)).as("parts"),
+        round(sum("revenue"), 2).cast("double").as("revenue"))
       .orderBy("quadrant")
   }
 
