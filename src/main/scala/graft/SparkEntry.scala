@@ -60,6 +60,7 @@ object SparkEntry {
     "m01_decoded_meta"       -> (Multimodal.decodedMeta _),
     "m02_format_summary"     -> (Multimodal.formatSummary _),
     "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),
+    "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
   ) ++ refCatalog
 
   /** The full reference-parity surface (marketing star schema → KPI views →

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the single most recent right row with
+  * `rightTs <= leftTs` and equal keys — the operator Spark lacks natively
+  * (builder rules list it as the canonical custom-operator case; DuckDB's
+  * native ASOF JOIN is the oracle).
+  *
+  * Implementation is composition (preference (a) of the custom-operator
+  * ladder): tag both sides, union, ONE shuffle on the key, in-partition
+  * sort by (ts, tag), and `last(_, ignoreNulls)` carry-forward over the
+  * running window, then keep only left rows. Right rows at exactly leftTs
+  * sort before the left row (tag 0 < 1), giving inclusive `<=` semantics
+  * like ASOF's `>=`.
+  *
+  * Scale: one exchange total — same cost as a plain equi-join shuffle, no
+  * per-row range probing; the window runs inside each key partition. Key
+  * skew is AQE's problem like any other shuffle.
+  */
+object AsOfJoin {
+
+  /** Generic form: left/right must share `key`; carries `rightCols` from
+    * the matched right row onto each left row (null when no prior right
+    * row exists). Both frames need a long/comparable `ts` column. */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           rightCols: Seq[String]): DataFrame = {
+    val leftTagged = left.withColumn("__tag", lit(1))
+    val rightTagged = right.withColumn("__tag", lit(0))
+    // align schemas: left gets null right-cols, right gets null left-cols
+    val leftCols = left.columns.filterNot(c => c == key || c == "ts")
+    val l2 = rightCols.foldLeft(leftTagged)((df, c) => df.withColumn(c, lit(null)))
+    val r2 = leftCols.foldLeft(rightTagged)((df, c) => df.withColumn(c, lit(null)))
+    val all = l2.select((key +: "ts" +: "__tag" +: (leftCols ++ rightCols)).map(col): _*)
+      .unionByName(r2.select((key +: "ts" +: "__tag" +: (leftCols ++ rightCols)).map(col): _*))
+    val w = Window.partitionBy(key).orderBy(col("ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(all) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1).drop("__tag")
+  }
+
+  /** Driver-contract query: each `purchase` event matched as-of to the
+    * user's most recent `click` at or before it. */
+  def purchaseAsOfClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "ts", "user_id", "event_type")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    // Gap at microsecond precision, truncating each timestamp first —
+    // DuckDB reads the parquet NANOS timestamps as µs TIMESTAMPs, so the
+    // oracle can only see µs; truncate-then-subtract mirrors it exactly.
+    asOf(purchases, clicks, "user_id", Seq("click_id", "click_ts"))
+      .select(
+        col("purchase_id"), col("user_id"), col("click_id"),
+        expr("(ts div 1000) - (click_ts div 1000)").as("gap_us"))
+      .orderBy("purchase_id")
+  }
+}

@@ -222,6 +222,14 @@ object OpsOracles {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    "j01_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+
     "w01_event_windows" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
         |  event_type,
