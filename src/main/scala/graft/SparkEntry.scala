@@ -53,6 +53,7 @@ object SparkEntry {
     "d04_minhash_lsh"        -> (Dedup.minhashLsh _),
     "d05_simhash"            -> (Dedup.simhash _),
     "d06_embedding_neardup"  -> (Similarity.embeddingNearDup _),
+    "d07_dedup_apply"        -> (Dedup.dropNearDuplicates _),
     "s01_knn_brute"          -> (Similarity.knnBrute _),
     "s02_ann_ivf"            -> (Similarity.annIvf _),
     "s03_knn_native"         -> (Similarity.knnNative _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "m02_format_summary"     -> (Multimodal.formatSummary _),
     "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
+    "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
   ) ++ refCatalog
 
   /** The full reference-parity surface (marketing star schema → KPI views →

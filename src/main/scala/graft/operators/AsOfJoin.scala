@@ -44,6 +44,34 @@ object AsOfJoin {
     carried.filter(col("__tag") === 1).drop("__tag")
   }
 
+  /** Range (interval) join, bucketed: count clicks within one hour AFTER
+    * each purchase, per user — the attribution-window shape. A naive theta
+    * join (`c.ts BETWEEN p.ts AND p.ts+1h`) is a cross product per user;
+    * bucketing both sides to epoch hours turns it into an equi-join on
+    * (user, hour) with the purchase side exploded to its 2 candidate
+    * buckets, then an exact range filter. At 100 TB the shuffle is
+    * O(rows×2), never O(pairs). */
+  def purchaseClickWindow(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val ev = Tables.events(spark, dir).select("event_id", "ts", "user_id", "event_type")
+    // µs precision throughout — the oracle sees the parquet NANOS
+    // timestamps as µs, so comparisons must truncate identically.
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("ts div 1000").as("p_us"))
+      // a 1-hour window spans at most 2 hour-buckets
+      .withColumn("bucket", explode(array(
+        expr(s"p_us div $hourUs"), expr(s"p_us div $hourUs + 1"))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("c_us"))
+      .withColumn("bucket", expr(s"c_us div $hourUs"))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_us") > col("p_us") && col("c_us") <= col("p_us") + lit(hourUs))
+      .groupBy("purchase_id", "user_id")
+      .agg(count(lit(1)).as("clicks_within_1h"))
+      .orderBy("purchase_id")
+  }
+
   /** Driver-contract query: each `purchase` event matched as-of to the
     * user's most recent `click` at or before it. */
   def purchaseAsOfClick(spark: SparkSession, dir: String): DataFrame = {

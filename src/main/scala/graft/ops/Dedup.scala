@@ -141,6 +141,17 @@ object Dedup {
     jaccardOf(inter, ds, 0.5)
   }
 
+  /** Dedup APPLICATION: the cleaned corpus. Every near-dup pair keeps its
+    * lower doc_id; higher ids are anti-joined away. This is the operator a
+    * training-data pipeline actually ships — detection (d03/d04) feeds it. */
+  def dropNearDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val losers = ngramJaccard(spark, dir).select(col("d2").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Portable 16-bit SimHash per document: each distinct token hashes to a
     * 16-bit value (first 4 hex chars of md5, decoded arithmetically so
     * Spark and DuckDB agree), each bit votes ±1, the sign of the vote sum

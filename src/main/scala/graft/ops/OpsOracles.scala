@@ -161,6 +161,22 @@ object OpsOracles {
         |WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
+    "d07_dedup_apply" ->
+      s"""WITH $shingleCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT d2 FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
     "d04_minhash_lsh" ->
       s"""WITH $shingleCte,
         |sig AS (SELECT doc_id,
@@ -221,6 +237,17 @@ object OpsOracles {
         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "j02_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  count(*) AS clicks_within_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts) > epoch_us(p.ts)
+        | AND epoch_us(c.ts) <= epoch_us(p.ts) + 3600000000
+        |GROUP BY 1, 2
+        |ORDER BY purchase_id""".stripMargin,
 
     "j01_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
