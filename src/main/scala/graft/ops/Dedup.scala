@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *    collision, so shuffle volume is O(docs × bands).
   *  - MinHash uses min(md5(seed || shingle)) — engine-portable
   *    (lexicographic min over hex strings), no platform hash dependence.
+  *
+  * Background (public literature): MinHash resemblance sketching — Broder,
+  * "On the resemblance and containment of documents" (SEQUENCES 1997);
+  * LSH banding — Indyk & Motwani (STOC 1998); SimHash — Charikar,
+  * "Similarity estimation techniques from rounding algorithms" (STOC 2002).
   */
 object Dedup {
 
