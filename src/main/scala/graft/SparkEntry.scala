@@ -47,6 +47,9 @@ object SparkEntry {
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),
     "t03_lang_stats"         -> (TextAnalysis.langStats _),
     "t04_lang_id"            -> (TextAnalysis.langId _),
+    "t05_vocabulary"         -> (TextAnalysis.vocabulary _),
+    "t06_idf"                -> (TextAnalysis.idf _),
+    "w02_session_counts"     -> (graft.streaming.EventStream.sessionCounts _),
     "d01_exact_dedup"        -> (Dedup.exactDedup _),
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
     "d03_ngram_jaccard"      -> (Dedup.ngramJaccard _),

@@ -104,6 +104,42 @@ object OpsOracles {
         |FROM s
         |ORDER BY doc_id""".stripMargin,
 
+    "t05_vocabulary" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS occurrences
+        |FROM tok
+        |GROUP BY token
+        |ORDER BY occurrences DESC, token ASC
+        |LIMIT 50""".stripMargin,
+
+    "t06_idf" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT token, count(*) AS doc_freq,
+        |  round(ln(n_docs / CAST(count(*) AS DOUBLE)), 6) AS idf
+        |FROM tok CROSS JOIN n
+        |GROUP BY token, n_docs
+        |ORDER BY token""".stripMargin,
+
+    "w02_session_counts" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(new_session) AS BIGINT) AS sessions,
+        |  count(*) AS events
+        |FROM flagged
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     "t03_lang_stats" ->
       """SELECT lang,
         |  count(*) AS docs,

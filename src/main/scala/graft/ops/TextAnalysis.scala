@@ -73,6 +73,33 @@ object TextAnalysis {
       .orderBy("lang", "predicted")
   }
 
+  /** Vocabulary extraction: corpus-wide token frequencies, top-50.
+    * Explode → hash-agg → top-k; at 100 TB the map-side partial aggregate
+    * collapses each partition's token counts before the shuffle, so the
+    * exchange carries vocab-sized data, not token-stream-sized. */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame =
+    withToks(Tables.documents(spark, dir))
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("token").asc)
+      .limit(50)
+
+  /** Inverse document frequency per token: df = docs containing the token,
+    * idf = ln(N/df). The distinct (doc, token) explode dedupes per doc
+    * before counting. */
+  def idf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withToks(Tables.documents(spark, dir))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", round(log(col("n_docs").cast("double") / col("doc_freq")), 6))
+      .select("token", "doc_freq", "idf")
+      .orderBy("token")
+  }
+
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     withToks(Tables.documents(spark, dir))

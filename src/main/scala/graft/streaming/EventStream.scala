@@ -112,6 +112,28 @@ object EventStream {
       }
   }
 
+  /** Relational (batch/window) sessionization — the same 30-minute-gap
+    * rule as [[sessionize]] expressed with lag + cumulative sum, giving the
+    * driver gate an oracle-checkable form and the spec a cross-check of
+    * the stateful path. µs precision to match the oracle's timestamps. */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(
+        max("session_id").as("sessions"),
+        count(lit(1)).as("events"))
+      .orderBy("user_id")
+  }
+
   /** Run the windowed aggregation with AvailableNow into a memory sink and
     * return the collected result. Complete mode: every window emits its
     * final value once the source drains. */

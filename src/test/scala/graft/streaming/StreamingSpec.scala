@@ -36,6 +36,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(s"$dir/events.parquet").count())
   }
 
+  test("stateful sessionize agrees with the window-based session counts") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"),
+        timestamp_seconds(col("ts").cast("double") / 1e9).as("event_time"),
+        col("value"))
+      .as[EventStream.Event]
+    // Batch invocation emits only gap-CLOSED sessions; each user's trailing
+    // session stays open in state — so closed = windowed sessions - 1.
+    val closedPerUser = EventStream.sessionize(events).collect()
+      .groupBy(_.user_id).map { case (u, ss) => u -> ss.length.toLong }
+    val windowed = EventStream.sessionCounts(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("sessions")).toMap
+    assert(windowed.nonEmpty)
+    windowed.foreach { case (u, n) =>
+      assert(closedPerUser.getOrElse(u, 0L) === n - 1,
+        s"user $u: stateful closed ${closedPerUser.getOrElse(u, 0L)} vs windowed $n")
+    }
+  }
+
   test("sessionization: gap splits sessions, totals preserved") {
     val s = spark; import s.implicits._
     def ev(uid: Long, minute: Long, v: Double) = EventStream.Event(
