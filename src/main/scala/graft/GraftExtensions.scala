@@ -1,0 +1,28 @@
+package graft
+
+import graft.functions.{CosineSimilarity, RewriteDotProduct}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension packaging of the engine's custom Catalyst surface —
+  * the production integration route:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * installs `cosine_sim` (codegen'd expression, usable from SQL) and the
+  * [[RewriteDotProduct]] auto-acceleration rule on every session, no code
+  * changes in user queries. The per-session `register`/`install` helpers
+  * remain for already-running sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** spark.sql.extensions=graft.GraftExtensions wires the custom function
+  * and optimizer rule into a fresh session with no user code. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extensions install cosine_sim and the dot-product rewrite") {
+    // a lingering session from another suite would win getOrCreate and
+    // silently drop the extensions config
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      // cosine_sim resolves from plain SQL
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      e.createOrReplaceTempView("emb")
+      val self = spark.sql(
+        "SELECT round(cosine_sim(embedding, embedding), 6) AS c FROM emb LIMIT 5")
+        .collect().map(_.getDouble(0))
+      assert(self.forall(c => math.abs(c - 1.0) < 1e-9)) // self-cosine = 1
+      // the optimizer rule is active without an explicit install()
+      val hof = e.selectExpr("transform(embedding, x -> cast(x as double)) as v")
+        .selectExpr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) as dot")
+      val rewritten = hof.queryExecution.optimizedPlan
+        .collect { case p => p.expressions }.flatten.exists(_.exists {
+          case _: graft.functions.DotProduct => true
+          case _ => false
+        })
+      assert(rewritten, "injected optimizer rule should fire")
+    } finally spark.stop()
+  }
+}
