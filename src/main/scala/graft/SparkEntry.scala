@@ -61,6 +61,10 @@ object SparkEntry {
     "s02_ann_ivf"            -> (Similarity.annIvf _),
     "s03_knn_native"         -> (Similarity.knnNative _),
     "s04_knn_autoaccel"      -> (Similarity.knnAutoAccel _),
+    "s05_label_centroids"    -> (Similarity.labelCentroids _),
+    "t07_top_tfidf"          -> (TextAnalysis.topTfidf _),
+    "t08_quality_filtered"   -> (TextAnalysis.qualityFiltered _),
+    "t09_hash_sample"        -> (TextAnalysis.hashSample _),
     "m01_decoded_meta"       -> (Multimodal.decodedMeta _),
     "m02_format_summary"     -> (Multimodal.formatSummary _),
     "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),

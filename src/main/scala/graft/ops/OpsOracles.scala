@@ -124,6 +124,51 @@ object OpsOracles {
         |GROUP BY token, n_docs
         |ORDER BY token""".stripMargin,
 
+    "s05_label_centroids" ->
+      """SELECT label, CAST(i AS INT) AS dim,
+        |  round(avg(CAST(embedding[i+1] AS DOUBLE)), 6) AS centroid
+        |FROM embeddings, range(64) AS t(i)
+        |GROUP BY label, i
+        |ORDER BY label, dim""".stripMargin,
+
+    "t07_top_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tfc AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT token, count(*) AS doc_freq FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    round(tf * ln(n_docs / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
+        |  FROM tfc JOIN dfc USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tfidf FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+        |  FROM scored)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "t08_quality_filtered" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  round(len(list_filter(toks, w -> w IN ('the','a','of','and','is')))
+        |        / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
+        |  round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS repetition_ratio
+        |  FROM t)
+        |SELECT lang, count(*) AS kept_docs, round(avg(n_tokens), 4) AS avg_tokens
+        |FROM s
+        |WHERE NOT (n_tokens < 10) AND NOT (repetition_ratio > 0.8)
+        |  AND NOT (stop_ratio > 0.4)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "t09_hash_sample" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY doc_id""".stripMargin,
+
     "w02_session_counts" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,

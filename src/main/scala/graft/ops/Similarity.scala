@@ -94,6 +94,17 @@ object Similarity {
     knnBrute(spark, dir)
   }
 
+  /** Coarse-cell centroids — the "train" step an IVF index needs: the mean
+    * vector per cell, as (label, dim, value) rows. posexplode keeps the
+    * shuffle key (label, dim) — 64 rows per vector, map-side combined, so
+    * the exchange is O(cells × dims), independent of corpus size. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
+      .orderBy("label", "dim")
+
   /** Embedding-cosine near-dup detection: top-20 most-similar pairs within
     * the same coarse cell (label). The cell restriction is the scale lever:
     * the pair join is co-partitioned on the cell id, never all-pairs. */

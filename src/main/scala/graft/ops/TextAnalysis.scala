@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines, over the
@@ -99,6 +100,52 @@ object TextAnalysis {
       .select("token", "doc_freq", "idf")
       .orderBy("token")
   }
+
+  /** Per-document top TF-IDF term: tf (in-doc count) × ln(N/df), ranked
+    * with full tie-breaks. Composition of [[vocabulary]]-style tf and
+    * [[idf]] — the classic relevance score as one declarative plan. */
+  def topTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withToks(Tables.documents(spark, dir))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val scored = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("doc_id", "token", "tfidf")
+      .orderBy("doc_id")
+  }
+
+  /** Quality-filter APPLICATION: the corpus a training run would ship —
+    * only 'ok'-band documents, summarized per language. Detection
+    * ([[qualityScore]]) feeds it, mirroring the d03→d07 dedup pattern. */
+  def qualityFiltered(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(spark, dir)
+      .filter(col("quality_band") === "ok")
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("kept_docs"),
+        round(avg("n_tokens"), 4).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Deterministic hash-split sampling: md5 of the doc id buckets every
+    * row reproducibly (engine- and run-independent — rand() is neither).
+    * ~1/16 sample = first hex nibble '0'. The split column is how a
+    * train/val/test partition stays stable across reprocessing at 100 TB. */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .filter(col("bucket") === "0")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
 
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =
