@@ -110,8 +110,10 @@ object TextAnalysis {
     val tf = docs.select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
-    val scored = tf.join(df, Seq("token"))
+    // doc_freq as a count-over-window: one pass over tf instead of
+    // re-executing the explode+agg subtree for a groupBy+join
+    val scored = tf
+      .withColumn("doc_freq", count(lit(1)).over(Window.partitionBy("token")))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")), 6))
