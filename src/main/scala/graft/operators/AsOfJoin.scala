@@ -25,23 +25,35 @@ object AsOfJoin {
 
   /** Generic form: left/right must share `key`; carries `rightCols` from
     * the matched right row onto each left row (null when no prior right
-    * row exists). Both frames need a long/comparable `ts` column. */
+    * row exists). Both frames need a long/comparable `ts` column.
+    *
+    * `rightTie` (a right-side column, e.g. its event id) makes the carried
+    * row deterministic when several right rows share a ts: the window sorts
+    * by it, so the LARGEST tie value wins. Without it, `last()` over tied
+    * right rows is order-dependent. Left rows get a null tie key; ties
+    * among left rows are harmless (each reads the carry independently). */
   def asOf(left: DataFrame, right: DataFrame, key: String,
-           rightCols: Seq[String]): DataFrame = {
+           rightCols: Seq[String], rightTie: Option[String] = None): DataFrame = {
     val leftTagged = left.withColumn("__tag", lit(1))
     val rightTagged = right.withColumn("__tag", lit(0))
     // align schemas: left gets null right-cols, right gets null left-cols
     val leftCols = left.columns.filterNot(c => c == key || c == "ts")
     val l2 = rightCols.foldLeft(leftTagged)((df, c) => df.withColumn(c, lit(null)))
     val r2 = leftCols.foldLeft(rightTagged)((df, c) => df.withColumn(c, lit(null)))
-    val all = l2.select((key +: "ts" +: "__tag" +: (leftCols ++ rightCols)).map(col): _*)
-      .unionByName(r2.select((key +: "ts" +: "__tag" +: (leftCols ++ rightCols)).map(col): _*))
-    val w = Window.partitionBy(key).orderBy(col("ts").asc, col("__tag").asc)
+    val tieType = rightTie.map(c => right.schema(c).dataType)
+    val l3 = rightTie.zip(tieType).foldLeft(l2) { case (df, (_, t)) =>
+      df.withColumn("__tie", lit(null).cast(t)) }
+    val r3 = rightTie.foldLeft(r2)((df, c) => df.withColumn("__tie", col(c)))
+    val cols = key +: "ts" +: "__tag" +: (leftCols ++ rightCols ++ rightTie.map(_ => "__tie").toSeq)
+    val all = l3.select(cols.map(col): _*).unionByName(r3.select(cols.map(col): _*))
+    val order = Seq(col("ts").asc, col("__tag").asc) ++
+      rightTie.map(_ => col("__tie").asc_nulls_first)
+    val w = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(all) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    carried.filter(col("__tag") === 1).drop("__tag")
+    carried.filter(col("__tag") === 1).drop("__tag", "__tie")
   }
 
   /** Range (interval) join, bucketed: count clicks within one hour AFTER
@@ -75,19 +87,24 @@ object AsOfJoin {
   /** Driver-contract query: each `purchase` event matched as-of to the
     * user's most recent `click` at or before it. */
   def purchaseAsOfClick(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select("event_id", "ts", "user_id", "event_type")
+    // Truncate to µs BEFORE matching: DuckDB reads the parquet NANOS
+    // timestamps as µs TIMESTAMPs, so its ASOF matches at µs — matching on
+    // raw ns would diverge on sub-µs-distinct events in the same µs.
+    // click_id is the window tie-break (rightTie): among clicks tied on µs
+    // ts the largest click_id is carried, deterministically.
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000").as("ts"),
+        col("user_id"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"),
         col("event_id").as("click_id"), col("ts").as("click_ts"))
-    // Gap at microsecond precision, truncating each timestamp first —
-    // DuckDB reads the parquet NANOS timestamps as µs TIMESTAMPs, so the
-    // oracle can only see µs; truncate-then-subtract mirrors it exactly.
-    asOf(purchases, clicks, "user_id", Seq("click_id", "click_ts"))
+    asOf(purchases, clicks, "user_id", Seq("click_id", "click_ts"),
+        rightTie = Some("click_id"))
       .select(
         col("purchase_id"), col("user_id"), col("click_id"),
-        expr("(ts div 1000) - (click_ts div 1000)").as("gap_us"))
+        (col("ts") - col("click_ts")).as("gap_us"))
       .orderBy("purchase_id")
   }
 }

@@ -50,16 +50,39 @@ object Dedup {
     * branches — so it is materialized ONCE per (session, dir) and shared.
     * This is the in-memory stand-in for what a 100 TB pipeline would
     * write once as an intermediate table: shingling is compute-once,
-    * query-many. */
+    * query-many.
+    *
+    * Staleness contract: an entry reflects the parquet under `dir` at
+    * first-use time; callers that rewrite the data must [[invalidate]]
+    * (or [[clearShingleCache]]) first. Entries for stopped sessions are
+    * purged on every access, so cached blocks never outlive their session. */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def docShingles(spark: SparkSession, dir: String): DataFrame =
+  /** Drop (and unpersist) the cached shingle table for one (session, dir). */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    shingleCache.remove((spark, dir)).foreach(_.unpersist())
+
+  /** Drop every cached shingle table (unpersists live sessions' blocks). */
+  def clearShingleCache(): Unit = {
+    shingleCache.keys.foreach { k =>
+      shingleCache.remove(k).foreach { df =>
+        if (!k._1.sparkContext.isStopped) df.unpersist()
+      }
+    }
+  }
+
+  def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    // purge entries whose session is gone — their cached blocks are already
+    // freed with the session; this just stops the map itself from leaking
+    shingleCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(shingleCache.remove)
     shingleCache.getOrElseUpdate((spark, dir), {
       val df = docShinglesPlan(spark, dir).persist()
       df.count() // materialize eagerly so every branch reads the cache
       df
     })
+  }
 
   /** Exact dedup summary: hash-groupBy on raw text. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
@@ -123,14 +146,23 @@ object Dedup {
     }
     val sig = ds.filter(col("n") > 0)
       .select(Seq(col("doc_id"), col("shingles")) ++ sigCols: _*)
+    // Persisted: the band table feeds two branches (bucket minima + the
+    // pairing join); without the persist the 8×md5-per-shingle signature
+    // computation would execute once per branch.
     val bands = sig.selectExpr("doc_id",
       """stack(4, 0, concat(h0, h1), 1, concat(h2, h3),
         |         2, concat(h4, h5), 3, concat(h6, h7)) as (band, bkey)
-        |""".stripMargin.replaceAll("\n", " "))
-    val cand = bands.alias("x").join(bands.alias("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        |""".stripMargin.replaceAll("\n", " ")).persist()
+    // Bucket-min pairing, not an all-pairs self-join within buckets: each
+    // doc pairs only with its bucket's minimum doc_id, so a hot bucket of
+    // m docs (a large duplicate cluster) emits m-1 candidates instead of
+    // m²/2. Any two docs that near-match also collide in their OWN bucket
+    // in some band with high probability, so pair recall is the standard
+    // 1-(1-s^r)^b LSH curve, cluster-transitivity aside.
+    val bmin = bands.groupBy("band", "bkey").agg(min("doc_id").as("d1"))
+    val cand = bands.join(bmin, Seq("band", "bkey"))
+      .filter(col("doc_id") > col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"))
       .distinct()
     // Verify candidate pairs: broadcast(cand) IS the filter — joining it
     // first restricts the shingle streams to candidate docs, and keeping a
@@ -148,9 +180,17 @@ object Dedup {
 
   /** Dedup APPLICATION: the cleaned corpus. Every near-dup pair keeps its
     * lower doc_id; higher ids are anti-joined away. This is the operator a
-    * training-data pipeline actually ships — detection (d03/d04) feeds it. */
-  def dropNearDuplicates(spark: SparkSession, dir: String): DataFrame = {
-    val losers = ngramJaccard(spark, dir).select(col("d2").as("doc_id")).distinct()
+    * training-data pipeline actually ships. The detector is pluggable and
+    * DEFAULTS to [[minhashLsh]] — the bucketed O(docs×bands) scale path;
+    * [[ngramJaccard]] stays available as the exact (worst-case quadratic)
+    * cross-check, asserted equivalent in OpsSpec. */
+  def dropNearDuplicates(spark: SparkSession, dir: String): DataFrame =
+    dropNearDuplicatesBy(minhashLsh)(spark, dir)
+
+  def dropNearDuplicatesBy(
+      detector: (SparkSession, String) => DataFrame)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val losers = detector(spark, dir).select(col("d2").as("doc_id")).distinct()
     Tables.documents(spark, dir)
       .join(losers, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars")

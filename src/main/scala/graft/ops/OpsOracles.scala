@@ -16,6 +16,26 @@ object OpsOracles {
       |              i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]) END) AS shingle
       |  FROM toks)""".stripMargin
 
+  /** MinHash signatures → 4 bands → bucket-min candidate pairs — the SQL
+    * mirror of Dedup.minhashLsh (shared by d04 and the d07 apply path). */
+  private val lshCandCte =
+    """sig AS (SELECT doc_id,
+      |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+      |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+      |  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+      |  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM sig UNION ALL
+      |  SELECT doc_id, 1, h2 || h3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, h4 || h5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, h6 || h7 FROM sig),
+      |bmin AS (SELECT band, bkey, min(doc_id) AS d1 FROM bands GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT bmin.d1, b.doc_id AS d2
+      |  FROM bands b JOIN bmin USING (band, bkey)
+      |  WHERE b.doc_id > bmin.d1)""".stripMargin
+
   private val knnBruteSql =
     """WITH n AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -242,12 +262,16 @@ object OpsOracles {
         |WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
+    // Mirrors the Spark LSH exactly: bucket-min candidate pairing
+    // (each doc vs its band-bucket's min doc_id), exact-Jaccard verify.
     "d07_dedup_apply" ->
       s"""WITH $shingleCte,
+        |$lshCandCte,
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
         |  GROUP BY 1, 2),
         |losers AS (
         |  SELECT DISTINCT d2 FROM inter
@@ -260,21 +284,7 @@ object OpsOracles {
 
     "d04_minhash_lsh" ->
       s"""WITH $shingleCte,
-        |sig AS (SELECT doc_id,
-        |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-        |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-        |  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-        |  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM sig UNION ALL
-        |  SELECT doc_id, 1, h2 || h3 FROM sig UNION ALL
-        |  SELECT doc_id, 2, h4 || h5 FROM sig UNION ALL
-        |  SELECT doc_id, 3, h6 || h7 FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |$lshCandCte,
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c

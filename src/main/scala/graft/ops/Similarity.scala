@@ -113,13 +113,15 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val a = e.select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
     val b = e.select(col("vec_id").as("v2"), col("label"), col("embedding").as("e2"))
-    val w = Window.orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
+    // Global top-20 as orderBy+limit, NOT row_number over an unpartitioned
+    // window: Catalyst compiles this to TakeOrderedAndProject — each task
+    // keeps its local top-20 and only those reach the driver, so no
+    // partition ever holds the full candidate-pair set.
     a.join(b, Seq("label"))
       .filter(col("v1") < col("v2"))
       .withColumn("cosine", round(expr("cosine_sim(e1, e2)"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
       .select("v1", "v2", "cosine")
       .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
+      .limit(20)
   }
 }

@@ -107,13 +107,20 @@ object TextAnalysis {
   def topTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = withToks(Tables.documents(spark, dir))
     val n = docs.select(count(lit(1)).as("n_docs"))
+    // tf feeds two branches (the df aggregate and the scoring join) —
+    // persisted so the explode+agg runs once. df is computed BY AGGREGATION
+    // from tf and broadcast-joined back: a `count over (partition by
+    // token)` window would put every tf row of a hot token ("the") into
+    // one task — O(corpus docs) for stopwords at 100 TB. The df table is
+    // vocab-sized (≪ tf); if vocabulary outgrew broadcast range, the same
+    // plan works as a shuffle join on token.
     val tf = docs.select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    // doc_freq as a count-over-window: one pass over tf instead of
-    // re-executing the explode+agg subtree for a groupBy+join
+      .persist()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
     val scored = tf
-      .withColumn("doc_freq", count(lit(1)).over(Window.partitionBy("token")))
+      .join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")), 6))

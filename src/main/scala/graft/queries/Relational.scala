@@ -180,20 +180,23 @@ object Relational {
     * Reference: analytics_queries.sql:278-319 (Q9 frequency segmentation:
     * bands CTE + totals CTE + cross join). */
   def q10FrequencyBands(spark: SparkSession, dir: String): DataFrame = {
-    val perCust = Tables.orders(spark, dir)
+    val banded = Tables.orders(spark, dir)
       .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
-    val banded = perCust.withColumn("freq_band",
-      when(col("cnt") === 1, "one")
-        .when(col("cnt").between(2, 4), "two_to_four")
-        .when(col("cnt").between(5, 9), "five_to_nine")
-        .otherwise("ten_plus"))
-    val totals = perCust.agg(count(lit(1)).as("total_customers"))
-    banded.groupBy("freq_band")
+      .withColumn("freq_band",
+        when(col("cnt") === 1, "one")
+          .when(col("cnt").between(2, 4), "two_to_four")
+          .when(col("cnt").between(5, 9), "five_to_nine")
+          .otherwise("ten_plus"))
+      .groupBy("freq_band")
       .agg(count(lit(1)).as("customers"), sum("cnt").as("orders"))
-      .crossJoin(broadcast(totals)) // 1-row totals: auto-broadcast at any scale
+    // Total customers = sum of the banded counts (each customer lands in
+    // exactly one band), taken as a window over the POST-aggregation rows:
+    // the plan contains exactly ONE orders scan, and the single-partition
+    // window is band-count-sized (4 rows) by construction at any scale.
+    banded
       .withColumn("customer_share",
-        round(col("customers").cast("double") / col("total_customers"), 4))
-      .drop("total_customers")
+        round(col("customers").cast("double") /
+          sum("customers").over(Window.partitionBy(lit(1))), 4))
       .orderBy("freq_band")
   }
 
@@ -204,8 +207,15 @@ object Relational {
     // Exact-sum discipline (see q05): decimal row casts make group sums
     // order-independent and bitwise-identical across engines.
     val dec = "decimal(18,6)"
+    // perPart feeds TWO plan branches (the global averages and the quadrant
+    // rows). Spark re-executes a subtree per DataFrame reference — without
+    // the persist the physical plan holds two full lineitem scan+agg
+    // pipelines. Persisting the part-grained aggregate (≪ lineitem: one row
+    // per part) leaves exactly one lineitem scan; the cache is
+    // MEMORY_AND_DISK and LRU-evicted, sized to the part dimension.
     val perPart = li.groupBy("l_partkey")
       .agg(sum(rev.cast(dec)).as("revenue"), sum(col("l_quantity").cast(dec)).as("qty"))
+      .persist()
     val avgs = perPart.agg(
       avg(col("revenue").cast("double")).as("avg_revenue"),
       avg(col("qty").cast("double")).as("avg_qty"))
@@ -251,9 +261,13 @@ object Relational {
   /** §2.7 set operations: UNION / INTERSECT / EXCEPT over key sets.
     * Not in the reference surface (SURVEY §2.7) — engine completeness. */
   def q14SetOps(spark: SparkSession, dir: String): DataFrame = {
+    // Both key sets feed three branches (union/intersect/except) — persist
+    // so each base table is scanned once, not three times.
     val building = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      .persist()
     val active = Tables.orders(spark, dir).select(col("o_custkey").as("k")).distinct()
+      .persist()
     val u = building.union(active).distinct().agg(count(lit(1)).as("union_count"))
     val i = building.intersect(active).agg(count(lit(1)).as("intersect_count"))
     val e = building.except(active).agg(count(lit(1)).as("except_count"))
@@ -262,8 +276,10 @@ object Relational {
 
   /** §2.3 semi/anti joins (free Spark capability noted in SURVEY §2.3). */
   def q15SemiAnti(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir).select("c_custkey")
-    val o = Tables.orders(spark, dir).select("o_custkey")
+    // Both inputs feed the semi AND the anti branch — persist the projected
+    // key columns so each table is scanned once.
+    val c = Tables.customer(spark, dir).select("c_custkey").persist()
+    val o = Tables.orders(spark, dir).select("o_custkey").persist()
     val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .agg(count(lit(1)).as("with_orders"))
     val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")

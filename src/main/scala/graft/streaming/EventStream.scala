@@ -39,24 +39,32 @@ object EventStream {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_time", timestamp_seconds(col("ts").cast("double") / 1e9))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
-  /** Tumbling 1-hour windows per event_type with a 10-minute watermark. */
+  /** Tumbling 1-hour windows per event_type with a 10-minute watermark.
+    * The sum follows the exact-sum discipline (per-row decimal casts, round
+    * at the end, cast back) so the result is order-independent and matches
+    * the DuckDB oracle at any scale factor. */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("event_time", "10 minutes")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("events"), round(sum("value"), 4).as("total_value"))
+      .agg(
+        count(lit(1)).as("events"),
+        round(sum(col("value").cast("decimal(18,6)")), 4)
+          .cast("double").as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("events"), col("total_value"))
 
   /** The same aggregation as a batch plan — used by tests to prove the
-    * streaming result equals the batch result on a static directory. */
+    * streaming result equals the batch result on a static directory.
+    * event_time from integer µs (ts div 1000), not a double divide — a
+    * double holds 2024-epoch ns only to ~128 ns and the oracle sees µs. */
   def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame =
     windowedCounts(
       spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("event_time", timestamp_seconds(col("ts").cast("double") / 1e9)))
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000"))))
 
   /** Driver-contract form of the windowed aggregation: window start as
     * epoch seconds (timestamp columns don't compare portably across
