@@ -73,11 +73,14 @@ object SparkEntry {
   ) ++ refCatalog
 
   /** The full reference-parity surface (marketing star schema → KPI views →
-    * Q0–Q9) run on the reference's own CSVs; sfDir is ignored — these are
-    * rows-only driver checks (no oracleSql: the raw CSVs aren't among the
-    * oracle's parquet tables). Golden value assertions live in
-    * GoldenPipelineSpec. q6_spend_waste is excluded: its reference
-    * thresholds legitimately select 0 rows (would trip a rows>0 check). */
+    * Q0–Q9) run on the reference's own CSVs; sfDir is ignored. Each surface
+    * is hash-verified against a self-contained DuckDB oracle that rebuilds
+    * the star schema from the same raw CSVs ([[graft.etl.RefOracles]]);
+    * golden value assertions additionally live in GoldenPipelineSpec.
+    * q6_spend_waste ships as its `_active` variant: the reference's literal
+    * thresholds legitimately select 0 rows (SURVEY §0.2-7, would trip the
+    * driver's rows>0 check), so the driver entry uses fan-out-scaled
+    * thresholds that exercise the identical plan shape. */
   private def refCatalog: Map[String, (SparkSession, String) => DataFrame] = {
     var cached: Option[Map[String, () => DataFrame]] = None
     def catalog(spark: SparkSession): Map[String, () => DataFrame] = synchronized {
@@ -89,7 +92,8 @@ object SparkEntry {
     val names = Seq("mv_channel_daily", "mv_kpi_channel", "mv_kpi_campaign",
       "q0_pnl", "q1_best_sellers", "q1_top_profit", "q1_top_margin",
       "q2_channel_kpis", "q3_repeat_drivers", "q4_category",
-      "q5_hero_products", "q7_retention", "q8_demographics", "q9_frequency")
+      "q5_hero_products", "q6_spend_waste_active", "q7_retention",
+      "q8_demographics", "q9_frequency")
     names.map { n =>
       s"ref_$n" -> ((spark: SparkSession, _: String) => catalog(spark)(n)())
     }.toMap
@@ -97,5 +101,6 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = RelationalOracles.sql ++ OpsOracles.sql
+  def oracleSql: Map[String, String] =
+    RelationalOracles.sql ++ OpsOracles.sql ++ graft.etl.RefOracles.sql
 }

@@ -13,14 +13,22 @@ object AnalyticsQueries {
 
   private def nullifZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
 
+  // Exact-sum discipline for spend-bearing aggregates (see KpiViews): spend
+  // is the one money column with fractional cents, so any double sum over it
+  // is accumulation-order-dependent; decimal(18,6) row casts make the sums
+  // exact and engine-independent. revenue/cost are whole THB — exact as
+  // doubles at any order.
+  private val dec = "decimal(18,6)"
+
   /** Q0 P&L summary over mv_channel_daily (analytics_queries.sql:12-18). */
   def q0Pnl(star: Warehouse.Star): DataFrame =
     KpiViews.channelDaily(star).agg(
       sum("revenue").as("revenue"),
       sum("cost").as("cogs"),
-      sum("spend").as("ad_spending"),
+      sum(col("spend").cast(dec)).cast("double").as("ad_spending"),
       sum(col("revenue") - col("cost")).as("gross_profit"),
-      round(sum(col("revenue") - col("cost") - col("spend")), 2).as("net_profit"))
+      round(sum((col("revenue") - col("cost") - col("spend")).cast(dec)), 2)
+        .cast("double").as("net_profit"))
 
   /** Q1.1 top-5 best sellers (:26-35). */
   def q1BestSellers(star: Warehouse.Star): DataFrame =
@@ -55,22 +63,25 @@ object AnalyticsQueries {
       .limit(5)
 
   /** Q2 channel KPIs over mv_channel_daily (:68-89). */
-  def q2ChannelKpis(star: Warehouse.Star): DataFrame =
+  def q2ChannelKpis(star: Warehouse.Star): DataFrame = {
+    val spendSum = sum(col("spend").cast(dec)).cast("double")
     KpiViews.channelDaily(star)
       .groupBy("channel")
       .agg(
         sum("revenue").as("revenue"),
         sum("cost").as("cost"),
         sum(col("revenue") - col("cost")).as("gross_profit"),
-        sum("spend").as("spend"),
-        round(sum(col("revenue") - col("cost") - col("spend")), 2).as("net_profit"),
+        spendSum.as("spend"),
+        round(sum((col("revenue") - col("cost") - col("spend")).cast(dec)), 2)
+          .cast("double").as("net_profit"),
         round(sum("revenue") / sum("orders"), 2).as("aov"),
         round(sum("clicks").cast("double") / sum("impressions"), 4).as("ctr"),
-        round(sum("revenue") / sum("spend"), 2).as("roas"),
-        round((sum("revenue") - sum("cost")) / sum("spend"), 2).as("profit_roas"),
-        round((sum("revenue") - sum("spend")) / sum("spend"), 2).as("roi"),
-        round((sum("revenue") - sum("cost") - sum("spend")) / sum("spend"), 2).as("profit_roi"))
+        round(sum("revenue") / spendSum, 2).as("roas"),
+        round((sum("revenue") - sum("cost")) / spendSum, 2).as("profit_roas"),
+        round((sum("revenue") - spendSum) / spendSum, 2).as("roi"),
+        round((sum("revenue") - sum("cost") - spendSum) / spendSum, 2).as("profit_roi"))
       .orderBy(col("net_profit").desc, col("channel").asc)
+  }
 
   /** Q3 repeat-purchase drivers (:95-120) — groupBy-min + rejoin idiom
     * (J8), FILTER aggregation, row-level repeat counting kept verbatim. */
@@ -140,8 +151,13 @@ object AnalyticsQueries {
 
   /** Q6 spend-waste detection (:196-211) — composite-key LEFT JOIN whose
     * many-to-many fan-out inflates both SUMs; reproduced verbatim
-    * (SURVEY §0.2-7). */
-  def q6SpendWaste(star: Warehouse.Star): DataFrame =
+    * (SURVEY §0.2-7). Thresholds are parameters because the reference's
+    * literals (5000/100/3000) predate the fan-out and select 0 rows on its
+    * own data; [[q6SpendWasteActive]] supplies fan-out-scaled thresholds
+    * that surface the worst-ROAS campaigns (the query's stated intent). */
+  def q6SpendWaste(star: Warehouse.Star,
+                   minSpend: Double = 5000, maxClicks: Long = 100,
+                   maxRevenue: Double = 3000): DataFrame =
     star.factSpend.alias("sp")
       .join(star.factSales.alias("fs"),
         col("sp.date_id") === col("fs.date_id") &&
@@ -150,11 +166,19 @@ object AnalyticsQueries {
         col("c.campaign_id") === col("sp.campaign_id"))
       .groupBy("c.campaign_name", "c.channel")
       .agg(
-        sum("sp.spend").as("spend"),
+        sum(col("sp.spend").cast(dec)).cast("double").as("spend"),
         sum("sp.clicks").as("clicks"),
         sum("fs.revenue").as("revenue"))
-      .filter(col("spend") > 5000 && col("clicks") < 100 && col("revenue") < 3000)
+      .filter(col("spend") > minSpend && col("clicks") < maxClicks &&
+        col("revenue") < maxRevenue)
       .orderBy(col("spend").desc, col("campaign_name").asc)
+
+  /** Q6 with thresholds scaled to the fan-out magnitudes actually present
+    * in the reference data (~30× inflation): selects the campaigns with
+    * high spend, weak clicks, and weak attributed revenue. */
+  def q6SpendWasteActive(star: Warehouse.Star): DataFrame =
+    q6SpendWaste(star, minSpend = 3000000, maxClicks = 500000,
+      maxRevenue = 620000)
 
   /** Q7 retention rate (:217-230) — counts purchase ROWS, not customers,
     * exactly as the reference does (SURVEY §0.2-8). */

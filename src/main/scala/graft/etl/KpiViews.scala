@@ -26,6 +26,15 @@ object KpiViews {
 
   private def nullifZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
 
+  // Exact-sum discipline for `spend` (the one money column with true
+  // fractional cents — revenue/cost are whole THB, so their double sums are
+  // exact at any accumulation order): cast each ROW to decimal(18,6) before
+  // summing; decimal addition is exact/order-independent, so the sum — and
+  // the DuckDB oracle's — match bitwise regardless of partitioning. See
+  // queries/Relational.scala q05 for the original derivation.
+  private val dec = "decimal(18,6)"
+  private def spendExact: Column = sum(col("spend").cast(dec)).cast("double")
+
   /** fs_agg ⟗ sp_agg at (date_id, campaign_id) grain with COALESCE zeros
     * (04_views.sql:17-46) — shared by all three views. */
   def merged(star: Warehouse.Star): DataFrame = {
@@ -62,7 +71,7 @@ object KpiViews {
       .agg(
         sum("revenue").as("revenue"),
         sum("cost").as("cost"),
-        round(sum("spend"), 2).as("spend"),
+        round(sum(col("spend").cast(dec)), 2).cast("double").as("spend"),
         sum("clicks").as("clicks"),
         sum("impressions").as("impressions"),
         round(sum("clicks").cast("double") / nullifZero(sum("impressions")), 6).as("ctr"),
@@ -72,17 +81,17 @@ object KpiViews {
   private def kpiCols: Seq[Column] = Seq(
     sum(col("revenue")).as("revenue"),
     sum(col("cost")).as("cost"),
-    round(sum(col("spend")), 2).as("spend"),
+    round(sum(col("spend").cast(dec)), 2).cast("double").as("spend"),
     sum(col("revenue") - col("cost")).as("gross_profit"),
     sum(col("clicks")).as("clicks"),
     sum(col("impressions")).as("impressions"),
     sum(col("orders")).as("orders"),
     round(sum(col("revenue")) / nullifZero(sum(col("orders"))), 4).as("aov"),
     round(sum(col("clicks")).cast("double") / nullifZero(sum(col("impressions"))), 6).as("ctr"),
-    round(sum(col("revenue")) / nullifZero(sum(col("spend"))), 4).as("roas"),
-    round((sum(col("revenue")) - sum(col("cost"))) / nullifZero(sum(col("spend"))), 4).as("profit_roas"),
-    round((sum(col("revenue")) - sum(col("spend"))) / nullifZero(sum(col("spend"))), 4).as("roi"),
-    round((sum(col("revenue")) - sum(col("cost")) - sum(col("spend"))) / nullifZero(sum(col("spend"))), 4).as("profit_roi"))
+    round(sum(col("revenue")) / nullifZero(spendExact), 4).as("roas"),
+    round((sum(col("revenue")) - sum(col("cost"))) / nullifZero(spendExact), 4).as("profit_roas"),
+    round((sum(col("revenue")) - spendExact) / nullifZero(spendExact), 4).as("roi"),
+    round((sum(col("revenue")) - sum(col("cost")) - spendExact) / nullifZero(spendExact), 4).as("profit_roi"))
 
   /** mv_kpi_channel (04_views.sql:70-147). */
   def kpiChannel(star: Warehouse.Star): DataFrame =

@@ -43,6 +43,7 @@ object Pipeline {
     "q4_category"      -> (() => AnalyticsQueries.q4CategoryLoyalty(star)),
     "q5_hero_products" -> (() => AnalyticsQueries.q5HeroProducts(star)),
     "q6_spend_waste"   -> (() => AnalyticsQueries.q6SpendWaste(star)),
+    "q6_spend_waste_active" -> (() => AnalyticsQueries.q6SpendWasteActive(star)),
     "q7_retention"     -> (() => AnalyticsQueries.q7Retention(star)),
     "q8_demographics"  -> (() => AnalyticsQueries.q8Demographics(star)),
     "q9_frequency"     -> (() => AnalyticsQueries.q9Frequency(star)),
