@@ -57,6 +57,7 @@ object SparkEntry {
     "d05_simhash"            -> (Dedup.simhash _),
     "d06_embedding_neardup"  -> (Similarity.embeddingNearDup _),
     "d07_dedup_apply"        -> (Dedup.dropNearDuplicates _),
+    "d08_simhash_neardup"    -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "s01_knn_brute"          -> (Similarity.knnBrute _),
     "s02_ann_ivf"            -> (Similarity.annIvf _),
     "s03_knn_native"         -> (Similarity.knnNative _),

@@ -224,4 +224,35 @@ object Dedup {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
   }
+
+  /** SimHash APPLICATION: near-dup pairs over [[simhash]] codes via
+    * hamming-banding. Each 16-bit code splits into 2×8-bit bands; by
+    * pigeonhole any pair within hamming distance 1 shares a band exactly,
+    * and pairs at distance ≤ maxHamming collide whenever their flipped
+    * bits concentrate in one band — the standard SimHash-table trade-off
+    * (Charikar 2002; more tables → higher recall). Candidates equi-join on
+    * (band, bkey) — shuffle O(docs × bands), never all-pairs — then an
+    * exact bit_count(xor) filter keeps true near-dups. At 100 TB the code
+    * widens to 64 bits × 4 tables so a band key has 2^16 values (buckets
+    * stay corpus/65536-sized); 16 bits here keeps the DuckDB oracle's bit
+    * arithmetic portable. */
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // persisted: the self-join references the code table twice; without it
+    // the explode+vote aggregation would execute once per side
+    val codes = simhash(spark, dir).persist()
+    val banded = codes.selectExpr("doc_id", "simhash",
+      "stack(2, 0, simhash & 255, 1, shiftright(simhash, 8)) as (band, bkey)")
+    val cand = banded
+      .select(col("band"), col("bkey"), col("doc_id").as("d1"), col("simhash").as("h1"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("d2"),
+        col("simhash").as("h2")), Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "h1", "h2")
+      .distinct() // a pair colliding in both bands counts once
+    cand
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
 }

@@ -54,12 +54,12 @@ object OpsOracles {
       |WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
-  private val simhashSql = {
+  private val simhashCodesCte = {
     val votes = (0 until 16)
       .map(b => s"sum(2 * ((v >> $b) & 1) - 1) AS s$b").mkString(", ")
     val bits = (0 until 16)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH tok0 AS (
+    s"""tok0 AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
       |  FROM documents),
       |tok AS (SELECT doc_id, md5(t) AS m FROM tok0),
@@ -70,11 +70,32 @@ object OpsOracles {
       |    (strpos('0123456789abcdef', m[3]) - 1) * 16 +
       |    (strpos('0123456789abcdef', m[4]) - 1) AS v
       |  FROM tok),
-      |votes AS (SELECT doc_id, $votes FROM tv GROUP BY doc_id)
-      |SELECT doc_id, CAST($bits AS INT) AS simhash
-      |FROM votes
-      |ORDER BY doc_id""".stripMargin
+      |votes AS (SELECT doc_id, $votes FROM tv GROUP BY doc_id),
+      |codes AS (SELECT doc_id, CAST($bits AS INT) AS simhash FROM votes)""".stripMargin
   }
+
+  private val simhashSql =
+    s"""WITH $simhashCodesCte
+      |SELECT doc_id, simhash FROM codes
+      |ORDER BY doc_id""".stripMargin
+
+  // d08: hamming-band application over the codes — 2×8-bit band equi-join,
+  // exact bit_count(xor) <= 3 filter (mirrors Dedup.simhashNearDup).
+  private val simhashNearDupSql =
+    s"""WITH $simhashCodesCte,
+      |banded AS (
+      |  SELECT doc_id, simhash, 0 AS band, simhash % 256 AS bkey FROM codes
+      |  UNION ALL
+      |  SELECT doc_id, simhash, 1 AS band, simhash // 256 AS bkey FROM codes),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |         a.simhash AS h1, b.simhash AS h2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY d1, d2""".stripMargin
 
   val sql: Map[String, String] = Map(
     "s03_knn_native" -> knnBruteSql,
@@ -82,6 +103,8 @@ object OpsOracles {
     "s04_knn_autoaccel" -> knnBruteSql,
 
     "d05_simhash" -> simhashSql,
+
+    "d08_simhash_neardup" -> simhashNearDupSql,
 
     "d06_embedding_neardup" ->
       """WITH n AS (

@@ -56,6 +56,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byLsh.size < graft.Tables.documents(spark, dir).count())
   }
 
+  test("simhash banding has complete recall at hamming <= 1 (pigeonhole)") {
+    // With 2 bands, a pair differing in <= 1 bit is identical in at least
+    // one band, so it MUST collide and appear in the output — recall at
+    // distance <= bands-1 is exact, not probabilistic. Verify against a
+    // brute-force all-pairs hamming over the (small) collected code table.
+    val codes = Dedup.simhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val mustFind = for {
+      (a, ha) <- codes; (b, hb) <- codes
+      if a < b && Integer.bitCount(ha ^ hb) <= 1
+    } yield (a, b)
+    assert(mustFind.nonEmpty, "testdata should contain hamming<=1 code pairs")
+    val pairs = Dedup.simhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    mustFind.foreach { p =>
+      assert(found.contains(p), s"missing guaranteed pair $p")
+    }
+    pairs.foreach { case (d1, d2, h) =>
+      assert(d1 < d2); assert(h >= 0 && h <= 3)
+    }
+  }
+
   test("jaccard pairs are canonical (d1 < d2) and thresholded") {
     Dedup.ngramJaccard(spark, dir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
