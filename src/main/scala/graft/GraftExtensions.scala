@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, RewriteDotProduct}
+import graft.functions.{CosineSimilarity, MinHashSigs, RewriteDotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -12,9 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark.sql.extensions=graft.GraftExtensions
   * }}}
   *
-  * installs `cosine_sim` (codegen'd expression, usable from SQL) and the
-  * [[RewriteDotProduct]] auto-acceleration rule on every session, no code
-  * changes in user queries. The per-session `register`/`install` helpers
+  * installs `cosine_sim` and `minhash_sigs` (codegen'd expressions, usable
+  * from SQL) and the [[RewriteDotProduct]] auto-acceleration rule on every
+  * session, no code changes in user queries. The per-session `register`/`install` helpers
   * remain for already-running sessions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      MinHashSigs.builder))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -140,18 +140,21 @@ object Dedup {
     * folds — the only shuffles are the band self-join and the candidate
     * verification. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashSigs.register(spark)
     val ds = docShingles(spark, dir)
-    val sigCols = (0 until 8).map { s =>
-      expr(s"array_min(transform(shingles, x -> md5(concat('$s|', x))))").as(s"h$s")
-    }
+    // All 8 permutation minima in ONE pass via the codegen'd
+    // [[graft.functions.MinHashSigs]] expression — element s is exactly
+    // array_min(transform(shingles, x -> md5(concat('s|', x)))), so results
+    // are unchanged vs the HOF form (MinHashSigsSpec asserts equality);
+    // the HOF form re-scans the array interpreted once per permutation.
     val sig = ds.filter(col("n") > 0)
-      .select(Seq(col("doc_id"), col("shingles")) ++ sigCols: _*)
+      .select(col("doc_id"), expr("minhash_sigs(shingles, 8)").as("sig"))
     // Persisted: the band table feeds two branches (bucket minima + the
     // pairing join); without the persist the 8×md5-per-shingle signature
     // computation would execute once per branch.
     val bands = sig.selectExpr("doc_id",
-      """stack(4, 0, concat(h0, h1), 1, concat(h2, h3),
-        |         2, concat(h4, h5), 3, concat(h6, h7)) as (band, bkey)
+      """stack(4, 0, concat(sig[0], sig[1]), 1, concat(sig[2], sig[3]),
+        |         2, concat(sig[4], sig[5]), 3, concat(sig[6], sig[7])) as (band, bkey)
         |""".stripMargin.replaceAll("\n", " ")).persist()
     // Bucket-min pairing, not an all-pairs self-join within buckets: each
     // doc pairs only with its bucket's minimum doc_id, so a hot bucket of
