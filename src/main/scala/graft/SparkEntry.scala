@@ -69,6 +69,7 @@ object SparkEntry {
     "m01_decoded_meta"       -> (Multimodal.decodedMeta _),
     "m02_format_summary"     -> (Multimodal.formatSummary _),
     "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),
+    "w03_event_dedup"        -> (graft.streaming.EventStream.eventDedupCounts _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
   ) ++ refCatalog

@@ -380,6 +380,14 @@ object OpsOracles {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    "w03_event_dedup" ->
+      """SELECT user_id, event_type,
+        |  min(event_id) AS keeper,
+        |  count(*) AS copies
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
     "m02_format_summary" ->
       """WITH m AS (
         |  SELECT octet_length(encode(text)) AS bytes,

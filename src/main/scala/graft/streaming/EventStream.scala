@@ -75,6 +75,44 @@ object EventStream {
       .select("window_start_epoch", "event_type", "events", "total_value")
       .orderBy("window_start_epoch", "event_type")
 
+  /** Streaming exact dedup — the ingest-time form of [[graft.ops.Dedup]]'s
+    * exact dedup for a continuous training-data feed: keep the first-seen
+    * event per key, drop later duplicates. dropDuplicatesWithinWatermark
+    * bounds state to keys inside the watermark horizon (one entry per key,
+    * expired as the watermark passes), so state is O(keys-per-10-minutes)
+    * on an unbounded stream — a duplicate arriving later than the horizon
+    * would pass through, the standard at-least-once dedup trade-off. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Run [[dedupEvents]] with AvailableNow into a memory sink. Append mode:
+    * each surviving event emits exactly once. */
+  def runDedupAvailableNow(spark: SparkSession, dir: String,
+                           queryName: String = "graft_dedup"): DataFrame = {
+    val q = dedupEvents(readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Driver-contract batch anchor for the streaming dedup: the
+    * deterministic form — per (user_id, event_type) the minimum event_id is
+    * the keeper, with the duplicate count. The streaming path keeps
+    * first-SEEN (arrival order, not oracle-reproducible); StreamingSpec
+    * proves both select the same key set with the same totals. */
+  def eventDedupCounts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id", "event_type")
+      .agg(min("event_id").as("keeper"), count(lit(1)).as("copies"))
+      .orderBy("user_id", "event_type")
+
   final case class Event(user_id: Long, event_time: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, events: Int, total: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,

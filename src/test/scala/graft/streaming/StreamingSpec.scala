@@ -36,12 +36,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(s"$dir/events.parquet").count())
   }
 
+  test("AvailableNow dedup keeps one first-seen event per key, same key set as batch") {
+    val streamed = EventStream.runDedupAvailableNow(spark, dir, "spec_dedup").collect()
+    val streamedKeys = streamed
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    // exactly one survivor per key
+    assert(streamedKeys.length === streamedKeys.toSet.size)
+    // same key set and total as the deterministic batch anchor
+    val batch = EventStream.eventDedupCounts(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet
+    assert(streamedKeys.toSet === batch)
+    // every survivor is a real event (ids exist in the source)
+    val ids = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.map(_.getAs[Long]("event_id")).forall(ids.contains))
+  }
+
   test("stateful sessionize agrees with the window-based session counts") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
     val events = spark.read.parquet(s"$dir/events.parquet")
       .select(col("user_id"),
-        timestamp_seconds(col("ts").cast("double") / 1e9).as("event_time"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"),
         col("value"))
       .as[EventStream.Event]
     // Batch invocation emits only gap-CLOSED sessions; each user's trailing
