@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the scale-sensitive queries: each
+  * assertion encodes a 100 TB design decision that a refactor could
+  * silently undo (a second fact scan, a global window, a dropped broadcast,
+  * a lost top-k pushdown). Plans are inspected without executing. */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** File scans reachable in the EXECUTED tree (descending through AQE
+    * wrappers and subqueries). A scan inside an InMemoryRelation's cached
+    * child is deliberately NOT counted: InMemoryTableScan has no children,
+    * which is exactly the point — consumers read the cache, the underlying
+    * file is scanned once at materialization. (The plan STRING prints the
+    * cached child once per reference, so string-counting over-counts.) */
+  private def fileScans(name: String): Seq[String] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case f: FileSourceScanExec => Seq(f.relation.location.rootPaths.mkString(","))
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _ => p.children
+      }
+      self ++ kids.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    walk(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+  }
+
+  test("q11_quadrant: one lineitem scan (part-grained aggregate cached, not recomputed)") {
+    val p = plan("q11_quadrant")
+    // the heavy scan+agg lives once inside the cached relation; BOTH
+    // consumer branches read the cache instead of re-scanning the fact
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    val lineitemScans = fileScans("q11_quadrant").count(_.contains("lineitem"))
+    assert(lineitemScans === 0, s"lineitem scanned outside the cache $lineitemScans times")
+  }
+
+  test("q10_frequency_bands: single orders scan, totals derived from the banded aggregate") {
+    val ordersScans = fileScans("q10_frequency_bands").count(_.contains("orders"))
+    assert(ordersScans === 1, s"expected exactly one orders scan, got $ordersScans")
+  }
+
+  test("d06_embedding_neardup: distributed top-k, no global window") {
+    val p = plan("d06_embedding_neardup")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Window"), s"global window reappeared:\n${p.take(2000)}")
+  }
+
+  test("q02_topk_parts: top-k pushes into TakeOrderedAndProject") {
+    assert(plan("q02_topk_parts").contains("TakeOrderedAndProject"))
+  }
+
+  test("q04_channel_kpi: dimension joins broadcast (no fact shuffle)") {
+    assert(plan("q04_channel_kpi").contains("BroadcastHashJoin"))
+  }
+
+  test("t07_top_tfidf: df side broadcast back, no per-token window") {
+    val p = plan("t07_top_tfidf")
+    assert(!p.contains("windowspecdefinition(token"),
+      s"per-token window reappeared:\n${p.take(2000)}")
+  }
+}
