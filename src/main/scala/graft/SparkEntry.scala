@@ -91,7 +91,8 @@ object SparkEntry {
         cached = Some(c); c
       }
     }
-    val names = Seq("mv_channel_daily", "mv_kpi_channel", "mv_kpi_campaign",
+    val names = Seq("mv_channel_daily", "mv_channel_daily_incr",
+      "mv_kpi_channel", "mv_kpi_campaign",
       "q0_pnl", "q1_best_sellers", "q1_top_profit", "q1_top_margin",
       "q2_channel_kpis", "q3_repeat_drivers", "q4_category",
       "q5_hero_products", "q6_spend_waste_active", "q7_retention",

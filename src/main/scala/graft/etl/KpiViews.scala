@@ -78,6 +78,33 @@ object KpiViews {
         sum("orders").as("orders"))
       .orderBy("date", "channel")
 
+  /** Partition-incremental refresh of [[channelDaily]] — the 100 TB
+    * nightly path. The reference rebuilds every view from scratch each
+    * night (README.md:261-264, cron full rerun); at warehouse scale the
+    * nightly delta touches one day of a multi-year fact table, so the
+    * incremental form recomputes ONLY the rollup rows whose date is in the
+    * delta and stitches them onto the untouched history:
+    *
+    *   out = existing WHERE date < cutoff  ∪  rollup(facts WHERE date ≥ cutoff)
+    *
+    * Correct because the rollup is date-partitioned: every output row
+    * depends only on its own date's facts (all aggregates, including the
+    * ctr ratio, are computed within one (date, channel) group). The
+    * history side is a pure partition-pruning filter — no join, no
+    * recompute, and when `existing` is a date-partitioned parquet table
+    * the scan skips history files entirely. Equality with the full
+    * recompute is hash-proven through the driver gate
+    * (ref_mv_channel_daily_incr shares ref_mv_channel_daily's oracle). */
+  def channelDailyIncremental(existing: DataFrame, star: Warehouse.Star,
+                              cutoffDateId: Long): DataFrame = {
+    val deltaStar = star.copy(
+      factSales = star.factSales.filter(col("date_id") >= cutoffDateId),
+      factSpend = star.factSpend.filter(col("date_id") >= cutoffDateId))
+    existing.filter(col("date") < to_date(timestamp_seconds(lit(cutoffDateId))))
+      .unionByName(channelDaily(deltaStar))
+      .orderBy("date", "channel")
+  }
+
   private def kpiCols: Seq[Column] = Seq(
     sum(col("revenue")).as("revenue"),
     sum(col("cost")).as("cost"),

@@ -32,6 +32,15 @@ object Pipeline {
     * catalog (reference: analytics_queries.sql + 04_views.sql). */
   def queryCatalog(star: Warehouse.Star): Map[String, () => DataFrame] = Map(
     "mv_channel_daily" -> (() => KpiViews.channelDaily(star)),
+    // nightly-refresh form: history (last 31 days held out) + delta rollup;
+    // must equal mv_channel_daily row-for-row (same oracle)
+    "mv_channel_daily_incr" -> (() => {
+      val cutoff = java.time.LocalDate.of(2025, 10, 1).toEpochDay * 86400L
+      val history = star.copy(
+        factSales = star.factSales.filter(org.apache.spark.sql.functions.col("date_id") < cutoff),
+        factSpend = star.factSpend.filter(org.apache.spark.sql.functions.col("date_id") < cutoff))
+      KpiViews.channelDailyIncremental(KpiViews.channelDaily(history), star, cutoff)
+    }),
     "mv_kpi_channel"   -> (() => KpiViews.kpiChannel(star)),
     "mv_kpi_campaign"  -> (() => KpiViews.kpiCampaign(star)),
     "q0_pnl"           -> (() => AnalyticsQueries.q0Pnl(star)),

@@ -176,6 +176,13 @@ object RefOracles {
          |SELECT * FROM channel_daily
          |ORDER BY date ASC NULLS FIRST, channel ASC NULLS FIRST""".stripMargin,
 
+    // incremental refresh must equal the full rebuild row-for-row, so it
+    // shares mv_channel_daily's oracle verbatim
+    "ref_mv_channel_daily_incr" ->
+      s"""WITH $withViews
+         |SELECT * FROM channel_daily
+         |ORDER BY date ASC NULLS FIRST, channel ASC NULLS FIRST""".stripMargin,
+
     "ref_mv_kpi_channel" ->
       s"""WITH $warehouse
          |SELECT c.channel,

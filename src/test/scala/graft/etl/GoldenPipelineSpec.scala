@@ -81,6 +81,21 @@ class GoldenPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(daily.filter("ctr IS NULL OR ctr <= 0").count() === 0)
   }
 
+  test("incremental channel_daily refresh equals the full rebuild") {
+    val cutoff = java.time.LocalDate.of(2025, 10, 1).toEpochDay * 86400L
+    val history = star.copy(
+      factSales = star.factSales.filter(s"date_id < $cutoff"),
+      factSpend = star.factSpend.filter(s"date_id < $cutoff"))
+    val incr = KpiViews.channelDailyIncremental(
+      KpiViews.channelDaily(history), star, cutoff).collect()
+    val full = KpiViews.channelDaily(star).collect()
+    assert(incr.length === full.length)
+    assert(incr.map(_.toString).toSeq === full.map(_.toString).toSeq)
+    // the holdout is non-trivial: both sides of the stitch contribute
+    assert(star.factSales.filter(s"date_id >= $cutoff").count() > 0)
+    assert(star.factSales.filter(s"date_id < $cutoff").count() > 0)
+  }
+
   test("every analytics query in the catalog executes (q6 legitimately empty)") {
     Pipeline.queryCatalog(star).foreach { case (name, build) =>
       val n = build().count()
