@@ -58,6 +58,7 @@ object SparkEntry {
     "d06_embedding_neardup"  -> (Similarity.embeddingNearDup _),
     "d07_dedup_apply"        -> (Dedup.dropNearDuplicates _),
     "d08_simhash_neardup"    -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
+    "d09_embedding_apply"    -> (Similarity.dropEmbeddingNearDups _),
     "s01_knn_brute"          -> (Similarity.knnBrute _),
     "s02_ann_ivf"            -> (Similarity.annIvf _),
     "s03_knn_native"         -> (Similarity.knnNative _),

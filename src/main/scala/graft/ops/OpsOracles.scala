@@ -8,6 +8,22 @@ package graft.ops
   */
 object OpsOracles {
 
+  /** Shared by d06 (detection) and d09 (application): same-cell cosine
+    * pairs ranked with full tie-breaks. */
+  private val embNearDupCte =
+    """n AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |    round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+      |          / (a.norm * b.norm), 6) AS cosine
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY cosine DESC, v1 ASC, v2 ASC) AS rn
+      |  FROM scored)""".stripMargin
+
   private val shingleCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
@@ -107,20 +123,16 @@ object OpsOracles {
     "d08_simhash_neardup" -> simhashNearDupSql,
 
     "d06_embedding_neardup" ->
-      """WITH n AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
-        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
-        |    round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
-        |          / (a.norm * b.norm), 6) AS cosine
-        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT v1, v2, cosine FROM (
-        |  SELECT *, row_number() OVER (ORDER BY cosine DESC, v1 ASC, v2 ASC) AS rn
-        |  FROM scored)
-        |WHERE rn <= 20
-        |ORDER BY cosine DESC, v1 ASC, v2 ASC""".stripMargin,
+      s"""WITH $embNearDupCte
+         |SELECT v1, v2, cosine FROM ranked
+         |WHERE rn <= 20
+         |ORDER BY cosine DESC, v1 ASC, v2 ASC""".stripMargin,
+
+    "d09_embedding_apply" ->
+      s"""WITH $embNearDupCte
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT v2 FROM ranked WHERE rn <= 20)
+         |ORDER BY e.vec_id""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -124,4 +124,18 @@ object Similarity {
       .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
       .limit(20)
   }
+
+  /** Embedding near-dup APPLICATION — completes the detect→apply chain for
+    * the embedding modality (mirroring d07 for MinHash and the bucket-min
+    * pairing for SimHash): every pair found by [[embeddingNearDup]] keeps
+    * its lower vec_id, the higher ids are anti-joined out of the corpus.
+    * The loser set is detection-output-sized (≤ top-k), so it broadcasts;
+    * the corpus side streams through the anti-join with no shuffle. */
+  def dropEmbeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val losers = embeddingNearDup(spark, dir).select(col("v2").as("vec_id")).distinct()
+    Tables.embeddings(spark, dir)
+      .join(broadcast(losers), Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
 }

@@ -47,6 +47,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.map(_._2) === exact.map(_._2))
   }
 
+  test("embedding apply drops exactly the detected higher-id vectors") {
+    val losers = Similarity.embeddingNearDup(spark, dir).collect()
+      .map(_.getAs[Long]("v2")).toSet
+    val total = graft.Tables.embeddings(spark, dir).count()
+    val kept = Similarity.dropEmbeddingNearDups(spark, dir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(losers.nonEmpty)
+    assert(kept.size === total - losers.size)
+    assert(kept.intersect(losers).isEmpty)
+  }
+
   test("LSH-fed dedup apply equals exact-Jaccard-fed dedup apply") {
     val byLsh = Dedup.dropNearDuplicates(spark, dir)
       .collect().map(_.getLong(0)).toSet
