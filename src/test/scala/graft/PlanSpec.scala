@@ -81,6 +81,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan("q04_channel_kpi").contains("BroadcastHashJoin"))
   }
 
+  test("d04_minhash_lsh: signature subtree computed once (all doc access via caches)") {
+    val p = plan("d04_minhash_lsh")
+    // shingles and the band table are persisted; every branch (bucket
+    // minima, pairing join, candidate verification) must read the caches —
+    // a documents file scan outside a cache means a subtree re-executes
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    val docScans = fileScans("d04_minhash_lsh").count(_.contains("documents"))
+    assert(docScans === 0, s"documents scanned outside the caches $docScans times")
+  }
+
+  test("d09_embedding_apply: loser set broadcast, corpus anti-join without shuffle") {
+    val p = plan("d09_embedding_apply")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+  }
+
   test("t07_top_tfidf: df side broadcast back, no per-token window") {
     val p = plan("t07_top_tfidf")
     assert(!p.contains("windowspecdefinition(token"),
