@@ -64,6 +64,7 @@ object SparkEntry {
     "s03_knn_native"         -> (Similarity.knnNative _),
     "s04_knn_autoaccel"      -> (Similarity.knnAutoAccel _),
     "s05_label_centroids"    -> (Similarity.labelCentroids _),
+    "s06_ivf_trained"        -> (Similarity.annIvfTrained _),
     "t07_top_tfidf"          -> (TextAnalysis.topTfidf _),
     "t08_quality_filtered"   -> (TextAnalysis.qualityFiltered _),
     "t09_hash_sample"        -> (TextAnalysis.hashSample _),

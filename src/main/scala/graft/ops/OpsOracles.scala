@@ -186,6 +186,39 @@ object OpsOracles {
         |GROUP BY label, i
         |ORDER BY label, dim""".stripMargin,
 
+    "s06_ivf_trained" ->
+      """WITH cent0 AS (
+        |  SELECT label AS cell, i AS dim,
+        |    round(avg(CAST(embedding[i+1] AS DOUBLE)), 6) AS centroid
+        |  FROM embeddings, range(64) AS t(i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT cell, list(centroid ORDER BY dim) AS cv FROM cent0 GROUP BY cell),
+        |n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, cell, v, norm FROM (
+        |    SELECT n.vec_id, c.cell, n.v, n.norm,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(range(64),
+        |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))) ASC,
+        |        c.cell ASC) AS rk
+        |    FROM n CROSS JOIN cent c)
+        |  WHERE rk = 1)
+        |SELECT query_id, cand_id, cosine, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(64), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(64), i -> q.v[i+1] * c.v[i+1]))
+        |            / (q.norm * c.norm), 6) DESC, c.vec_id ASC) AS rnk
+        |  FROM assigned q JOIN assigned c
+        |    ON q.cell = c.cell AND q.vec_id < 10 AND c.vec_id >= 10)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     "t07_top_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

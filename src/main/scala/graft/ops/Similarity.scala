@@ -105,6 +105,50 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
       .orderBy("label", "dim")
 
+  /** Trained-IVF ANN: a genuine coarse quantizer instead of [[annIvf]]'s
+    * label shortcut. Train = [[labelCentroids]] (per-cell mean vectors —
+    * one Lloyd assignment step seeded from the labels); index = assign
+    * EVERY vector to its nearest centroid by squared-L2 (its cell may
+    * differ from its label); search = score the query only against its own
+    * cell's candidates.
+    *
+    * Scale shape: the centroid table is cells×dims (corpus-independent) and
+    * broadcasts; assignment is a narrow per-row pass over the corpus (8
+    * distances per vector, no shuffle; the per-vector window ranks 8 rows);
+    * the search join is a co-partitioned equi-join on cell id — shuffle
+    * O(rows), the same 100 TB contract as [[annIvf]], with nprobe=1.
+    * Centroids are rounded to 6dp (as in s05) BEFORE distances, which makes
+    * assignment reproducible across engines: a raw double avg is
+    * accumulation-order-dependent, the rounded value is not (at this data's
+    * margins), and distances are then fixed-order left-to-right folds over
+    * exact float-to-double inputs. */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val cents = labelCentroids(spark, dir)
+      .groupBy(col("label").as("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
+        .as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)
+    val assigned = vectors(spark, dir)
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("norm").as("qnorm"))
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("v").as("cv2"), col("norm").as("cnorm"))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .withColumn("dot", expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("qnorm") * col("cnorm")), 6))
+    val rankW = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "cand_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Embedding-cosine near-dup detection: top-20 most-similar pairs within
     * the same coarse cell (label). The cell restriction is the scale lever:
     * the pair join is co-partitioned on the cell id, never all-pairs. */

@@ -47,6 +47,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.map(_._2) === exact.map(_._2))
   }
 
+  test("trained IVF: full ranked answer per query, never beating brute force") {
+    val trained = Similarity.annIvfTrained(spark, dir).collect()
+    val byQuery = trained.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 10)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq === Seq(1, 2, 3))
+    }
+    // approximate results can't exceed the exact top-1 (subset property)
+    val bruteBest = Similarity.knnBrute(spark, dir).collect()
+      .filter(_.getAs[Int]("rnk") === 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    trained.foreach { r =>
+      assert(r.getAs[Double]("cosine") <= bruteBest(r.getAs[Long]("query_id")) + 1e-9)
+    }
+  }
+
   test("embedding apply drops exactly the detected higher-id vectors") {
     val losers = Similarity.embeddingNearDup(spark, dir).collect()
       .map(_.getAs[Long]("v2")).toSet
