@@ -42,6 +42,7 @@ object SparkEntry {
     "q24_rollup"             -> (Relational.q24Rollup _),
     "q25_pivot"              -> (Relational.q25Pivot _),
     "q26_median"             -> (Relational.q26Median _),
+    "q27_salted_join"        -> (Relational.q27SaltedJoin _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

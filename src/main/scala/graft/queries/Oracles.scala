@@ -253,6 +253,14 @@ object RelationalOracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    "q27_salted_join" ->
+      """SELECT n.n_name,
+        |  count(*) AS customers,
+        |  CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS acctbal_sum
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+
     "q23_two_phase_distinct" ->
       """SELECT user_id, count(DISTINCT event_type) AS distinct_types
         |FROM events

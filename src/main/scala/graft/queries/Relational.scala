@@ -399,6 +399,32 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
       .orderBy("l_returnflag")
 
+  /** Skew-salted equi-join (the manual form of what AQE skew-join does at
+    * runtime): when the join key is low-cardinality/hot (here c_nationkey,
+    * 25 values — a hot key at 100 TB puts one key's rows in one task) and
+    * the other side is too big to broadcast, derive salt = key mod S on
+    * the big side and explode the small side into S replicas; the shuffle
+    * key becomes (key, salt) so each hot key spreads over S partitions.
+    * SHUFFLE_HASH hint pins the demonstration to the shuffle path (Spark
+    * would otherwise broadcast this dimension — and should, when it fits).
+    * Result is identical to the plain join: salting only re-partitions. */
+  def q27SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = 8
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("salt", pmod(col("c_custkey"), lit(s)))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+      .withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
+    cust.join(nat.hint("SHUFFLE_HASH"),
+        cust("c_nationkey") === nat("n_nationkey") && cust("salt") === nat("salt"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("customers"),
+        round(sum(col("c_acctbal").cast("decimal(18,6)")), 2).cast("double").as("acctbal_sum"))
+      .orderBy("n_name")
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

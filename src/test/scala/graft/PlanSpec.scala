@@ -96,6 +96,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("q27_salted_join: shuffle join keyed on (key, salt), not broadcast") {
+    val p = plan("q27_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(p.contains("salt"), "salt missing from the join keys")
+    assert(!p.contains("BroadcastHashJoin"), "demonstration must stay on the shuffle path")
+  }
+
   test("t07_top_tfidf: df side broadcast back, no per-token window") {
     val p = plan("t07_top_tfidf")
     assert(!p.contains("windowspecdefinition(token"),
