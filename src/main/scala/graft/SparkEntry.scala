@@ -73,6 +73,7 @@ object SparkEntry {
     "m02_format_summary"     -> (Multimodal.formatSummary _),
     "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),
     "w03_event_dedup"        -> (graft.streaming.EventStream.eventDedupCounts _),
+    "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
   ) ++ refCatalog

@@ -425,6 +425,13 @@ object OpsOracles {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    // the round trip is the operator under test; a faithful JSONL
+    // write+read must reproduce the source table exactly
+    "f01_jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS fp, lang, n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "w03_event_dedup" ->
       """SELECT user_id, event_type,
         |  min(event_id) AS keeper,
