@@ -71,6 +71,8 @@ object SparkEntry {
     "t09_hash_sample"        -> (TextAnalysis.hashSample _),
     "m01_decoded_meta"       -> (Multimodal.decodedMeta _),
     "m02_format_summary"     -> (Multimodal.formatSummary _),
+    "m03_resize_meta"        -> (Multimodal.resizedMeta _),
+    "m04_frame_sample"       -> (Multimodal.frameSampled _),
     "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),
     "w03_event_dedup"        -> (graft.streaming.EventStream.eventDedupCounts _),
     "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),

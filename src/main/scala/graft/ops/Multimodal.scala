@@ -62,6 +62,67 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
+                               out_w: Long, out_h: Long, out_bytes: Long)
+
+  /** STUB resize into a 224-box, aspect-preserving. All shape math is
+    * INTEGER arithmetic (w*224 div longSide) so Spark and the DuckDB
+    * oracle agree exactly — no float scale factor. The batch produces a
+    * REAL smaller payload (stride-sampled bytes, the shape a codec binding
+    * returns); the driver query projects its metadata. */
+  def resizeBatch(spark: SparkSession, dir: String): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow].mapPartitions(_.map { r =>
+      val m = DecodeStub.decode(r)
+      val longSide = math.max(m.width, m.height)
+      val outW = math.max(1L, m.width * 224L / longSide)
+      val outH = math.max(1L, m.height * 224L / longSide)
+      val target = (outW * outH * 3L).toInt // fake RGB24 payload
+      val out = new Array[Byte](target)
+      if (r.media.nonEmpty) {
+        var i = 0
+        while (i < target) {
+          out(i) = r.media(((i.toLong * r.media.length) / target).toInt)
+          i += 1
+        }
+      }
+      ResizedMeta(r.doc_id, m.width, m.height, outW, outH, out.length.toLong)
+    })
+  }
+
+  /** Resized-metadata driver query (m03). */
+  def resizedMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resizeBatch(spark, dir).toDF().orderBy("doc_id")
+  }
+
+  final case class FrameSample(doc_id: Long, n_frames: Long,
+                               frames_sampled: Long, idx_sum: Long)
+
+  /** STUB frame sampling: payload treated as a "video" of 1 KiB frames,
+    * every 10th frame sampled. The loop WALKS the actual sampled offsets
+    * (what a demuxer seek would do); the driver query reports the count
+    * and the index checksum, which the oracle recomputes in closed form —
+    * matching proves the sampling schedule, not just the count. */
+  def frameSampleBatch(spark: SparkSession, dir: String): Dataset[FrameSample] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow].mapPartitions(_.map { r =>
+      val nFrames = r.media.length.toLong / 1024L + 1L
+      var idx = 0L; var k = 0L; var sum = 0L
+      while (idx < nFrames) {
+        // a real demuxer would decode media[idx*1024, +1024) here
+        k += 1; sum += idx; idx += 10
+      }
+      FrameSample(r.doc_id, nFrames, k, sum)
+    })
+  }
+
+  /** Frame-sampling driver query (m04). */
+  def frameSampled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    frameSampleBatch(spark, dir).toDF().orderBy("doc_id")
+  }
+
   /** Per-format corpus summary over the decoded metadata. */
   def formatSummary(spark: SparkSession, dir: String): DataFrame =
     decodedMeta(spark, dir)

@@ -440,6 +440,31 @@ object OpsOracles {
         |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
 
+    "m03_resize_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    64 + octet_length(encode(text)) % 512 AS width,
+        |    64 + (octet_length(encode(text)) * 7) % 512 AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  greatest(1, width * 224 // greatest(width, height)) AS out_w,
+        |  greatest(1, height * 224 // greatest(width, height)) AS out_h,
+        |  greatest(1, width * 224 // greatest(width, height))
+        |    * greatest(1, height * 224 // greatest(width, height)) * 3 AS out_bytes
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
+
+    "m04_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) // 1024 + 1 AS n_frames
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_frames, (n_frames + 9) // 10 AS frames_sampled FROM f)
+        |SELECT doc_id, n_frames, frames_sampled,
+        |  10 * (frames_sampled * (frames_sampled - 1) // 2) AS idx_sum
+        |FROM k
+        |ORDER BY doc_id""".stripMargin,
+
     "m02_format_summary" ->
       """WITH m AS (
         |  SELECT octet_length(encode(text)) AS bytes,

@@ -47,6 +47,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.map(_._2) === exact.map(_._2))
   }
 
+  test("resize stub: aspect-preserving 224-box with RGB24-sized payload") {
+    Multimodal.resizeBatch(spark, dir).collect().foreach { r =>
+      assert(r.out_w <= 224 && r.out_h <= 224 && r.out_w >= 1 && r.out_h >= 1)
+      assert(math.max(r.out_w, r.out_h) === 224) // long side fills the box (inputs >= 64)
+      // aspect order survives the resize
+      assert((r.width >= r.height) === (r.out_w >= r.out_h))
+      assert(r.out_bytes === r.out_w * r.out_h * 3)
+    }
+  }
+
+  test("frame sampling walks every 10th frame of the 1KiB-frame payload") {
+    Multimodal.frameSampleBatch(spark, dir).collect().foreach { r =>
+      assert(r.frames_sampled === (r.n_frames + 9) / 10)
+      val k = r.frames_sampled
+      assert(r.idx_sum === 10 * (k * (k - 1) / 2))
+    }
+  }
+
   test("trained IVF: full ranked answer per query, never beating brute force") {
     val trained = Similarity.annIvfTrained(spark, dir).collect()
     val byQuery = trained.groupBy(_.getAs[Long]("query_id"))
