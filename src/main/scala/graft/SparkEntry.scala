@@ -60,6 +60,7 @@ object SparkEntry {
     "d07_dedup_apply"        -> (Dedup.dropNearDuplicates _),
     "d08_simhash_neardup"    -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "d09_embedding_apply"    -> (Similarity.dropEmbeddingNearDups _),
+    "d10_exact_apply"        -> (Dedup.dropExactDuplicates _),
     "s01_knn_brute"          -> (Similarity.knnBrute _),
     "s02_ann_ivf"            -> (Similarity.annIvf _),
     "s03_knn_native"         -> (Similarity.knnNative _),

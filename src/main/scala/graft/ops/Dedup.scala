@@ -181,6 +181,24 @@ object Dedup {
     jaccardOf(inter, ds, 0.5)
   }
 
+  /** EXACT dedup APPLICATION: the cleaned corpus with one keeper (min
+    * doc_id) per distinct text — the workhorse first pass of every
+    * training-data pipeline ([[exactDedup]] reports the summary; this
+    * ships the rows). Scale shape: one hash-shuffle on the uniform 32-char
+    * md5 to pick keepers, then a semi-join back on doc_id — both exchanges
+    * O(rows) with no skew (the fingerprint is uniform even when texts are
+    * hot duplicates). */
+  def dropExactDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val keepers = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Dedup APPLICATION: the cleaned corpus. Every near-dup pair keeps its
     * lower doc_id; higher ids are anti-joined away. This is the operator a
     * training-data pipeline actually ships. The detector is pluggable and

@@ -425,6 +425,11 @@ object OpsOracles {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    "d10_exact_apply" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+
     // the round trip is the operator under test; a faithful JSONL
     // write+read must reproduce the source table exactly
     "f01_jsonl_roundtrip" ->

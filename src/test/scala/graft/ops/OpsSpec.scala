@@ -47,6 +47,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.map(_._2) === exact.map(_._2))
   }
 
+  test("exact-dedup apply keeps exactly one doc per distinct text") {
+    val kept = Dedup.dropExactDuplicates(spark, dir).count()
+    val distinctTexts = graft.Tables.documents(spark, dir)
+      .select("text").distinct().count()
+    assert(kept === distinctTexts)
+  }
+
   test("resize stub: aspect-preserving 224-box with RGB24-sized payload") {
     Multimodal.resizeBatch(spark, dir).collect().foreach { r =>
       assert(r.out_w <= 224 && r.out_h <= 224 && r.out_w >= 1 && r.out_h >= 1)
