@@ -90,14 +90,21 @@ object SparkEntry {
     * thresholds legitimately select 0 rows (SURVEY §0.2-7, would trip the
     * driver's rows>0 check), so the driver entry uses fan-out-scaled
     * thresholds that exercise the identical plan shape. */
+  /** Built-star catalogs memoized PER SESSION (same discipline as
+    * Dedup.shingleCache): a catalog's DataFrames are bound to the session
+    * that built them, so a process that stops its session and starts a new
+    * one must get a fresh catalog, not dead plans. Stopped sessions' entries
+    * are purged on every access. */
+  private val refCatalogCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Map[String, () => DataFrame]]
+
+  private def catalogFor(spark: SparkSession): Map[String, () => DataFrame] = {
+    refCatalogCache.keys.filter(_.sparkContext.isStopped)
+      .foreach(refCatalogCache.remove)
+    refCatalogCache.getOrElseUpdate(spark, Pipeline.queryCatalog(Pipeline.run(spark)))
+  }
+
   private def refCatalog: Map[String, (SparkSession, String) => DataFrame] = {
-    var cached: Option[Map[String, () => DataFrame]] = None
-    def catalog(spark: SparkSession): Map[String, () => DataFrame] = synchronized {
-      cached.getOrElse {
-        val c = Pipeline.queryCatalog(Pipeline.run(spark))
-        cached = Some(c); c
-      }
-    }
     val names = Seq("mv_channel_daily", "mv_channel_daily_incr",
       "mv_kpi_channel", "mv_kpi_campaign",
       "q0_pnl", "q1_best_sellers", "q1_top_profit", "q1_top_margin",
@@ -105,7 +112,7 @@ object SparkEntry {
       "q5_hero_products", "q6_spend_waste_active", "q7_retention",
       "q8_demographics", "q9_frequency")
     names.map { n =>
-      s"ref_$n" -> ((spark: SparkSession, _: String) => catalog(spark)(n)())
+      s"ref_$n" -> ((spark: SparkSession, _: String) => catalogFor(spark)(n)())
     }.toMap
   }
 

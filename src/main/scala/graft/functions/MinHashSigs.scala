@@ -66,11 +66,21 @@ object MinHashSigs {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
+  /** `"s|"` prefix byte tables, memoized per numPerms: compute() runs once
+    * per ROW, so rebuilding numPerms small arrays there is allocation in
+    * the exact hot loop this expression exists to avoid. */
+  private val prefixTables =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Byte]]]
+
+  private def prefixesFor(numPerms: Int): Array[Array[Byte]] =
+    prefixTables.getOrElseUpdate(numPerms,
+      Array.tabulate(numPerms)(s => (s + "|").getBytes(StandardCharsets.UTF_8)))
+
   /** One pass over the shingles; minima kept as raw digests (unsigned-byte
     * order == hex-string order), hex-encoded only at the end. */
   def compute(shingles: ArrayData, numPerms: Int): ArrayData = {
     val md = digests.get()
-    val prefixes = Array.tabulate(numPerms)(s => (s + "|").getBytes(StandardCharsets.UTF_8))
+    val prefixes = prefixesFor(numPerms)
     val minima = new Array[Array[Byte]](numPerms)
     val n = shingles.numElements()
     var i = 0
@@ -128,6 +138,10 @@ object MinHashSigs {
       builder)
 
   val builder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"minhash_sigs expects exactly 2 arguments (array<string>, perms), " +
+          s"got ${children.length}")
     val perms = children(1) match {
       case Literal(v: Int, IntegerType) => v
       case e if e.foldable => e.eval() match {

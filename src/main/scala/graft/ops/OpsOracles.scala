@@ -408,19 +408,29 @@ object OpsOracles {
         |GROUP BY 1, 2
         |ORDER BY purchase_id""".stripMargin,
 
+    // Clicks are pre-aggregated to ONE row per (user_id, µs ts) with the
+    // max event_id BEFORE the ASOF join: Spark's carry-forward tie-break
+    // keeps the largest click_id among equal-µs ties, and DuckDB's ASOF
+    // does not specify which tied right row wins — the pre-agg makes the
+    // oracle's tie-break explicit instead of empirical.
     "j01_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
 
+    // decimal-sum discipline on BOTH sides: the Spark side sums per-row
+    // DECIMAL(18,6) casts (exact, order-independent); a double sum here
+    // could round differently at a 4dp boundary at larger scale factors.
     "w01_event_windows" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
         |  event_type,
         |  count(*) AS events,
-        |  round(sum(value), 4) AS total_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
