@@ -61,6 +61,8 @@ object SparkEntry {
     "d08_simhash_neardup"    -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "d09_embedding_apply"    -> (Similarity.dropEmbeddingNearDups _),
     "d10_exact_apply"        -> (Dedup.dropExactDuplicates _),
+    "d11_simhash64_neardup"  -> ((s: SparkSession, d: String) => Dedup.simhash64NearDup(s, d)),
+    "d12_simhash_apply"      -> (Dedup.dropSimhashNearDuplicates _),
     "s01_knn_brute"          -> (Similarity.knnBrute _),
     "s02_ann_ivf"            -> (Similarity.annIvf _),
     "s03_knn_native"         -> (Similarity.knnNative _),

@@ -257,6 +257,99 @@ object Dedup {
     * widens to 64 bits × 4 tables so a band key has 2^16 values (buckets
     * stay corpus/65536-sized); 16 bits here keeps the DuckDB oracle's bit
     * arithmetic portable. */
+  /** 16-bit [[simhash]]/[[simhashNearDup]] above are the DuckDB-portable
+    * oracle form; THIS is the production geometry (the round-2 verdict's
+    * named scale fix): 64-bit codes × 4 tables of 16-bit band keys.
+    *
+    * Why it scales where 16-bit banding cannot: a band key now has 2^16
+    * values per table, so bucket occupancy is corpus/65,536 per table
+    * (vs corpus/256 — and only 512 keys TOTAL — at 16 bits), and the
+    * within-bucket work is bucket-min pairing (m−1 candidates per
+    * bucket, exactly [[minhashLsh]]'s shape), never an all-pairs join.
+    * Candidate volume grows ~linearly in corpus size instead of
+    * quadratically. By pigeonhole, any pair within hamming distance 3
+    * agrees exactly on at least one of the 4 bands; pairs at larger
+    * distances collide when their flipped bits concentrate (the standard
+    * multi-table recall curve, Charikar 2002).
+    *
+    * Portability: the code is kept as TWO 32-bit halves (`code_hi` from
+    * md5 hex chars 1-8, `code_lo` from chars 9-16, each decoded
+    * arithmetically) so no intermediate exceeds 2^32 — both engines stay
+    * in exact non-negative BIGINT arithmetic with no overflow and no
+    * sign-bit games. */
+  def simhash64(spark: SparkSession, dir: String): DataFrame = {
+    def decode32(startPos: Int): String =
+      (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(instr('0123456789abcdef', substr(m, ${startPos + i}, 1)) - 1) * cast($mult as bigint)"
+      }.mkString(" + ")
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("m", md5(col("tok")))
+      .withColumn("vhi", expr(decode32(1)))
+      .withColumn("vlo", expr(decode32(9)))
+    val votes =
+      (0 until 32).map(b => sum(expr(s"2 * (shiftright(vhi, $b) & 1) - 1")).as(s"h$b")) ++
+      (0 until 32).map(b => sum(expr(s"2 * (shiftright(vlo, $b) & 1) - 1")).as(s"l$b"))
+    def bits(prefix: String): String =
+      (0 until 32)
+        .map(b => s"(case when $prefix$b > 0 then cast(${1L << b} as bigint) else cast(0 as bigint) end)")
+        .mkString(" + ")
+    // no ORDER BY here: this is an internal building block (consumers sort
+    // their own output); a global sort before the persist would be a
+    // corpus-wide exchange bought for nothing
+    tok.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .withColumn("code_hi", expr(bits("h")))
+      .withColumn("code_lo", expr(bits("l")))
+      .select("doc_id", "code_hi", "code_lo")
+  }
+
+  /** Scale-safe SimHash near-dup application over [[simhash64]] codes:
+    * 4×16-bit band tables, bucket-min candidate pairing, exact hamming
+    * verification. Shuffles: one hash-agg to codes (map-side combined),
+    * one O(docs×4) band exchange, then candidate-sized joins — nothing
+    * quadratic in corpus size (contrast [[simhashNearDup]]'s 512-key
+    * space, kept as the portable oracle cross-check).
+    *
+    * Recall contract: precision is exact (candidates pass a bit_count
+    * verify); a hamming<=3 pair always band-collides (pigeonhole over 4
+    * bands) and surfaces as a candidate, but star pairing can still lose
+    * it to a SHADOWED bucket — a bucket whose min doc is far from both
+    * members, so the emitted (min, doc) pairs fail the verify. Beyond
+    * distance 3 recall follows the multi-table curve (~0.8 on the
+    * testdata corpus at maxHamming=8; OpsSpec pins both properties).
+    * Mitigations at 100 TB, not needed here: iterate the pass (each
+    * round re-anchors the stars), or pair against the k smallest bucket
+    * docs instead of one. */
+  def simhash64NearDup(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    // persisted: the vote aggregation feeds the band table AND both sides
+    // of the verification join; one materialization, three cache reads
+    val codes = simhash64(spark, dir).persist()
+    val banded = codes.selectExpr("doc_id",
+      """stack(4, 0, code_lo % 65536, 1, code_lo div 65536,
+        |         2, code_hi % 65536, 3, code_hi div 65536) as (band, bkey)
+        |""".stripMargin.replaceAll("\n", " "))
+    val bmin = banded.groupBy("band", "bkey").agg(min("doc_id").as("d1"))
+    val cand = banded.join(bmin, Seq("band", "bkey"))
+      .filter(col("doc_id") > col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"))
+      .distinct()
+    val c1 = codes.select(col("doc_id").as("d1"), col("code_hi").as("h1"), col("code_lo").as("l1"))
+    val c2 = codes.select(col("doc_id").as("d2"), col("code_hi").as("h2"), col("code_lo").as("l2"))
+    broadcast(cand).join(c1, Seq("d1")).join(c2, Seq("d2"))
+      .withColumn("hamming", expr("bit_count(l1 ^ l2) + bit_count(h1 ^ h2)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash-fed dedup APPLICATION — completes detect→apply for the third
+    * modality (d07 = MinHash, d09 = embeddings): every [[simhash64NearDup]]
+    * pair keeps its lower doc_id, higher ids are anti-joined away. */
+  def dropSimhashNearDuplicates(spark: SparkSession, dir: String): DataFrame =
+    dropNearDuplicatesBy((s, d) => simhash64NearDup(s, d))(spark, dir)
+
   def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     // persisted: the self-join references the code table twice; without it
     // the explode+vote aggregation would execute once per side

@@ -95,6 +95,58 @@ object OpsOracles {
       |SELECT doc_id, simhash FROM codes
       |ORDER BY doc_id""".stripMargin
 
+  /** 64-bit SimHash codes as two 32-bit halves (mirrors Dedup.simhash64:
+    * code_hi from md5 hex chars 1-8, code_lo from chars 9-16; exact
+    * non-negative BIGINT arithmetic, no overflow on either engine). */
+  private val simhash64CodesCte = {
+    def decode32(startPos: Int): String =
+      (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', m[${startPos + i}]) - 1) * CAST($mult AS BIGINT)"
+      }.mkString(" + ")
+    val votes =
+      ((0 until 32).map(b => s"sum(2 * ((vhi >> $b) & 1) - 1) AS h$b") ++
+       (0 until 32).map(b => s"sum(2 * ((vlo >> $b) & 1) - 1) AS l$b")).mkString(", ")
+    def bits(prefix: String): String =
+      (0 until 32)
+        .map(b => s"(CASE WHEN $prefix$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+    s"""tok0 AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents),
+      |tok AS (SELECT doc_id, md5(t) AS m FROM tok0),
+      |tv AS (
+      |  SELECT doc_id, ${decode32(1)} AS vhi, ${decode32(9)} AS vlo
+      |  FROM tok),
+      |votes AS (SELECT doc_id, $votes FROM tv GROUP BY doc_id),
+      |codes64 AS (
+      |  SELECT doc_id, ${bits("h")} AS code_hi, ${bits("l")} AS code_lo
+      |  FROM votes)""".stripMargin
+  }
+
+  /** d11/d12: 4×16-bit band tables over the 64-bit codes, bucket-min
+    * candidate pairing, exact hamming verify (mirrors
+    * Dedup.simhash64NearDup at maxHamming=8). */
+  private val simhash64PairsCte =
+    s"""$simhash64CodesCte,
+      |banded64 AS (
+      |  SELECT doc_id, 0 AS band, code_lo % 65536 AS bkey FROM codes64
+      |  UNION ALL SELECT doc_id, 1, code_lo // 65536 FROM codes64
+      |  UNION ALL SELECT doc_id, 2, code_hi % 65536 FROM codes64
+      |  UNION ALL SELECT doc_id, 3, code_hi // 65536 FROM codes64),
+      |bmin64 AS (SELECT band, bkey, min(doc_id) AS d1 FROM banded64 GROUP BY 1, 2),
+      |cand64 AS (
+      |  SELECT DISTINCT bmin64.d1, b.doc_id AS d2
+      |  FROM banded64 b JOIN bmin64 USING (band, bkey)
+      |  WHERE b.doc_id > bmin64.d1),
+      |pairs64 AS (
+      |  SELECT c.d1, c.d2,
+      |    CAST(bit_count(xor(a.code_hi, b.code_hi))
+      |         + bit_count(xor(a.code_lo, b.code_lo)) AS INT) AS hamming
+      |  FROM cand64 c
+      |  JOIN codes64 a ON c.d1 = a.doc_id
+      |  JOIN codes64 b ON c.d2 = b.doc_id)""".stripMargin
+
   // d08: hamming-band application over the codes — 2×8-bit band equi-join,
   // exact bit_count(xor) <= 3 filter (mirrors Dedup.simhashNearDup).
   private val simhashNearDupSql =
@@ -121,6 +173,18 @@ object OpsOracles {
     "d05_simhash" -> simhashSql,
 
     "d08_simhash_neardup" -> simhashNearDupSql,
+
+    "d11_simhash64_neardup" ->
+      s"""WITH $simhash64PairsCte
+        |SELECT d1, d2, hamming FROM pairs64
+        |WHERE hamming <= 8
+        |ORDER BY d1, d2""".stripMargin,
+
+    "d12_simhash_apply" ->
+      s"""WITH $simhash64PairsCte
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT d2 FROM pairs64 WHERE hamming <= 8)
+        |ORDER BY doc_id""".stripMargin,
 
     "d06_embedding_neardup" ->
       s"""WITH $embNearDupCte

@@ -91,6 +91,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docScans === 0, s"documents scanned outside the caches $docScans times")
   }
 
+  test("d11_simhash64_neardup: banded equi-join over cached codes, nothing quadratic") {
+    val p = plan("d11_simhash64_neardup")
+    // candidates must come from the (band, bkey) equi-join — never a
+    // cross/nested-loop pairing — and every code access reads the cache
+    // (the 64-vote aggregation materializes exactly once)
+    assert(p.contains("bkey"), "banded join key missing from the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic pairing reappeared:\n${p.take(2000)}")
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    val docScans = fileScans("d11_simhash64_neardup").count(_.contains("documents"))
+    assert(docScans === 0, s"documents scanned outside the code cache $docScans times")
+  }
+
   test("d09_embedding_apply: loser set broadcast, corpus anti-join without shuffle") {
     val p = plan("d09_embedding_apply")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))

@@ -131,6 +131,68 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("simhash64 banded near-dup: exact precision, pigeonhole recall, sane curve") {
+    val codes = Dedup.simhash64(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force all-pairs hamming over the collected code table — the
+    // quadratic oracle the banded operator replaces at scale
+    def hamming(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+    val brutePairs = for {
+      a <- codes; b <- codes
+      if a._1 < b._1 && hamming(a, b) <= 8
+    } yield (a._1, b._1, hamming(a, b))
+    val pairs = Dedup.simhash64NearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty, "testdata should contain simhash64 near-dups")
+    pairs.foreach { case (d1, d2, h) =>
+      assert(d1 < d2); assert(h >= 0 && h <= 8)
+    }
+    val lshLosers = pairs.map(_._2).toSet
+    val bruteLosers = brutePairs.map(_._2).toSet
+    // PRECISION is exact by construction: candidates pass an exact
+    // bit_count verify, so nothing outside the brute-force set can appear
+    assert(lshLosers.subsetOf(bruteLosers))
+    // PIGEONHOLE regime: a pair within hamming 3 of 64 agrees exactly on
+    // >= 1 of the 4 bands, so its higher doc ALWAYS surfaces as a
+    // candidate — the only way it escapes the loser set is a SHADOWED
+    // bucket (every shared bucket's min doc is > 8 away, so the emitted
+    // (min, doc) star pairs all fail the exact verify; the documented
+    // star-pairing trade-off). Assert every miss is explained by a shadow:
+    // anything else is a banding bug.
+    val guaranteed = brutePairs.filter(_._3 <= 3).map(_._2).toSet
+    assert(guaranteed.nonEmpty, "testdata should contain hamming<=3 code pairs")
+    val byId = codes.map(c => c._1 -> c).toMap
+    def bandKeys(c: (Long, Long, Long)): Seq[(Int, Long)] =
+      Seq((0, c._3 & 0xffffL), (1, c._3 >> 16), (2, c._2 & 0xffffL), (3, c._2 >> 16))
+    val bucketMin = codes.flatMap(c => bandKeys(c).map(bk => (bk, c._1)))
+      .groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).min }
+    guaranteed.diff(lshLosers).foreach { b =>
+      bandKeys(byId(b)).foreach { bk =>
+        val m = bucketMin(bk)
+        if (m != b)
+          assert(hamming(byId(m), byId(b)) > 8,
+            s"doc $b missed though its band-$bk bucket-min $m is within 8 — banding bug")
+      }
+    }
+    // beyond distance 3 recall is the standard multi-table curve
+    // (probabilistic in the geometry, deterministic on fixed data) —
+    // floor it so a banding regression shows up as a recall cliff
+    val recall = lshLosers.size.toDouble / bruteLosers.size
+    assert(recall >= 0.7, f"banded recall degraded: $recall%.3f")
+  }
+
+  test("simhash-fed dedup apply drops exactly the detected higher-id docs") {
+    val losers = Dedup.simhash64NearDup(spark, dir).collect()
+      .map(_.getLong(1)).toSet
+    val total = graft.Tables.documents(spark, dir).count()
+    val kept = Dedup.dropSimhashNearDuplicates(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(losers.nonEmpty)
+    assert(kept.size === total - losers.size)
+    assert(kept.intersect(losers).isEmpty)
+  }
+
   test("jaccard pairs are canonical (d1 < d2) and thresholded") {
     Dedup.ngramJaccard(spark, dir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
