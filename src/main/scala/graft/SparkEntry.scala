@@ -69,6 +69,8 @@ object SparkEntry {
     "s04_knn_autoaccel"      -> (Similarity.knnAutoAccel _),
     "s05_label_centroids"    -> (Similarity.labelCentroids _),
     "s06_ivf_trained"        -> (Similarity.annIvfTrained _),
+    "s07_ivf_multiprobe"     -> ((s: SparkSession, d: String) => Similarity.annIvfMultiprobe(s, d)),
+    "d13_neardup_cells"      -> (Similarity.embeddingNearDupCells _),
     "t07_top_tfidf"          -> (TextAnalysis.topTfidf _),
     "t08_quality_filtered"   -> (TextAnalysis.qualityFiltered _),
     "t09_hash_sample"        -> (TextAnalysis.hashSample _),

@@ -52,6 +52,30 @@ object OpsOracles {
       |  FROM bands b JOIN bmin USING (band, bkey)
       |  WHERE b.doc_id > bmin.d1)""".stripMargin
 
+  /** Trained-IVF building block shared by s06/s07/d13 (mirrors
+    * Similarity.cellRanked): per-cell mean centroids seeded from labels,
+    * then every vector distance-ranked against every centroid — rk = 1 is
+    * the nearest-centroid assignment. */
+  private val ivfRankedCte =
+    """cent0 AS (
+      |  SELECT label AS cell, i AS dim,
+      |    round(avg(CAST(embedding[i+1] AS DOUBLE)), 6) AS centroid
+      |  FROM embeddings, range(64) AS t(i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT cell, list(centroid ORDER BY dim) AS cv FROM cent0 GROUP BY cell),
+      |n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+      |  FROM embeddings),
+      |cellranked AS (
+      |  SELECT n.vec_id, c.cell, n.v, n.norm,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |      list_sum(list_transform(range(64),
+      |        i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))) ASC,
+      |      c.cell ASC) AS rk
+      |  FROM n CROSS JOIN cent c)""".stripMargin
+
   private val knnBruteSql =
     """WITH n AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -251,26 +275,8 @@ object OpsOracles {
         |ORDER BY label, dim""".stripMargin,
 
     "s06_ivf_trained" ->
-      """WITH cent0 AS (
-        |  SELECT label AS cell, i AS dim,
-        |    round(avg(CAST(embedding[i+1] AS DOUBLE)), 6) AS centroid
-        |  FROM embeddings, range(64) AS t(i)
-        |  GROUP BY label, i),
-        |cent AS (
-        |  SELECT cell, list(centroid ORDER BY dim) AS cv FROM cent0 GROUP BY cell),
-        |n AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
-        |  FROM embeddings),
-        |assigned AS (
-        |  SELECT vec_id, cell, v, norm FROM (
-        |    SELECT n.vec_id, c.cell, n.v, n.norm,
-        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |        list_sum(list_transform(range(64),
-        |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))) ASC,
-        |        c.cell ASC) AS rk
-        |    FROM n CROSS JOIN cent c)
-        |  WHERE rk = 1)
+      s"""WITH $ivfRankedCte,
+        |assigned AS (SELECT vec_id, cell, v, norm FROM cellranked WHERE rk = 1)
         |SELECT query_id, cand_id, cosine, rnk FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         |    round(list_sum(list_transform(range(64), i -> q.v[i+1] * c.v[i+1]))
@@ -282,6 +288,44 @@ object OpsOracles {
         |    ON q.cell = c.cell AND q.vec_id < 10 AND c.vec_id >= 10)
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // s07: multi-probe — the query side expands to its 2 nearest cells
+    // (rk <= 2); candidates stay on their rk = 1 assignment.
+    "s07_ivf_multiprobe" ->
+      s"""WITH $ivfRankedCte,
+        |assigned AS (SELECT vec_id, cell, v, norm FROM cellranked WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id, cell, v, norm FROM cellranked
+        |  WHERE rk <= 2 AND vec_id < 10)
+        |SELECT query_id, cand_id, cosine, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(64), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(64), i -> q.v[i+1] * c.v[i+1]))
+        |            / (q.norm * c.norm), 6) DESC, c.vec_id ASC) AS rnk
+        |  FROM probes q JOIN assigned c
+        |    ON q.cell = c.cell AND c.vec_id >= 10)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // d13: label-free near-dup — d06's shape with the pair join celled on
+    // the trained rk = 1 assignment instead of the given label.
+    "d13_neardup_cells" ->
+      s"""WITH $ivfRankedCte,
+        |assigned AS (SELECT vec_id, cell, v, norm FROM cellranked WHERE rk = 1),
+        |scored AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    round(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1]))
+        |          / (a.norm * b.norm), 6) AS cosine
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY cosine DESC, v1 ASC, v2 ASC) AS rn
+        |  FROM scored)
+        |SELECT v1, v2, cosine FROM ranked
+        |WHERE rn <= 20
+        |ORDER BY cosine DESC, v1 ASC, v2 ASC""".stripMargin,
 
     "t07_top_tfidf" ->
       """WITH tok AS (

@@ -122,31 +122,103 @@ object Similarity {
     * accumulation-order-dependent, the rounded value is not (at this data's
     * margins), and distances are then fixed-order left-to-right folds over
     * exact float-to-double inputs. */
-  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
-    val cents = labelCentroids(spark, dir)
-      .groupBy(col("label").as("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
-        .as("cv"))
+  /** Trained quantizer's centroid table: one row per cell with the mean
+    * vector assembled as an array — cells×dims, corpus-independent,
+    * always broadcast. Memoized per (session, dir): training is one
+    * corpus-wide aggregation, and every consumer after the first (s06's
+    * assignment, s07's probe ranking, repeat calls) should pay only the
+    * cells-sized cache read, not a corpus pass. */
+  private val centsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def centroidVectors(spark: SparkSession, dir: String): DataFrame = {
+    centsCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(centsCache.remove)
+    centsCache.getOrElseUpdate((spark, dir), {
+      val df = labelCentroids(spark, dir)
+        .groupBy(col("label").as("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
+          .as("cv"))
+        .persist()
+      df.count()
+      df
+    })
+  }
+
+  /** Distances of every vector to every centroid, cell-ranked per vector
+    * (rk=1 is the nearest-centroid assignment). Narrow per-row pass over a
+    * broadcast centroid table; the window ranks `cells` rows per vector. */
+  private def cellRanked(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)
-    val assigned = vectors(spark, dir)
-      .crossJoin(broadcast(cents))
+    vectors(spark, dir)
+      .crossJoin(broadcast(centroidVectors(spark, dir)))
       .withColumn("dist",
         expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("norm").as("qnorm"))
-    val c = assigned.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("cell"), col("v").as("cv2"), col("norm").as("cnorm"))
+  }
+
+  /** Nearest-centroid assignment of the whole corpus, materialized ONCE
+    * per (session, dir) and shared by every trained-quantizer consumer
+    * (s06 search, s07 multi-probe, d13 cell near-dup): the centroid
+    * training pass + assignment is compute-once/query-many, exactly like
+    * Dedup.docShingles — without the memo each consumer branch would
+    * re-train and re-assign. Stopped sessions' entries purge on access. */
+  private val assignCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def trainedAssignment(spark: SparkSession, dir: String): DataFrame = {
+    assignCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(assignCache.remove)
+    assignCache.getOrElseUpdate((spark, dir), {
+      val df = cellRanked(spark, dir)
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+        .persist()
+      df.count()
+      df
+    })
+  }
+
+  private def topKInCell(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
     val scored = broadcast(q).join(c, Seq("cell"))
       .withColumn("dot", expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
       .withColumn("cosine", round(col("dot") / (col("qnorm") * col("cnorm")), 6))
     val rankW = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rnk", row_number().over(rankW))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select("query_id", "cand_id", "cosine", "rnk")
       .orderBy("query_id", "rnk")
+  }
+
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = trainedAssignment(spark, dir)
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("norm").as("qnorm"))
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("v").as("cv2"), col("norm").as("cnorm"))
+    topKInCell(q, c, 3)
+  }
+
+  /** Multi-probe trained-IVF ANN (s06 with nprobe=2): each query scores
+    * the candidates of its `nprobe` NEAREST centroid cells instead of only
+    * its own — the standard recall fix for queries near a cell boundary.
+    *
+    * Scale shape: identical to s06 — the probe expansion touches only the
+    * QUERY side (queries × nprobe rows; the query set is broadcast-sized
+    * by definition), while the corpus side stays the rk=1 assignment read
+    * from the shared cache. The search join is still a co-partitioned
+    * equi-join on cell id; candidate volume is nprobe/1 × s06's, never
+    * corpus-quadratic. A candidate is assigned to exactly one cell, so no
+    * (query, cand) pair can appear twice and no dedup pass is needed. */
+  def annIvfMultiprobe(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val c = trainedAssignment(spark, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("v").as("cv2"), col("norm").as("cnorm"))
+    // rank cells for the 10 query vectors only — filter BEFORE the window
+    // so the cells×queries ranking never touches the corpus
+    val q = cellRanked(spark, dir)
+      .filter(col("vec_id") < 10 && col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("norm").as("qnorm"))
+    topKInCell(q, c, 3)
   }
 
   /** Embedding-cosine near-dup detection: top-20 most-similar pairs within
@@ -164,6 +236,30 @@ object Similarity {
     a.join(b, Seq("label"))
       .filter(col("v1") < col("v2"))
       .withColumn("cosine", round(expr("cosine_sim(e1, e2)"), 6))
+      .select("v1", "v2", "cosine")
+      .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
+      .limit(20)
+  }
+
+  /** Label-free embedding near-dup: [[embeddingNearDup]] with the pair
+    * join celled on the TRAINED quantizer assignment instead of the given
+    * label — real corpora have no label column, so the cell restriction
+    * must come from the engine's own coarse quantizer ([[trainedAssignment]],
+    * shared with s06/s07). Same scale lever: the pair join is
+    * co-partitioned on cell id, never all-pairs; same distributed top-k
+    * via orderBy+limit (TakeOrderedAndProject). Near-dup pairs whose
+    * members quantize to different cells are missed — the standard IVF
+    * recall trade-off, bounded exactly as in search. */
+  def embeddingNearDupCells(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = trainedAssignment(spark, dir)
+    val a = assigned.select(col("vec_id").as("v1"), col("cell"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("vec_id").as("v2"), col("cell"),
+      col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
       .select("v1", "v2", "cosine")
       .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
       .limit(20)

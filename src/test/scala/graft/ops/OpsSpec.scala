@@ -88,6 +88,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multi-probe IVF strictly improves recall over nprobe=1, never beats brute") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val truth = pairs(Similarity.knnBrute(spark, dir))
+    val probe1 = pairs(Similarity.annIvfTrained(spark, dir))
+    val probe2 = pairs(Similarity.annIvfMultiprobe(spark, dir))
+    val r1 = probe1.intersect(truth).size.toDouble / truth.size
+    val r2 = probe2.intersect(truth).size.toDouble / truth.size
+    // probing the 2 nearest cells recovers neighbors that sit across the
+    // query's cell boundary: on this corpus the gain is strict
+    assert(r2 > r1, f"multi-probe recall $r2%.3f did not improve on $r1%.3f")
+    // and approximate search can never OUTSCORE the exact top-1
+    val bruteBest = Similarity.knnBrute(spark, dir).collect()
+      .filter(_.getAs[Int]("rnk") === 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    Similarity.annIvfMultiprobe(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Double]("cosine") <= bruteBest(r.getAs[Long]("query_id")) + 1e-9)
+    }
+  }
+
+  test("cell near-dup pairs co-habit a trained cell, ranked like d06") {
+    val cellOf = Similarity.trainedAssignment(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.get(r.fieldIndex("cell"))).toMap
+    val rows = Similarity.embeddingNearDupCells(spark, dir).collect()
+    assert(rows.length === 20)
+    val cosines = rows.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sortBy(-_)), "descending cosine order")
+    rows.foreach { r =>
+      val (v1, v2) = (r.getAs[Long]("v1"), r.getAs[Long]("v2"))
+      assert(v1 < v2)
+      assert(cellOf(v1) === cellOf(v2), s"pair ($v1, $v2) crosses cells")
+    }
+  }
+
   test("embedding apply drops exactly the detected higher-id vectors") {
     val losers = Similarity.embeddingNearDup(spark, dir).collect()
       .map(_.getAs[Long]("v2")).toSet
