@@ -83,6 +83,10 @@ object SparkEntry {
     "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
+    // S2 sink round trip — ref_-prefixed (reads the fixed-size reference
+    // CSVs, ignores sfDir) so the bench suite stays sf-parameterized
+    "ref_warehouse_roundtrip" ->
+      ((s: SparkSession, _: String) => graft.sources.WarehouseSink.roundTrip(s)),
   ) ++ refCatalog
 
   /** The full reference-parity surface (marketing star schema → KPI views →

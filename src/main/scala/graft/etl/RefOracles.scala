@@ -171,6 +171,22 @@ object RefOracles {
 
   val sql: Map[String, String] = Map(
 
+    // S2 sink round trip (WarehouseSink.roundTrip): the Spark side writes
+    // the star through the partitioned parquet sink and reads it back;
+    // this oracle rebuilds the same deterministic projection straight from
+    // the raw CSVs — a hash match proves the sink preserves every value
+    // through the dt-partition encode/decode.
+    "ref_warehouse_roundtrip" ->
+      s"""WITH $star
+         |SELECT f.date_id, f.customer_id, f.product_id, f.campaign_id,
+         |       f.quantity, f.revenue, f.cost, p.item_name, p.category
+         |FROM fact_sales f
+         |LEFT JOIN dim_products p USING (product_id)
+         |ORDER BY date_id ASC NULLS FIRST, customer_id ASC NULLS FIRST,
+         |         product_id ASC NULLS FIRST, campaign_id ASC NULLS FIRST,
+         |         quantity ASC NULLS FIRST, revenue ASC NULLS FIRST,
+         |         cost ASC NULLS FIRST""".stripMargin,
+
     "ref_mv_channel_daily" ->
       s"""WITH $withViews
          |SELECT * FROM channel_daily

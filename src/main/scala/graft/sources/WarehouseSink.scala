@@ -51,6 +51,33 @@ object WarehouseSink {
       factSpend = t("fact_spend").drop("dt"))
   }
 
+  /** Driver-contract round trip (the S2 analog of JsonlCorpus.roundTrip):
+    * build the star from the reference's raw CSVs, write it through the
+    * partitioned parquet sink, read it back, and project a deterministic
+    * form — the partitioned fact re-joined to a round-tripped dimension.
+    * The DuckDB oracle rebuilds the same rows independently from the raw
+    * CSVs, so a hash match proves the sink+source preserve every value
+    * through the partition-encode/decode (`dt` derive → directory key →
+    * drop). Surrogate sale_id is excluded: monotonically_increasing_id is
+    * partition-order-dependent by design (SURVEY §0.2-6) — every
+    * deterministic column round-trips.
+    *
+    * Output path carries the applicationId (same concurrency contract as
+    * JsonlCorpus.roundTrip). sfDir is ignored, like every ref_* surface. */
+  def roundTrip(spark: SparkSession): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_warehouse/" +
+      spark.sparkContext.applicationId
+    write(Warehouse.fromRawDir(spark, graft.etl.Pipeline.DefaultRawDir), out)
+    val star = read(spark, out)
+    star.factSales
+      .join(broadcast(star.dimProducts.select("product_id", "item_name", "category")),
+        Seq("product_id"), "left")
+      .select("date_id", "customer_id", "product_id", "campaign_id",
+        "quantity", "revenue", "cost", "item_name", "category")
+      .orderBy("date_id", "customer_id", "product_id", "campaign_id",
+        "quantity", "revenue", "cost")
+  }
+
   /** Date-pruned fact scan: the query a partitioned layout exists for. */
   def salesForDateRange(spark: SparkSession, outDir: String,
                         from: String, to: String): DataFrame =
