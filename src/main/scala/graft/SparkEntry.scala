@@ -43,6 +43,7 @@ object SparkEntry {
     "q25_pivot"              -> (Relational.q25Pivot _),
     "q26_median"             -> (Relational.q26Median _),
     "q27_salted_join"        -> (Relational.q27SaltedJoin _),
+    "q28_cube"               -> (Relational.q28Cube _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),
@@ -80,6 +81,8 @@ object SparkEntry {
     "m04_frame_sample"       -> (Multimodal.frameSampled _),
     "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),
     "w03_event_dedup"        -> (graft.streaming.EventStream.eventDedupCounts _),
+    "w04_stream_join"        -> (graft.streaming.EventStream.purchaseClickPairs _),
+    "t10_rolling_fingerprint"-> (TextAnalysis.rollingFingerprint _),
     "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),

@@ -555,6 +555,37 @@ object OpsOracles {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // mirrors TextAnalysis.rollingFingerprint: explicit left-to-right fold,
+    // prepended zero makes list_reduce start from acc = 0 like Spark's
+    // aggregate; every intermediate < 2^37 so BIGINT arithmetic is exact
+    "t10_rolling_fingerprint" -> {
+      val decode = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', m[${i + 1}]) - 1) * CAST($mult AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS ms
+        |  FROM documents),
+        |hs AS (SELECT doc_id, list_transform(ms, m -> $decode) AS hl FROM toks)
+        |SELECT doc_id,
+        |  list_reduce([CAST(0 AS BIGINT)] || hl,
+        |              (acc, h) -> (acc * 31 + h) % 2147483647) AS rfp
+        |FROM hs
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    // pair-grain attribution join (the batch anchor of the stream-stream
+    // join; StreamingSpec proves the streamed form emits the same pairs)
+    "w04_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts) > epoch_us(p.ts)
+        | AND epoch_us(c.ts) <= epoch_us(p.ts) + 3600000000
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
     "w03_event_dedup" ->
       """SELECT user_id, event_type,
         |  min(event_id) AS keeper,

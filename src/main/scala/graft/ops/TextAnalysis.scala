@@ -156,6 +156,34 @@ object TextAnalysis {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** True ROLLING (polynomial) document fingerprint over the token stream:
+    * fp = fold over tokens of `acc = (acc * 31 + h(tok)) mod (2^31 - 1)`,
+    * with `h(tok)` = the first 8 md5 hex chars decoded to a 32-bit value.
+    * Unlike [[graft.ops.Dedup.fingerprintDedup]]'s set-style md5 (which
+    * normalizes whitespace and is order-insensitive via the full-string
+    * hash), this is ORDER-SENSITIVE — swapping two tokens changes the
+    * fingerprint — the Rabin-Karp-style rolling form the survey's
+    * "document fingerprinting" row names.
+    *
+    * Portability: every intermediate stays under 2^37 (acc < 2^31, ×31,
+    * + 2^32), exact in BIGINT on both engines; the fold is explicit
+    * left-to-right (Spark `aggregate`, DuckDB `list_reduce` with a
+    * prepended zero so both start from acc = 0). Narrow per-row
+    * arithmetic — zero shuffle at any corpus size. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val decode = (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * cast($mult as bigint)"
+    }.mkString(" + ")
+    Tables.documents(spark, dir)
+      .withColumn("hl", expr(
+        s"transform(transform(split(text, ' '), t -> md5(t)), m -> $decode)"))
+      .withColumn("rfp", expr(
+        "aggregate(hl, cast(0 as bigint), (acc, h) -> (acc * 31 + h) % 2147483647)"))
+      .select("doc_id", "rfp")
+      .orderBy("doc_id")
+  }
+
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     withToks(Tables.documents(spark, dir))

@@ -235,6 +235,18 @@ object RelationalOracles {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    "q28_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                      AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag ASC, g_status ASC,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
     "q25_pivot" ->
       """SELECT l_returnflag,
         |  round(sum(l_extendedprice * (1.0 - l_discount))

@@ -425,6 +425,23 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** CUBE grouping sets (q24's ROLLUP completed to the full lattice) with
+    * explicit `grouping()` flags — the flags distinguish a subtotal row's
+    * NULL from a data NULL, which is what makes cube output joinable/
+    * filterable downstream. One shuffle regardless of how many grouping
+    * sets expand (Spark plans Expand → single hash agg). Decimal-sum
+    * discipline keeps every grouping set's total exact at any SF. */
+  def q28Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        round(sum(rev.cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("rows"))
+      .orderBy(col("g_flag").asc, col("g_status").asc,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

@@ -113,6 +113,73 @@ object EventStream {
       .agg(min("event_id").as("keeper"), count(lit(1)).as("copies"))
       .orderBy("user_id", "event_type")
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks within the hour AFTER it — the attribution join as a
+    * continuous query. Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark derives a state-retention
+    * horizon for each side and evicts joined state as watermarks advance:
+    * state is O(events-per-watermark-window), not O(stream length) — the
+    * property that keeps a 100 TB/day click stream joinable at all.
+    * Output at pair grain (purchase_id, click_id, gap_us). */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "10 minutes")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", "10 minutes")
+    purchases.join(clicks,
+      expr("""p_user = c_user AND
+             |c_time > p_time AND c_time <= p_time + interval 1 hour
+             |""".stripMargin.replaceAll("\n", " ")))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"),
+        (unix_micros(col("c_time")) - unix_micros(col("p_time"))).as("gap_us"))
+  }
+
+  /** Run [[streamStreamJoin]] with AvailableNow into a memory sink. */
+  def runStreamJoinAvailableNow(spark: SparkSession, dir: String,
+                                queryName: String = "graft_ssjoin"): DataFrame = {
+    val q = streamStreamJoin(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Driver-contract batch anchor for the stream-stream join: the same
+    * pair-grain attribution computed relationally with the bucketed
+    * range-join shape (purchases exploded to their 2 candidate epoch-hour
+    * buckets → equi-join on (user, bucket) → exact µs range filter; a
+    * click's bucket is unique, so no pair duplicates). StreamingSpec
+    * proves the streamed join emits exactly this pair set. */
+  def purchaseClickPairs(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_us"))
+      .withColumn("bucket", explode(array(
+        expr(s"p_us div $hourUs"), expr(s"p_us div $hourUs + 1"))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("c_us"))
+      .withColumn("bucket", expr(s"c_us div $hourUs"))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_us") > col("p_us") && col("c_us") <= col("p_us") + lit(hourUs))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (col("c_us") - col("p_us")).as("gap_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   final case class Event(user_id: Long, event_time: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, events: Int, total: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,

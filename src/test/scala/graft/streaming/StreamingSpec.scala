@@ -52,6 +52,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_.getAs[Long]("event_id")).forall(ids.contains))
   }
 
+  test("stream-stream interval join emits exactly the batch pair set") {
+    val streamed = EventStream.runStreamJoinAvailableNow(spark, dir, "spec_ssjoin")
+      .collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("gap_us")))
+    val batch = EventStream.purchaseClickPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("gap_us")))
+    assert(batch.nonEmpty, "testdata should contain clicks within 1h of purchases")
+    // append-mode inner join: each qualifying pair exactly once, no dups
+    assert(streamed.length === streamed.toSet.size)
+    assert(streamed.toSet === batch.toSet)
+  }
+
   test("stateful sessionize agrees with the window-based session counts") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
