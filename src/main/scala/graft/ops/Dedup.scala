@@ -278,6 +278,25 @@ object Dedup {
     * in exact non-negative BIGINT arithmetic with no overflow and no
     * sign-bit games. */
   def simhash64(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SimHash64.register(spark)
+    // The whole 64-bit code is computed per document by the codegen'd
+    // [[graft.functions.SimHash64]] expression — one narrow corpus pass,
+    // ZERO shuffle (the vote-aggregation formulation below explodes the
+    // corpus to token grain and shuffles it into a 64-column aggregation;
+    // SimHash64Spec + OpsSpec assert both produce identical codes). No
+    // ORDER BY: internal building block, consumers sort their own output.
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("simhash64(array_distinct(split(text, ' ')))").as("sh"))
+      .select(col("doc_id"),
+        expr("sh[0]").as("code_hi"), expr("sh[1]").as("code_lo"))
+  }
+
+  /** The relational (explode + 64-vote-sums) formulation of [[simhash64]]
+    * — mirrors the DuckDB oracle construction 1:1 and serves as the
+    * equality cross-check for the codegen'd expression. Not the shipped
+    * path: the explode shuffles the corpus at token grain. */
+  def simhash64Votes(spark: SparkSession, dir: String): DataFrame = {
     def decode32(startPos: Int): String =
       (0 until 8).map { i =>
         val mult = 1L << (4 * (7 - i))
@@ -295,9 +314,6 @@ object Dedup {
       (0 until 32)
         .map(b => s"(case when $prefix$b > 0 then cast(${1L << b} as bigint) else cast(0 as bigint) end)")
         .mkString(" + ")
-    // no ORDER BY here: this is an internal building block (consumers sort
-    // their own output); a global sort before the persist would be a
-    // corpus-wide exchange bought for nothing
     tok.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .withColumn("code_hi", expr(bits("h")))
