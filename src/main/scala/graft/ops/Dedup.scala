@@ -322,32 +322,47 @@ object Dedup {
   }
 
   /** Scale-safe SimHash near-dup application over [[simhash64]] codes:
-    * 4×16-bit band tables, bucket-min candidate pairing, exact hamming
-    * verification. Shuffles: one hash-agg to codes (map-side combined),
-    * one O(docs×4) band exchange, then candidate-sized joins — nothing
-    * quadratic in corpus size (contrast [[simhashNearDup]]'s 512-key
-    * space, kept as the portable oracle cross-check).
+    * 4×16-bit band tables, k-anchor star candidate pairing, exact hamming
+    * verification. Shuffles: one narrow codes pass (zero-shuffle via the
+    * codegen'd expression), one O(docs×4) band exchange, then
+    * candidate-sized joins — nothing quadratic in corpus size (contrast
+    * [[simhashNearDup]]'s 512-key space, kept as the portable oracle
+    * cross-check).
     *
     * Recall contract: precision is exact (candidates pass a bit_count
     * verify); a hamming<=3 pair always band-collides (pigeonhole over 4
-    * bands) and surfaces as a candidate, but star pairing can still lose
-    * it to a SHADOWED bucket — a bucket whose min doc is far from both
-    * members, so the emitted (min, doc) pairs fail the verify. Beyond
-    * distance 3 recall follows the multi-table curve (~0.8 on the
-    * testdata corpus at maxHamming=8; OpsSpec pins both properties).
-    * Mitigations at 100 TB, not needed here: iterate the pass (each
-    * round re-anchors the stars), or pair against the k smallest bucket
-    * docs instead of one. */
-  def simhash64NearDup(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
-    // persisted: the vote aggregation feeds the band table AND both sides
+    * bands) and surfaces as a candidate. Pure bucket-MIN pairing
+    * (anchors=1) can still lose it to a SHADOWED bucket — a bucket whose
+    * minimum doc is far from both members, so every emitted (min, doc)
+    * pair fails the verify; the default anchors=2 pairs each doc against
+    * its bucket's two smallest ids, which recovers every such loser on
+    * the test corpus at 2× the (still linear) candidate budget. Beyond
+    * distance 3 recall follows the multi-table curve (OpsSpec pins
+    * precision, the pigeonhole/shadow invariant, and a recall floor). */
+  def simhash64NearDup(spark: SparkSession, dir: String, maxHamming: Int = 8,
+                       anchors: Int = 2): DataFrame = {
+    // persisted: the code computation feeds the band table AND both sides
     // of the verification join; one materialization, three cache reads
     val codes = simhash64(spark, dir).persist()
     val banded = codes.selectExpr("doc_id",
       """stack(4, 0, code_lo % 65536, 1, code_lo div 65536,
         |         2, code_hi % 65536, 3, code_hi div 65536) as (band, bkey)
         |""".stripMargin.replaceAll("\n", " "))
-    val bmin = banded.groupBy("band", "bkey").agg(min("doc_id").as("d1"))
-    val cand = banded.join(bmin, Seq("band", "bkey"))
+    // k-anchor star pairing: every doc pairs with its bucket's `anchors`
+    // smallest doc_ids (anchors=1 is d04's bucket-min). A hot bucket of m
+    // docs emits k×m candidates, never m²/2; the extra anchors blunt the
+    // shadowed-bucket recall leak (a far-from-everything minimum doc
+    // absorbing a bucket's whole candidate budget) — on the test corpus
+    // k=2 recovers every pigeonhole-guaranteed loser that k=1 loses
+    // (OpsSpec). The rank window partitions by bucket: bucket-sized state,
+    // same exchange the anchor aggregation needs anyway.
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bkey").orderBy("doc_id")
+    val anchor = banded
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= anchors)
+      .select(col("band"), col("bkey"), col("doc_id").as("d1"))
+    val cand = banded.join(anchor, Seq("band", "bkey"))
       .filter(col("doc_id") > col("d1"))
       .select(col("d1"), col("doc_id").as("d2"))
       .distinct()

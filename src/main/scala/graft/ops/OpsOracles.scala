@@ -148,9 +148,9 @@ object OpsOracles {
       |  FROM votes)""".stripMargin
   }
 
-  /** d11/d12: 4×16-bit band tables over the 64-bit codes, bucket-min
-    * candidate pairing, exact hamming verify (mirrors
-    * Dedup.simhash64NearDup at maxHamming=8). */
+  /** d11/d12: 4×16-bit band tables over the 64-bit codes, k-anchor star
+    * pairing (k=2: each doc vs its bucket's two smallest ids), exact
+    * hamming verify (mirrors Dedup.simhash64NearDup at maxHamming=8). */
   private val simhash64PairsCte =
     s"""$simhash64CodesCte,
       |banded64 AS (
@@ -158,11 +158,16 @@ object OpsOracles {
       |  UNION ALL SELECT doc_id, 1, code_lo // 65536 FROM codes64
       |  UNION ALL SELECT doc_id, 2, code_hi % 65536 FROM codes64
       |  UNION ALL SELECT doc_id, 3, code_hi // 65536 FROM codes64),
-      |bmin64 AS (SELECT band, bkey, min(doc_id) AS d1 FROM banded64 GROUP BY 1, 2),
+      |anchor64 AS (
+      |  SELECT band, bkey, doc_id AS d1 FROM (
+      |    SELECT band, bkey, doc_id,
+      |      row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk
+      |    FROM banded64)
+      |  WHERE rk <= 2),
       |cand64 AS (
-      |  SELECT DISTINCT bmin64.d1, b.doc_id AS d2
-      |  FROM banded64 b JOIN bmin64 USING (band, bkey)
-      |  WHERE b.doc_id > bmin64.d1),
+      |  SELECT DISTINCT anchor64.d1, b.doc_id AS d2
+      |  FROM banded64 b JOIN anchor64 USING (band, bkey)
+      |  WHERE b.doc_id > anchor64.d1),
       |pairs64 AS (
       |  SELECT c.d1, c.d2,
       |    CAST(bit_count(xor(a.code_hi, b.code_hi))
