@@ -235,6 +235,16 @@ object RelationalOracles {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    "q29_range_frame" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+        |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS peers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY c_mktsegment ORDER BY c_acctbal
+        |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS peer_bal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
     "q28_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,

@@ -442,6 +442,26 @@ object Relational {
       .orderBy(col("g_flag").asc, col("g_status").asc,
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Window RANGE frame (value-based, vs q13's ROWS frame): per market
+    * segment, each customer's count and exact sum of peer balances within
+    * 1000.0 BELOW their own. A RANGE frame is defined by the ORDER-BY
+    * VALUE, so the result is tie-order-independent by construction —
+    * combined with the decimal-sum discipline it is deterministic across
+    * engines with no tie-break gymnastics. Frames are evaluated inside
+    * each segment partition: one exchange, state bounded by partition. */
+  def q29RangeFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .selectExpr(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        """count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+          |RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS peers
+          |""".stripMargin.replaceAll("\n", " "),
+        """cast(round(sum(cast(c_acctbal as decimal(18,6))) OVER (
+          |PARTITION BY c_mktsegment ORDER BY c_acctbal
+          |RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) as double) AS peer_bal
+          |""".stripMargin.replaceAll("\n", " "))
+      .orderBy("c_custkey")
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

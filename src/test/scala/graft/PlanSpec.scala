@@ -109,6 +109,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("d13_neardup_cells: pair join reads the cached assignment, distributed top-k") {
+    val p = plan("d13_neardup_cells")
+    // the quantizer assignment materializes once (shared with s06/s07);
+    // both pair-join sides must read the cache, and the global top-20
+    // must stay a TakeOrderedAndProject, never a global window
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the assignment's own rank window lives INSIDE the cached relation
+    // (printed as its child); no window may appear above the cache
+    val windowAt = p.indexOf("Window")
+    assert(windowAt < 0 || windowAt > p.indexOf("InMemoryRelation"),
+      s"global window above the cache:\n${p.take(2000)}")
+  }
+
+  test("w04_stream_join: bucketed equi-join, no per-user cross product") {
+    val p = plan("w04_stream_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a cross product:\n${p.take(2000)}")
+  }
+
   test("q27_salted_join: shuffle join keyed on (key, salt), not broadcast") {
     val p = plan("q27_salted_join")
     assert(p.contains("ShuffledHashJoin"), p.take(2000))
