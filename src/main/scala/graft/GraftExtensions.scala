@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSigs, RewriteDotProduct}
+import graft.functions.{CosineSimilarity, MinHashSigs, RewriteDotProduct, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -12,8 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark.sql.extensions=graft.GraftExtensions
   * }}}
   *
-  * installs `cosine_sim` and `minhash_sigs` (codegen'd expressions, usable
-  * from SQL) and the [[RewriteDotProduct]] auto-acceleration rule on every
+  * installs `cosine_sim`, `minhash_sigs`, and `simhash64` (codegen'd
+  * expressions, usable from SQL) and the [[RewriteDotProduct]]
+  * auto-acceleration rule on every
   * session, no code changes in user queries. The per-session `register`/`install` helpers
   * remain for already-running sessions.
   */
@@ -27,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       MinHashSigs.builder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -36,6 +36,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
           case _ => false
         })
       assert(rewritten, "injected optimizer rule should fire")
+      // simhash64 resolves from plain SQL and returns the two 32-bit halves
+      val sh = spark.sql("SELECT simhash64(array('alpha','beta')) AS sh")
+        .collect()(0).getSeq[Long](0)
+      assert(sh.length === 2)
+      assert(sh.forall(h => h >= 0L && h < (1L << 32)))
     } finally spark.stop()
   }
 }
