@@ -76,6 +76,37 @@ object OpsOracles {
       |      c.cell ASC) AS rk
       |  FROM n CROSS JOIN cent c)""".stripMargin
 
+  /** s08: label-free k-means (k=8, 2 Lloyd iterations) — deterministic
+    * seeds (first 8 vectors), one unrolled CTE pair per iteration,
+    * centroids rounded to 6dp after each (mirrors
+    * Similarity.kmeansCentroids). */
+  private val kmeansSql = {
+    def assign(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cid, v FROM (
+         |    SELECT n.vec_id, c.cid, n.v,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        list_sum(list_transform(range(64),
+         |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))) ASC,
+         |        c.cid ASC) AS rk
+         |    FROM n CROSS JOIN $cents c)
+         |  WHERE rk = 1)""".stripMargin
+    def means(assigned: String, m: String, c: String) =
+      s"""$m AS (
+         |  SELECT cid, i AS dim, round(avg(v[i+1]), 6) AS c
+         |  FROM $assigned, range(64) AS t(i)
+         |  GROUP BY cid, i),
+         |$c AS (SELECT cid, list(c ORDER BY dim) AS cv FROM $m GROUP BY cid)""".stripMargin
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM n WHERE vec_id < 8),
+       |${assign("c0", "a1")},
+       |${means("a1", "m1", "c1")},
+       |${assign("c1", "a2")},
+       |${means("a2", "m2", "c2")}
+       |SELECT cid, CAST(dim AS INT) AS dim, c AS centroid FROM m2
+       |ORDER BY cid, dim""".stripMargin
+  }
+
   private val knnBruteSql =
     """WITH n AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -271,6 +302,8 @@ object OpsOracles {
         |FROM tok CROSS JOIN n
         |GROUP BY token, n_docs
         |ORDER BY token""".stripMargin,
+
+    "s08_kmeans_train" -> kmeansSql,
 
     "s05_label_centroids" ->
       """SELECT label, CAST(i AS INT) AS dim,

@@ -241,6 +241,51 @@ object Similarity {
       .limit(20)
   }
 
+  /** Label-free k-means training — the quantizer when the corpus has no
+    * label column to seed from ([[labelCentroids]] is the label-seeded
+    * form): seeds are the first k vectors by vec_id (deterministic, no
+    * RNG), refined by `iters` Lloyd iterations of assign-to-nearest +
+    * per-dimension mean. Output is the trained (cid, dim, centroid)
+    * table, the exact shape [[annIvfTrained]]-style search consumes.
+    *
+    * Scale shape per iteration: the centroid table (k×dims,
+    * corpus-independent) broadcasts; assignment is a narrow per-row pass
+    * (k distances per vector, per-vector window over k rows); the mean
+    * recomputation is one (cid, dim)-keyed exchange with map-side
+    * combine — O(k×dims) rows out. Total cost: iters × one corpus pass,
+    * no iteration-to-iteration state beyond the k×dims table.
+    *
+    * Cross-engine determinism: centroids round to 6dp after EVERY
+    * iteration, so each iteration's distance inputs are identical on
+    * both engines (same discipline as s05/s06); assignment ties break on
+    * the lower cid. A cluster that loses all members simply drops out
+    * (both engines mirror the same convention). */
+  def kmeansCentroids(spark: SparkSession, dir: String,
+                      k: Int = 8, iters: Int = 2): DataFrame = {
+    val vs = vectors(spark, dir).select("vec_id", "v")
+    var cents = vs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      val assigned = vs.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("vec_id", "cid", "v")
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy("cid", "dim")
+        .agg(round(avg("val"), 6).as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+    }
+    cents
+      .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "centroid")))
+      .withColumn("dim", col("dim").cast("int"))
+      .orderBy("cid", "dim")
+  }
+
   /** Label-free embedding near-dup: [[embeddingNearDup]] with the pair
     * join celled on the TRAINED quantizer assignment instead of the given
     * label — real corpora have no label column, so the cell restriction

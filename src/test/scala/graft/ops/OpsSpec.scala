@@ -88,6 +88,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("label-free k-means: full centroid table, objective improves over seeds") {
+    val vecs = graft.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    val trained = Similarity.kmeansCentroids(spark, dir).collect()
+      .groupBy(_.getAs[Int]("cid"))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("centroid")).toSeq
+      }
+    assert(trained.values.forall(_.length === 64))
+    assert(trained.nonEmpty && trained.size <= 8)
+    def sq(v: Array[Double], c: Seq[Double]): Double =
+      v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    def objective(cents: Iterable[Seq[Double]]): Double =
+      vecs.values.map(v => cents.map(c => sq(v, c)).min).sum
+    val seeds = vecs.filterKeys(_ < 8).values.map(_.toSeq)
+    // two Lloyd iterations must not worsen the quantization error (6dp
+    // centroid rounding is orders of magnitude below real improvements)
+    assert(objective(trained.values) <= objective(seeds) + 1e-6)
+  }
+
   test("multi-probe IVF strictly improves recall over nprobe=1, never beats brute") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
