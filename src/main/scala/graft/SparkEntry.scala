@@ -73,6 +73,7 @@ object SparkEntry {
     "s06_ivf_trained"        -> (Similarity.annIvfTrained _),
     "s07_ivf_multiprobe"     -> ((s: SparkSession, d: String) => Similarity.annIvfMultiprobe(s, d)),
     "s08_kmeans_train"       -> ((s: SparkSession, d: String) => Similarity.kmeansCentroids(s, d)),
+    "s09_ann_kmeans"         -> (Similarity.annKmeans _),
     "d13_neardup_cells"      -> (Similarity.embeddingNearDupCells _),
     "t07_top_tfidf"          -> (TextAnalysis.topTfidf _),
     "t08_quality_filtered"   -> (TextAnalysis.qualityFiltered _),

@@ -305,6 +305,35 @@ object OpsOracles {
 
     "s08_kmeans_train" -> kmeansSql,
 
+    // s09: the fully label-free chain — kmeansSql's trained c2 centroids,
+    // assignment, then the same cell search as s06.
+    "s09_ann_kmeans" ->
+      s"""${kmeansSql.replaceAll("(?s)\nSELECT cid.*$", "")},
+        |normed AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |fin AS (
+        |  SELECT vec_id, cell, v, norm FROM (
+        |    SELECT n.vec_id, c.cid AS cell, n.v, n.norm,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(range(64),
+        |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))) ASC,
+        |        c.cid ASC) AS rk
+        |    FROM normed n CROSS JOIN c2 c)
+        |  WHERE rk = 1)
+        |SELECT query_id, cand_id, cosine, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(64), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(64), i -> q.v[i+1] * c.v[i+1]))
+        |            / (q.norm * c.norm), 6) DESC, c.vec_id ASC) AS rnk
+        |  FROM fin q JOIN fin c
+        |    ON q.cell = c.cell AND q.vec_id < 10 AND c.vec_id >= 10)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     "s05_label_centroids" ->
       """SELECT label, CAST(i AS INT) AS dim,
         |  round(avg(CAST(embedding[i+1] AS DOUBLE)), 6) AS centroid

@@ -286,6 +286,32 @@ object Similarity {
       .orderBy("cid", "dim")
   }
 
+  /** Fully label-free ANN: search celled on the [[kmeansCentroids]]
+    * quantizer — train (s08) → assign → cell search with NO label column
+    * anywhere in the chain (s06/s07 still seed from labels). Same scale
+    * contract as s06: broadcast k×dims centroid table, narrow assignment,
+    * co-partitioned cell equi-join. */
+  def annKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
+        .as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+    val assigned = vectors(spark, dir)
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("v"), col("norm"))
+      .persist()
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("norm").as("qnorm"))
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("v").as("cv2"), col("norm").as("cnorm"))
+    topKInCell(q, c, 3)
+  }
+
   /** Label-free embedding near-dup: [[embeddingNearDup]] with the pair
     * join celled on the TRAINED quantizer assignment instead of the given
     * label — real corpora have no label column, so the cell restriction

@@ -109,6 +109,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(objective(trained.values) <= objective(seeds) + 1e-6)
   }
 
+  test("label-free ANN: full ranked answer per query, never beats brute force") {
+    val rows = Similarity.annKmeans(spark, dir).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 10)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq === Seq(1, 2, 3))
+    }
+    val bruteBest = Similarity.knnBrute(spark, dir).collect()
+      .filter(_.getAs[Int]("rnk") === 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cosine") <= bruteBest(r.getAs[Long]("query_id")) + 1e-9)
+    }
+  }
+
   test("multi-probe IVF strictly improves recall over nprobe=1, never beats brute") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
