@@ -85,6 +85,7 @@ object SparkEntry {
     "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),
     "w03_event_dedup"        -> (graft.streaming.EventStream.eventDedupCounts _),
     "w04_stream_join"        -> (graft.streaming.EventStream.purchaseClickPairs _),
+    "w05_stream_sink"        -> (graft.streaming.EventStream.streamToWarehouse _),
     "t10_rolling_fingerprint"-> (TextAnalysis.rollingFingerprint _),
     "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),

@@ -107,6 +107,15 @@ object OpsOracles {
        |ORDER BY cid, dim""".stripMargin
   }
 
+  private val eventWindowsSql =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+      |  event_type,
+      |  count(*) AS events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   private val knnBruteSql =
     """WITH n AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -601,14 +610,12 @@ object OpsOracles {
     // decimal-sum discipline on BOTH sides: the Spark side sums per-row
     // DECIMAL(18,6) casts (exact, order-independent); a double sum here
     // could round differently at a 4dp boundary at larger scale factors.
-    "w01_event_windows" ->
-      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
-        |  event_type,
-        |  count(*) AS events,
-        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
+    "w01_event_windows" -> eventWindowsSql,
+
+    // w05 is the same aggregation run AS A STREAM and round-tripped
+    // through a foreachBatch parquet sink — a hash match against the
+    // batch oracle verifies the whole stream→sink→scan path
+    "w05_stream_sink" -> eventWindowsSql,
 
     "d10_exact_apply" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -153,6 +153,35 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming → warehouse round trip (the streaming analog of the f01 /
+    * warehouse sink round trips): the windowed aggregation runs as an
+    * AvailableNow stream and lands in PARQUET via foreachBatch — the
+    * production pattern for continuous ingestion into a lakehouse table
+    * (foreachBatch gets a batch DataFrame per micro-batch, so the sink
+    * reuses the exact batch writer; Complete mode makes each batch a
+    * full overwrite and the final one the settled result). The written
+    * table is read back and projected to the driver-contract form, so
+    * the w01 ORACLE verifies the entire stream→sink→scan path end to
+    * end. Output dir carries the applicationId (same concurrency
+    * contract as the other round trips). */
+  def streamToWarehouse(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_stream_sink/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    val q = windowedCounts(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .withColumn("window_start_epoch", unix_timestamp(col("window_start")))
+      .select("window_start_epoch", "event_type", "events", "total_value")
+      .orderBy("window_start_epoch", "event_type")
+  }
+
   /** Driver-contract batch anchor for the stream-stream join: the same
     * pair-grain attribution computed relationally with the bucketed
     * range-join shape (purchases exploded to their 2 candidate epoch-hour
