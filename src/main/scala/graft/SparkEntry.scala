@@ -75,6 +75,7 @@ object SparkEntry {
     "s08_kmeans_train"       -> ((s: SparkSession, d: String) => Similarity.kmeansCentroids(s, d)),
     "s09_ann_kmeans"         -> (Similarity.annKmeans _),
     "d13_neardup_cells"      -> (Similarity.embeddingNearDupCells _),
+    "d14_clean_corpus"       -> (Dedup.cleanCorpus _),
     "t07_top_tfidf"          -> (TextAnalysis.topTfidf _),
     "t08_quality_filtered"   -> (TextAnalysis.qualityFiltered _),
     "t09_hash_sample"        -> (TextAnalysis.hashSample _),

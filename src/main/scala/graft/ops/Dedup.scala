@@ -218,6 +218,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The full corpus-cleaning pipeline a training run ships, as ONE
+    * composed operator: exact dedup (keep min doc_id per distinct text) →
+    * near-dup dedup (MinHash-LSH losers anti-joined) → quality filter
+    * (only 'ok'-band docs). Each stage is the already-verified primitive
+    * (d10, d04/d07, t02/t08); the composition is three doc_id joins over
+    * the corpus — two hash semi-joins and one anti-join, all on the
+    * uniform key, nothing new shuffles. This is the "clean my corpus"
+    * call a 100 TB pipeline makes nightly. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val exactKeepers = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nearDupLosers = minhashLsh(spark, dir).select(col("d2").as("doc_id")).distinct()
+    val ok = TextAnalysis.qualityScore(spark, dir)
+      .filter(col("quality_band") === "ok")
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(exactKeepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .join(ok, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Portable 16-bit SimHash per document: each distinct token hashes to a
     * 16-bit value (first 4 hex chars of md5, decoded arithmetically so
     * Spark and DuckDB agree), each bit votes ±1, the sign of the vote sum

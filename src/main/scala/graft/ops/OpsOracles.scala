@@ -534,6 +534,38 @@ object OpsOracles {
         |WHERE doc_id NOT IN (SELECT d2 FROM losers)
         |ORDER BY doc_id""".stripMargin,
 
+    // d14: exact keepers ∩ not-near-dup ∩ quality-ok — the composed
+    // cleaning pipeline (mirrors Dedup.cleanCorpus stage for stage)
+    "d14_clean_corpus" ->
+      s"""WITH $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |    round(len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the','a','of','and','is')))
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+        |    round(1.0 - len(list_distinct(string_split(text, ' ')))
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS repetition_ratio
+        |  FROM documents)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN qual q USING (doc_id)
+        |WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |  AND d.doc_id NOT IN (SELECT d2 FROM losers)
+        |  AND NOT (q.n_tokens < 10) AND NOT (q.repetition_ratio > 0.8)
+        |  AND NOT (q.stop_ratio > 0.4)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "d04_minhash_lsh" ->
       s"""WITH $shingleCte,
         |$lshCandCte,
