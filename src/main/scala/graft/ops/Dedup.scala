@@ -38,12 +38,18 @@ object Dedup {
       |               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) end)
       |""".stripMargin.replaceAll("\n", " ")
 
-  /** Per-doc distinct shingle set + its size — all narrow (no shuffle). */
-  def docShinglesPlan(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Per-doc distinct shingle set + its size — all narrow (no shuffle).
+    * DataFrame-first: works over ANY corpus frame with (doc_id, text)
+    * columns; callers at scale persist the result themselves (shingling
+    * is compute-once/query-many). */
+  def docShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", expr(shingleArr))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+
+  def docShinglesPlan(spark: SparkSession, dir: String): DataFrame =
+    docShinglesOf(Tables.documents(spark, dir))
 
   /** Shingle construction runs interpreted (higher-order functions have no
     * codegen) and every downstream query references it from 3+ plan
@@ -84,9 +90,10 @@ object Dedup {
     })
   }
 
-  /** Exact dedup summary: hash-groupBy on raw text. */
-  def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Exact dedup summary: hash-groupBy on raw text. DataFrame-first
+    * core; the (spark, dir) form is the driver-contract adapter. */
+  def exactDedupOf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper"))
       .agg(
@@ -94,10 +101,14 @@ object Dedup {
         sum("copies").as("docs"),
         count(when(col("copies") > 1, lit(1))).as("dup_groups"))
 
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    exactDedupOf(Tables.documents(spark, dir))
+
   /** Normalized-fingerprint dedup: lowercase, collapse whitespace, trim —
-    * the rolling-hash "document fingerprinting" analog, via md5. */
-  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * order-insensitive md5 fingerprinting (TextAnalysis.rollingFingerprint
+    * is the order-sensitive form). DataFrame-first core. */
+  def fingerprintDedupOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
       .groupBy("fp")
       .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper"))
@@ -105,6 +116,9 @@ object Dedup {
         count(lit(1)).as("distinct_docs"),
         sum("copies").as("docs"),
         count(when(col("copies") > 1, lit(1))).as("dup_groups"))
+
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    fingerprintDedupOf(Tables.documents(spark, dir))
 
   /** Jaccard over intersection counts `inter(d1, d2, c)` + per-doc shingle
     * set sizes, thresholded and deterministically ordered. */
@@ -119,9 +133,10 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard near-dup detection (threshold 0.5).
     * The shingle self-join is exact but worst-case quadratic — at scale,
-    * cap hot shingles or use [[minhashLsh]]; this is the oracle path. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ds = docShingles(spark, dir)
+    * cap hot shingles or use [[minhashLsh]]; this is the oracle path.
+    * DataFrame-first: `ds` is a [[docShinglesOf]] table (persist it —
+    * it feeds several branches). */
+  def ngramJaccardOf(ds: DataFrame): DataFrame = {
     val sh = ds.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val a = sh.select(col("doc_id").as("d1"), col("shingle"))
     val b = sh.select(col("doc_id").as("d2"), col("shingle"))
@@ -131,6 +146,9 @@ object Dedup {
     jaccardOf(inter, ds, 0.5)
   }
 
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(docShingles(spark, dir))
+
   /** MinHash (8 perms) + LSH (4 bands × 2 rows) candidate generation,
     * then exact-Jaccard verification of candidates only (threshold 0.5).
     *
@@ -138,10 +156,13 @@ object Dedup {
     * s=0.3 → 0.31 — planted ≥0.9 near-dups are found with near-certainty
     * while the candidate set stays tiny. Signatures are per-row array_min
     * folds — the only shuffles are the band self-join and the candidate
-    * verification. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.MinHashSigs.register(spark)
-    val ds = docShingles(spark, dir)
+    * verification.
+    *
+    * DataFrame-first: `ds` is a persisted [[docShinglesOf]] table over
+    * any corpus; the (spark, dir) adapter below feeds it the memoized
+    * testdata shingles. */
+  def minhashLshOf(ds: DataFrame): DataFrame = {
+    graft.functions.MinHashSigs.register(ds.sparkSession)
     // All 8 permutation minima in ONE pass via the codegen'd
     // [[graft.functions.MinHashSigs]] expression — element s is exactly
     // array_min(transform(shingles, x -> md5(concat('s|', x)))), so results
@@ -181,23 +202,28 @@ object Dedup {
     jaccardOf(inter, ds, 0.5)
   }
 
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOf(docShingles(spark, dir))
+
   /** EXACT dedup APPLICATION: the cleaned corpus with one keeper (min
     * doc_id) per distinct text — the workhorse first pass of every
     * training-data pipeline ([[exactDedup]] reports the summary; this
     * ships the rows). Scale shape: one hash-shuffle on the uniform 32-char
     * md5 to pick keepers, then a semi-join back on doc_id — both exchanges
     * O(rows) with no skew (the fingerprint is uniform even when texts are
-    * hot duplicates). */
-  def dropExactDuplicates(spark: SparkSession, dir: String): DataFrame = {
-    val keepers = Tables.documents(spark, dir)
+    * hot duplicates). DataFrame-first: keeps every column of `docs`. */
+  def dropExactDuplicatesOf(docs: DataFrame): DataFrame = {
+    val keepers = docs
       .groupBy(md5(col("text")).as("fp"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    Tables.documents(spark, dir)
-      .join(keepers, Seq("doc_id"), "left_semi")
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+  }
+
+  def dropExactDuplicates(spark: SparkSession, dir: String): DataFrame =
+    dropExactDuplicatesOf(Tables.documents(spark, dir))
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
-  }
 
   /** Dedup APPLICATION: the cleaned corpus. Every near-dup pair keeps its
     * lower doc_id; higher ids are anti-joined away. This is the operator a
@@ -208,15 +234,19 @@ object Dedup {
   def dropNearDuplicates(spark: SparkSession, dir: String): DataFrame =
     dropNearDuplicatesBy(minhashLsh)(spark, dir)
 
+  /** DataFrame-first apply: anti-join away `pairs`' higher doc_ids
+    * (any detector output with a `d2` column) from any corpus frame,
+    * keeping every column. */
+  def dropNearDuplicatesOf(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("d2").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   def dropNearDuplicatesBy(
       detector: (SparkSession, String) => DataFrame)(
-      spark: SparkSession, dir: String): DataFrame = {
-    val losers = detector(spark, dir).select(col("d2").as("doc_id")).distinct()
-    Tables.documents(spark, dir)
-      .join(losers, Seq("doc_id"), "left_anti")
+      spark: SparkSession, dir: String): DataFrame =
+    dropNearDuplicatesOf(Tables.documents(spark, dir), detector(spark, dir))
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
-  }
 
   /** The full corpus-cleaning pipeline a training run ships, as ONE
     * composed operator: exact dedup (keep min doc_id per distinct text) →
@@ -302,20 +332,24 @@ object Dedup {
     * arithmetically) so no intermediate exceeds 2^32 — both engines stay
     * in exact non-negative BIGINT arithmetic with no overflow and no
     * sign-bit games. */
-  def simhash64(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.SimHash64.register(spark)
+  /** DataFrame-first core over any (doc_id, text) frame. */
+  def simhash64Of(docs: DataFrame): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
     // The whole 64-bit code is computed per document by the codegen'd
     // [[graft.functions.SimHash64]] expression — one narrow corpus pass,
     // ZERO shuffle (the vote-aggregation formulation below explodes the
     // corpus to token grain and shuffles it into a 64-column aggregation;
     // SimHash64Spec + OpsSpec assert both produce identical codes). No
     // ORDER BY: internal building block, consumers sort their own output.
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         expr("simhash64(array_distinct(split(text, ' ')))").as("sh"))
       .select(col("doc_id"),
         expr("sh[0]").as("code_hi"), expr("sh[1]").as("code_lo"))
   }
+
+  def simhash64(spark: SparkSession, dir: String): DataFrame =
+    simhash64Of(Tables.documents(spark, dir))
 
   /** The relational (explode + 64-vote-sums) formulation of [[simhash64]]
     * — mirrors the DuckDB oracle construction 1:1 and serves as the
@@ -364,11 +398,11 @@ object Dedup {
     * the test corpus at 2× the (still linear) candidate budget. Beyond
     * distance 3 recall follows the multi-table curve (OpsSpec pins
     * precision, the pigeonhole/shadow invariant, and a recall floor). */
-  def simhash64NearDup(spark: SparkSession, dir: String, maxHamming: Int = 8,
-                       anchors: Int = 2): DataFrame = {
+  def simhash64NearDupOf(docs: DataFrame, maxHamming: Int = 8,
+                         anchors: Int = 2): DataFrame = {
     // persisted: the code computation feeds the band table AND both sides
     // of the verification join; one materialization, three cache reads
-    val codes = simhash64(spark, dir).persist()
+    val codes = simhash64Of(docs).persist()
     val banded = codes.selectExpr("doc_id",
       """stack(4, 0, code_lo % 65536, 1, code_lo div 65536,
         |         2, code_hi % 65536, 3, code_hi div 65536) as (band, bkey)
@@ -399,6 +433,10 @@ object Dedup {
       .select("d1", "d2", "hamming")
       .orderBy("d1", "d2")
   }
+
+  def simhash64NearDup(spark: SparkSession, dir: String, maxHamming: Int = 8,
+                       anchors: Int = 2): DataFrame =
+    simhash64NearDupOf(Tables.documents(spark, dir), maxHamming, anchors)
 
   /** SimHash-fed dedup APPLICATION — completes detect→apply for the third
     * modality (d07 = MinHash, d09 = embeddings): every [[simhash64NearDup]]
