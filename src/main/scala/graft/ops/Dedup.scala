@@ -205,6 +205,44 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshOf(docShingles(spark, dir))
 
+  /** Containment near-dup: pairs where the SMALLER shingle set is mostly
+    * inside the larger — `|S1∩S2| / min(|S1|,|S2|) >= minContainment`.
+    * Catches doc-embedded-in-doc duplication (quote inflation, template
+    * wrapping) that symmetric Jaccard misses: A ⊂ B has containment 1.0
+    * but Jaccard |A|/|B|, arbitrarily small.
+    *
+    * Scale lever (classic inverted-index prefix filter): shingles
+    * occurring in more than `maxDf` docs are dropped BEFORE the pair
+    * join — a shingle shared by m docs emits m² pair fragments, so the
+    * cap bounds the join at #shingles × maxDf² while losing only pairs
+    * that share nothing but ultra-common (low-signal) shingles. The
+    * DuckDB oracle mirrors the same cap, so the trade-off is part of the
+    * verified semantics, not a hidden approximation. */
+  def containmentNearDupOf(ds: DataFrame, minContainment: Double = 0.9,
+                           maxDf: Int = 50): DataFrame = {
+    val sh = ds.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val rs = sh.join(rare, Seq("shingle"))
+    val a = rs.select(col("doc_id").as("d1"), col("shingle"))
+    val b = rs.select(col("doc_id").as("d2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    inter
+      .join(ds.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
+      .join(ds.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
+      .withColumn("containment",
+        round(col("c").cast("double") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= minContainment)
+      .select("d1", "d2", "containment")
+      .orderBy("d1", "d2")
+  }
+
+  def containmentNearDup(spark: SparkSession, dir: String): DataFrame =
+    containmentNearDupOf(docShingles(spark, dir))
+
   /** EXACT dedup APPLICATION: the cleaned corpus with one keeper (min
     * doc_id) per distinct text — the workhorse first pass of every
     * training-data pipeline ([[exactDedup]] reports the summary; this

@@ -566,6 +566,26 @@ object OpsOracles {
         |  AND NOT (q.stop_ratio > 0.4)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // d15: containment (|∩| of rare shingles / min set size) over pairs
+    // sharing >= 1 rare shingle (df <= 50) — mirrors
+    // Dedup.containmentNearDupOf incl. the hot-shingle cap.
+    "d15_containment" ->
+      s"""WITH $shingleCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+        |rs AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM rs a JOIN rs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(c / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
+        |FROM inter
+        |JOIN sizes sa ON d1 = sa.doc_id
+        |JOIN sizes sb ON d2 = sb.doc_id
+        |WHERE round(c / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.9
+        |ORDER BY d1, d2""".stripMargin,
+
     "d04_minhash_lsh" ->
       s"""WITH $shingleCte,
         |$lshCandCte,
