@@ -53,6 +53,29 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** DataFrame-first brute-force kNN: top-k cosine candidates per query
+    * over any two (vec_id, embedding: array<float>) frames — the library
+    * call for ad-hoc similarity search (the (spark, dir) entries below
+    * adapt the testdata table with its fixed query/candidate split). The
+    * query side broadcasts; scoring is one narrow candidate pass. */
+  def knnOf(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    def normed(df: DataFrame, idAs: String, vAs: String, nAs: String) =
+      df.select(col("vec_id").as(idAs),
+          expr("transform(embedding, x -> cast(x as double))").as(vAs))
+        .withColumn(nAs, sqrt(expr(s"aggregate($vAs, 0D, (acc, x) -> acc + x * x)")))
+    val q = normed(queries, "query_id", "qv", "qnorm")
+    val c = normed(candidates, "cand_id", "cv", "cnorm")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(q).crossJoin(c)
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Brute-force cosine top-3 for queries vec_id < 10 over the rest. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val vs = vectors(spark, dir)

@@ -31,9 +31,11 @@ object TextAnalysis {
   val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
   /** Token counting: whitespace tokens, distinct tokens, BPE-ish regex
-    * tokens, chars/token. */
-  def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    withToks(Tables.documents(spark, dir))
+    * tokens, chars/token. DataFrame-first core over any (doc_id, text)
+    * frame; the (spark, dir) forms here and below are driver-contract
+    * adapters over the testdata table. */
+  def tokenStatsOf(docs: DataFrame): DataFrame =
+    withToks(docs)
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
@@ -43,10 +45,13 @@ object TextAnalysis {
         round(length(col("text")).cast("double") / size(col("toks")), 4).as("chars_per_token"))
       .orderBy("doc_id")
 
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    tokenStatsOf(Tables.documents(spark, dir))
+
   /** Quality scoring: stopword ratio, repetition ratio, length band. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
     val stopList = EnStopwords.map(w => s"'$w'").mkString(", ")
-    withToks(Tables.documents(spark, dir))
+    withToks(docs)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("stop_hits", expr(s"size(filter(toks, w -> w in ($stopList)))"))
       .withColumn("stop_ratio",
@@ -61,6 +66,9 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "stop_ratio", "repetition_ratio", "quality_band")
       .orderBy("doc_id")
   }
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(Tables.documents(spark, dir))
 
   /** Language-ID heuristic (stopword-hit n-gram signal) cross-tabulated
     * against the labeled `lang` column. */
@@ -170,12 +178,12 @@ object TextAnalysis {
     * left-to-right (Spark `aggregate`, DuckDB `list_reduce` with a
     * prepended zero so both start from acc = 0). Narrow per-row
     * arithmetic — zero shuffle at any corpus size. */
-  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+  def rollingFingerprintOf(docs: DataFrame): DataFrame = {
     val decode = (0 until 8).map { i =>
       val mult = 1L << (4 * (7 - i))
       s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * cast($mult as bigint)"
     }.mkString(" + ")
-    Tables.documents(spark, dir)
+    docs
       .withColumn("hl", expr(
         s"transform(transform(split(text, ' '), t -> md5(t)), m -> $decode)"))
       .withColumn("rfp", expr(
@@ -183,6 +191,9 @@ object TextAnalysis {
       .select("doc_id", "rfp")
       .orderBy("doc_id")
   }
+
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    rollingFingerprintOf(Tables.documents(spark, dir))
 
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =

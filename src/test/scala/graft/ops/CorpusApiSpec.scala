@@ -66,6 +66,20 @@ class CorpusApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally ds.unpersist()
   }
 
+  test("generic kNN core ranks synthetic embeddings correctly") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (101L, Array(0.9f, 0.1f)),   // closest to the query
+      (102L, Array(0.0f, 1.0f)),   // orthogonal
+      (103L, Array(-1.0f, 0.0f))   // opposite
+    ).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.knnOf(q, emb, 3).collect()
+    assert(top.map(_.getAs[Long]("cand_id")).toSeq === Seq(100L, 101L, 102L))
+    assert(top.head.getAs[Double]("cosine") === 1.0)
+  }
+
   test("simhash64 core: exact copies share codes, near-dups are hamming-close") {
     val codes = Dedup.simhash64Of(corpus()).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
