@@ -84,6 +84,7 @@ object SparkEntry {
     "m02_format_summary"     -> (Multimodal.formatSummary _),
     "m03_resize_meta"        -> (Multimodal.resizedMeta _),
     "m04_frame_sample"       -> (Multimodal.frameSampled _),
+    "m05_media_features"     -> (Multimodal.mediaFeatures _),
     "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),
     "w03_event_dedup"        -> (graft.streaming.EventStream.eventDedupCounts _),
     "w04_stream_join"        -> (graft.streaming.EventStream.purchaseClickPairs _),

@@ -123,6 +123,40 @@ object Multimodal {
     frameSampleBatch(spark, dir).toDF().orderBy("doc_id")
   }
 
+  final case class MediaFeatures(doc_id: Long, features: Array[Double])
+
+  /** STUB feature extraction — the "embed the image" step of a multimodal
+    * pipeline (a real binding would run a vision encoder per batch;
+    * mapPartitions is again the model-init-once shape). Deterministic
+    * fake: an 8-dim vector of integer-exact payload statistics (size,
+    * decoded dims, format index, frame count, three modular residues),
+    * so the DuckDB oracle recomputes every component from octet_length
+    * in closed form. The OUTPUT CONTRACT is the real part: a dense
+    * `array<double>` feature column that feeds the similarity operators
+    * unchanged (CorpusApiSpec chains it into the generic kNN). */
+  def featureBatch(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow].mapPartitions(_.map { r =>
+      val m = DecodeStub.decode(r)
+      val nFrames = r.media.length.toLong / 1024L + 1L
+      MediaFeatures(r.doc_id, Array[Double](
+        m.bytes.toDouble, m.width.toDouble, m.height.toDouble,
+        (m.bytes % 3L).toDouble, nFrames.toDouble,
+        (m.bytes % 997L).toDouble, (m.bytes % 499L).toDouble,
+        (m.bytes % 251L).toDouble))
+    })
+  }
+
+  /** Feature-extraction driver query (m05): the vector flattened to
+    * hash-comparable columns. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    featureBatch(spark, dir).toDF()
+      .select(col("doc_id") +:
+        (0 until 8).map(i => col("features")(i).as(s"f$i")): _*)
+      .orderBy("doc_id")
+  }
+
   /** Per-format corpus summary over the decoded metadata. */
   def formatSummary(spark: SparkSession, dir: String): DataFrame =
     decodedMeta(spark, dir)

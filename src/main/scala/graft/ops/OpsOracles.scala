@@ -623,6 +623,20 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    "m05_media_features" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS bytes FROM documents)
+        |SELECT doc_id,
+        |  CAST(bytes AS DOUBLE) AS f0,
+        |  CAST(64 + bytes % 512 AS DOUBLE) AS f1,
+        |  CAST(64 + (bytes * 7) % 512 AS DOUBLE) AS f2,
+        |  CAST(bytes % 3 AS DOUBLE) AS f3,
+        |  CAST(bytes // 1024 + 1 AS DOUBLE) AS f4,
+        |  CAST(bytes % 997 AS DOUBLE) AS f5,
+        |  CAST(bytes % 499 AS DOUBLE) AS f6,
+        |  CAST(bytes % 251 AS DOUBLE) AS f7
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
+
     "m01_decoded_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS bytes,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -78,6 +79,24 @@ class CorpusApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val top = Similarity.knnOf(q, emb, 3).collect()
     assert(top.map(_.getAs[Long]("cand_id")).toSeq === Seq(100L, 101L, 102L))
     assert(top.head.getAs[Double]("cosine") === 1.0)
+  }
+
+  test("multimodal features chain into the generic kNN unchanged") {
+    val dir = "/root/testdata/sf0.001"
+    val s = spark; import s.implicits._
+    // extracted media features are a dense vector column — feed them to
+    // the similarity operator as-is (the contract the stub exists to pin)
+    val feats = Multimodal.featureBatch(spark, dir).toDF()
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(features, x -> cast(x as float))").as("embedding"))
+    val q = feats.filter(col("vec_id") < 3)
+    val c = feats.filter(col("vec_id") >= 3)
+    val top = Similarity.knnOf(q, c, 2).collect()
+    assert(top.length === 3 * 2)
+    top.foreach { r =>
+      val cos = r.getAs[Double]("cosine")
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
   }
 
   test("simhash64 core: exact copies share codes, near-dups are hamming-close") {
