@@ -243,6 +243,55 @@ object Dedup {
   def containmentNearDup(spark: SparkSession, dir: String): DataFrame =
     containmentNearDupOf(docShingles(spark, dir))
 
+  /** Near-dup CLUSTERS: connected components over the pair graph, each
+    * doc labeled with its component's minimum doc_id — the canonical
+    * dedup-cluster semantics (one keeper per component; pairwise
+    * lower-id dropping can over-delete on chains A~B~C where A and C are
+    * not themselves near-dups).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the minimum label among itself and its neighbors, until a
+    * fixpoint. The fixpoint is the component minimum regardless of
+    * evaluation order, so the result is deterministic and the DuckDB
+    * recursive-CTE oracle converges to the same labels. Rounds needed =
+    * O(log(diameter)) in practice (min labels hop across the component);
+    * each round is one edge-join + aggregate — the standard Spark CC
+    * shape. `localCheckpoint` cuts the growing lineage each round so the
+    * loop does not re-execute prior rounds. */
+  def dedupClustersOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1"), col("d2")).persist()
+    var labels = edges
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val l1 = labels.select(col("doc_id").as("d1"), col("label").as("lab1"))
+      val l2 = labels.select(col("doc_id").as("d2"), col("label").as("lab2"))
+      val prop = edges.join(l1, Seq("d1")).join(l2, Seq("d2"))
+        .select(explode(array(
+          struct(col("d1").as("doc_id"), least(col("lab1"), col("lab2")).as("cand")),
+          struct(col("d2").as("doc_id"), least(col("lab1"), col("lab2")).as("cand"))))
+          .as("x"))
+        .select(col("x.doc_id"), col("x.cand"))
+        .groupBy("doc_id").agg(min("cand").as("cand"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
+        .filter(col("label") < col("prev")).count()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver entry: clusters over the production LSH detector's pairs. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersOf(minhashLsh(spark, dir))
+
   /** EXACT dedup APPLICATION: the cleaned corpus with one keeper (min
     * doc_id) per distinct text — the workhorse first pass of every
     * training-data pipeline ([[exactDedup]] reports the summary; this

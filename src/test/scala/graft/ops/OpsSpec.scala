@@ -267,6 +267,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.intersect(losers).isEmpty)
   }
 
+  test("dedup clusters equal a union-find over the same pair graph") {
+    val pairs = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // exactly one keeper (the minimum) per component
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+    }
+  }
+
   test("jaccard pairs are canonical (d1 < d2) and thresholded") {
     Dedup.ngramJaccard(spark, dir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
