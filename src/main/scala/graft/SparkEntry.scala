@@ -78,6 +78,7 @@ object SparkEntry {
     "d14_clean_corpus"       -> (Dedup.cleanCorpus _),
     "d15_containment"        -> (Dedup.containmentNearDup _),
     "d16_dedup_clusters"     -> (Dedup.dedupClusters _),
+    "d17_cluster_apply"      -> (Dedup.dropClusteredDuplicates _),
     "t07_top_tfidf"          -> (TextAnalysis.topTfidf _),
     "t08_quality_filtered"   -> (TextAnalysis.qualityFiltered _),
     "t09_hash_sample"        -> (TextAnalysis.hashSample _),

@@ -244,10 +244,13 @@ object Dedup {
     containmentNearDupOf(docShingles(spark, dir))
 
   /** Near-dup CLUSTERS: connected components over the pair graph, each
-    * doc labeled with its component's minimum doc_id — the canonical
-    * dedup-cluster semantics (one keeper per component; pairwise
-    * lower-id dropping can over-delete on chains A~B~C where A and C are
-    * not themselves near-dups).
+    * doc labeled with its component's minimum doc_id — the transitive
+    * "duplicate family" semantics production corpus dedup uses (a chain
+    * A~B~C is one family with one keeper). Strictly MORE aggressive than
+    * the pairwise lower-id rule: a component's minimum is never the
+    * higher side of any pair, so pairwise keepers always include every
+    * cluster keeper plus possibly chain middles (OpsSpec pins the
+    * containment).
     *
     * Algorithm: iterative min-label propagation — each round every node
     * takes the minimum label among itself and its neighbors, until a
@@ -291,6 +294,24 @@ object Dedup {
   /** Driver entry: clusters over the production LSH detector's pairs. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClustersOf(minhashLsh(spark, dir))
+
+  /** Cluster-aware dedup APPLICATION: drop every clustered doc except its
+    * component's representative (cluster_id == doc_id); docs outside the
+    * pair graph pass through. Exactly one survivor per duplicate family,
+    * by construction — the transitive semantics, vs
+    * [[dropNearDuplicates]]' greedy pairwise rule which may also keep
+    * chain middles. The loser set is cluster-membership sized,
+    * anti-joined on the uniform doc_id key. */
+  def dropClusteredDuplicatesOf(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+  def dropClusteredDuplicates(spark: SparkSession, dir: String): DataFrame =
+    dropClusteredDuplicatesOf(
+      Tables.documents(spark, dir), dedupClusters(spark, dir))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
 
   /** EXACT dedup APPLICATION: the cleaned corpus with one keeper (min
     * doc_id) per distinct text — the workhorse first pass of every

@@ -289,6 +289,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.groupBy(_._2).foreach { case (cid, members) =>
       assert(members.keys.min === cid)
     }
+    // transitive semantics is strictly-at-most the pairwise rule: every
+    // cluster keeper survives pairwise dedup too (the component min is
+    // never a pair's higher id), never the other way round
+    val pairwiseKept = Dedup.dropNearDuplicates(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val clusterKept = Dedup.dropClusteredDuplicates(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(clusterKept.subsetOf(pairwiseKept))
   }
 
   test("jaccard pairs are canonical (d1 < d2) and thresholded") {
