@@ -92,6 +92,10 @@ object SparkEntry {
     "w04_stream_join"        -> (graft.streaming.EventStream.purchaseClickPairs _),
     "w05_stream_sink"        -> (graft.streaming.EventStream.streamToWarehouse _),
     "t10_rolling_fingerprint"-> (TextAnalysis.rollingFingerprint _),
+    "t11_decontaminate"      -> (TextAnalysis.decontaminate _),
+    "t12_decontaminate_apply"-> (TextAnalysis.decontaminateApply _),
+    "t13_chunk_tokens"       -> (TextAnalysis.chunkTokens _),
+    "t14_stratified_sample"  -> (TextAnalysis.stratifiedSample _),
     "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),

@@ -441,6 +441,62 @@ object OpsOracles {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
         |ORDER BY doc_id""".stripMargin,
 
+    // t11: decontamination detection — train docs (md5 bucket != 'f')
+    // sharing any 3-gram shingle with the eval slice (bucket 'f');
+    // mirrors TextAnalysis.decontaminateOf (sh is per-doc distinct).
+    "t11_decontaminate" ->
+      s"""WITH $shingleCte,
+        |b AS (SELECT doc_id, shingle,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket FROM sh),
+        |ev AS (SELECT DISTINCT shingle FROM b WHERE bucket = 'f')
+        |SELECT doc_id, count(*) AS shared_shingles
+        |FROM b JOIN ev USING (shingle)
+        |WHERE bucket != 'f'
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // t12: decontamination apply — the train split minus contaminated docs
+    // (docs under 3 tokens have no shingles and pass through, both engines).
+    "t12_decontaminate_apply" ->
+      s"""WITH $shingleCte,
+        |b AS (SELECT doc_id, shingle,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket FROM sh),
+        |ev AS (SELECT DISTINCT shingle FROM b WHERE bucket = 'f'),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM b JOIN ev USING (shingle)
+        |  WHERE bucket != 'f')
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) != 'f'
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
+    // t13: token-window chunking (window=32, stride=24) — DuckDB range()
+    // excludes the end bound, Spark sequence(0, n-1) includes it: both
+    // enumerate starts 0, 24, 48, ... < n. List slice l[a:b] is 1-based
+    // end-inclusive = Spark slice(toks, a, 32), both clamp at the end.
+    "t13_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+        |  len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, l, n, unnest(range(0, n, 24)) AS s FROM t)
+        |SELECT doc_id,
+        |  CAST(s // 24 AS INT) AS chunk_id,
+        |  CAST(least(32, n - s) AS INT) AS n_chunk_tokens,
+        |  array_to_string(l[s+1 : s+32], ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // t14: stratified per-language sample — the oracle is the single
+    // direct window; Spark's two-phase salted form is semantically equal
+    // (a global top-5 row is top-5 in its own salt slice).
+    "t14_stratified_sample" ->
+      """SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+
     "w02_session_counts" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,

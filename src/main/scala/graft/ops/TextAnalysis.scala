@@ -195,6 +195,107 @@ object TextAnalysis {
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     rollingFingerprintOf(Tables.documents(spark, dir))
 
+  /** Benchmark DECONTAMINATION detection: training documents that share
+    * any word 3-gram with a held-out evaluation set — the contamination
+    * check every LLM training run performs before shipping a corpus (a
+    * train doc containing an eval n-gram inflates benchmark scores).
+    * The eval set here is the deterministic md5-bucket 'f' slice of the
+    * corpus (the same hash-split discipline as [[hashSample]], so the
+    * split is reproducible across engines and reprocessing runs).
+    *
+    * Scale shape: the eval shingle set is eval-sized (a benchmark suite
+    * is KB–MB even when the corpus is 100 TB) and BROADCASTS; the train
+    * side is one narrow shingle pass + a broadcast hash join — the corpus
+    * is never shuffled. Output is per-doc overlap counts (the evidence a
+    * removal decision needs), not just a flag. `ds` is a
+    * [[graft.ops.Dedup.docShinglesOf]] table (shingles are per-doc
+    * distinct by construction, so `count(1)` counts distinct shared
+    * shingles). */
+  def decontaminateOf(ds: DataFrame): DataFrame = {
+    val bucketed = ds
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+    val evalShingles = bucketed.filter(col("bucket") === "f")
+      .select(explode(col("shingles")).as("shingle"))
+      .distinct()
+    bucketed.filter(col("bucket") =!= "f")
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOf(Dedup.docShingles(spark, dir))
+
+  /** Decontamination APPLICATION: the train split with contaminated
+    * documents anti-joined away — detect→apply, same pattern as the dedup
+    * modalities (d07/d09/d12). The contaminated set is detection-output
+    * sized; the corpus streams through the doc_id anti-join. */
+  def decontaminateApply(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .filter(col("bucket") =!= "f")
+      .join(decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  /** Token-window CHUNKING: split each document into `window`-token
+    * chunks every `stride` tokens (stride < window ⇒ overlapping chunks —
+    * the context-window preprocessing step an LLM tokenize/pack pipeline
+    * runs on every document). Pure per-row array arithmetic
+    * (sequence → slice → posexplode): zero shuffle at any corpus size,
+    * and output rows ≈ corpus tokens / stride, linear in input. */
+  def chunkTokensOf(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(
+          s"transform(sequence(0, n - 1, $stride), s -> concat_ws(' ', slice(toks, s + 1, $window)))"))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        least(lit(window), col("n") - col("chunk_id") * stride).as("n_chunk_tokens"),
+        col("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  def chunkTokens(spark: SparkSession, dir: String): DataFrame =
+    chunkTokensOf(Tables.documents(spark, dir))
+
+  /** STRATIFIED sampling: a deterministic fixed-size sample PER GROUP
+    * (per language here) — the balanced-mixture draw a multilingual
+    * training run uses so low-resource languages aren't drowned out.
+    * Order within a group is by md5(doc_id) (reproducible, unbiased;
+    * rand() is neither), doc_id as the total tie-break.
+    *
+    * Scale shape — two-phase exact top-k (same trick as q23's two-phase
+    * distinct): a single `row_number` window per language would sort an
+    * entire language's corpus in ONE task (a hot language is most of the
+    * corpus). Instead phase 1 ranks within (lang, doc_id%16) salt
+    * slices — 16-way parallel, each task holds 1/16th of a language —
+    * and keeps `perGroup` per slice; phase 2 ranks the surviving
+    * 16×perGroup rows per language. The global top-`perGroup` by hash
+    * order is necessarily phase-1-local top-`perGroup` in its own slice,
+    * so the result is EXACT, not approximate. */
+  def stratifiedSampleOf(docs: DataFrame, perGroup: Int = 5): DataFrame = {
+    val salted = Window.partitionBy("lang", "salt").orderBy(col("h"), col("doc_id"))
+    val fin = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("salt", pmod(col("doc_id"), lit(16)))
+      .withColumn("prk", row_number().over(salted))
+      .filter(col("prk") <= perGroup)
+      .withColumn("rk", row_number().over(fin))
+      .filter(col("rk") <= perGroup)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOf(Tables.documents(spark, dir))
+
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     withToks(Tables.documents(spark, dir))

@@ -374,4 +374,56 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val empty = Seq.empty[(Double, Double)].toDS()
     assert(empty.select(WeightedMean.toColumn).collect()(0).isNaN)
   }
+
+  test("decontamination: flagged docs are train-side and truly overlap eval") {
+    val flagged = TextAnalysis.decontaminate(spark, dir).collect()
+    assert(flagged.nonEmpty, "corpus should contain eval-overlapping docs")
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("shared_shingles") >= 1)
+    }
+    val bucketOf = graft.Tables.documents(spark, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+    val evalIds = bucketOf.filter(col("bucket") === "f")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.forall(r => !evalIds.contains(r.getAs[Long]("doc_id"))))
+    // apply = train minus flagged, exactly
+    val train = bucketOf.filter(col("bucket") =!= "f").count()
+    val kept = TextAnalysis.decontaminateApply(spark, dir).count()
+    assert(kept === train - flagged.length)
+  }
+
+  test("chunking: stride-24/window-32 chunks tile every document exactly") {
+    val docs = graft.Tables.documents(spark, dir)
+    val nToks = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextAnalysis.chunkTokens(spark, dir).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === nToks.keySet) // every doc chunks (n >= 1 always)
+    byDoc.foreach { case (id, cs) =>
+      val n = nToks(id)
+      assert(cs.length === (n + 23) / 24) // ceil(n / stride) starts
+      cs.foreach { c =>
+        val cid = c.getAs[Int]("chunk_id")
+        val expected = math.min(32, n - cid * 24)
+        assert(c.getAs[Int]("n_chunk_tokens") === expected)
+        // chunk text really holds that many tokens
+        assert(c.getAs[String]("chunk_text").split(" ").length === expected)
+      }
+    }
+  }
+
+  test("stratified sample: two-phase salted top-k equals the direct window") {
+    val twoPhase = TextAnalysis.stratifiedSample(spark, dir).collect()
+      .map(r => (r.getString(1), r.getAs[Int]("rk"), r.getLong(0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val direct = graft.Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy("lang", "rk")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Int]("rk"), r.getAs[Long]("doc_id")))
+    assert(twoPhase.toSeq === direct.toSeq)
+    assert(twoPhase.groupBy(_._1).values.forall(_.length <= 5))
+  }
 }
