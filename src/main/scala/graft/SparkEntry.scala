@@ -75,6 +75,7 @@ object SparkEntry {
     "s08_kmeans_train"       -> ((s: SparkSession, d: String) => Similarity.kmeansCentroids(s, d)),
     "s09_ann_kmeans"         -> (Similarity.annKmeans _),
     "d13_neardup_cells"      -> (Similarity.embeddingNearDupCells _),
+    "d18_srp_neardup"        -> (Similarity.srpNearDup _),
     "d14_clean_corpus"       -> (Dedup.cleanCorpus _),
     "d15_containment"        -> (Dedup.containmentNearDup _),
     "d16_dedup_clusters"     -> (Dedup.dedupClusters _),

@@ -717,6 +717,50 @@ object OpsOracles {
 
     "s01_knn_brute" -> knnBruteSql,
 
+    // d18: SRP-LSH embedding near-dup — hyperplanes regenerated from
+    // md5('srp|b|d') (identical to the Scala constants by md5 standard),
+    // 16 sign bits -> 2x8-bit bands -> bucket-min candidates -> exact
+    // cosine verify, top-20 (mirrors Similarity.srpNearDupOf).
+    "d18_srp_neardup" ->
+      """WITH w0 AS (
+        |  SELECT b, d,
+        |    (instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+        |    (instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+        |    (instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+        |    (instr('0123456789abcdef', substr(m, 4, 1)) - 1) - 32768 AS w
+        |  FROM (SELECT b, d,
+        |          md5('srp|' || CAST(b AS VARCHAR) || '|' || CAST(d AS VARCHAR)) AS m
+        |        FROM range(16) t1(b), range(64) t2(d))),
+        |wl AS (SELECT b, list(w ORDER BY d) AS wv FROM w0 GROUP BY b),
+        |n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, b,
+        |    list_sum(list_transform(range(64), i -> v[i+1] * wv[i+1])) AS dot
+        |  FROM n CROSS JOIN wl),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS code
+        |  FROM dots GROUP BY vec_id),
+        |bands AS (
+        |  SELECT vec_id, 0 AS band, code % 256 AS bkey FROM codes
+        |  UNION ALL SELECT vec_id, 1, code // 256 FROM codes),
+        |bmin AS (SELECT band, bkey, min(vec_id) AS v1 FROM bands GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT bmin.v1, b.vec_id AS v2
+        |  FROM bands b JOIN bmin USING (band, bkey)
+        |  WHERE b.vec_id > bmin.v1),
+        |scored AS (
+        |  SELECT cand.v1, cand.v2,
+        |    round(list_sum(list_transform(range(64), i -> a.v[i+1] * c.v[i+1]))
+        |          / (a.norm * c.norm), 6) AS cosine
+        |  FROM cand JOIN n a ON cand.v1 = a.vec_id JOIN n c ON cand.v2 = c.vec_id)
+        |SELECT v1, v2, cosine FROM scored
+        |ORDER BY cosine DESC, v1 ASC, v2 ASC
+        |LIMIT 20""".stripMargin,
+
     "s02_ann_ivf" ->
       """WITH n AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,

@@ -359,6 +359,83 @@ object Similarity {
       .limit(20)
   }
 
+  /** Signed-random-projection (SRP) hyperplane weights: w(plane, dim) =
+    * the first 4 md5 hex chars of "srp|plane|dim" decoded to an integer,
+    * centered on zero (range [-32768, 32767]). A pure function of nothing
+    * — no data, no RNG state — so the DuckDB oracle regenerates the SAME
+    * hyperplanes from its own md5() and the "random" projections are
+    * reproducible across engines, runs, and reprocessing (the same
+    * discipline as the md5-seeded MinHash permutations). Integer-valued
+    * doubles are exact in IEEE754, so products have one deterministic
+    * rounding on both engines. */
+  private lazy val srpWeights: IndexedSeq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { b =>
+      (0 until 64).map { d =>
+        val hex = md.digest(s"srp|$b|$d".getBytes("UTF-8"))
+          .take(2).map(x => f"$x%02x").mkString
+        (Integer.parseInt(hex, 16) - 32768).toDouble
+      }
+    }
+  }
+
+  /** 16-bit SRP code over a `v: array<double>` column: bit b is the sign
+    * of the dot product with deterministic hyperplane b (Charikar 2002 —
+    * SimHash for real vectors: P[bits agree] = 1 - angle/π). The 16
+    * hyperplanes ride along as literal arrays (corpus-independent
+    * constants, the degenerate broadcast), so the whole code is one
+    * narrow per-row pass — zero shuffle at any corpus size. */
+  private def srpCode: org.apache.spark.sql.Column = {
+    val bits = (0 until 16).map { b =>
+      val dot = aggregate(
+        zip_with(col("v"), typedlit(srpWeights(b)), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("long")
+  }
+
+  /** LSH-bucketed embedding near-dup — the third embedding-dedup geometry
+    * next to the label cell (d06) and the trained-quantizer cell (d13),
+    * and the one that needs NO training pass at all: SRP codes band into
+    * 2×8-bit keys, candidates pair within buckets against the bucket
+    * minimum (d04's shape — a hot bucket of m docs emits m-1 candidates,
+    * never m²/2), and survivors get an exact cosine verify with the
+    * top-k taken distributed (orderBy+limit → TakeOrderedAndProject).
+    *
+    * Scale: one narrow code pass, one O(rows×2) band exchange,
+    * candidate-sized verify joins. Identical vectors always share all
+    * bands (code equality), so exact-duplicate recall is 1; near-pairs
+    * follow the SRP curve (bit-agreement prob 1 - angle/π per bit). */
+  def srpNearDupOf(embs: DataFrame, k: Int = 20): DataFrame = {
+    // persisted: codes feed the band table and both verify sides
+    val n = embs
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("code", srpCode)
+      .persist()
+    val bands = n.selectExpr("vec_id",
+      "stack(2, 0, code % 256, 1, code div 256) as (band, bkey)")
+    val bmin = bands.groupBy("band", "bkey").agg(min("vec_id").as("v1"))
+    val cand = bands.join(bmin, Seq("band", "bkey"))
+      .filter(col("vec_id") > col("v1"))
+      .select(col("v1"), col("vec_id").as("v2"))
+      .distinct()
+    val a = n.select(col("vec_id").as("v1"), col("v").as("va"), col("norm").as("na"))
+    val c = n.select(col("vec_id").as("v2"), col("v").as("vb"), col("norm").as("nb"))
+    broadcast(cand).join(a, Seq("v1")).join(c, Seq("v2"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .select("v1", "v2", "cosine")
+      .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
+      .limit(k)
+  }
+
+  def srpNearDup(spark: SparkSession, dir: String): DataFrame =
+    srpNearDupOf(Tables.embeddings(spark, dir))
+
   /** Embedding near-dup APPLICATION — completes the detect→apply chain for
     * the embedding modality (mirroring d07 for MinHash and the bucket-min
     * pairing for SimHash): every pair found by [[embeddingNearDup]] keeps

@@ -375,6 +375,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.select(WeightedMean.toColumn).collect()(0).isNaN)
   }
 
+  test("SRP near-dup: exact-dup recall 1, pairs canonical, never beats brute") {
+    val s = spark; import s.implicits._
+    // identical vectors share the full SRP code, so they MUST surface
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
+    val other = Array.tabulate(64)(i => (math.cos(i * 3 + 2) * 10).toFloat)
+    val planted = Seq(
+      (0L, base), (1L, other), (2L, base.clone()) // 0 and 2 identical
+    ).toDF("vec_id", "embedding")
+    val found = Similarity.srpNearDupOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(found.exists { case (a, b, c) => a == 0L && b == 2L && c == 1.0 })
+    // on the testdata: canonical ordering and verified-cosine precision
+    val pairs = Similarity.srpNearDup(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    // true all-pairs ceiling (srp candidates are a subset of all pairs;
+    // d06's label-celled top-20 would NOT bound cross-label srp pairs)
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val a = e.select(col("vec_id").as("v1"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"), col("norm").as("nb"))
+    val allPairsTop = a.join(b, col("v1") < col("v2"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .select(max(round(col("dot") / (col("na") * col("nb")), 6)))
+      .collect()(0).getDouble(0)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // canonical v1 < v2
+      assert(r.getDouble(2) <= allPairsTop + 1e-9)
+    }
+    // NO recall assertion against allPairsTop here: this corpus's most
+    // similar pair is only ~0.48 cosine (angle ~61°), where SRP collision
+    // probability is LOW by design — the planted-duplicate check above is
+    // the recall contract (identical vectors always collide).
+  }
+
   test("decontamination: flagged docs are train-side and truly overlap eval") {
     val flagged = TextAnalysis.decontaminate(spark, dir).collect()
     assert(flagged.nonEmpty, "corpus should contain eval-overlapping docs")
