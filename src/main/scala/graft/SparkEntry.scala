@@ -98,6 +98,9 @@ object SparkEntry {
     "t13_chunk_tokens"       -> (TextAnalysis.chunkTokens _),
     "t14_stratified_sample"  -> (TextAnalysis.stratifiedSample _),
     "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),
+    // DSv2 generator connector (sfDir ignored — the source generates)
+    "f02_synthetic_source"   ->
+      ((s: SparkSession, _: String) => graft.sources.gen.SyntheticCorpus.scanQuery(s)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     // S2 sink round trip — ref_-prefixed (reads the fixed-size reference

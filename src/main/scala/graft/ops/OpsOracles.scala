@@ -717,6 +717,25 @@ object OpsOracles {
 
     "s01_knn_brute" -> knnBruteSql,
 
+    // f02: the DSv2 generator connector's scan query — the oracle
+    // regenerates identical rows from pure range() arithmetic (token j of
+    // doc i = first 5 md5 hex chars of "i_j"), mirroring
+    // SyntheticCorpus.textOf; the [100, 300) bound is the predicate the
+    // connector receives via filter pushdown.
+    "f02_synthetic_source" ->
+      """WITH g AS (SELECT i AS doc_id FROM range(100, 300) t(i)),
+        |tx AS (SELECT doc_id,
+        |  array_to_string(list_transform(range(doc_id % 7 + 3),
+        |    j -> substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 5)),
+        |    ' ') AS text
+        |  FROM g)
+        |SELECT doc_id,
+        |  ['en','de','fr','es','und'][CAST(doc_id % 5 AS INT) + 1] AS lang,
+        |  text,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM tx
+        |ORDER BY doc_id""".stripMargin,
+
     // d18: SRP-LSH embedding near-dup — hyperplanes regenerated from
     // md5('srp|b|d') (identical to the Scala constants by md5 standard),
     // 16 sign bits -> 2x8-bit bands -> bucket-min candidates -> exact
