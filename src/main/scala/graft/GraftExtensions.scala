@@ -13,10 +13,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * installs `cosine_sim`, `minhash_sigs`, and `simhash64` (codegen'd
-  * expressions, usable from SQL) and the [[RewriteDotProduct]]
-  * auto-acceleration rule on every
-  * session, no code changes in user queries. The per-session `register`/`install` helpers
-  * remain for already-running sessions.
+  * expressions, usable from SQL), the [[RewriteDotProduct]]
+  * auto-acceleration rule, and the [[graft.plans.TopKPerGroupStrategy]]
+  * planner strategy (grouped top-k as a first-class physical operator)
+  * on every session, no code changes in user queries. The per-session
+  * `register`/`install` helpers remain for already-running sessions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -33,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -45,6 +45,7 @@ object SparkEntry {
     "q27_salted_join"        -> (Relational.q27SaltedJoin _),
     "q28_cube"               -> (Relational.q28Cube _),
     "q29_range_frame"        -> (Relational.q29RangeFrame _),
+    "q30_topk_per_group"     -> (Relational.q30TopkPerGroup _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

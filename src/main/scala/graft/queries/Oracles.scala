@@ -235,6 +235,18 @@ object RelationalOracles {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    // q30: the oracle is the declarative window form of grouped top-k;
+    // the Spark side runs the custom TopKPerGroup operator — equal
+    // row sets because the order is total (unique o_orderkey tie-break).
+    "q30_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
+
     "q29_range_frame" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal

@@ -462,6 +462,22 @@ object Relational {
           |""".stripMargin.replaceAll("\n", " "))
       .orderBy("c_custkey")
 
+  /** Grouped top-k through the custom [[graft.plans.TopKPerGroup]]
+    * operator (logical node + Strategy + two-phase SparkPlan): top-5
+    * orders by total price per order priority, tie-broken on the unique
+    * order key (the total-order contract). The plan carries partial
+    * bounded heaps BEFORE the exchange — only groups × k rows per input
+    * partition shuffle, vs the window form's full shuffle + full sort
+    * (TopKPerGroupSpec asserts row-for-row equality with that form and
+    * the plan shape; the DuckDB oracle is the window form). */
+  def q30TopkPerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      Tables.orders(spark, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      groupCols = Seq("o_orderpriority"),
+      orderCols = Seq(("o_totalprice", true), ("o_orderkey", false)),
+      k = 5)
+      .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

@@ -41,6 +41,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0).getSeq[Long](0)
       assert(sh.length === 2)
       assert(sh.forall(h => h >= 0L && h < (1L << 32)))
+      // the planner strategy is injected: a hand-built TopKPerGroupPlan
+      // plans (and runs) WITHOUT TopKPerGroup.install()
+      assert(!spark.experimental.extraStrategies
+        .contains(graft.plans.TopKPerGroupStrategy))
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "lang", "n_chars")
+      val analyzed = docs.queryExecution.analyzed
+      def attr(n: String) = analyzed.output.find(_.name == n).get
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+      val plan = graft.plans.TopKPerGroupPlan(
+        Seq(attr("lang")),
+        Seq(SortOrder(attr("doc_id"), Ascending, Ascending.defaultNullOrdering, Seq.empty)),
+        2, analyzed)
+      val viaExt = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, plan)
+      assert(viaExt.count() > 0)
+      // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+      // root that hides the subtree until execution
+      assert(viaExt.queryExecution.sparkPlan
+        .collect { case t: graft.plans.TopKPerGroupExec => t }.size === 2)
     } finally spark.stop()
   }
 }
