@@ -98,6 +98,7 @@ object SparkEntry {
     "t12_decontaminate_apply"-> (TextAnalysis.decontaminateApply _),
     "t13_chunk_tokens"       -> (TextAnalysis.chunkTokens _),
     "t14_stratified_sample"  -> (TextAnalysis.stratifiedSample _),
+    "t15_quantile_filter"    -> (TextAnalysis.quantileFiltered _),
     "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),
     // DSv2 generator connector (sfDir ignored — the source generates)
     "f02_synthetic_source"   ->

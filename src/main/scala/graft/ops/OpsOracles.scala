@@ -485,6 +485,20 @@ object OpsOracles {
         |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // t15: per-language median-threshold filter — the median is compared
+    // unrounded and never emitted (midpoint re-rounding is the one
+    // engine-divergence hazard); per-row ratios are 4dp-rounded.
+    "t15_quantile_filter" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  round(1.0 - len(list_distinct(string_split(text, ' ')))
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS repetition_ratio
+        |  FROM documents),
+        |m AS (SELECT lang, median(repetition_ratio) AS med FROM q GROUP BY lang)
+        |SELECT doc_id, lang, repetition_ratio
+        |FROM q JOIN m USING (lang)
+        |WHERE repetition_ratio <= med
+        |ORDER BY doc_id""".stripMargin,
+
     // t14: stratified per-language sample — the oracle is the single
     // direct window; Spark's two-phase salted form is semantically equal
     // (a global top-5 row is top-5 in its own salt slice).

@@ -264,6 +264,34 @@ object TextAnalysis {
   def chunkTokens(spark: SparkSession, dir: String): DataFrame =
     chunkTokensOf(Tables.documents(spark, dir))
 
+  /** QUANTILE-threshold quality filter: keep documents whose repetition
+    * ratio is at or below their LANGUAGE's median — a relative,
+    * distribution-aware cut (languages differ in baseline repetition, so
+    * one global threshold over- or under-filters; per-group quantiles are
+    * how production corpus filters set thresholds).
+    *
+    * Determinism: per-row ratios are 4dp-rounded (deterministic); the
+    * median is exact interpolation over those values, compared UNROUNDED
+    * and not emitted — re-rounding an interpolated midpoint ((a+b)/2 can
+    * land exactly on a half at the 5th decimal) is the one place engine
+    * rounding modes could disagree, so the threshold stays internal.
+    *
+    * Scale: the grouped EXACT median buffers a language's values in the
+    * aggregation — the oracle-able contract; at 100 TB swap in
+    * percentile_approx (one streaming pass, bounded sketch memory), same
+    * plan shape otherwise. The medians table is #languages-sized and
+    * broadcasts back. */
+  def quantileFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScore(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+    val meds = scored.groupBy("lang")
+      .agg(median(col("repetition_ratio")).as("med"))
+    scored.join(broadcast(meds), Seq("lang"))
+      .filter(col("repetition_ratio") <= col("med"))
+      .select("doc_id", "lang", "repetition_ratio")
+      .orderBy("doc_id")
+  }
+
   /** STRATIFIED sampling: a deterministic fixed-size sample PER GROUP
     * (per language here) — the balanced-mixture draw a multilingual
     * training run uses so low-resource languages aren't drowned out.

@@ -449,6 +449,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantile filter: kept docs sit at or below their language median") {
+    val kept = TextAnalysis.quantileFiltered(spark, dir).collect()
+    assert(kept.nonEmpty)
+    // independent medians via sort-and-pick per language
+    val scored = TextAnalysis.qualityScore(spark, dir)
+      .join(graft.Tables.documents(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .select("lang", "repetition_ratio").collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        val v = rs.map(_.getDouble(1)).sorted
+        val m = if (v.length % 2 == 1) v(v.length / 2)
+                else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+        l -> m
+      }
+    kept.foreach { r =>
+      assert(r.getDouble(2) <= scored(r.getString(1)) + 1e-12)
+    }
+    // a median cut keeps at least half of every language
+    val perLang = kept.groupBy(_.getString(1)).view.mapValues(_.length)
+    val totals = graft.Tables.documents(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (l, n) => assert(n >= totals(l) / 2) }
+  }
+
   test("stratified sample: two-phase salted top-k equals the direct window") {
     val twoPhase = TextAnalysis.stratifiedSample(spark, dir).collect()
       .map(r => (r.getString(1), r.getAs[Int]("rk"), r.getLong(0)))
