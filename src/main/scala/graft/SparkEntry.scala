@@ -81,6 +81,8 @@ object SparkEntry {
     "d15_containment"        -> (Dedup.containmentNearDup _),
     "d16_dedup_clusters"     -> (Dedup.dedupClusters _),
     "d17_cluster_apply"      -> (Dedup.dropClusteredDuplicates _),
+    "d19_incremental_dedup"  -> (Dedup.incrementalDedup _),
+    "d20_minhash_estimate"   -> (Dedup.minhashEstimate _),
     "t07_top_tfidf"          -> (TextAnalysis.topTfidf _),
     "t08_quality_filtered"   -> (TextAnalysis.qualityFiltered _),
     "t09_hash_sample"        -> (TextAnalysis.hashSample _),
@@ -99,6 +101,10 @@ object SparkEntry {
     "t13_chunk_tokens"       -> (TextAnalysis.chunkTokens _),
     "t14_stratified_sample"  -> (TextAnalysis.stratifiedSample _),
     "t15_quantile_filter"    -> (TextAnalysis.quantileFiltered _),
+    "t16_ngram_repetition"   -> (TextAnalysis.ngramRepetition _),
+    "t17_temperature_mix"    -> (TextAnalysis.temperatureMix _),
+    "w06_session_stats"      -> (graft.streaming.EventStream.sessionStats _),
+    "f03_bucketed_join"      -> (graft.sources.Bucketing.bucketedRevenueByPriority _),
     "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),
     // DSv2 generator connector (sfDir ignored — the source generates)
     "f02_synthetic_source"   ->

@@ -381,6 +381,73 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL ingest dedup — the nightly-arrival shape: dedup a NEW
+    * batch against the existing corpus without ever rescanning the
+    * corpus' text. The md5(doc_id) hash-split plays the arrival boundary
+    * (bucket 'f' = tonight's batch, ≈1/16 of the corpus; the other 15/16
+    * = the already-ingested index), reusing [[TextAnalysis.hashSample]]'s
+    * split discipline so the boundary is engine-portable.
+    *
+    * Batch docs whose normalized fingerprint already exists in the index
+    * are dropped; within the batch, one keeper (min doc_id) per
+    * fingerprint survives — i.e. the batch-side half of
+    * [[fingerprintDedup]] plus an anti-join against the index.
+    *
+    * Scale shape: at 100 TB the index side is the PERSISTED fingerprint
+    * table (32-char md5 + doc_id, written once at ingest — the corpus
+    * text is never re-read), and every join here is keyed on that uniform
+    * fingerprint: an anti-join and a hash-agg sized by the DELTA, never
+    * the corpus. This is the operator that makes exact dedup O(delta)
+    * per night instead of O(corpus). */
+  def incrementalDedupOf(docs: DataFrame): DataFrame = {
+    val fp = docs
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+    val index = fp.filter(col("bucket") =!= "f").select("fp").distinct()
+    val keepers = fp.filter(col("bucket") === "f")
+      .join(index, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupOf(Tables.documents(spark, dir))
+
+  /** Sketch CALIBRATION: per exact near-dup pair, the MinHash ESTIMATE of
+    * Jaccard (fraction of the 8 signature components that agree — the
+    * unbiased estimator E[est] = J from Broder 1997) next to the exact
+    * value, with the absolute error. This is how a pipeline VALIDATES its
+    * LSH parameters before trusting them at 100 TB: run on a sampled
+    * slice, read the error distribution, size perms/bands accordingly
+    * (OpsSpec pins est ≡ 1 for identical docs and the mean error bound).
+    *
+    * Scale shape: signatures are the one-pass codegen'd
+    * [[graft.functions.MinHashSigs]] per row; the exact-Jaccard side is
+    * the documented oracle path, which is exactly right here — the
+    * operator's entire purpose is comparing the sketch against ground
+    * truth on a slice you can afford to ground-truth. */
+  def minhashEstimateOf(ds: DataFrame): DataFrame = {
+    graft.functions.MinHashSigs.register(ds.sparkSession)
+    val sig = ds.filter(col("n") > 0)
+      .select(col("doc_id"), expr("minhash_sigs(shingles, 8)").as("sig"))
+    val matches = (0 until 8)
+      .map(i => s"(case when sig1[$i] = sig2[$i] then 1 else 0 end)")
+      .mkString(" + ")
+    ngramJaccardOf(ds)
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
+      .withColumn("est_jaccard", round(expr(s"($matches) / cast(8 as double)"), 4))
+      .withColumn("est_err", round(abs(col("jaccard") - col("est_jaccard")), 4))
+      .select("d1", "d2", "jaccard", "est_jaccard", "est_err")
+      .orderBy("d1", "d2")
+  }
+
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame =
+    minhashEstimateOf(docShingles(spark, dir))
+
   /** Portable 16-bit SimHash per document: each distinct token hashes to a
     * 16-bit value (first 4 hex chars of md5, decoded arithmetically so
     * Spark and DuckDB agree), each bit votes ±1, the sign of the vote sum

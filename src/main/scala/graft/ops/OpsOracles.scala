@@ -527,6 +527,78 @@ object OpsOracles {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    // w06: batch session assembly at session grain — lag + running-sum
+    // session ids, then per-session bounds/count/exact-decimal value sum
+    // (mirrors EventStream.sessionStats; w02 is its per-user rollup).
+    "w06_session_stats" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT *, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS duration_us,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        |FROM s
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // t16: Gopher-style repetition signals — duplicate 3-gram fraction
+    // (list arithmetic, 1-based subscripts) + top-token fraction.
+    "t16_ngram_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |base AS (SELECT doc_id, len(l) AS n_tokens,
+        |  CASE WHEN len(l) < 3 THEN []
+        |       ELSE list_transform(range(len(l)-2),
+        |            i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]) END AS tris
+        |  FROM toks),
+        |b2 AS (SELECT doc_id, n_tokens, len(tris) AS n_trigrams,
+        |  CASE WHEN len(tris) > 0
+        |       THEN round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 4)
+        |       ELSE 0.0 END AS dup_trigram_frac
+        |  FROM base),
+        |tok AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+        |top AS (SELECT doc_id, max(c) AS top_count FROM cnt GROUP BY doc_id)
+        |SELECT b2.doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(n_trigrams AS INT) AS n_trigrams, dup_trigram_frac,
+        |  round(CAST(top_count AS DOUBLE) / n_tokens, 4) AS top_token_frac
+        |FROM b2 JOIN top ON b2.doc_id = top.doc_id
+        |ORDER BY b2.doc_id""".stripMargin,
+
+    // t17: temperature-balanced language mix — per-language target
+    // floor(sqrt(n)), md5-hash-ordered selection; the oracle is the
+    // direct window form, Spark's salted two-phase form is exact-equal.
+    "t17_temperature_mix" ->
+      """WITH t AS (SELECT lang, count(*) AS lang_docs,
+        |  CAST(floor(sqrt(count(*))) AS INT) AS target
+        |  FROM documents GROUP BY lang),
+        |r AS (SELECT lang, doc_id, row_number() OVER (
+        |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.lang, r.doc_id, t.lang_docs, t.target
+        |FROM r JOIN t ON r.lang = t.lang
+        |WHERE rk <= t.target
+        |ORDER BY r.lang, r.doc_id""".stripMargin,
+
+    // f03: bucketed-join round trip — the oracle joins the raw parquet
+    // directly; equality proves the bucket write/read cycle is lossless.
+    "f03_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS line_count,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "t03_lang_stats" ->
       """SELECT lang,
         |  count(*) AS docs,
@@ -568,6 +640,61 @@ object OpsOracles {
         |  CAST(sum(copies) AS BIGINT) AS docs,
         |  count(*) FILTER (WHERE copies > 1) AS dup_groups
         |FROM g""".stripMargin,
+
+    // d19: incremental ingest dedup — batch (md5 bucket 'f') anti-joined
+    // against the index fingerprints, min-doc_id keeper within the batch.
+    "d19_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        |  FROM documents),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM fp
+        |  WHERE bucket = 'f'
+        |    AND fp NOT IN (SELECT fp FROM fp WHERE bucket != 'f')
+        |  GROUP BY fp)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN keep USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // d20: MinHash estimate calibration — signature-agreement fraction
+    // (8 perms) vs exact Jaccard on the exact near-dup pairs.
+    "d20_minhash_estimate" ->
+      s"""WITH $shingleCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2,
+        |    round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |sig AS (SELECT doc_id,
+        |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+        |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+        |  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+        |  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |est AS (
+        |  SELECT p.d1, p.d2, p.jaccard,
+        |    round((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END +
+        |           CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END +
+        |           CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END +
+        |           CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END +
+        |           CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END +
+        |           CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END +
+        |           CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END +
+        |           CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) / 8.0, 4) AS est_jaccard
+        |  FROM pairs p JOIN sig a ON p.d1 = a.doc_id JOIN sig b ON p.d2 = b.doc_id)
+        |SELECT d1, d2, jaccard, est_jaccard,
+        |  round(abs(jaccard - est_jaccard), 4) AS est_err
+        |FROM est
+        |ORDER BY d1, d2""".stripMargin,
 
     "d03_ngram_jaccard" ->
       s"""WITH $shingleCte,

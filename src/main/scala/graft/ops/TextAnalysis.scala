@@ -324,6 +324,85 @@ object TextAnalysis {
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     stratifiedSampleOf(Tables.documents(spark, dir))
 
+  /** N-GRAM repetition signals (the Gopher-style repetition filters —
+    * Rae et al. 2021, "Scaling Language Models", Appendix A — beyond
+    * [[qualityScoreOf]]'s token-level ratio): per document, the fraction
+    * of word 3-gram occurrences that are repeats of an earlier 3-gram in
+    * the same doc, and the fraction of tokens taken by the single most
+    * frequent token. Looping/template-generated text scores high on both
+    * while still passing distinct-token checks.
+    *
+    * Scale shape: the trigram fraction is pure per-row HOF arithmetic
+    * (zero shuffle). The top-token count is a two-level hash aggregate —
+    * explode to (doc, token), count, then max per doc — both levels with
+    * map-side partial aggregation, so the exchanges carry per-doc distinct
+    * token counts, not the token stream. The final join is doc_id-keyed,
+    * uniform. */
+  def ngramRepetitionOf(docs: DataFrame): DataFrame = {
+    val base = withToks(docs)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("tris", expr(
+        """case when size(toks) < 3 then array()
+          |else transform(sequence(0, size(toks)-3),
+          |     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) end"""
+          .stripMargin.replaceAll("\n", " ")))
+      .withColumn("n_trigrams", size(col("tris")))
+      .withColumn("dup_trigram_frac",
+        when(col("n_trigrams") > 0,
+          round(lit(1.0) - size(array_distinct(col("tris"))).cast("double") / col("n_trigrams"), 4))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "n_tokens", "n_trigrams", "dup_trigram_frac")
+    val top = withToks(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_count"))
+    base.join(top, Seq("doc_id"))
+      .withColumn("top_token_frac",
+        round(col("top_count").cast("double") / col("n_tokens"), 4))
+      .select("doc_id", "n_tokens", "n_trigrams", "dup_trigram_frac", "top_token_frac")
+      .orderBy("doc_id")
+  }
+
+  def ngramRepetition(spark: SparkSession, dir: String): DataFrame =
+    ngramRepetitionOf(Tables.documents(spark, dir))
+
+  /** TEMPERATURE-balanced language mix: sample each language down to
+    * `floor(sqrt(n_lang))` documents — the α=0.5 temperature reweighting
+    * multilingual training runs use to keep dominant languages from
+    * drowning out low-resource ones (dominant languages are cut hardest:
+    * 10,000 docs → 100, while 100 docs → 10). The per-language target is
+    * derived from the data itself, no cross-language normalization — so
+    * the arithmetic (integer sqrt via correctly-rounded IEEE sqrt + floor)
+    * is bit-portable across engines.
+    *
+    * Selection within a language is by md5(doc_id) hash order
+    * (reproducible, unbiased), using [[stratifiedSampleOf]]'s salted
+    * two-phase exact top-k — phase 1 ranks inside (lang, doc_id%16)
+    * slices so no task ever sorts a whole language, phase 2 ranks the
+    * ≤16×target survivors. The per-language target rides along via a
+    * broadcast join of the #languages-sized targets table; both window
+    * phases stay bounded. */
+  def temperatureMixOf(docs: DataFrame): DataFrame = {
+    val targets = docs.groupBy("lang")
+      .agg(count(lit(1)).as("lang_docs"))
+      .withColumn("target", floor(sqrt(col("lang_docs"))).cast("int"))
+    val salted = Window.partitionBy("lang", "salt").orderBy(col("h"), col("doc_id"))
+    val fin = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs
+      .join(broadcast(targets), Seq("lang"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("salt", pmod(col("doc_id"), lit(16)))
+      .withColumn("prk", row_number().over(salted))
+      .filter(col("prk") <= col("target"))
+      .withColumn("rk", row_number().over(fin))
+      .filter(col("rk") <= col("target"))
+      .select("lang", "doc_id", "lang_docs", "target")
+      .orderBy("lang", "doc_id")
+  }
+
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixOf(Tables.documents(spark, dir))
+
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     withToks(Tables.documents(spark, dir))

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed tables: the shuffle-elimination lever for repeated big-big
   * joins (builder rules: "co-locate joins via bucketing").
@@ -29,4 +30,33 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Oracle-verified bucketed-join round trip (f03): lineitem and orders
+    * written bucketed+sorted on the order key, then joined shuffle-free
+    * and aggregated — proving the bucket layout survives the write/read
+    * cycle with the same answer as the plain parquet join (the DuckDB
+    * oracle joins the raw files). Table names carry the applicationId so
+    * concurrent runs on the same warehouse dir never collide; Overwrite
+    * makes repeat runs in one session idempotent.
+    *
+    * This is the nightly-pipeline shape at 100 TB: pay the bucket shuffle
+    * once at ingest, then every downstream join on the key reads
+    * co-located sorted buckets — zero exchange, zero sort
+    * (BucketingSpec asserts the exchange-free join subplan). */
+  def bucketedRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val token = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    writeBucketed(li, s"graft_li_$token", "l_orderkey", 16)
+    writeBucketed(o, s"graft_ord_$token", "l_orderkey", 16)
+    bucketedJoin(spark, s"graft_li_$token", s"graft_ord_$token", "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("line_count"),
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }

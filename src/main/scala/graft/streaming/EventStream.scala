@@ -276,6 +276,45 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** Batch SESSION ASSEMBLY at session grain — the table downstream
+    * feature pipelines consume (one row per session: bounds, duration,
+    * event count, exact value sum), where [[sessionCounts]] only reports
+    * the per-user rollup. Same 30-minute-gap rule as [[sessionize]]
+    * (StreamingSpec proves the rollup of this table equals
+    * [[sessionCounts]] row-for-row).
+    *
+    * Scale shape: ONE hash exchange on user_id total. The lag +
+    * running-sum windows partition by user_id, and the session aggregate
+    * groups by (user_id, session_idx) — a superset of the window's
+    * partitioning keys, so `EnsureRequirements` reuses the exchange
+    * (hash(user_id) already clusters every (user_id, session_idx) group;
+    * PlanSpec asserts the single-exchange plan). Per-user state inside a
+    * task is one partition's rows, never the corpus. The value sum is the
+    * exact-decimal discipline (order-independent, oracle-portable). */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("events"),
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"),
+        round(sum(col("value").cast("decimal(18,6)")), 4)
+          .cast("double").as("total_value"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .select("user_id", "session_idx", "events", "start_us", "end_us",
+        "duration_us", "total_value")
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Run the windowed aggregation with AvailableNow into a memory sink and
     * return the collected result. Complete mode: every window emits its
     * final value once the source drains. */

@@ -141,4 +141,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("windowspecdefinition(token"),
       s"per-token window reappeared:\n${p.take(2000)}")
   }
+
+  /** Hash exchanges in the executed plan string (range exchanges for the
+    * final deterministic ORDER BY excluded — that sort is the driver
+    * contract, not the operator's data path). The plan string shows the
+    * post-EnsureRequirements tree, which is where exchanges exist;
+    * `AdaptiveSparkPlanExec.inputPlan` would show the pre-requirements
+    * tree with none. */
+  private def hashExchanges(name: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan(name)).length
+
+  test("w06_session_stats: ONE hash exchange — the (user_id, session_idx) " +
+       "aggregate reuses the window's user_id partitioning") {
+    assert(hashExchanges("w06_session_stats") === 1,
+      plan("w06_session_stats").take(2000))
+  }
 }

@@ -472,6 +472,78 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     perLang.foreach { case (l, n) => assert(n >= totals(l) / 2) }
   }
 
+  test("incremental dedup: survivors are batch-only, index-clean, batch-unique") {
+    import org.apache.spark.sql.Row
+    val docs = graft.Tables.documents(spark, dir)
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+    val indexFps = docs.filter(col("bucket") =!= "f")
+      .select("fp").distinct().collect().map(_.getString(0)).toSet
+    val byId = docs.select("doc_id", "fp", "bucket").collect()
+      .map { case Row(id: Long, fp: String, b: String) => id -> (fp, b) }.toMap
+    val survivors = Dedup.incrementalDedup(spark, dir).collect().map(_.getLong(0))
+    assert(survivors.nonEmpty)
+    val survFps = survivors.map(id => byId(id)._1)
+    assert(survivors.forall(id => byId(id)._2 == "f"), "survivors must be batch docs")
+    assert(survFps.forall(!indexFps.contains(_)), "index fingerprints must be dropped")
+    assert(survFps.length === survFps.distinct.length, "one keeper per fingerprint")
+    // completeness: every batch fingerprint outside the index has its keeper
+    val expected = byId.collect {
+      case (id, (fp, "f")) if !indexFps.contains(fp) => fp
+    }.toSet
+    assert(survFps.toSet === expected)
+  }
+
+  test("minhash estimate: exact for identical docs, unbiased within tolerance") {
+    val rows = Dedup.minhashEstimate(spark, dir).collect()
+    assert(rows.nonEmpty, "testdata should contain exact near-dup pairs")
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      // 8 components → estimates are multiples of 1/8
+      assert(est >= 0.0 && est <= 1.0 && math.abs(est * 8 - math.round(est * 8)) < 1e-9)
+      if (r.getAs[Double]("jaccard") == 1.0)
+        assert(est === 1.0, "identical shingle sets must have identical signatures")
+    }
+    val meanErr = rows.map(_.getAs[Double]("est_err")).sum / rows.length
+    assert(meanErr < 0.25, f"mean |J - est| $meanErr%.3f too high for 8 perms")
+  }
+
+  test("ngram repetition: looping text scores high, varied text scores zero") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // 7 trigrams, 3 distinct; top token 3/9
+      (2L, "w x y z"),           // 2 distinct trigrams → dup 0
+      (3L, "q r")                // under 3 tokens → no trigrams, dup 0
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.ngramRepetitionOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Int]("n_trigrams") === 7)
+    assert(m(1L).getAs[Double]("dup_trigram_frac") === 0.5714) // 1 - 3/7
+    assert(m(1L).getAs[Double]("top_token_frac") === 0.3333)   // 3/9
+    assert(m(2L).getAs[Double]("dup_trigram_frac") === 0.0)
+    assert(m(2L).getAs[Double]("top_token_frac") === 0.25)
+    assert(m(3L).getAs[Int]("n_trigrams") === 0)
+    assert(m(3L).getAs[Double]("dup_trigram_frac") === 0.0)
+  }
+
+  test("temperature mix: per-language sample is exactly floor(sqrt(n)), reproducibly") {
+    val out = TextAnalysis.temperatureMix(spark, dir).collect()
+    val totals = graft.Tables.documents(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perLang.keySet === totals.keySet, "every language survives the mix")
+    perLang.foreach { case (l, n) =>
+      assert(n === math.floor(math.sqrt(totals(l).toDouble)).toInt,
+        s"lang $l: sampled $n of ${totals(l)}")
+    }
+    // α=0.5 rebalances: the dominant language is cut harder than the rarest
+    val keepRate = totals.map { case (l, n) => l -> perLang(l).toDouble / n }
+    assert(keepRate(totals.maxBy(_._2)._1) < keepRate(totals.minBy(_._2)._1))
+    // deterministic: a second run selects the identical doc set
+    val again = TextAnalysis.temperatureMix(spark, dir).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("stratified sample: two-phase salted top-k equals the direct window") {
     val twoPhase = TextAnalysis.stratifiedSample(spark, dir).collect()
       .map(r => (r.getString(1), r.getAs[Int]("rk"), r.getLong(0)))

@@ -54,4 +54,16 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx=$approx exact=$exact") // 2% rsd → 5% is a generous ceiling
   }
+
+  test("f03 oracle surface: join subplan is exchange-free, agg is the only shuffle") {
+    val df = Bucketing.bucketedRevenueByPriority(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one Exchange line (the o_orderpriority aggregate) plus the
+    // range exchange of the deterministic final sort; the join itself
+    // reads co-located sorted buckets
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges === 1, s"bucketed join should not shuffle:\n$plan")
+    assert(df.collect().map(_.getLong(1)).sum ===
+      spark.read.parquet(s"$dir/lineitem.parquet").count())
+  }
 }

@@ -87,6 +87,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("session-grain stats roll up to the per-user session counts") {
+    import org.apache.spark.sql.functions._
+    val stats = EventStream.sessionStats(spark, dir)
+    val rolled = stats.groupBy("user_id")
+      .agg(max("session_idx").as("sessions"), sum("events").as("events"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("sessions"), r.getAs[Long]("events"))).toMap
+    val counts = EventStream.sessionCounts(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("sessions"), r.getAs[Long]("events"))).toMap
+    assert(rolled === counts)
+    // adjacent sessions of one user are separated by MORE than the gap,
+    // and events inside a session by at most the gap (the splitting rule)
+    val gapUs = 30L * 60 * 1000 * 1000
+    stats.collect().groupBy(_.getAs[Long]("user_id")).values.foreach { ss =>
+      ss.sortBy(_.getAs[Long]("session_idx")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_us") - a.getAs[Long]("end_us") > gapUs)
+        case _ =>
+      }
+    }
+  }
+
   test("sessionization: gap splits sessions, totals preserved") {
     val s = spark; import s.implicits._
     def ev(uid: Long, minute: Long, v: Double) = EventStream.Event(
