@@ -46,6 +46,7 @@ object SparkEntry {
     "q28_cube"               -> (Relational.q28Cube _),
     "q29_range_frame"        -> (Relational.q29RangeFrame _),
     "q30_topk_per_group"     -> (Relational.q30TopkPerGroup _),
+    "q31_extreme_values"     -> (Relational.q31ExtremeValues _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "t15_quantile_filter"    -> (TextAnalysis.quantileFiltered _),
     "t16_ngram_repetition"   -> (TextAnalysis.ngramRepetition _),
     "t17_temperature_mix"    -> (TextAnalysis.temperatureMix _),
+    "t18_oov_rate"           -> (TextAnalysis.oovRate _),
     "w06_session_stats"      -> (graft.streaming.EventStream.sessionStats _),
     "f03_bucketed_join"      -> (graft.sources.Bucketing.bucketedRevenueByPriority _),
     "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),

@@ -292,6 +292,23 @@ object OpsOracles {
         |FROM s
         |ORDER BY doc_id""".stripMargin,
 
+    // t18: per-doc out-of-vocabulary rate against the exact top-50
+    // corpus vocabulary (t05's tie-break: occurrences DESC, token ASC).
+    "t18_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM tok GROUP BY tok
+        |  ORDER BY count(*) DESC, tok ASC LIMIT 50)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE tok IN (SELECT tok FROM vocab)) AS BIGINT)
+        |    AS in_vocab_tokens,
+        |  round(1.0 - count(*) FILTER (WHERE tok IN (SELECT tok FROM vocab))
+        |        / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+        |FROM tok
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "t05_vocabulary" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -403,6 +403,41 @@ object TextAnalysis {
   def temperatureMix(spark: SparkSession, dir: String): DataFrame =
     temperatureMixOf(Tables.documents(spark, dir))
 
+  /** OUT-OF-VOCABULARY rate per document: the fraction of token
+    * occurrences not covered by the corpus top-50 vocabulary ([[
+    * vocabulary]]'s exact tie-broken top-k) — the coverage metric that
+    * sizes a tokenizer's vocab and flags domain-mismatched documents
+    * before training.
+    *
+    * Scale shape: the vocabulary is corpus-wide but top-k-sized, so it
+    * BROADCASTS back to the token stream (no shuffle on the stream side
+    * beyond the per-doc aggregate, which map-side combines); the
+    * vocabulary aggregate itself carries vocab-sized data after partial
+    * aggregation, exactly like t05. */
+  def oovRateOf(docs: DataFrame): DataFrame = {
+    val vocab = withToks(docs)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("occ"))
+      .orderBy(col("occ").desc, col("tok").asc)
+      .limit(50)
+      .select(col("tok"))
+      .withColumn("in_vocab", lit(1))
+    withToks(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0))).as("in_vocab_tokens"))
+      .withColumn("oov_rate",
+        round(lit(1.0) - col("in_vocab_tokens").cast("double") / col("n_tokens"), 4))
+      .select("doc_id", "n_tokens", "in_vocab_tokens", "oov_rate")
+      .orderBy("doc_id")
+  }
+
+  def oovRate(spark: SparkSession, dir: String): DataFrame =
+    oovRateOf(Tables.documents(spark, dir))
+
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     withToks(Tables.documents(spark, dir))

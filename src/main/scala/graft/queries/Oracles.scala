@@ -238,6 +238,23 @@ object RelationalOracles {
     // q30: the oracle is the declarative window form of grouped top-k;
     // the Spark side runs the custom TopKPerGroup operator — equal
     // row sets because the order is total (unique o_orderkey tie-break).
+    // q31: per-type extreme values — target = ceil(n/1000) in integer
+    // arithmetic; the operator only compares raw doubles, never computes
+    // with them, so parity is by construction.
+    "q31_extreme_values" ->
+      """WITH t AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    CAST((count(*) + 999) // 1000 AS INT) AS target
+        |  FROM events GROUP BY event_type),
+        |r AS (
+        |  SELECT event_type, event_id, value, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |SELECT r.event_type, r.event_id, r.value
+        |FROM r JOIN t USING (event_type)
+        |WHERE rk <= target
+        |ORDER BY event_type ASC, value DESC, event_id ASC""".stripMargin,
+
     "q30_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -478,6 +478,39 @@ object Relational {
       k = 5)
       .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc, col("o_orderkey").asc)
 
+  /** EXTREME-VALUE inspection: per event_type, the top ~0.1% of events by
+    * value (target = ceil(n/1000), integer arithmetic so both engines
+    * agree exactly) — the heavy-tail audit a data-quality pipeline runs
+    * before aggregates get polluted by sensor glitches or unit mixups.
+    *
+    * Portability by construction: the operator only COMPARES raw doubles
+    * (never computes with them — no mean/σ whose last-ulp arithmetic
+    * could differ across engines), with event_id as the total tie-break.
+    *
+    * Scale shape: the same salted two-phase exact top-k as
+    * [[graft.ops.TextAnalysis.stratifiedSampleOf]] — phase 1 ranks inside
+    * (event_type, event_id%16) slices so no task sorts a whole event
+    * type; phase 2 ranks the ≤16×target survivors. The per-type targets
+    * table is #types-sized and broadcast. */
+  def q31ExtremeValues(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val targets = e.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .withColumn("target", expr("cast((n_events + 999) div 1000 as int)"))
+    val salted = Window.partitionBy("event_type", "salt")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val fin = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    e.join(broadcast(targets), Seq("event_type"))
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .withColumn("prk", row_number().over(salted))
+      .filter(col("prk") <= col("target"))
+      .withColumn("rk", row_number().over(fin))
+      .filter(col("rk") <= col("target"))
+      .select("event_type", "event_id", "value")
+      .orderBy(col("event_type").asc, col("value").desc, col("event_id").asc)
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

@@ -18,6 +18,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS) (q31 reads it)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -542,6 +544,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // deterministic: a second run selects the identical doc set
     val again = TextAnalysis.temperatureMix(spark, dir).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("oov rate: vocab docs score 0, rates bounded, token counts conserved") {
+    val rows = TextAnalysis.oovRate(spark, dir).collect()
+    val total = graft.Tables.documents(spark, dir)
+      .select(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === total)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("in_vocab_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // the corpus vocabulary covers most of this synthetic corpus
+    val meanRate = rows.map(_.getAs[Double]("oov_rate")).sum / rows.length
+    assert(meanRate < 0.5, f"mean OOV $meanRate%.3f implausibly high")
+  }
+
+  test("extreme values: exact per-type ceil(n/1000) tail, two-phase equals window") {
+    import graft.queries.Relational
+    val out = Relational.q31ExtremeValues(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val counts = e.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perType = out.groupBy(_._1).view.mapValues(_.length).toMap
+    counts.foreach { case (t, n) =>
+      assert(perType.getOrElse(t, 0) === ((n + 999) / 1000).toInt, s"type $t")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
+    val direct = e.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .collect().filter(r => r.getAs[Int]("rk") <= ((counts(r.getAs[String]("event_type")) + 999) / 1000).toInt)
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    assert(out.toSet === direct.toSet)
   }
 
   test("stratified sample: two-phase salted top-k equals the direct window") {
