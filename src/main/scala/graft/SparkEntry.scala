@@ -76,6 +76,9 @@ object SparkEntry {
     "s07_ivf_multiprobe"     -> ((s: SparkSession, d: String) => Similarity.annIvfMultiprobe(s, d)),
     "s08_kmeans_train"       -> ((s: SparkSession, d: String) => Similarity.kmeansCentroids(s, d)),
     "s09_ann_kmeans"         -> (Similarity.annKmeans _),
+    "s10_pq_train"           -> (Similarity.pqTrain _),
+    "s11_pq_codes"           -> (Similarity.pqCodes _),
+    "s12_pq_ann"             -> ((s: SparkSession, d: String) => Similarity.pqAnn(s, d)),
     "d13_neardup_cells"      -> (Similarity.embeddingNearDupCells _),
     "d18_srp_neardup"        -> (Similarity.srpNearDup _),
     "d14_clean_corpus"       -> (Dedup.cleanCorpus _),

@@ -107,6 +107,37 @@ object OpsOracles {
        |ORDER BY cid, dim""".stripMargin
   }
 
+  /** Product-quantization training replay shared by s10/s11/s12: 8-dim
+    * subvectors per subspace (subspace as data), per-subspace k=16
+    * k-means with the same seeds / 2 iterations / 6dp-rounded means as
+    * Similarity.pqCodebooks. */
+  private val pqBaseCte = {
+    def assign(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, s, cid, sv FROM (
+         |    SELECT b.vec_id, b.s, c.cid, b.sv,
+         |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
+         |        list_sum(list_transform(range(8),
+         |          i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))) ASC,
+         |        c.cid ASC) AS rk
+         |    FROM sub b JOIN $cents c ON b.s = c.s)
+         |  WHERE rk = 1)""".stripMargin
+    def means(assigned: String, m: String, c: String) =
+      s"""$m AS (
+         |  SELECT s, cid, i AS dim, round(avg(sv[i+1]), 6) AS c
+         |  FROM $assigned, range(8) AS t(i)
+         |  GROUP BY s, cid, i),
+         |$c AS (SELECT s, cid, list(c ORDER BY dim) AS cv FROM $m GROUP BY s, cid)""".stripMargin
+    s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sub AS (SELECT vec_id, CAST(s AS INT) AS s, v[s*8+1 : s*8+8] AS sv
+       |        FROM n, range(8) AS t(s)),
+       |c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+       |${assign("c0", "a1")},
+       |${means("a1", "m1", "c1")},
+       |${assign("c1", "a2")},
+       |${means("a2", "m2", "c2")}""".stripMargin
+  }
+
   private val eventWindowsSql =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
       |  event_type,
@@ -330,6 +361,46 @@ object OpsOracles {
         |ORDER BY token""".stripMargin,
 
     "s08_kmeans_train" -> kmeansSql,
+
+    "s10_pq_train" ->
+      s"""WITH $pqBaseCte
+        |SELECT s AS subspace, cid, CAST(dim AS INT) AS dim, c AS centroid
+        |FROM m2
+        |ORDER BY subspace, cid, dim""".stripMargin,
+
+    "s11_pq_codes" ->
+      s"""WITH $pqBaseCte,
+        |${"a3 AS (SELECT vec_id, s, cid, sv FROM (SELECT b.vec_id, b.s, c.cid, b.sv, row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY list_sum(list_transform(range(8), i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))) ASC, c.cid ASC) AS rk FROM sub b JOIN c2 c ON b.s = c.s) WHERE rk = 1)"}
+        |SELECT vec_id, s AS subspace, cid AS code
+        |FROM a3
+        |ORDER BY vec_id, subspace""".stripMargin,
+
+    // s12: ADC — per-query LUT of exact-subvector→codeword distances
+    // (DECIMAL(18,6) after a 6dp round, so the 8-term sum is exact and
+    // order-independent), candidates contribute only their codes.
+    "s12_pq_ann" ->
+      s"""WITH $pqBaseCte,
+        |${"a3 AS (SELECT vec_id, s, cid, sv FROM (SELECT b.vec_id, b.s, c.cid, b.sv, row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY list_sum(list_transform(range(8), i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))) ASC, c.cid ASC) AS rk FROM sub b JOIN c2 c ON b.s = c.s) WHERE rk = 1)"},
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, c.s, c.cid AS code,
+        |    CAST(round(list_sum(list_transform(range(8),
+        |      i -> (q.sv[i+1] - c.cv[i+1]) * (q.sv[i+1] - c.cv[i+1]))), 6)
+        |      AS DECIMAL(18,6)) AS d
+        |  FROM sub q JOIN c2 c ON q.s = c.s
+        |  WHERE q.vec_id < 10),
+        |codes AS (SELECT vec_id AS cand_id, s, cid AS code FROM a3 WHERE vec_id >= 10),
+        |scored AS (
+        |  SELECT query_id, cand_id, sum(d) AS adist
+        |  FROM codes JOIN lut USING (s, code)
+        |  GROUP BY query_id, cand_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
+        |FROM ranked
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
 
     // s09: the fully label-free chain — kmeansSql's trained c2 centroids,
     // assignment, then the same cell search as s06.

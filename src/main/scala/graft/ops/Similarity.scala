@@ -436,6 +436,110 @@ object Similarity {
   def srpNearDup(spark: SparkSession, dir: String): DataFrame =
     srpNearDupOf(Tables.embeddings(spark, dir))
 
+  // ---------------------------------------------------------------------
+  // PRODUCT QUANTIZATION (Jégou, Douze & Schmid 2011, "Product
+  // quantization for nearest neighbor search", TPAMI 33(1)) — the
+  // compression path that makes billion-vector ANN affordable: each
+  // 64-dim vector is stored as m=8 one-byte codes (32× smaller than
+  // float32), and search scans CODES against a per-query lookup table
+  // instead of raw vectors.
+  // ---------------------------------------------------------------------
+
+  private val PqM = 8    // subspaces
+  private val PqSub = 8  // dims per subspace
+  private val PqK = 16   // codewords per subspace
+
+  /** (vec_id, s, sv): the 8-dim subvector of each vector in each of the 8
+    * subspaces — a narrow ×8 explode, no shuffle. */
+  private def subvectors(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).select(col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+          s"s -> struct(s as s, slice(v, s * $PqSub + 1, $PqSub) as sv))")).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+
+  /** Nearest-codeword assignment of every (vec_id, s) subvector against a
+    * (s, cid, cv) codebook table: L2 fold, cid tie-break. The codebook is
+    * m×k rows — broadcast at any corpus size. */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "s").orderBy(col("dist").asc, col("cid").asc)
+    sub.join(broadcast(cents), Seq("s"))
+      .withColumn("dist",
+        expr("aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "s", "cid", "sv")
+  }
+
+  /** Per-subspace k-means codebooks (k=16, 2 Lloyd iterations, seeds =
+    * the first k vectors' subvectors, centroids rounded to 6dp each
+    * iteration — [[kmeansCentroids]]'s determinism discipline, so the
+    * DuckDB oracle replays training exactly). The subspace is DATA, not
+    * code: one grouped aggregation trains all 8 codebooks at once. */
+  private def pqCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    val sub = subvectors(spark, dir)
+    var cents = sub.filter(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+    for (_ <- 1 to 2) {
+      cents = pqAssign(sub, cents)
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("dim", "val")))
+        .groupBy("s", "cid", "dim")
+        .agg(round(avg("val"), 6).as("c"))
+        .groupBy("s", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)").as("cv"))
+    }
+    cents
+  }
+
+  /** Driver surface: the trained codebooks, one row per (subspace,
+    * codeword, dim). */
+  def pqTrain(spark: SparkSession, dir: String): DataFrame =
+    pqCodebooks(spark, dir)
+      .select(col("s").cast("int").as("subspace"), col("cid"),
+        posexplode(col("cv")).as(Seq("dim", "centroid")))
+      .withColumn("dim", col("dim").cast("int"))
+      .orderBy("subspace", "cid", "dim")
+
+  /** Driver surface: every vector's 8 codes — the compressed corpus
+    * representation (8 small ints instead of 64 floats). */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqAssign(subvectors(spark, dir), pqCodebooks(spark, dir))
+      .select(col("vec_id"), col("s").cast("int").as("subspace"), col("cid").as("code"))
+      .orderBy("vec_id", "subspace")
+
+  /** PQ ANN via ASYMMETRIC DISTANCE (ADC): per query, a lookup table of
+    * exact-subvector→codeword distances (m×k = 128 entries/query, tiny →
+    * broadcast); candidates contribute ONLY their codes, and the distance
+    * is the sum of 8 LUT hits. At 100 TB this is the whole point of PQ —
+    * the scan side touches 8 bytes per vector, never the floats, and the
+    * only shuffle is the (query, cand) aggregate of 8-row groups.
+    *
+    * Determinism: each subspace distance is rounded to 6dp and cast
+    * DECIMAL(18,6); the 8-term sum is exact decimal addition
+    * (order-independent), so ranking ties can't flip across engines.
+    * Queries = vec_id < 10, candidates the rest ([[knnBrute]]'s split);
+    * top-3 per query, approximation quality pinned vs brute in the spec. */
+  def pqAnn(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cents = pqCodebooks(spark, dir).persist()
+    val sub = subvectors(spark, dir)
+    val codes = pqAssign(sub.filter(col("vec_id") >= 10), cents)
+      .select(col("vec_id").as("cand_id"), col("s"), col("cid").as("code"))
+    val lut = sub.filter(col("vec_id") < 10)
+      .join(broadcast(cents), Seq("s"))
+      .withColumn("d",
+        round(expr("aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"), 6)
+          .cast("decimal(18,6)"))
+      .select(col("vec_id").as("query_id"), col("s"), col("cid").as("code"), col("d"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id").asc)
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("d").as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        col("adist").cast("double").as("adist"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Embedding near-dup APPLICATION — completes the detect→apply chain for
     * the embedding modality (mirroring d07 for MinHash and the bucket-min
     * pairing for SimHash): every pair found by [[embeddingNearDup]] keeps

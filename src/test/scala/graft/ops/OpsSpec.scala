@@ -546,6 +546,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("PQ: complete codes, monotone ADC ranking, overlaps exact L2 neighbors") {
+    val nvec = graft.Tables.embeddings(spark, dir).count()
+    val codes = Similarity.pqCodes(spark, dir).collect()
+    assert(codes.length === nvec * 8, "every vector needs one code per subspace")
+    assert(codes.forall { r =>
+      val c = r.getAs[Int]("code"); c >= 0 && c < 16
+    })
+    codes.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("subspace")).sorted.toSeq === (0 until 8))
+    }
+    val ann = Similarity.pqAnn(spark, dir).collect()
+    val perQuery = ann.groupBy(_.getLong(0))
+    assert(perQuery.size === 10)
+    perQuery.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq === Seq(1, 2, 3))
+      val d = sorted.map(_.getAs[Double]("adist"))
+      assert(d.forall(_ >= 0.0) && d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+    // ADC is an approximation; it must still find SOME exact-L2 neighbors
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d").asc, col("cand_id").asc)
+    val n = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val exact = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(n.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv")))
+      .withColumn("d",
+        expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact & got).nonEmpty, "ADC found none of the exact top-3 neighbors")
+  }
+
   test("oov rate: vocab docs score 0, rates bounded, token counts conserved") {
     val rows = TextAnalysis.oovRate(spark, dir).collect()
     val total = graft.Tables.documents(spark, dir)
