@@ -99,6 +99,7 @@ object SparkEntry {
     "w03_event_dedup"        -> (graft.streaming.EventStream.eventDedupCounts _),
     "w04_stream_join"        -> (graft.streaming.EventStream.purchaseClickPairs _),
     "w05_stream_sink"        -> (graft.streaming.EventStream.streamToWarehouse _),
+    "w07_stream_upsert"      -> (graft.streaming.EventStream.streamUpsertLatest _),
     "t10_rolling_fingerprint"-> (TextAnalysis.rollingFingerprint _),
     "t11_decontaminate"      -> (TextAnalysis.decontaminate _),
     "t12_decontaminate_apply"-> (TextAnalysis.decontaminateApply _),

@@ -615,6 +615,22 @@ object OpsOracles {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    // w07: streaming upsert — latest event per (user, type) with update
+    // count; the oracle recomputes the settled state from all events.
+    "w07_stream_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n_updates
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us AS last_ts_us,
+        |  event_id AS last_event_id, value AS last_value,
+        |  CAST(n_updates AS BIGINT) AS n_updates
+        |FROM r
+        |WHERE rk = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
     // w06: batch session assembly at session grain — lag + running-sum
     // session ids, then per-session bounds/count/exact-decimal value sum
     // (mirrors EventStream.sessionStats; w02 is its per-user rollup).

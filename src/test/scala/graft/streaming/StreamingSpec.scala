@@ -87,6 +87,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("upsert merge: any batch split converges to the single-shot state") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("last_ts_us"), col("event_id").as("last_event_id"),
+        col("value").as("last_value"), lit(1L).as("n_updates"))
+    val single = EventStream.upsertMerge(None, e)
+      .orderBy("user_id", "event_type").collect()
+    // split on event_id parity, merge in two steps — must converge
+    val b1 = e.filter(col("last_event_id") % 2 === 0)
+    val b2 = e.filter(col("last_event_id") % 2 === 1)
+    val s1 = EventStream.upsertMerge(None, b1)
+    val split = EventStream.upsertMerge(Some(s1), b2)
+      .orderBy("user_id", "event_type").collect()
+    assert(split.toSeq === single.toSeq)
+    // winner really is the latest event per key
+    val direct = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id", "event_type")
+      .agg(expr("max_by(event_id, struct(ts div 1000, event_id))").as("eid"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    single.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
+      assert((r.getAs[Long]("last_event_id"), r.getAs[Long]("n_updates")) === direct(k))
+    }
+  }
+
+  test("streaming upsert equals the settled batch state") {
+    val streamed = EventStream.streamUpsertLatest(spark, dir).collect()
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions._
+    val anchor = e.groupBy("user_id", "event_type")
+      .agg(max(expr("ts div 1000")).as("last_ts_us"),
+        expr("max_by(event_id, struct(ts div 1000, event_id))").as("last_event_id"),
+        expr("max_by(value, struct(ts div 1000, event_id))").as("last_value"),
+        count(lit(1)).as("n_updates"))
+      .orderBy("user_id", "event_type").collect()
+    assert(streamed.map(_.toString).toSeq === anchor.map(_.toString).toSeq)
+  }
+
   test("session-grain stats roll up to the per-user session counts") {
     import org.apache.spark.sql.functions._
     val stats = EventStream.sessionStats(spark, dir)
