@@ -109,6 +109,7 @@ object SparkEntry {
     "t16_ngram_repetition"   -> (TextAnalysis.ngramRepetition _),
     "t17_temperature_mix"    -> (TextAnalysis.temperatureMix _),
     "t18_oov_rate"           -> (TextAnalysis.oovRate _),
+    "t19_unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
     "w06_session_stats"      -> (graft.streaming.EventStream.sessionStats _),
     "f03_bucketed_join"      -> (graft.sources.Bucketing.bucketedRevenueByPriority _),
     "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),

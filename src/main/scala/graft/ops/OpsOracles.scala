@@ -340,6 +340,23 @@ object OpsOracles {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // t19: unigram log-prob (perplexity proxy) — per-token ln(p) rounded
+    // 6dp then DECIMAL(18,6), exact per-doc sum, mean at the projection.
+    "t19_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS occ FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(sum(occ) AS BIGINT) AS total FROM freq),
+        |lp AS (
+        |  SELECT tok, CAST(round(ln(occ / CAST(total AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS lp
+        |  FROM freq CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+        |FROM tok JOIN lp USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "t05_vocabulary" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)

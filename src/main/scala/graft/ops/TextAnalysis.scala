@@ -438,6 +438,43 @@ object TextAnalysis {
   def oovRate(spark: SparkSession, dir: String): DataFrame =
     oovRateOf(Tables.documents(spark, dir))
 
+  /** Unigram LOG-PROBABILITY score — the perplexity-proxy quality filter
+    * (real pipelines score against a KenLM n-gram model; the unigram
+    * corpus model is its self-contained degenerate case): per document,
+    * the mean token log-probability under the corpus unigram
+    * distribution. Gibberish and vocabulary-mismatched docs score low;
+    * repetitive common-token docs score high — complementary to
+    * [[ngramRepetitionOf]].
+    *
+    * Determinism: each token's ln(p) is rounded to 6dp then cast
+    * DECIMAL(18,6) (t06's proven-portable ln discipline), so the per-doc
+    * sum is exact and order-independent; the mean divides the exact sum
+    * by an integer count at the final projection.
+    *
+    * Scale shape: the unigram table is vocab-sized after map-side
+    * partial aggregation and BROADCASTS back to the token stream; the
+    * per-doc aggregate map-side combines. Nothing shuffles at token
+    * grain. */
+  def unigramLogprobOf(docs: DataFrame): DataFrame = {
+    val tok = withToks(docs).select(col("doc_id"), explode(col("toks")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("occ"))
+    val total = freq.agg(sum("occ").as("total"))
+    val lp = freq.crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(log(col("occ").cast("double") / col("total")), 6).cast("decimal(18,6)"))
+      .select("tok", "lp")
+    tok.join(broadcast(lp), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp").as("sum_lp"))
+      .withColumn("avg_logprob",
+        round(col("sum_lp").cast("double") / col("n_tokens"), 4))
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .orderBy("doc_id")
+  }
+
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramLogprobOf(Tables.documents(spark, dir))
+
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     withToks(Tables.documents(spark, dir))

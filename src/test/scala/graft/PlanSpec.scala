@@ -156,4 +156,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashExchanges("w06_session_stats") === 1,
       plan("w06_session_stats").take(2000))
   }
+
+  /** (path, read columns, pushed-filter string) for every file scan in
+    * the executed tree. */
+  private def scanDetails(name: String): Seq[(String, Seq[String], String)] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[(String, Seq[String], String)] = {
+      val self = p match {
+        case f: FileSourceScanExec =>
+          Seq((f.relation.location.rootPaths.mkString(","),
+            f.requiredSchema.fieldNames.toSeq,
+            f.metadata.getOrElse("PushedFilters", "")))
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _ => p.children
+      }
+      self ++ kids.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    walk(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+  }
+
+  test("t01_token_stats: documents scan prunes to exactly (doc_id, text)") {
+    val scans = scanDetails("t01_token_stats").filter(_._1.contains("documents"))
+    assert(scans.nonEmpty)
+    scans.foreach { case (_, cols, _) =>
+      assert(cols.toSet === Set("doc_id", "text"),
+        s"scan reads ${cols.mkString(",")} — column pruning regressed")
+    }
+  }
+
+  test("w04_stream_join: event_type predicates pushed into the parquet scans") {
+    // the batch attribution join reads events twice (purchases, clicks);
+    // both branch filters must reach the scan, not sit in a post-scan Filter
+    val scans = scanDetails("w04_stream_join").filter(_._1.contains("events"))
+    assert(scans.nonEmpty)
+    scans.foreach { case (_, _, pushed) =>
+      assert(pushed.contains("event_type"),
+        s"PushedFilters lost the event_type predicate: $pushed")
+    }
+  }
 }

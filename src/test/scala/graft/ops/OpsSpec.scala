@@ -510,6 +510,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meanErr < 0.25, f"mean |J - est| $meanErr%.3f too high for 8 perms")
   }
 
+  test("unigram logprob: exact hand computation, common-token docs score higher") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a a a"), (2L, "a b c")).toDF("doc_id", "text")
+    // freqs: a=4, b=1, c=1, total=6; lp(a)=round(ln(4/6),6)=-0.405465,
+    // lp(b)=lp(c)=round(ln(1/6),6)=-1.791759
+    val m = TextAnalysis.unigramLogprobOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    assert(m(1L) === BigDecimal(-0.405465).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(m(2L) - math.rint(((-0.405465 - 1.791759 - 1.791759) / 3) * 1e4) / 1e4) < 1e-9)
+    assert(m(1L) > m(2L), "the common-token doc must score higher")
+    val corpus = TextAnalysis.unigramLogprob(spark, dir).collect()
+    assert(corpus.length === graft.Tables.documents(spark, dir).count())
+    assert(corpus.forall(_.getAs[Double]("avg_logprob") < 0.0))
+  }
+
   test("ngram repetition: looping text scores high, varied text scores zero") {
     val s = spark; import s.implicits._
     val docs = Seq(
