@@ -47,6 +47,8 @@ object SparkEntry {
     "q29_range_frame"        -> (Relational.q29RangeFrame _),
     "q30_topk_per_group"     -> (Relational.q30TopkPerGroup _),
     "q31_extreme_values"     -> (Relational.q31ExtremeValues _),
+    "q32_grouping_sets"      -> (Relational.q32GroupingSets _),
+    "q33_date_spine"         -> (Relational.q33DateSpine _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

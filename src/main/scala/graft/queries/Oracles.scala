@@ -235,6 +235,34 @@ object RelationalOracles {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    "q32_grouping_sets" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT o_orderpriority, yr, count(*) AS orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM o
+        |GROUP BY GROUPING SETS ((o_orderpriority, yr), (o_orderpriority), (yr))
+        |ORDER BY o_orderpriority ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "q33_date_spine" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders),
+        |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM o),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM b),
+        |daily AS (
+        |  SELECT d, count(*) AS orders,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |  FROM o GROUP BY d)
+        |SELECT spine.d, coalesce(daily.orders, 0) AS orders,
+        |  coalesce(daily.revenue, 0.0) AS revenue
+        |FROM spine LEFT JOIN daily USING (d)
+        |ORDER BY d""".stripMargin,
+
     // q30: the oracle is the declarative window form of grouped top-k;
     // the Spark side runs the custom TopKPerGroup operator — equal
     // row sets because the order is total (unique o_orderkey tie-break).

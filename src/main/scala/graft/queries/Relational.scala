@@ -478,6 +478,50 @@ object Relational {
       k = 5)
       .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc, col("o_orderkey").asc)
 
+  /** Explicit GROUPING SETS — the general form behind ROLLUP (q24) and
+    * CUBE (q28): exactly the {(priority, year), (priority), (year)}
+    * levels, no grand total, in ONE shuffle (vs 3 aggregations + union).
+    * Spark expands the sets at the logical layer (Expand node), so the
+    * single exchange carries each row once per set — the engine-native
+    * multi-level aggregate. */
+  def q32GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("yr", year(col("o_orderdate").cast("date")))
+    o.groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("yr")),
+          Seq(col("o_orderpriority")), Seq(col("yr"))),
+        col("o_orderpriority"), col("yr"))
+      .agg(
+        count(lit(1)).as("orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("yr").asc_nulls_first)
+  }
+
+  /** Calendar-spine GAP FILL: a continuous daily series over the orders
+    * date range with zero-filled empty days — the time-series
+    * completeness transform every reporting layer needs (a missing day
+    * must read as 0, not vanish). The spine generates from a 1-row
+    * min/max aggregate (`sequence` + explode — no driver round trip,
+    * no collect); the date-grain daily aggregate broadcasts into the
+    * left join, so the plan is two tiny inputs regardless of fact
+    * size. */
+  def q33DateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("d", col("o_orderdate").cast("date"))
+    val spine = o.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val daily = o.groupBy("d").agg(
+      count(lit(1)).as("orders"),
+      round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double").as("revenue"))
+    spine.join(broadcast(daily), Seq("d"), "left")
+      .select(col("d"),
+        coalesce(col("orders"), lit(0L)).as("orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("d")
+  }
+
   /** EXTREME-VALUE inspection: per event_type, the top ~0.1% of events by
     * value (target = ceil(n/1000), integer arithmetic so both engines
     * agree exactly) — the heavy-tail audit a data-quality pipeline runs
