@@ -118,6 +118,7 @@ object SparkEntry {
     // DSv2 generator connector (sfDir ignored — the source generates)
     "f02_synthetic_source"   ->
       ((s: SparkSession, _: String) => graft.sources.gen.SyntheticCorpus.scanQuery(s)),
+    "f04_schema_evolution"   -> (graft.sources.SchemaEvolution.roundTrip _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     // S2 sink round trip — ref_-prefixed (reads the fixed-size reference

@@ -632,6 +632,16 @@ object OpsOracles {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    // f04: schema evolution — the merged read equals old-generation rows
+    // null-filled in the new column plus new-generation rows intact.
+    "f04_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
     // w07: streaming upsert — latest event per (user, type) with update
     // count; the oracle recomputes the settled state from all events.
     "w07_stream_upsert" ->

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Additive schema evolution: the merged read keeps every row, with the
+  * new column null exactly on old-generation rows. */
+class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("merged read: complete row set, new column null exactly on old-gen rows") {
+    val out = SchemaEvolution.roundTrip(spark, dir).collect()
+    assert(out.length === spark.read.parquet(s"$dir/orders.parquet").count())
+    out.foreach { r =>
+      val oldGen = r.getLong(0) % 2 == 0
+      assert(r.isNullAt(2) === oldGen,
+        s"o_orderkey=${r.getLong(0)}: null-fill must track the writer generation")
+    }
+  }
+}
