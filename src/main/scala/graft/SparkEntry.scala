@@ -81,6 +81,7 @@ object SparkEntry {
     "s10_pq_train"           -> (Similarity.pqTrain _),
     "s11_pq_codes"           -> (Similarity.pqCodes _),
     "s12_pq_ann"             -> ((s: SparkSession, d: String) => Similarity.pqAnn(s, d)),
+    "s13_ivfpq_ann"          -> ((s: SparkSession, d: String) => Similarity.ivfPqAnn(s, d)),
     "d13_neardup_cells"      -> (Similarity.embeddingNearDupCells _),
     "d18_srp_neardup"        -> (Similarity.srpNearDup _),
     "d14_clean_corpus"       -> (Dedup.cleanCorpus _),

@@ -107,36 +107,45 @@ object OpsOracles {
        |ORDER BY cid, dim""".stripMargin
   }
 
-  /** Product-quantization training replay shared by s10/s11/s12: 8-dim
-    * subvectors per subspace (subspace as data), per-subspace k=16
-    * k-means with the same seeds / 2 iterations / 6dp-rounded means as
-    * Similarity.pqCodebooks. */
-  private val pqBaseCte = {
-    def assign(cents: String, out: String) =
-      s"""$out AS (
-         |  SELECT vec_id, s, cid, sv FROM (
-         |    SELECT b.vec_id, b.s, c.cid, b.sv,
-         |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
-         |        list_sum(list_transform(range(8),
-         |          i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))) ASC,
-         |        c.cid ASC) AS rk
-         |    FROM sub b JOIN $cents c ON b.s = c.s)
-         |  WHERE rk = 1)""".stripMargin
-    def means(assigned: String, m: String, c: String) =
-      s"""$m AS (
-         |  SELECT s, cid, i AS dim, round(avg(sv[i+1]), 6) AS c
-         |  FROM $assigned, range(8) AS t(i)
-         |  GROUP BY s, cid, i),
-         |$c AS (SELECT s, cid, list(c ORDER BY dim) AS cv FROM $m GROUP BY s, cid)""".stripMargin
+  /** Nearest-codeword assignment of `sub`'s (vec_id, s, sv) rows against
+    * codebook table `cents` — reused by the PQ training iterations, the
+    * final encode (s11/s12), and the residual encode (s13). */
+  private def pqAssignCte(cents: String, out: String) =
+    s"""$out AS (
+       |  SELECT vec_id, s, cid, sv FROM (
+       |    SELECT b.vec_id, b.s, c.cid, b.sv,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
+       |        list_sum(list_transform(range(8),
+       |          i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))) ASC,
+       |        c.cid ASC) AS rk
+       |    FROM sub b JOIN $cents c ON b.s = c.s)
+       |  WHERE rk = 1)""".stripMargin
+
+  private def pqMeansCte(assigned: String, m: String, c: String) =
+    s"""$m AS (
+       |  SELECT s, cid, i AS dim, round(avg(sv[i+1]), 6) AS c
+       |  FROM $assigned, range(8) AS t(i)
+       |  GROUP BY s, cid, i),
+       |$c AS (SELECT s, cid, list(c ORDER BY dim) AS cv FROM $m GROUP BY s, cid)""".stripMargin
+
+  /** Product-quantization training replay (seeds = first 16 ids' subvectors,
+    * 2 Lloyd iterations, 6dp-rounded means — Similarity.pqCodebooksOf
+    * exactly). Expects a `sub`(vec_id, s, sv) CTE already in scope, so the
+    * same training runs on raw subvectors (s10-s12) or coarse-residual
+    * subvectors (s13). */
+  private val pqTrainCtes =
+    s"""c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+       |${pqAssignCte("c0", "a1")},
+       |${pqMeansCte("a1", "m1", "c1")},
+       |${pqAssignCte("c1", "a2")},
+       |${pqMeansCte("a2", "m2", "c2")}""".stripMargin
+
+  /** s10-s12's base: raw-embedding subvectors + the shared training. */
+  private val pqBaseCte =
     s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |sub AS (SELECT vec_id, CAST(s AS INT) AS s, v[s*8+1 : s*8+8] AS sv
        |        FROM n, range(8) AS t(s)),
-       |c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM sub WHERE vec_id < 16),
-       |${assign("c0", "a1")},
-       |${means("a1", "m1", "c1")},
-       |${assign("c1", "a2")},
-       |${means("a2", "m2", "c2")}""".stripMargin
-  }
+       |$pqTrainCtes""".stripMargin
 
   private val eventWindowsSql =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
@@ -387,7 +396,7 @@ object OpsOracles {
 
     "s11_pq_codes" ->
       s"""WITH $pqBaseCte,
-        |${"a3 AS (SELECT vec_id, s, cid, sv FROM (SELECT b.vec_id, b.s, c.cid, b.sv, row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY list_sum(list_transform(range(8), i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))) ASC, c.cid ASC) AS rk FROM sub b JOIN c2 c ON b.s = c.s) WHERE rk = 1)"}
+        |${pqAssignCte("c2", "a3")}
         |SELECT vec_id, s AS subspace, cid AS code
         |FROM a3
         |ORDER BY vec_id, subspace""".stripMargin,
@@ -397,7 +406,7 @@ object OpsOracles {
     // order-independent), candidates contribute only their codes.
     "s12_pq_ann" ->
       s"""WITH $pqBaseCte,
-        |${"a3 AS (SELECT vec_id, s, cid, sv FROM (SELECT b.vec_id, b.s, c.cid, b.sv, row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY list_sum(list_transform(range(8), i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))) ASC, c.cid ASC) AS rk FROM sub b JOIN c2 c ON b.s = c.s) WHERE rk = 1)"},
+        |${pqAssignCte("c2", "a3")},
         |lut AS (
         |  SELECT q.vec_id AS query_id, c.s, c.cid AS code,
         |    CAST(round(list_sum(list_transform(range(8),
@@ -416,6 +425,52 @@ object OpsOracles {
         |  FROM scored)
         |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
         |FROM ranked
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // s13: IVF-PQ — coarse cells from the trained quantizer, PQ trained
+    // on COARSE RESIDUALS (v − cell centroid), candidates scored by ADC
+    // against per-(query, probed-cell) residual lookup tables. nprobe=2.
+    "s13_ivfpq_ann" ->
+      s"""WITH $ivfRankedCte,
+        |assigned AS (SELECT vec_id, cell, v FROM cellranked WHERE rk = 1),
+        |resid AS (
+        |  SELECT a.vec_id, a.cell,
+        |    list_transform(range(64), i -> a.v[i+1] - c.cv[i+1]) AS v
+        |  FROM assigned a JOIN cent c ON a.cell = c.cell),
+        |sub AS (SELECT vec_id, CAST(s AS INT) AS s, v[s*8+1 : s*8+8] AS sv
+        |        FROM resid, range(8) AS t(s)),
+        |$pqTrainCtes,
+        |${pqAssignCte("c2", "a3")},
+        |codes AS (
+        |  SELECT a3.vec_id AS cand_id, ass.cell, a3.s, a3.cid AS code
+        |  FROM a3 JOIN assigned ass ON a3.vec_id = ass.vec_id
+        |  WHERE a3.vec_id >= 10),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell, v FROM cellranked
+        |  WHERE rk <= 2 AND vec_id < 10),
+        |qres AS (
+        |  SELECT p.query_id, p.cell,
+        |    list_transform(range(64), i -> p.v[i+1] - c.cv[i+1]) AS v
+        |  FROM probes p JOIN cent c ON p.cell = c.cell),
+        |qsub AS (SELECT query_id, cell, CAST(s AS INT) AS s, v[s*8+1 : s*8+8] AS sv
+        |         FROM qres, range(8) AS t(s)),
+        |lut AS (
+        |  SELECT q.query_id, q.cell, q.s, b.cid AS code,
+        |    CAST(round(list_sum(list_transform(range(8),
+        |      i -> (q.sv[i+1] - b.cv[i+1]) * (q.sv[i+1] - b.cv[i+1]))), 6)
+        |      AS DECIMAL(18,6)) AS d
+        |  FROM qsub q JOIN c2 b ON q.s = b.s),
+        |scored AS (
+        |  SELECT query_id, cand_id, sum(d) AS adist
+        |  FROM codes JOIN lut USING (cell, s, code)
+        |  GROUP BY query_id, cand_id),
+        |rankedq AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
+        |FROM rankedq
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 

@@ -449,25 +449,36 @@ object Similarity {
   private val PqSub = 8  // dims per subspace
   private val PqK = 16   // codewords per subspace
 
-  /** (vec_id, s, sv): the 8-dim subvector of each vector in each of the 8
-    * subspaces — a narrow ×8 explode, no shuffle. */
-  private def subvectors(spark: SparkSession, dir: String): DataFrame =
-    vectors(spark, dir).select(col("vec_id"),
+  /** (…id cols…, s, sv): the 8-dim subvector of each row's `v` in each
+    * of the 8 subspaces — a narrow ×8 explode, no shuffle. Every column
+    * except `v` is preserved as the row identity (vec_id for the raw
+    * corpus; (query_id, cell) for per-probe residuals in s13). */
+  private def subvectorsOf(df: DataFrame): DataFrame =
+    df.select(col("*"),
         explode(expr(s"transform(sequence(0, ${PqM - 1}), " +
           s"s -> struct(s as s, slice(v, s * $PqSub + 1, $PqSub) as sv))")).as("x"))
-      .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+      .withColumn("s", col("x.s"))
+      .withColumn("sv", col("x.sv"))
+      .drop("v", "x")
 
-  /** Nearest-codeword assignment of every (vec_id, s) subvector against a
+  private def subvectors(spark: SparkSession, dir: String): DataFrame =
+    subvectorsOf(vectors(spark, dir).select(col("vec_id"), col("v")))
+
+  private val pqDistExpr =
+    "aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"
+
+  /** Nearest-codeword assignment of every (id…, s) subvector against a
     * (s, cid, cv) codebook table: L2 fold, cid tie-break. The codebook is
     * m×k rows — broadcast at any corpus size. */
-  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "s").orderBy(col("dist").asc, col("cid").asc)
+  private def pqAssign(sub: DataFrame, cents: DataFrame,
+                       idCols: Seq[String] = Seq("vec_id")): DataFrame = {
+    val w = Window.partitionBy((idCols :+ "s").map(col): _*)
+      .orderBy(col("dist").asc, col("cid").asc)
     sub.join(broadcast(cents), Seq("s"))
-      .withColumn("dist",
-        expr("aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dist", expr(pqDistExpr))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select("vec_id", "s", "cid", "sv")
+      .drop("cv", "dist", "rk")
   }
 
   /** Per-subspace k-means codebooks (k=16, 2 Lloyd iterations, seeds =
@@ -475,8 +486,7 @@ object Similarity {
     * iteration — [[kmeansCentroids]]'s determinism discipline, so the
     * DuckDB oracle replays training exactly). The subspace is DATA, not
     * code: one grouped aggregation trains all 8 codebooks at once. */
-  private def pqCodebooks(spark: SparkSession, dir: String): DataFrame = {
-    val sub = subvectors(spark, dir)
+  private def pqCodebooksOf(sub: DataFrame): DataFrame = {
     var cents = sub.filter(col("vec_id") < PqK)
       .select(col("s"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
     for (_ <- 1 to 2) {
@@ -489,6 +499,9 @@ object Similarity {
     }
     cents
   }
+
+  private def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    pqCodebooksOf(subvectors(spark, dir))
 
   /** Driver surface: the trained codebooks, one row per (subspace,
     * codeword, dim). */
@@ -531,6 +544,53 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("s"), col("cid").as("code"), col("d"))
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id").asc)
     codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("d").as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        col("adist").cast("double").as("adist"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** IVF-PQ — the composed billion-scale index architecture (Jégou et
+    * al. 2011 §V, the design FAISS ships as IVFPQ): the trained coarse
+    * quantizer partitions the corpus into cells, PQ codebooks train on
+    * the COARSE RESIDUALS (v − centroid(cell); residuals concentrate
+    * near 0, so 16 codewords spend their precision where the data is),
+    * and a query probes its `nprobe` nearest cells, scoring each cell's
+    * candidates by ADC against a per-(query, probed cell) residual
+    * lookup table.
+    *
+    * Scale shape — what each piece costs at 10⁹ vectors: the coarse
+    * assignment is the SHARED cached pass (s06/s07/d13 reuse it); the
+    * residual transform is one narrow zip_with; PQ training touches
+    * subvectors once; and the search side joins the byte-code table
+    * against a broadcast LUT of queries × nprobe × 128 entries — the
+    * corpus contributes 8 bytes/vector to the scan and one
+    * cell-restricted join, floats never move. Recall follows nprobe
+    * exactly as in s07; precision follows the PQ distortion measured by
+    * d20's calibration shape. */
+  def ivfPqAnn(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val assigned = trainedAssignment(spark, dir)
+    val cents = centroidVectors(spark, dir)
+    val resid = assigned.join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"), expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
+    val rsub = subvectorsOf(resid)
+    val books = pqCodebooksOf(rsub).persist()
+    val codes = pqAssign(rsub.filter(col("vec_id") >= 10), books)
+      .select(col("vec_id").as("cand_id"), col("s"), col("cid").as("code"))
+      .join(assigned.select(col("vec_id").as("cand_id"), col("cell")), Seq("cand_id"))
+    val probes = cellRanked(spark, dir)
+      .filter(col("vec_id") < 10 && col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"), col("v"))
+    val qres = probes.join(broadcast(cents), Seq("cell"))
+      .select(col("query_id"), col("cell"), expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
+    val lut = subvectorsOf(qres).join(broadcast(books), Seq("s"))
+      .withColumn("d", round(expr(pqDistExpr), 6).cast("decimal(18,6)"))
+      .select(col("query_id"), col("cell"), col("s"), col("cid").as("code"), col("d"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id").asc)
+    codes.join(broadcast(lut), Seq("cell", "s", "code"))
       .groupBy("query_id", "cand_id")
       .agg(sum("d").as("adist"))
       .withColumn("rnk", row_number().over(w))

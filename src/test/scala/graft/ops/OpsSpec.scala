@@ -599,6 +599,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((exact & got).nonEmpty, "ADC found none of the exact top-3 neighbors")
   }
 
+  test("IVF-PQ: candidates confined to probed cells, ranking monotone") {
+    val ann = Similarity.ivfPqAnn(spark, dir).collect()
+    val perQuery = ann.groupBy(_.getLong(0))
+    assert(perQuery.size === 10)
+    perQuery.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq === Seq(1, 2, 3))
+      val d = sorted.map(_.getAs[Double]("adist"))
+      assert(d.forall(_ >= 0.0) && d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+    // IVF invariant: every returned candidate lives in one of its query's
+    // nprobe=2 nearest cells (re-derived here from the public centroid
+    // table, mirroring the quantizer's L2 + cell tie-break rule)
+    val cents = Similarity.labelCentroids(spark, dir).collect()
+      .groupBy(_.get(0).toString)
+      .map { case (cell, rs) =>
+        cell -> rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("centroid"))
+      }
+    val vecs = graft.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def ranked(v: Array[Double]) = cents.toSeq.map { case (cell, c) =>
+      (cell, v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum)
+    }.sortBy { case (cell, d) => (d, cell) }.map(_._1)
+    val candCell = vecs.map { case (id, v) => id -> ranked(v).head }
+    val queryProbes = vecs.collect { case (id, v) if id < 10 => id -> ranked(v).take(2).toSet }
+    ann.foreach { r =>
+      val q = r.getLong(0); val c = r.getLong(1)
+      assert(queryProbes(q).contains(candCell(c)),
+        s"query $q returned candidate $c outside its probed cells")
+    }
+  }
+
   test("oov rate: vocab docs score 0, rates bounded, token counts conserved") {
     val rows = TextAnalysis.oovRate(spark, dir).collect()
     val total = graft.Tables.documents(spark, dir)
