@@ -120,6 +120,8 @@ object SparkEntry {
     "f02_synthetic_source"   ->
       ((s: SparkSession, _: String) => graft.sources.gen.SyntheticCorpus.scanQuery(s)),
     "f04_schema_evolution"   -> (graft.sources.SchemaEvolution.roundTrip _),
+    "f05_compaction"         ->
+      ((s: SparkSession, d: String) => graft.sources.Compaction.compact(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     // S2 sink round trip — ref_-prefixed (reads the fixed-size reference

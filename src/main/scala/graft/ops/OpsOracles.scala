@@ -697,6 +697,13 @@ object OpsOracles {
         |FROM orders WHERE o_orderkey % 2 = 1
         |ORDER BY o_orderkey""".stripMargin,
 
+    // f05: compaction — the rewrite must be lossless; the oracle is the
+    // identity projection of the source table.
+    "f05_compaction" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // w07: streaming upsert — latest event per (user, type) with update
     // count; the oracle recomputes the settled state from all events.
     "w07_stream_upsert" ->

@@ -32,4 +32,12 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"o_orderkey=${r.getLong(0)}: null-fill must track the writer generation")
     }
   }
+
+  test("compaction: exact target file count, lossless row set") {
+    val out = Compaction.compact(spark, dir, files = 4)
+    assert(out.count() === spark.read.parquet(s"$dir/documents.parquet").count())
+    val parts = new java.io.File(Compaction.outDir(spark, dir))
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parts === 4, s"expected 4 compacted files, found $parts")
+  }
 }
