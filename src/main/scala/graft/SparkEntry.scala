@@ -82,6 +82,7 @@ object SparkEntry {
     "s11_pq_codes"           -> (Similarity.pqCodes _),
     "s12_pq_ann"             -> ((s: SparkSession, d: String) => Similarity.pqAnn(s, d)),
     "s13_ivfpq_ann"          -> ((s: SparkSession, d: String) => Similarity.ivfPqAnn(s, d)),
+    "s14_ann_recall"         -> ((s: SparkSession, d: String) => Similarity.annRecallReport(s, d)),
     "d13_neardup_cells"      -> (Similarity.embeddingNearDupCells _),
     "d18_srp_neardup"        -> (Similarity.srpNearDup _),
     "d14_clean_corpus"       -> (Dedup.cleanCorpus _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "t17_temperature_mix"    -> (TextAnalysis.temperatureMix _),
     "t18_oov_rate"           -> (TextAnalysis.oovRate _),
     "t19_unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
+    "t20_mixture_report"     -> (TextAnalysis.mixtureReport _),
     "w06_session_stats"      -> (graft.streaming.EventStream.sessionStats _),
     "f03_bucketed_join"      -> (graft.sources.Bucketing.bucketedRevenueByPriority _),
     "f01_jsonl_roundtrip"    -> (graft.sources.JsonlCorpus.roundTrip _),

@@ -147,6 +147,49 @@ object OpsOracles {
        |        FROM n, range(8) AS t(s)),
        |$pqTrainCtes""".stripMargin
 
+  /** IVF-PQ chain shared by s13 (the search) and s14 (the recall
+    * report): coarse cells, residual subvectors, residual-PQ training,
+    * candidate codes, nprobe=2 probes, residual LUTs, ADC ranking into
+    * `rankedq`. Mirrors Similarity.ivfPqAnn step for step. */
+  private val ivfPqCtes =
+    s"""$ivfRankedCte,
+       |assigned AS (SELECT vec_id, cell, v FROM cellranked WHERE rk = 1),
+       |resid AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(64), i -> a.v[i+1] - c.cv[i+1]) AS v
+       |  FROM assigned a JOIN cent c ON a.cell = c.cell),
+       |sub AS (SELECT vec_id, CAST(s AS INT) AS s, v[s*8+1 : s*8+8] AS sv
+       |        FROM resid, range(8) AS t(s)),
+       |$pqTrainCtes,
+       |${pqAssignCte("c2", "a3")},
+       |codes AS (
+       |  SELECT a3.vec_id AS cand_id, ass.cell, a3.s, a3.cid AS code
+       |  FROM a3 JOIN assigned ass ON a3.vec_id = ass.vec_id
+       |  WHERE a3.vec_id >= 10),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell, v FROM cellranked
+       |  WHERE rk <= 2 AND vec_id < 10),
+       |qres AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(range(64), i -> p.v[i+1] - c.cv[i+1]) AS v
+       |  FROM probes p JOIN cent c ON p.cell = c.cell),
+       |qsub AS (SELECT query_id, cell, CAST(s AS INT) AS s, v[s*8+1 : s*8+8] AS sv
+       |         FROM qres, range(8) AS t(s)),
+       |lut AS (
+       |  SELECT q.query_id, q.cell, q.s, b.cid AS code,
+       |    CAST(round(list_sum(list_transform(range(8),
+       |      i -> (q.sv[i+1] - b.cv[i+1]) * (q.sv[i+1] - b.cv[i+1]))), 6)
+       |      AS DECIMAL(18,6)) AS d
+       |  FROM qsub q JOIN c2 b ON q.s = b.s),
+       |scored AS (
+       |  SELECT query_id, cand_id, sum(d) AS adist
+       |  FROM codes JOIN lut USING (cell, s, code)
+       |  GROUP BY query_id, cand_id),
+       |rankedq AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rnk
+       |  FROM scored)""".stripMargin
+
   private val eventWindowsSql =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
       |  event_type,
@@ -332,6 +375,30 @@ object OpsOracles {
         |FROM s
         |ORDER BY doc_id""".stripMargin,
 
+    // t20: corpus mixture report — (lang, quality band) cross-tab with
+    // doc counts, token mass, and corpus share (t02's band rules).
+    "t20_mixture_report" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  round(len(list_filter(toks, w -> w IN ('the','a','of','and','is')))
+        |        / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
+        |  round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS repetition_ratio
+        |  FROM t),
+        |b AS (SELECT lang, n_tokens,
+        |  CASE WHEN n_tokens < 10 THEN 'too_short'
+        |       WHEN repetition_ratio > 0.8 THEN 'repetitive'
+        |       WHEN stop_ratio > 0.4 THEN 'boilerplate'
+        |       ELSE 'ok' END AS quality_band
+        |  FROM s),
+        |tot AS (SELECT count(*) AS total_docs FROM documents)
+        |SELECT lang, quality_band, count(*) AS docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  round(count(*) / CAST(total_docs AS DOUBLE), 4) AS doc_share
+        |FROM b CROSS JOIN tot
+        |GROUP BY lang, quality_band, total_docs
+        |ORDER BY lang, quality_band""".stripMargin,
+
     // t18: per-doc out-of-vocabulary rate against the exact top-50
     // corpus vocabulary (t05's tie-break: occurrences DESC, token ASC).
     "t18_oov_rate" ->
@@ -432,47 +499,34 @@ object OpsOracles {
     // on COARSE RESIDUALS (v − cell centroid), candidates scored by ADC
     // against per-(query, probed-cell) residual lookup tables. nprobe=2.
     "s13_ivfpq_ann" ->
-      s"""WITH $ivfRankedCte,
-        |assigned AS (SELECT vec_id, cell, v FROM cellranked WHERE rk = 1),
-        |resid AS (
-        |  SELECT a.vec_id, a.cell,
-        |    list_transform(range(64), i -> a.v[i+1] - c.cv[i+1]) AS v
-        |  FROM assigned a JOIN cent c ON a.cell = c.cell),
-        |sub AS (SELECT vec_id, CAST(s AS INT) AS s, v[s*8+1 : s*8+8] AS sv
-        |        FROM resid, range(8) AS t(s)),
-        |$pqTrainCtes,
-        |${pqAssignCte("c2", "a3")},
-        |codes AS (
-        |  SELECT a3.vec_id AS cand_id, ass.cell, a3.s, a3.cid AS code
-        |  FROM a3 JOIN assigned ass ON a3.vec_id = ass.vec_id
-        |  WHERE a3.vec_id >= 10),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cell, v FROM cellranked
-        |  WHERE rk <= 2 AND vec_id < 10),
-        |qres AS (
-        |  SELECT p.query_id, p.cell,
-        |    list_transform(range(64), i -> p.v[i+1] - c.cv[i+1]) AS v
-        |  FROM probes p JOIN cent c ON p.cell = c.cell),
-        |qsub AS (SELECT query_id, cell, CAST(s AS INT) AS s, v[s*8+1 : s*8+8] AS sv
-        |         FROM qres, range(8) AS t(s)),
-        |lut AS (
-        |  SELECT q.query_id, q.cell, q.s, b.cid AS code,
-        |    CAST(round(list_sum(list_transform(range(8),
-        |      i -> (q.sv[i+1] - b.cv[i+1]) * (q.sv[i+1] - b.cv[i+1]))), 6)
-        |      AS DECIMAL(18,6)) AS d
-        |  FROM qsub q JOIN c2 b ON q.s = b.s),
-        |scored AS (
-        |  SELECT query_id, cand_id, sum(d) AS adist
-        |  FROM codes JOIN lut USING (cell, s, code)
-        |  GROUP BY query_id, cand_id),
-        |rankedq AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rnk
-        |  FROM scored)
+      s"""WITH $ivfPqCtes
         |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
         |FROM rankedq
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // s14: ANN recall report — how many of s13's top-3 survive against
+    // the exact-L2 ground truth, per query.
+    "s14_ann_recall" ->
+      s"""WITH $ivfPqCtes,
+        |exact AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(64),
+        |          i -> (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1]))) ASC,
+        |        c.vec_id ASC) AS rk
+        |    FROM n q CROSS JOIN n c
+        |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rk <= 3),
+        |appr AS (SELECT query_id, cand_id FROM rankedq WHERE rnk <= 3)
+        |SELECT ap.query_id,
+        |  CAST(count(ex.cand_id) AS BIGINT) AS matches,
+        |  round(count(ex.cand_id) / 3.0, 4) AS recall
+        |FROM appr ap
+        |LEFT JOIN exact ex ON ap.query_id = ex.query_id AND ap.cand_id = ex.cand_id
+        |GROUP BY ap.query_id
+        |ORDER BY ap.query_id""".stripMargin,
 
     // s09: the fully label-free chain — kmeansSql's trained c2 centroids,
     // assignment, then the same cell search as s06.

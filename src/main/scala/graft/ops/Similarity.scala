@@ -359,6 +359,35 @@ object Similarity {
       .limit(20)
   }
 
+  /** ANN RECALL report — the index-quality measurement that closes the
+    * calibration trio (d20 measures the dedup sketch, this measures the
+    * ANN index): per query, how many of [[ivfPqAnn]]'s top-k survive
+    * against the exact-L2 ground truth. This is how nprobe and PQ
+    * geometry get sized before trusting the index at scale — run on a
+    * slice you can afford to ground-truth, read the recall distribution,
+    * turn the knobs. Ground truth is the brute-force cross join — exactly
+    * right here, since the op's purpose is paying for exactness once to
+    * validate the cheap path. */
+  def annRecallReport(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val approx = ivfPqAnn(spark, dir, k).select(col("query_id"), col("cand_id"))
+    val n = vectors(spark, dir).select(col("vec_id"), col("v"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
+    val exact = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(n.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv2")))
+      .withColumn("dist",
+        expr("aggregate(zip_with(qv, cv2, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+    approx.join(exact, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("matches"))
+      .withColumn("recall", round(col("matches").cast("double") / k, 4))
+      .orderBy("query_id")
+  }
+
   /** Signed-random-projection (SRP) hyperplane weights: w(plane, dim) =
     * the first 4 md5 hex chars of "srp|plane|dim" decoded to an integer,
     * centered on zero (range [-32768, 32767]). A pure function of nothing

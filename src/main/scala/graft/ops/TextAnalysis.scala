@@ -475,6 +475,26 @@ object TextAnalysis {
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     unigramLogprobOf(Tables.documents(spark, dir))
 
+  /** Corpus MIXTURE report — the "dataset card" table a training run
+    * publishes: documents, token mass, and corpus share per (language,
+    * quality band). The grain every data-mixing decision (and t17's
+    * temperature targets) reads from.
+    *
+    * Scale shape: per-row scoring is narrow; the cross-tab is one
+    * map-side-combined aggregate over ~languages×4 groups; the 1-row
+    * total broadcasts. */
+  def mixtureReport(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScore(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("total_docs"))
+    scored.groupBy("lang", "quality_band")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("doc_share", round(col("docs").cast("double") / col("total_docs"), 4))
+      .select("lang", "quality_band", "docs", "tokens", "doc_share")
+      .orderBy("lang", "quality_band")
+  }
+
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     withToks(Tables.documents(spark, dir))

@@ -632,6 +632,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ann recall report: one row per query, matches bounded, recall consistent") {
+    val rows = Similarity.annRecallReport(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until 10L))
+    rows.foreach { r =>
+      val m = r.getAs[Long]("matches")
+      assert(m >= 0 && m <= 3)
+      assert(r.getAs[Double]("recall") ===
+        BigDecimal(m / 3.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("mixture report: docs and shares account for the whole corpus") {
+    val rows = TextAnalysis.mixtureReport(spark, dir).collect()
+    val total = graft.Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("docs")).sum === total)
+    val shareSum = rows.map(_.getAs[Double]("doc_share")).sum
+    assert(math.abs(shareSum - 1.0) < 0.005, s"shares sum to $shareSum")
+    val bands = Set("ok", "too_short", "repetitive", "boilerplate")
+    assert(rows.forall(r => bands.contains(r.getAs[String]("quality_band"))))
+  }
+
   test("oov rate: vocab docs score 0, rates bounded, token counts conserved") {
     val rows = TextAnalysis.oovRate(spark, dir).collect()
     val total = graft.Tables.documents(spark, dir)
