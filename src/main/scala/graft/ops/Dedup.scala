@@ -295,6 +295,21 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClustersOf(minhashLsh(spark, dir))
 
+  /** Duplicate-FAMILY size distribution — the dedup effectiveness report:
+    * how many families of each size the pair graph contains (and how many
+    * documents they absorb). The number every dedup run logs before
+    * applying: a fat tail of giant components means a template flood or an
+    * over-loose threshold is about to delete half the corpus; all-size-2
+    * families mean near-exact duplicates only. Two aggregations over the
+    * cluster labels — both keyed on uniform ids, both tiny after the
+    * first. */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("family_size"))
+      .groupBy("family_size")
+      .agg(count(lit(1)).as("families"), sum("family_size").as("docs"))
+      .orderBy("family_size")
+
   /** Cluster-aware dedup APPLICATION: drop every clustered doc except its
     * component's representative (cluster_id == doc_id); docs outside the
     * pair graph pass through. Exactly one survivor per duplicate family,

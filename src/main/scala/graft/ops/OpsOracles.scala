@@ -1037,6 +1037,36 @@ object OpsOracles {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // d21: duplicate-family size histogram — d16's components aggregated
+    // to (family size → families, docs absorbed).
+    "d21_cluster_sizes" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |bi AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |       UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(doc_id, node) AS (
+        |  SELECT DISTINCT a, a FROM bi
+        |  UNION
+        |  SELECT w.doc_id, e.b FROM walk w JOIN bi e ON w.node = e.a),
+        |labels AS (SELECT doc_id, min(node) AS cluster_id FROM walk GROUP BY doc_id),
+        |fam AS (SELECT cluster_id, count(*) AS family_size FROM labels GROUP BY cluster_id)
+        |SELECT family_size, count(*) AS families,
+        |  CAST(sum(family_size) AS BIGINT) AS docs
+        |FROM fam
+        |GROUP BY family_size
+        |ORDER BY family_size""".stripMargin,
+
     // d17: the cluster-aware apply — drop clustered docs that are not
     // their component's minimum (same walk CTE as d16).
     "d17_cluster_apply" ->

@@ -474,6 +474,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     perLang.foreach { case (l, n) => assert(n >= totals(l) / 2) }
   }
 
+  test("cluster size histogram: accounts for every clustered doc, families >= 2") {
+    val hist = Dedup.clusterSizeHistogram(spark, dir).collect()
+    assert(hist.nonEmpty)
+    // every family in a pair graph has at least two members
+    assert(hist.forall(_.getAs[Long]("family_size") >= 2))
+    // histogram totals reconcile with the cluster labels
+    val labels = Dedup.dedupClusters(spark, dir).collect()
+    assert(hist.map(_.getAs[Long]("docs")).sum === labels.length)
+    assert(hist.map(_.getAs[Long]("families")).sum ===
+      labels.map(_.getAs[Long]("cluster_id")).distinct.length)
+  }
+
   test("incremental dedup: survivors are batch-only, index-clean, batch-unique") {
     import org.apache.spark.sql.Row
     val docs = graft.Tables.documents(spark, dir)
