@@ -53,9 +53,11 @@ object OpsOracles {
       |  WHERE b.doc_id > bmin.d1)""".stripMargin
 
   /** Trained-IVF building block shared by s06/s07/d13 (mirrors
-    * Similarity.cellRanked): per-cell mean centroids seeded from labels,
-    * then every vector distance-ranked against every centroid — rk = 1 is
-    * the nearest-centroid assignment. */
+    * Similarity.cellScored + trainedAssignment/cellRanked): per-cell mean
+    * centroids seeded from labels, then every vector distance-ranked
+    * against every centroid — rk = 1 is the nearest-centroid assignment.
+    * Ordering is (round(dist,6), cell) — exactly the packed BIGINT argmin
+    * key the Spark side min_by-aggregates on (Similarity.assignKey). */
   private val ivfRankedCte =
     """cent0 AS (
       |  SELECT label AS cell, i AS dim,
@@ -71,8 +73,8 @@ object OpsOracles {
       |cellranked AS (
       |  SELECT n.vec_id, c.cell, n.v, n.norm,
       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-      |      list_sum(list_transform(range(64),
-      |        i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))) ASC,
+      |      round(list_sum(list_transform(range(64),
+      |        i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))), 6) ASC,
       |      c.cell ASC) AS rk
       |  FROM n CROSS JOIN cent c)""".stripMargin
 
@@ -115,8 +117,8 @@ object OpsOracles {
        |  SELECT vec_id, s, cid, sv FROM (
        |    SELECT b.vec_id, b.s, c.cid, b.sv,
        |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
-       |        list_sum(list_transform(range(8),
-       |          i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))) ASC,
+       |        round(list_sum(list_transform(range(8),
+       |          i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))), 6) ASC,
        |        c.cid ASC) AS rk
        |    FROM sub b JOIN $cents c ON b.s = c.s)
        |  WHERE rk = 1)""".stripMargin

@@ -151,33 +151,67 @@ object Similarity {
     * corpus-wide aggregation, and every consumer after the first (s06's
     * assignment, s07's probe ranking, repeat calls) should pay only the
     * cells-sized cache read, not a corpus pass. */
-  private val centsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val memoCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private def centroidVectors(spark: SparkSession, dir: String): DataFrame = {
-    centsCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(centsCache.remove)
-    centsCache.getOrElseUpdate((spark, dir), {
-      val df = labelCentroids(spark, dir)
-        .groupBy(col("label").as("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
-          .as("cv"))
-        .persist()
+  /** Compute-once/query-many memo shared by every index artifact
+    * (centroids, corpus assignment, PQ codebooks, PQ code tables): build,
+    * persist, and materialize the frame on first access per
+    * (session, dir, tag); later calls pay only the cache read. This is the
+    * write-index/read-index split a production index needs — training
+    * never reruns inside a query. Stopped sessions' entries purge. */
+  private def memo(spark: SparkSession, dir: String, tag: String)
+                  (build: => DataFrame): DataFrame = {
+    memoCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(memoCache.remove)
+    memoCache.getOrElseUpdate((spark, dir, tag), {
+      val df = build.persist()
       df.count()
       df
     })
   }
 
-  /** Distances of every vector to every centroid, cell-ranked per vector
-    * (rk=1 is the nearest-centroid assignment). Narrow per-row pass over a
-    * broadcast centroid table; the window ranks `cells` rows per vector. */
-  private def cellRanked(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)
+  private def centroidVectors(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "cents") {
+      labelCentroids(spark, dir)
+        .groupBy(col("label").as("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
+          .as("cv"))
+    }
+
+  /** The assignment ordering key, as ONE exact BIGINT: the 6dp-rounded
+    * distance in micro-units (exact via DECIMAL(18,6) — no double×1e6
+    * ulp risk) times 1024, plus the cell id in the low bits. Ranking on
+    * the ROUNDED distance with an id tie-break is the same cross-engine
+    * discipline as [[cosineTopK]]'s rounded-cosine ranking; packing both
+    * into one primitive keeps the argmin a pure-primitive `min_by`, which
+    * Spark plans as a partial-aggregating HashAggregate. (A struct
+    * ordering — min_by(_, struct(dist, cell)) — demotes the whole
+    * aggregate to SortAggregate: struct buffers aren't UnsafeRow-mutable,
+    * measured on 4.1.2.) The key is unique per (row, cell), so ties
+    * cannot exist and the argmin is deterministic. */
+  private def assignKey(cellCol: String): org.apache.spark.sql.Column =
+    expr("cast(cast(round(dist, 6) as decimal(18,6)) * 1000000 as bigint) * 1024") +
+      col(cellCol).cast("long")
+
+  /** Distances of every vector in `df` to every centroid — the narrow
+    * scoring pass both the assignment argmin and the probe ranking read. */
+  private def cellScored(spark: SparkSession, dir: String): DataFrame =
     vectors(spark, dir)
       .crossJoin(broadcast(centroidVectors(spark, dir)))
       .withColumn("dist",
         expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
-      .withColumn("rk", row_number().over(w))
+
+  /** QUERY-SIDE cell ranking (rk ≤ nprobe probe expansion): a window is
+    * fine here because callers filter to the broadcast-sized query set
+    * before ranking; the corpus-side assignment never goes through this —
+    * it uses the min_by hash-agg in [[trainedAssignment]]. Ordering is
+    * the same (round(dist,6), cell) key as the assignment, so a query's
+    * rk=1 probe cell is always its assigned cell. */
+  private def cellRanked(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(col("dist"), 6).asc, col("cell").asc)
+    cellScored(spark, dir).withColumn("rk", row_number().over(w))
   }
 
   /** Nearest-centroid assignment of the whole corpus, materialized ONCE
@@ -186,21 +220,16 @@ object Similarity {
     * training pass + assignment is compute-once/query-many, exactly like
     * Dedup.docShingles — without the memo each consumer branch would
     * re-train and re-assign. Stopped sessions' entries purge on access. */
-  private val assignCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  def trainedAssignment(spark: SparkSession, dir: String): DataFrame = {
-    assignCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(assignCache.remove)
-    assignCache.getOrElseUpdate((spark, dir), {
-      val df = cellRanked(spark, dir)
-        .filter(col("rk") === 1)
+  def trainedAssignment(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "assign") {
+      // argmin over the packed (round(dist,6), cell) key — one
+      // partial-aggregating HashAggregate over the corpus, no sort, no
+      // window: the per-vector constants (v, norm) ride as group keys.
+      cellScored(spark, dir)
+        .groupBy("vec_id", "v", "norm")
+        .agg(min_by(col("cell"), assignKey("cell")).as("cell"))
         .select(col("vec_id"), col("cell"), col("v"), col("norm"))
-        .persist()
-      df.count()
-      df
-    })
-  }
+    }
 
   private def topKInCell(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
     val scored = broadcast(q).join(c, Seq("cell"))
@@ -497,17 +526,17 @@ object Similarity {
     "aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"
 
   /** Nearest-codeword assignment of every (id…, s) subvector against a
-    * (s, cid, cv) codebook table: L2 fold, cid tie-break. The codebook is
-    * m×k rows — broadcast at any corpus size. */
+    * (s, cid, cv) codebook table: L2 fold, (round(dist,6), cid) argmin via
+    * the packed-BIGINT `min_by` — the same sort-free HashAggregate shape
+    * as [[trainedAssignment]] (the subvector `sv` rides as a group key).
+    * The codebook is m×k rows — broadcast at any corpus size. */
   private def pqAssign(sub: DataFrame, cents: DataFrame,
                        idCols: Seq[String] = Seq("vec_id")): DataFrame = {
-    val w = Window.partitionBy((idCols :+ "s").map(col): _*)
-      .orderBy(col("dist").asc, col("cid").asc)
+    val keys = (idCols ++ Seq("s", "sv")).map(col)
     sub.join(broadcast(cents), Seq("s"))
       .withColumn("dist", expr(pqDistExpr))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .drop("cv", "dist", "rk")
+      .groupBy(keys: _*)
+      .agg(min_by(col("cid"), assignKey("cid")).as("cid"))
   }
 
   /** Per-subspace k-means codebooks (k=16, 2 Lloyd iterations, seeds =
@@ -529,8 +558,19 @@ object Similarity {
     cents
   }
 
-  private def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
-    pqCodebooksOf(subvectors(spark, dir))
+  /** Raw-embedding PQ index, trained/encoded ONCE per (session, dir):
+    * [[memo]] makes the build-index/query-index split real — s10/s11/s12
+    * and repeated bench reps share one training pass and one encode pass
+    * instead of re-running Lloyd per call. */
+  private[ops] def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "pq-books") { pqCodebooksOf(subvectors(spark, dir)) }
+
+  private[ops] def pqCandidateCodes(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "pq-codes") {
+      pqAssign(subvectors(spark, dir).filter(col("vec_id") >= 10),
+               pqCodebooks(spark, dir))
+        .select(col("vec_id").as("cand_id"), col("s"), col("cid").as("code"))
+    }
 
   /** Driver surface: the trained codebooks, one row per (subspace,
     * codeword, dim). */
@@ -561,10 +601,9 @@ object Similarity {
     * Queries = vec_id < 10, candidates the rest ([[knnBrute]]'s split);
     * top-3 per query, approximation quality pinned vs brute in the spec. */
   def pqAnn(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val cents = pqCodebooks(spark, dir).persist()
+    val cents = pqCodebooks(spark, dir)
     val sub = subvectors(spark, dir)
-    val codes = pqAssign(sub.filter(col("vec_id") >= 10), cents)
-      .select(col("vec_id").as("cand_id"), col("s"), col("cid").as("code"))
+    val codes = pqCandidateCodes(spark, dir)
     val lut = sub.filter(col("vec_id") < 10)
       .join(broadcast(cents), Seq("s"))
       .withColumn("d",
@@ -600,16 +639,35 @@ object Similarity {
     * cell-restricted join, floats never move. Recall follows nprobe
     * exactly as in s07; precision follows the PQ distortion measured by
     * d20's calibration shape. */
-  def ivfPqAnn(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+  private def residSubvectors(spark: SparkSession, dir: String): DataFrame = {
     val assigned = trainedAssignment(spark, dir)
     val cents = centroidVectors(spark, dir)
-    val resid = assigned.join(broadcast(cents), Seq("cell"))
-      .select(col("vec_id"), expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
-    val rsub = subvectorsOf(resid)
-    val books = pqCodebooksOf(rsub).persist()
-    val codes = pqAssign(rsub.filter(col("vec_id") >= 10), books)
-      .select(col("vec_id").as("cand_id"), col("s"), col("cid").as("code"))
-      .join(assigned.select(col("vec_id").as("cand_id"), col("cell")), Seq("cand_id"))
+    subvectorsOf(assigned.join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"), expr("zip_with(v, cv, (x, c) -> x - c)").as("v")))
+  }
+
+  /** Residual-PQ codebooks of the IVF-PQ index — trained once per
+    * (session, dir) and shared by s13's search and s14's recall report
+    * (which previously re-trained the index it was measuring). */
+  private[ops] def residCodebooks(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivfpq-books") { pqCodebooksOf(residSubvectors(spark, dir)) }
+
+  /** The encoded IVF-PQ candidate index: 8 byte-codes + coarse cell per
+    * candidate vector — the persisted artifact a query-time probe joins
+    * against. */
+  private[ops] def residCandidateCodes(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivfpq-codes") {
+      pqAssign(residSubvectors(spark, dir).filter(col("vec_id") >= 10),
+               residCodebooks(spark, dir))
+        .select(col("vec_id").as("cand_id"), col("s"), col("cid").as("code"))
+        .join(trainedAssignment(spark, dir)
+          .select(col("vec_id").as("cand_id"), col("cell")), Seq("cand_id"))
+    }
+
+  def ivfPqAnn(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val cents = centroidVectors(spark, dir)
+    val books = residCodebooks(spark, dir)
+    val codes = residCandidateCodes(spark, dir)
     val probes = cellRanked(spark, dir)
       .filter(col("vec_id") < 10 && col("rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell"), col("v"))

@@ -188,6 +188,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s06_ivf_trained: assignment is a sort-free min_by HashAggregate") {
+    // the corpus→cell argmin must stay a partial-aggregating
+    // HashAggregate on the packed (round(dist,6), cell) BIGINT key — a
+    // struct ordering (or a row_number window) demotes it to a
+    // SortAggregate / sort exchange, one full sort of corpus×cells rows
+    val p = plan("s06_ivf_trained")
+    assert(p.contains("min_by"), s"min_by assignment missing:\n${p.take(2000)}")
+    assert(!p.contains("SortAggregate"),
+      s"assignment fell back to SortAggregate:\n${p.take(2000)}")
+  }
+
+  test("s11_pq_codes: codeword assignment aggregates without any SortAggregate") {
+    val p = plan("s11_pq_codes")
+    assert(p.contains("min_by"), s"min_by assignment missing:\n${p.take(2000)}")
+    assert(!p.contains("SortAggregate"),
+      s"PQ assignment fell back to SortAggregate:\n${p.take(2000)}")
+  }
+
   test("w04_stream_join: event_type predicates pushed into the parquet scans") {
     // the batch attribution join reads events twice (purchases, clicks);
     // both branch filters must reach the scan, not sit in a post-scan Filter

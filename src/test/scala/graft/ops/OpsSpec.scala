@@ -655,6 +655,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ index memoized: repeat calls return the SAME persisted frames (no retrain)") {
+    // build-index/query-index split: the codebooks and code tables are
+    // trained once per (session, dir); a second call must get the
+    // identical cached DataFrame back (reference equality — the strongest
+    // possible "no second training pass" witness), and it must actually
+    // be persisted so consumers pay a cache read, not a recompute.
+    for (f <- Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+        Similarity.pqCodebooks, Similarity.pqCandidateCodes,
+        Similarity.residCodebooks, Similarity.residCandidateCodes,
+        Similarity.trainedAssignment)) {
+      val first = f(spark, dir)
+      assert(f(spark, dir) eq first, "memo returned a fresh frame")
+      assert(first.storageLevel.useMemory, "memoized frame is not persisted")
+    }
+    // s14 measures the index s13 queries: both must read the SAME
+    // residual code table, never train a second one
+    assert(Similarity.residCandidateCodes(spark, dir) eq
+      Similarity.residCandidateCodes(spark, dir))
+  }
+
   test("mixture report: docs and shares account for the whole corpus") {
     val rows = TextAnalysis.mixtureReport(spark, dir).collect()
     val total = graft.Tables.documents(spark, dir).count()
