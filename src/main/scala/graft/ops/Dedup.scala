@@ -431,6 +431,84 @@ object Dedup {
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
     incrementalDedupOf(Tables.documents(spark, dir))
 
+  /** INCREMENTAL NEAR-dup dedup — the LSH analog of [[incrementalDedupOf]]
+    * (which is exact-fingerprint only): dedup tonight's batch against the
+    * already-ingested corpus WITHOUT rescanning the corpus text. The same
+    * md5(doc_id) hash-split plays the arrival boundary (bucket 'f' = the
+    * delta; the rest = the index).
+    *
+    * The scale contract, piece by piece:
+    *  - The index side contributes ONLY its persisted LSH band table
+    *    ([[minhashLshOf]]'s (doc_id, band, bkey) shape — at 100 TB this is
+    *    the signature index written once at ingest; the corpus text column
+    *    is never read, which PlanSpec asserts on the whole query).
+    *  - Candidates form two ways, both O(delta): the delta's band keys
+    *    equi-join the index's band table (a delta doc meets only its own
+    *    buckets' index occupants, and only OLDER (smaller-id) index docs
+    *    can out-keep it), and within the delta itself d04's bucket-min
+    *    pairing runs on the delta's own band table.
+    *  - Verification is exactly d04's: broadcast the candidate set, restrict
+    *    both shingle streams to it, exact Jaccard >= 0.5. Precision is
+    *    exact; only candidate docs' shingles are touched (at scale: point
+    *    reads of candidate rows, never a corpus pass).
+    *
+    * Loser rule is the repo-wide pairwise keep-the-lower-doc_id, so the
+    * result is EXACTLY the full-corpus [[minhashLshOf]] losers restricted
+    * to the delta (OpsSpec asserts set equality): nightly incremental
+    * runs and a from-scratch rebuild agree on every drop. A verified pair
+    * whose delta doc is OLDER than its index match drops neither side
+    * here (the index is immutable tonight); a from-scratch rebuild would
+    * drop the index doc — the standard retro-loser a compaction pass
+    * handles. */
+  def incrementalNearDupOf(docs: DataFrame, ds: DataFrame): DataFrame = {
+    graft.functions.MinHashSigs.register(ds.sparkSession)
+    val bucketExpr = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val sig = ds.filter(col("n") > 0)
+      .select(col("doc_id"), bucketExpr.as("bucket"),
+        expr("minhash_sigs(shingles, 8)").as("sig"))
+    val bands = sig.selectExpr("doc_id", "bucket",
+      """stack(4, 0, concat(sig[0], sig[1]), 1, concat(sig[2], sig[3]),
+        |         2, concat(sig[4], sig[5]), 3, concat(sig[6], sig[7])) as (band, bkey)
+        |""".stripMargin.replaceAll("\n", " "))
+    // the persisted signature index (band table of everything already
+    // ingested) and the delta's own band table — each feeds two branches
+    val indexBands = bands.filter(col("bucket") =!= "f")
+      .select(col("doc_id"), col("band"), col("bkey")).persist()
+    val deltaBands = bands.filter(col("bucket") === "f")
+      .select(col("doc_id"), col("band"), col("bkey")).persist()
+    // delta-vs-index: probe the index with the DELTA's band keys only;
+    // keep (older index doc, delta doc) — the only orientation that can
+    // drop a delta row
+    val candIdx = deltaBands.join(
+        indexBands.select(col("doc_id").as("d1"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("d1") < col("doc_id"))
+      .select(col("d1"), col("doc_id").as("d2"))
+    // within-delta: d04's bucket-min star pairing, on the delta only
+    val dmin = deltaBands.groupBy("band", "bkey").agg(min("doc_id").as("d1"))
+    val candDelta = deltaBands.join(dmin, Seq("band", "bkey"))
+      .filter(col("doc_id") > col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"))
+    val cand = candIdx.union(candDelta).distinct()
+    // exact-Jaccard verification of candidates only (d04's verify shape)
+    val sh = ds.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val s1 = sh.select(col("doc_id").as("d1"), col("shingle").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("d2b"), col("shingle").as("sh2"))
+    val inter = broadcast(cand)
+      .join(s1, Seq("d1"))
+      .join(s2, col("d2") === col("d2b") && col("sh1") === col("sh2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    val losers = jaccardOf(inter, ds, 0.5).select(col("d2").as("doc_id")).distinct()
+    docs.withColumn("bucket", bucketExpr)
+      .filter(col("bucket") === "f")
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame =
+    incrementalNearDupOf(Tables.documents(spark, dir), docShingles(spark, dir))
+
   /** Sketch CALIBRATION: per exact near-dup pair, the MinHash ESTIMATE of
     * Jaccard (fraction of the 8 signature components that agree — the
     * unbiased estimator E[est] = J from Broder 1997) next to the exact

@@ -32,9 +32,10 @@ object OpsOracles {
       |              i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]) END) AS shingle
       |  FROM toks)""".stripMargin
 
-  /** MinHash signatures → 4 bands → bucket-min candidate pairs — the SQL
-    * mirror of Dedup.minhashLsh (shared by d04 and the d07 apply path). */
-  private val lshCandCte =
+  /** MinHash signatures → 4 band keys per doc (mirrors
+    * Dedup.minhashLshOf's signature/band construction; shared by the
+    * full-corpus LSH CTEs and the d22 incremental split). */
+  private val sigBandsCte =
     """sig AS (SELECT doc_id,
       |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
       |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
@@ -45,7 +46,12 @@ object OpsOracles {
       |  SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM sig UNION ALL
       |  SELECT doc_id, 1, h2 || h3 FROM sig UNION ALL
       |  SELECT doc_id, 2, h4 || h5 FROM sig UNION ALL
-      |  SELECT doc_id, 3, h6 || h7 FROM sig),
+      |  SELECT doc_id, 3, h6 || h7 FROM sig)""".stripMargin
+
+  /** MinHash signatures → 4 bands → bucket-min candidate pairs — the SQL
+    * mirror of Dedup.minhashLsh (shared by d04 and the d07 apply path). */
+  private val lshCandCte =
+    s"""$sigBandsCte,
       |bmin AS (SELECT band, bkey, min(doc_id) AS d1 FROM bands GROUP BY 1, 2),
       |cand AS (
       |  SELECT DISTINCT bmin.d1, b.doc_id AS d2
@@ -906,6 +912,47 @@ object OpsOracles {
         |SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d JOIN keep USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // d22: incremental NEAR-dup — delta (md5 bucket 'f') band keys probe
+    // the index band table (older index doc wins) + bucket-min pairing
+    // within the delta; exact-Jaccard verify; losers dropped from the
+    // delta only (mirrors Dedup.incrementalNearDupOf stage for stage).
+    "d22_incremental_neardup" ->
+      s"""WITH $shingleCte,
+        |$sigBandsCte,
+        |bb AS (
+        |  SELECT doc_id, band, bkey,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        |  FROM bands),
+        |cand_idx AS (
+        |  SELECT i.doc_id AS d1, d.doc_id AS d2
+        |  FROM bb d JOIN bb i ON d.band = i.band AND d.bkey = i.bkey
+        |  WHERE d.bucket = 'f' AND i.bucket != 'f' AND i.doc_id < d.doc_id),
+        |dmin AS (
+        |  SELECT band, bkey, min(doc_id) AS d1 FROM bb
+        |  WHERE bucket = 'f' GROUP BY 1, 2),
+        |cand_delta AS (
+        |  SELECT dmin.d1, b.doc_id AS d2
+        |  FROM bb b JOIN dmin USING (band, bkey)
+        |  WHERE b.bucket = 'f' AND b.doc_id > dmin.d1),
+        |cand AS (
+        |  SELECT DISTINCT d1, d2 FROM (
+        |    SELECT * FROM cand_idx UNION ALL SELECT * FROM cand_delta)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+        |  AND doc_id NOT IN (SELECT d2 FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     // d20: MinHash estimate calibration — signature-agreement fraction
     // (8 perms) vs exact Jaccard on the exact near-dup pairs.

@@ -188,6 +188,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d22_incremental_neardup: corpus text is never scanned — the index side " +
+       "reads only the persisted band/shingle caches") {
+    // the whole point of incremental near-dup: tonight's run must not
+    // re-read the ingested corpus text. Every documents file scan in the
+    // plan may read only the id/metadata columns (the delta's output
+    // projection); text access happens exclusively through the memoized
+    // shingle cache, whose one materialization happened at "ingest".
+    val scans = scanDetails("d22_incremental_neardup").filter(_._1.contains("documents"))
+    scans.foreach { case (_, cols, _) =>
+      assert(!cols.contains("text"),
+        s"text column scanned from parquet: ${cols.mkString(",")}")
+    }
+  }
+
   test("s06_ivf_trained: assignment is a sort-free min_by HashAggregate") {
     // the corpus→cell argmin must stay a partial-aggregating
     // HashAggregate on the packed (round(dist,6), cell) BIGINT key — a

@@ -508,6 +508,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survFps.toSet === expected)
   }
 
+  test("incremental near-dup: (index ∪ delta) losers ≡ full-corpus LSH losers ∩ delta") {
+    // the contract that makes nightly incremental runs trustworthy: the
+    // docs an incremental pass drops from the delta are EXACTLY the docs
+    // a from-scratch full-corpus d04 rebuild would drop from the delta —
+    // same keepers, no drift between the nightly path and the rebuild
+    val docs = graft.Tables.documents(spark, dir)
+    val deltaIds = docs
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fullLosers = Dedup.minhashLsh(spark, dir)
+      .select("d2").collect().map(_.getLong(0)).toSet
+    val expectedKept = deltaIds -- fullLosers
+    val incrementalKept = Dedup.incrementalNearDup(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deltaIds.nonEmpty && (deltaIds intersect fullLosers).nonEmpty,
+      "split produced no delta-side near-dups — the test would be vacuous")
+    assert(incrementalKept === expectedKept)
+  }
+
   test("minhash estimate: exact for identical docs, unbiased within tolerance") {
     val rows = Dedup.minhashEstimate(spark, dir).collect()
     assert(rows.nonEmpty, "testdata should contain exact near-dup pairs")
