@@ -101,6 +101,8 @@ object SparkEntry {
     "m03_resize_meta"        -> (Multimodal.resizedMeta _),
     "m04_frame_sample"       -> (Multimodal.frameSampled _),
     "m05_media_features"     -> (Multimodal.mediaFeatures _),
+    "m06_media_neardup"      -> (Multimodal.mediaNearDup _),
+    "m07_media_apply"        -> (Multimodal.dropMediaNearDups _),
     "w01_event_windows"      -> (graft.streaming.EventStream.windowedCountsVerify _),
     "w03_event_dedup"        -> (graft.streaming.EventStream.eventDedupCounts _),
     "w04_stream_join"        -> (graft.streaming.EventStream.purchaseClickPairs _),

@@ -157,6 +157,36 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** MEDIA near-dup detection (m06) — completes detect→apply for the
+    * media modality (text has d04/d11, embeddings d06/d18): [[featureBatch]]'s
+    * deterministic feature vectors feed the SRP-LSH banding machinery
+    * ([[Similarity.srpNearDupOf]] takes any (vec_id, embedding) frame) at
+    * the feature dimensionality. Identical payloads produce identical
+    * features, hence identical 16-bit codes, hence band-certain candidate
+    * collision — exact-duplicate recall 1 by construction; near-identical
+    * payloads follow the SRP bit-agreement curve. Scale shape inherited
+    * from d18: one narrow code pass (the hyperplanes are literals), one
+    * O(rows×2) band exchange, bucket-min pairing, candidate-sized cosine
+    * verify, distributed top-k — never all-pairs, no training pass. */
+  def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val feats = featureBatch(spark, dir).toDF()
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    Similarity.srpNearDupOf(feats, k = 20, dim = 8)
+  }
+
+  /** MEDIA near-dup APPLICATION (m07): every detected pair keeps its
+    * lower doc_id; higher ids are anti-joined out of the media corpus.
+    * Loser set is detection-output-sized (≤ top-k) → broadcast; the
+    * corpus side streams through with no shuffle. */
+  def dropMediaNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val losers = mediaNearDup(spark, dir)
+      .select(col("v2").as("doc_id")).distinct()
+    mediaTable(spark, dir)
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Per-format corpus summary over the decoded metadata. */
   def formatSummary(spark: SparkSession, dir: String): DataFrame =
     decodedMeta(spark, dir)

@@ -198,6 +198,56 @@ object OpsOracles {
        |    PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rnk
        |  FROM scored)""".stripMargin
 
+  /** Shared by m06 (detection) and m07 (application): the m05 feature
+    * vectors (closed-form from octet_length — Multimodal.featureBatch's
+    * deterministic stub) pushed through d18's SRP-LSH construction at
+    * dim=8: md5-derived hyperplanes, 16-bit codes, 2×8-bit bands,
+    * bucket-min candidate pairing, exact cosine verify into `scored`. */
+  private val mediaSrpCte =
+    """b0 AS (SELECT doc_id, octet_length(encode(text)) AS bytes FROM documents),
+      |n AS (
+      |  SELECT doc_id AS vec_id,
+      |    [CAST(bytes AS DOUBLE), CAST(64 + bytes % 512 AS DOUBLE),
+      |     CAST(64 + (bytes * 7) % 512 AS DOUBLE), CAST(bytes % 3 AS DOUBLE),
+      |     CAST(bytes // 1024 + 1 AS DOUBLE), CAST(bytes % 997 AS DOUBLE),
+      |     CAST(bytes % 499 AS DOUBLE), CAST(bytes % 251 AS DOUBLE)] AS v
+      |  FROM b0),
+      |n2 AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+      |  FROM n),
+      |w0 AS (
+      |  SELECT b, d,
+      |    (instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+      |    (instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+      |    (instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+      |    (instr('0123456789abcdef', substr(m, 4, 1)) - 1) - 32768 AS w
+      |  FROM (SELECT b, d,
+      |          md5('srp|' || CAST(b AS VARCHAR) || '|' || CAST(d AS VARCHAR)) AS m
+      |        FROM range(16) t1(b), range(8) t2(d))),
+      |wl AS (SELECT b, list(w ORDER BY d) AS wv FROM w0 GROUP BY b),
+      |dots AS (
+      |  SELECT vec_id, b,
+      |    list_sum(list_transform(range(8), i -> v[i+1] * wv[i+1])) AS dot
+      |  FROM n2 CROSS JOIN wl),
+      |codes AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS code
+      |  FROM dots GROUP BY vec_id),
+      |bands AS (
+      |  SELECT vec_id, 0 AS band, code % 256 AS bkey FROM codes
+      |  UNION ALL SELECT vec_id, 1, code // 256 FROM codes),
+      |bmin AS (SELECT band, bkey, min(vec_id) AS v1 FROM bands GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT bmin.v1, b.vec_id AS v2
+      |  FROM bands b JOIN bmin USING (band, bkey)
+      |  WHERE b.vec_id > bmin.v1),
+      |scored AS (
+      |  SELECT cand.v1, cand.v2,
+      |    round(list_sum(list_transform(range(8), i -> a.v[i+1] * c.v[i+1]))
+      |          / (a.norm * c.norm), 6) AS cosine
+      |  FROM cand JOIN n2 a ON cand.v1 = a.vec_id JOIN n2 c ON cand.v2 = c.vec_id)""".stripMargin
+
   private val eventWindowsSql =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
       |  event_type,
@@ -1277,6 +1327,26 @@ object OpsOracles {
         |  CAST(bytes % 499 AS DOUBLE) AS f6,
         |  CAST(bytes % 251 AS DOUBLE) AS f7
         |FROM b
+        |ORDER BY doc_id""".stripMargin,
+
+    // m06/m07: media near-dup over the m05 feature vectors via SRP-LSH
+    // (d18's construction at dim=8; weights regenerated from md5 so both
+    // engines derive the same hyperplanes).
+    "m06_media_neardup" ->
+      s"""WITH $mediaSrpCte
+        |SELECT v1, v2, cosine FROM scored
+        |ORDER BY cosine DESC, v1 ASC, v2 ASC
+        |LIMIT 20""".stripMargin,
+
+    "m07_media_apply" ->
+      s"""WITH $mediaSrpCte,
+        |losers AS (
+        |  SELECT DISTINCT v2 FROM (
+        |    SELECT v1, v2, cosine FROM scored
+        |    ORDER BY cosine DESC, v1 ASC, v2 ASC
+        |    LIMIT 20))
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT v2 FROM losers)
         |ORDER BY doc_id""".stripMargin,
 
     "m01_decoded_meta" ->

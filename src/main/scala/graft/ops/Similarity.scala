@@ -426,10 +426,10 @@ object Similarity {
     * discipline as the md5-seeded MinHash permutations). Integer-valued
     * doubles are exact in IEEE754, so products have one deterministic
     * rounding on both engines. */
-  private lazy val srpWeights: IndexedSeq[Seq[Double]] = {
+  private def srpWeightsOf(dim: Int): IndexedSeq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until 16).map { b =>
-      (0 until 64).map { d =>
+      (0 until dim).map { d =>
         val hex = md.digest(s"srp|$b|$d".getBytes("UTF-8"))
           .take(2).map(x => f"$x%02x").mkString
         (Integer.parseInt(hex, 16) - 32768).toDouble
@@ -442,11 +442,13 @@ object Similarity {
     * SimHash for real vectors: P[bits agree] = 1 - angle/π). The 16
     * hyperplanes ride along as literal arrays (corpus-independent
     * constants, the degenerate broadcast), so the whole code is one
-    * narrow per-row pass — zero shuffle at any corpus size. */
-  private def srpCode: org.apache.spark.sql.Column = {
+    * narrow per-row pass — zero shuffle at any corpus size. `dim` must
+    * match the vector width (zip_with would null-pad a mismatch). */
+  private def srpCode(dim: Int): org.apache.spark.sql.Column = {
+    val ws = srpWeightsOf(dim)
     val bits = (0 until 16).map { b =>
       val dot = aggregate(
-        zip_with(col("v"), typedlit(srpWeights(b)), (x, y) => x * y),
+        zip_with(col("v"), typedlit(ws(b)), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
       when(dot > 0, lit(1L << b)).otherwise(lit(0L))
     }
@@ -465,13 +467,13 @@ object Similarity {
     * candidate-sized verify joins. Identical vectors always share all
     * bands (code equality), so exact-duplicate recall is 1; near-pairs
     * follow the SRP curve (bit-agreement prob 1 - angle/π per bit). */
-  def srpNearDupOf(embs: DataFrame, k: Int = 20): DataFrame = {
+  def srpNearDupOf(embs: DataFrame, k: Int = 20, dim: Int = 64): DataFrame = {
     // persisted: codes feed the band table and both verify sides
     val n = embs
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-      .withColumn("code", srpCode)
+      .withColumn("code", srpCode(dim))
       .persist()
     val bands = n.selectExpr("vec_id",
       "stack(2, 0, code % 256, 1, code div 256) as (band, bkey)")

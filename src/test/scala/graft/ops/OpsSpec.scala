@@ -508,6 +508,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survFps.toSet === expected)
   }
 
+  test("media near-dup: identical payloads always surface, pairs canonical, apply drops exactly the losers") {
+    // identical payloads → identical m05 feature vectors → identical SRP
+    // codes → band-certain collision: a duplicated payload always
+    // surfaces as a cosine-1.0 pair. Planted at the exact dim=8 feature
+    // shape mediaNearDup feeds (the corpus itself has near-dups, not
+    // byte-identical payloads)
+    val s = spark; import s.implicits._
+    val fa = Array.tabulate(8)(i => (i * 37 + 11).toDouble)
+    val fb = Array.tabulate(8)(i => (i * i * 5 + 3).toDouble)
+    val planted = Seq((0L, fa), (1L, fb), (2L, fa.clone()))
+      .toDF("vec_id", "embedding")
+    val found = Similarity.srpNearDupOf(planted, k = 20, dim = 8).collect()
+    assert(found.exists(r =>
+      r.getLong(0) == 0L && r.getLong(1) == 2L && r.getDouble(2) == 1.0),
+      "identical planted payloads did not surface as a cosine-1.0 pair")
+    val pairs = Multimodal.mediaNearDup(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonical")
+      assert(r.getDouble(2) <= 1.0 + 1e-9)
+    }
+    // apply = corpus minus exactly the detected losers
+    val losers = pairs.map(_.getLong(1)).toSet
+    val kept = Multimodal.dropMediaNearDups(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = graft.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- losers)
+  }
+
   test("incremental near-dup: (index ∪ delta) losers ≡ full-corpus LSH losers ∩ delta") {
     // the contract that makes nightly incremental runs trustworthy: the
     // docs an incremental pass drops from the delta are EXACTLY the docs
