@@ -260,7 +260,15 @@ object Dedup {
     * O(log(diameter)) in practice (min labels hop across the component);
     * each round is one edge-join + aggregate — the standard Spark CC
     * shape. `localCheckpoint` cuts the growing lineage each round so the
-    * loop does not re-execute prior rounds. */
+    * loop does not re-execute prior rounds.
+    *
+    * ONE action per round: the per-node `chg` flag (did this label drop?)
+    * rides inside the round's frame, the frame is marked for LAZY local
+    * checkpoint, and the single convergence aggregate both materializes
+    * the checkpoint and returns the changed count — at scale each
+    * avoided action was a full pass over the label table (the round-3
+    * version paid a second join-and-count per round; JobCountSpec pins
+    * the ≤1-action shape). */
   def dedupClustersOf(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("d1"), col("d2")).persist()
     var labels = edges
@@ -280,11 +288,14 @@ object Dedup {
         .groupBy("doc_id").agg(min("cand").as("cand"))
       val next = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
-        .filter(col("label") < col("prev")).count()
-      labels = next
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          (coalesce(col("cand"), col("label")) < col("label")).cast("long").as("chg"))
+        .localCheckpoint(eager = false)
+      // the ONE action: materializes the lazy checkpoint AND reads the
+      // convergence signal from the blocks it just wrote
+      changed = next.agg(coalesce(sum("chg"), lit(0L)).as("n"))
+        .first().getLong(0)
+      labels = next.select("doc_id", "label")
     }
     edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))

@@ -1,0 +1,76 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Action-count guard for the iterative connected-components loop: at
+  * corpus scale every Spark action inside the loop is a pass over the
+  * label table, so the loop must spend exactly ONE action per propagation
+  * round (the lazy local checkpoint is materialized by the same aggregate
+  * that reads the convergence flag). AQE is disabled for the session so
+  * one action == one scheduled job and the count is deterministic. */
+class JobCountSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      // corpus-scale shape: the label table never broadcasts (a broadcast
+      // exchange is its own collect job and would muddy the action count)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def settledJobCount(counter: AtomicInteger): Int = {
+    // listener events are delivered asynchronously: wait until the count
+    // stops moving before reading it
+    var prev = -1
+    var cur = counter.get()
+    while (cur != prev) {
+      Thread.sleep(300)
+      prev = cur
+      cur = counter.get()
+    }
+    cur
+  }
+
+  test("d16 CC loop: one Spark action per propagation round") {
+    val s = spark; import s.implicits._
+    // a 6-node chain 0-1-2-...-5: the min label moves one hop per round,
+    // so the loop needs 5 propagation rounds + 1 no-change round — the
+    // worst case per node count, which makes the job budget tight
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val clusters = Dedup.dedupClustersOf(chain) // loop runs here
+      val loopJobs = settledJobCount(jobs)
+      // 1 job for the eager initial-labels checkpoint + 6 rounds × 1 job:
+      // the round-3 shape (checkpoint + separate join-and-count) would
+      // spend 13 — the budget below fails it
+      assert(loopJobs <= 8, s"CC loop spent $loopJobs jobs for 6 rounds")
+      // and the answer is still right: one component, labeled by its min
+      val rows = clusters.collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq === (0L to 5L))
+      assert(rows.forall(_.getLong(1) == 0L))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+}
