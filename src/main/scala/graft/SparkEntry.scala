@@ -128,6 +128,7 @@ object SparkEntry {
     "f04_schema_evolution"   -> (graft.sources.SchemaEvolution.roundTrip _),
     "f05_compaction"         ->
       ((s: SparkSession, d: String) => graft.sources.Compaction.compact(s, d)),
+    "f06_zorder"             -> (graft.sources.ZOrder.zorderQuery _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     // S2 sink round trip — ref_-prefixed (reads the fixed-size reference

@@ -816,6 +816,18 @@ object OpsOracles {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // f06: z-order layout round trip — the Morton rewrite must be
+    // invisible to results: same box aggregate over the raw table.
+    "f06_zorder" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS orders_in_box,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_custkey BETWEEN 200 AND 400
+        |  AND o_totalprice BETWEEN 50000 AND 150000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // w07: streaming upsert — latest event per (user, type) with update
     // count; the oracle recomputes the settled state from all events.
     "w07_stream_upsert" ->
