@@ -45,6 +45,15 @@ object Bucketing {
     * (BucketingSpec asserts the exchange-free join subplan). */
   def bucketedRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
     val token = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    // GC: a finished application's table pair can never be read again —
+    // drop every graft-bucketed table from OTHER applications before
+    // writing this run's, so the warehouse holds at most one live pair
+    // per running app (this run's own tables must outlive this call: the
+    // returned frame reads them lazily, hence no drop-after-use here)
+    spark.catalog.listTables().collect()
+      .filter(t => (t.name.startsWith("graft_li_") || t.name.startsWith("graft_ord_")) &&
+        !t.name.endsWith(token))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_extendedprice"))
     val o = spark.read.parquet(s"$dir/orders.parquet")

@@ -22,6 +22,7 @@ object Compaction {
 
   def compact(spark: SparkSession, dir: String, files: Int = 4): DataFrame = {
     val out = outDir(spark, dir)
+    StaleOutputs.sweep("graft_compact", spark.sparkContext.applicationId)
     spark.read.parquet(s"$dir/documents.parquet")
       .repartition(files)
       .write.mode("overwrite").parquet(out)

@@ -60,6 +60,7 @@ object JsonlCorpus {
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${sys.props("java.io.tmpdir")}/graft_jsonl/" +
       s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    StaleOutputs.sweep("graft_jsonl", spark.sparkContext.applicationId)
     write(graft.Tables.documents(spark, dir), out)
     read(spark, out)
       .select(col("doc_id"), md5(col("text")).as("fp"), col("lang"), col("n_chars"))

@@ -23,6 +23,7 @@ object SchemaEvolution {
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
     val base = s"${sys.props("java.io.tmpdir")}/graft_schema_evo/" +
       s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    StaleOutputs.sweep("graft_schema_evo", spark.sparkContext.applicationId)
     val o = spark.read.parquet(s"$dir/orders.parquet")
     o.filter(col("o_orderkey") % 2 === 0)
       .select("o_orderkey", "o_totalprice")

@@ -67,6 +67,7 @@ object WarehouseSink {
   def roundTrip(spark: SparkSession): DataFrame = {
     val out = s"${sys.props("java.io.tmpdir")}/graft_warehouse/" +
       spark.sparkContext.applicationId
+    StaleOutputs.sweep("graft_warehouse", spark.sparkContext.applicationId)
     write(Warehouse.fromRawDir(spark, graft.etl.Pipeline.DefaultRawDir), out)
     val star = read(spark, out)
     star.factSales

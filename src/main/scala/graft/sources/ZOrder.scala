@@ -71,6 +71,7 @@ object ZOrder {
     * skipping the layout exists for. */
   def zorderQuery(spark: SparkSession, dir: String): DataFrame = {
     val out = outDir(spark, dir)
+    StaleOutputs.sweep("graft_zorder", spark.sparkContext.applicationId)
     writeZOrdered(graft.Tables.orders(spark, dir),
       "o_custkey", "o_totalprice", out, 16)
     spark.read.parquet(out)

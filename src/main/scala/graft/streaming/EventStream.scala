@@ -167,6 +167,8 @@ object EventStream {
   def streamToWarehouse(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${sys.props("java.io.tmpdir")}/graft_stream_sink/" +
       s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    graft.sources.StaleOutputs.sweep("graft_stream_sink",
+      spark.sparkContext.applicationId)
     val q = windowedCounts(readEvents(spark, dir))
       .writeStream
       .outputMode("complete")
@@ -225,6 +227,8 @@ object EventStream {
   def streamUpsertLatest(spark: SparkSession, dir: String): DataFrame = {
     val base = s"${sys.props("java.io.tmpdir")}/graft_upsert/" +
       s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    graft.sources.StaleOutputs.sweep("graft_upsert",
+      spark.sparkContext.applicationId)
     @volatile var last: Option[String] = None
     val q = readEvents(spark, dir)
       .withColumn("ts_us", expr("ts div 1000"))

@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Additive schema evolution: the merged read keeps every row, with the
-  * new column null exactly on old-generation rows. */
-class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
+/** Small-file compaction: the rewrite must hit the exact target file
+  * count and lose nothing. */
+class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
   private var spark: SparkSession = _
@@ -23,14 +23,11 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("merged read: complete row set, new column null exactly on old-gen rows") {
-    val out = SchemaEvolution.roundTrip(spark, dir).collect()
-    assert(out.length === spark.read.parquet(s"$dir/orders.parquet").count())
-    out.foreach { r =>
-      val oldGen = r.getLong(0) % 2 == 0
-      assert(r.isNullAt(2) === oldGen,
-        s"o_orderkey=${r.getLong(0)}: null-fill must track the writer generation")
-    }
+  test("compaction: exact target file count, lossless row set") {
+    val out = Compaction.compact(spark, dir, files = 4)
+    assert(out.count() === spark.read.parquet(s"$dir/documents.parquet").count())
+    val parts = new java.io.File(Compaction.outDir(spark, dir))
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parts === 4, s"expected 4 compacted files, found $parts")
   }
-
 }
