@@ -94,8 +94,8 @@ object OpsOracles {
          |  SELECT vec_id, cid, v FROM (
          |    SELECT n.vec_id, c.cid, n.v,
          |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |        list_sum(list_transform(range(64),
-         |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))) ASC,
+         |        round(list_sum(list_transform(range(64),
+         |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))), 6) ASC,
          |        c.cid ASC) AS rk
          |    FROM n CROSS JOIN $cents c)
          |  WHERE rk = 1)""".stripMargin
@@ -598,8 +598,8 @@ object OpsOracles {
         |  SELECT vec_id, cell, v, norm FROM (
         |    SELECT n.vec_id, c.cid AS cell, n.v, n.norm,
         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |        list_sum(list_transform(range(64),
-        |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))) ASC,
+        |        round(list_sum(list_transform(range(64),
+        |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))), 6) ASC,
         |        c.cid ASC) AS rk
         |    FROM normed n CROSS JOIN c2 c)
         |  WHERE rk = 1)

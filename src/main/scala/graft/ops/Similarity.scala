@@ -302,28 +302,32 @@ object Similarity {
     *
     * Scale shape per iteration: the centroid table (k×dims,
     * corpus-independent) broadcasts; assignment is a narrow per-row pass
-    * (k distances per vector, per-vector window over k rows); the mean
-    * recomputation is one (cid, dim)-keyed exchange with map-side
-    * combine — O(k×dims) rows out. Total cost: iters × one corpus pass,
-    * no iteration-to-iteration state beyond the k×dims table.
+    * (k distances per vector) folded by the packed-key min_by hash-agg —
+    * no sort exchange; the mean recomputation is one (cid, dim)-keyed
+    * exchange with map-side combine — O(k×dims) rows out. Total cost:
+    * iters × one corpus pass, no iteration-to-iteration state beyond the
+    * k×dims table.
     *
     * Cross-engine determinism: centroids round to 6dp after EVERY
     * iteration, so each iteration's distance inputs are identical on
-    * both engines (same discipline as s05/s06); assignment ties break on
-    * the lower cid. A cluster that loses all members simply drops out
-    * (both engines mirror the same convention). */
+    * both engines (same discipline as s05/s06); assignment argmins the
+    * packed (round(dist,6), cid) key ([[assignKey]]), mirrored in the
+    * oracle's ORDER BY. A cluster that loses all members simply drops
+    * out (both engines mirror the same convention). */
   def kmeansCentroids(spark: SparkSession, dir: String,
                       k: Int = 8, iters: Int = 2): DataFrame = {
     val vs = vectors(spark, dir).select("vec_id", "v")
     var cents = vs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      // per-iteration assignment is the same packed-key min_by hash-agg
+      // as trainedAssignment — a row_number window here would pay one
+      // sort exchange of corpus×k rows PER Lloyd iteration
       val assigned = vs.crossJoin(broadcast(cents))
         .withColumn("dist",
           expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+        .groupBy("vec_id", "v")
+        .agg(min_by(col("cid"), assignKey("cid")).as("cid"))
         .select("vec_id", "cid", "v")
       cents = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
@@ -348,14 +352,13 @@ object Similarity {
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
         .as("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
     val assigned = vectors(spark, dir)
       .crossJoin(broadcast(cents))
       .withColumn("dist",
         expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"), col("v"), col("norm"))
+      .groupBy("vec_id", "v", "norm")
+      .agg(min_by(col("cid"), assignKey("cid")).as("cell"))
+      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
       .persist()
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("norm").as("qnorm"))
