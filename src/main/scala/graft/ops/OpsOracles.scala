@@ -563,6 +563,16 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s15: index-persistence round trip — the parquet write/read of the
+    // index artifacts must be invisible to answers, so the oracle is
+    // exactly s13's chain recomputed from the raw table.
+    "s15_index_roundtrip" ->
+      s"""WITH $ivfPqCtes
+        |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
+        |FROM rankedq
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     // s14: ANN recall report — how many of s13's top-3 survive against
     // the exact-L2 ground truth, per query.
     "s14_ann_recall" ->

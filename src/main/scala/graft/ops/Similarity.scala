@@ -669,12 +669,24 @@ object Similarity {
           .select(col("vec_id").as("cand_id"), col("cell")), Seq("cand_id"))
     }
 
-  def ivfPqAnn(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
-    val cents = centroidVectors(spark, dir)
-    val books = residCodebooks(spark, dir)
-    val codes = residCandidateCodes(spark, dir)
-    val probes = cellRanked(spark, dir)
-      .filter(col("vec_id") < 10 && col("rk") <= nprobe)
+  /** The query-time half of IVF-PQ, parameterized by the three index
+    * artifacts it consumes — (cell, cv) coarse centroids, (s, cid, cv)
+    * residual codebooks, (cand_id, s, code, cell) candidate codes — so
+    * the SAME search runs against the in-session cache ([[ivfPqAnn]]) or
+    * a persisted on-disk index read back ([[indexRoundTrip]]). Probe
+    * ranking uses the packed rounded ordering (query-side window over
+    * the broadcast-sized query set only). */
+  private def ivfPqSearch(spark: SparkSession, dir: String,
+                          cents: DataFrame, books: DataFrame, codes: DataFrame,
+                          k: Int, nprobe: Int): DataFrame = {
+    val pw = Window.partitionBy("vec_id")
+      .orderBy(round(col("dist"), 6).asc, col("cell").asc)
+    val probes = vectors(spark, dir).filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell"), col("v"))
     val qres = probes.join(broadcast(cents), Seq("cell"))
       .select(col("query_id"), col("cell"), expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
@@ -690,6 +702,34 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         col("adist").cast("double").as("adist"), col("rnk"))
       .orderBy("query_id", "rnk")
+  }
+
+  def ivfPqAnn(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame =
+    ivfPqSearch(spark, dir, centroidVectors(spark, dir),
+      residCodebooks(spark, dir), residCandidateCodes(spark, dir), k, nprobe)
+
+  /** INDEX PERSISTENCE round trip (s15) — the on-disk build-index /
+    * query-index split: the three IVF-PQ artifacts are WRITTEN as
+    * parquet (what a production ingest job ships — coarse centroids,
+    * residual codebooks, and the 8-bytes-per-vector candidate code
+    * table), then the s13 query is answered READING ONLY the persisted
+    * index plus the query vectors. Hash-matching s13's oracle proves the
+    * index round-trips losslessly: a query node needs neither the corpus
+    * floats nor any training pass, just the (tiny) centroid/codebook
+    * tables and the code scan — the artifact layout that makes
+    * billion-vector serving cheap. */
+  def indexRoundTrip(spark: SparkSession, dir: String,
+                     k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_annindex/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    graft.sources.StaleOutputs.sweep("graft_annindex", spark.sparkContext.applicationId)
+    centroidVectors(spark, dir).write.mode("overwrite").parquet(s"$base/centroids")
+    residCodebooks(spark, dir).write.mode("overwrite").parquet(s"$base/codebooks")
+    residCandidateCodes(spark, dir).write.mode("overwrite").parquet(s"$base/codes")
+    ivfPqSearch(spark, dir,
+      spark.read.parquet(s"$base/centroids"),
+      spark.read.parquet(s"$base/codebooks"),
+      spark.read.parquet(s"$base/codes"), k, nprobe)
   }
 
   /** Embedding near-dup APPLICATION — completes the detect→apply chain for

@@ -704,6 +704,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("index round trip: search from the persisted parquet index equals the in-session answer") {
+    val fromDisk = Similarity.indexRoundTrip(spark, dir).collect().toSeq
+    val inSession = Similarity.ivfPqAnn(spark, dir).collect().toSeq
+    assert(fromDisk === inSession)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_annindex/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    for (part <- Seq("centroids", "codebooks", "codes"))
+      assert(new java.io.File(s"$base/$part").exists(), s"$part not persisted")
+  }
+
   test("PQ index memoized: repeat calls return the SAME persisted frames (no retrain)") {
     // build-index/query-index split: the codebooks and code tables are
     // trained once per (session, dir); a second call must get the
