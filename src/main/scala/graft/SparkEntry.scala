@@ -49,6 +49,7 @@ object SparkEntry {
     "q31_extreme_values"     -> (Relational.q31ExtremeValues _),
     "q32_grouping_sets"      -> (Relational.q32GroupingSets _),
     "q33_date_spine"         -> (Relational.q33DateSpine _),
+    "q34_scd2"               -> (Relational.q34Scd2 _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

@@ -263,6 +263,36 @@ object RelationalOracles {
         |FROM spine LEFT JOIN daily USING (d)
         |ORDER BY d""".stripMargin,
 
+    // q34: SCD2 interval assembly — gaps-and-islands over each user's
+    // event stream; valid_to is the next run's exclusive start. The run
+    // id is internal numbering only (never emitted); ordering keys
+    // (ts_us, event_id) are a total order.
+    "q34_scd2" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w != event_type
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM r),
+        |i AS (
+        |  SELECT user_id, run, min(event_type) AS state,
+        |    min(ts_us) AS valid_from_us, count(*) AS n_events
+        |  FROM s GROUP BY user_id, run)
+        |SELECT user_id, state, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+        |    AS valid_to_us,
+        |  n_events,
+        |  CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+        |    IS NULL AS INT) AS is_current
+        |FROM i
+        |ORDER BY user_id, valid_from_us""".stripMargin,
+
     // q30: the oracle is the declarative window form of grouped top-k;
     // the Spark side runs the custom TopKPerGroup operator — equal
     // row sets because the order is total (unique o_orderkey tie-break).

@@ -555,6 +555,46 @@ object Relational {
       .orderBy(col("event_type").asc, col("value").desc, col("event_id").asc)
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) interval assembly — the
+    * warehouse operator that turns an event stream into a VERSIONED
+    * dimension: each user's consecutive run of the same state
+    * (event_type) collapses into one validity interval with
+    * [valid_from, valid_to) bounds and a current flag. Classic
+    * gaps-and-islands: lag → change flag → running-sum run id → per-run
+    * aggregate → lead for the exclusive end.
+    *
+    * Scale shape: ONE hash exchange on user_id serves everything — both
+    * windows partition by user_id, and the (user_id, run) aggregate's
+    * clustering requirement is satisfied by the existing user_id
+    * partitioning (hash(user_id) ⊆ cluster(user_id, run)), so Spark adds
+    * no second exchange (PlanSpec asserts exactly one). Per-user state
+    * is bounded by that user's event count — no global sort anywhere but
+    * the output contract. */
+  def q34Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byStart = Window.partitionBy("user_id").orderBy(col("valid_from_us").asc)
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum("chg").over(runSum))
+      .groupBy("user_id", "run")
+      .agg(
+        min("event_type").as("state"), // constant within a run
+        min("ts_us").as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byStart))
+      .withColumn("is_current", col("valid_to_us").isNull.cast("int"))
+      .select("user_id", "state", "valid_from_us", "valid_to_us",
+        "n_events", "is_current")
+      .orderBy("user_id", "valid_from_us")
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

@@ -157,6 +157,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan("w06_session_stats").take(2000))
   }
 
+  test("q34_scd2: ONE hash exchange — run aggregate and both windows share " +
+       "the user_id partitioning") {
+    assert(hashExchanges("q34_scd2") === 1, plan("q34_scd2").take(2000))
+  }
+
   /** (path, read columns, pushed-filter string) for every file scan in
     * the executed tree. */
   private def scanDetails(name: String): Seq[(String, Seq[String], String)] = {
