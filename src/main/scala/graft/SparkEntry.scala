@@ -110,6 +110,8 @@ object SparkEntry {
     "w04_stream_join"        -> (graft.streaming.EventStream.purchaseClickPairs _),
     "w05_stream_sink"        -> (graft.streaming.EventStream.streamToWarehouse _),
     "w07_stream_upsert"      -> (graft.streaming.EventStream.streamUpsertLatest _),
+    "w08_stream_ingest_dedup"-> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.runIngestDedupAvailableNow(s, d)),
     "t10_rolling_fingerprint"-> (TextAnalysis.rollingFingerprint _),
     "t11_decontaminate"      -> (TextAnalysis.decontaminate _),
     "t12_decontaminate_apply"-> (TextAnalysis.decontaminateApply _),

@@ -42,11 +42,18 @@ object Dedup {
     * DataFrame-first: works over ANY corpus frame with (doc_id, text)
     * columns; callers at scale persist the result themselves (shingling
     * is compute-once/query-many). */
-  def docShinglesOf(docs: DataFrame): DataFrame =
+  /** Append (shingles, n) to any frame with a `text` column, keeping
+    * every other column — the streaming ingest guard shingles arriving
+    * rows in flight with exactly the batch definition. */
+  def withShinglesOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", expr(shingleArr))
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .withColumn("n", size(col("shingles")))
+      .drop("toks")
+
+  def docShinglesOf(docs: DataFrame): DataFrame =
+    withShinglesOf(docs).select(col("doc_id"), col("shingles"), col("n"))
 
   def docShinglesPlan(spark: SparkSession, dir: String): DataFrame =
     docShinglesOf(Tables.documents(spark, dir))

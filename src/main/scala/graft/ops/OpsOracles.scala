@@ -1026,6 +1026,30 @@ object OpsOracles {
         |  AND doc_id NOT IN (SELECT d2 FROM losers)
         |ORDER BY doc_id""".stripMargin,
 
+    // w08: streaming ingest dedup — arriving docs (md5 bucket 'f') are
+    // dropped on ANY band-bucket collision with an OLDER index doc; no
+    // Jaccard verify (the streaming recall-first gate; d22 is the exact
+    // nightly form). Mirrors EventStream.ingestDedupStream's per-row
+    // decision exactly.
+    "w08_stream_ingest_dedup" ->
+      s"""WITH $shingleCte,
+        |$sigBandsCte,
+        |bb AS (
+        |  SELECT doc_id, band, bkey,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        |  FROM bands),
+        |im AS (
+        |  SELECT band, bkey, min(doc_id) AS bmin FROM bb
+        |  WHERE bucket != 'f' GROUP BY 1, 2),
+        |drops AS (
+        |  SELECT DISTINCT d.doc_id
+        |  FROM bb d JOIN im USING (band, bkey)
+        |  WHERE d.bucket = 'f' AND im.bmin < d.doc_id)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+        |  AND doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
+
     // d20: MinHash estimate calibration — signature-agreement fraction
     // (8 perms) vs exact Jaccard on the exact near-dup pairs.
     "d20_minhash_estimate" ->

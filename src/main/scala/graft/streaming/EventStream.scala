@@ -397,4 +397,104 @@ object EventStream {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  // ---------------------------------------------------------------------
+  // w08: STREAMING ingest dedup against a static signature index — the
+  // streaming twin of the batch incremental near-dup (d22's
+  // delta-vs-index half), as the in-flight guard a continuous
+  // training-data feed runs at the ingest line.
+  // ---------------------------------------------------------------------
+
+  /** documents.parquet schema, declared for the file-source stream. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** STATIC side: the persisted signature index — min doc_id per LSH
+    * band bucket over everything already ingested (md5 bucket != 'f').
+    * At 100 TB this table is written once at ingest (d22 stores the same
+    * artifact); consulting only the bucket MINIMUM is exact for the
+    * "does an OLDER index doc share this bucket" question: if any index
+    * doc in the bucket is older than the arrival, so is the minimum. */
+  def indexBandMins(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashSigs.register(spark)
+    val sig = graft.ops.Dedup.docShingles(spark, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .filter(col("bucket") =!= "f" && col("n") > 0)
+      .select(col("doc_id"), expr("minhash_sigs(shingles, 8)").as("sig"))
+    sig.selectExpr("doc_id",
+      """stack(4, 0, concat(sig[0], sig[1]), 1, concat(sig[2], sig[3]),
+        |         2, concat(sig[4], sig[5]), 3, concat(sig[6], sig[7])) as (band, bkey)
+        |""".stripMargin.replaceAll("\n", " "))
+      .groupBy("band", "bkey").agg(min("doc_id").as("bmin"))
+  }
+
+  /** The in-flight dedup guard: each arriving document (md5 bucket 'f' —
+    * the same arrival line as d19/d22) computes its MinHash band keys as
+    * per-row expressions, and four stream-static hash joins probe the
+    * index band table; the row is dropped the moment ANY band's bucket
+    * holds an OLDER index doc. ZERO streaming state: no aggregation, no
+    * watermark, no dedup buffer — the decision is per-row against the
+    * static index, so the guard runs at line rate on an unbounded feed
+    * (StreamingSpec asserts the state-free progress). This is the
+    * recall-first gate: band collision without the exact-Jaccard verify
+    * may drop a non-duplicate (the LSH false-positive rate); the nightly
+    * batch pass (d22) is the exact form. Short docs (no shingles) carry
+    * null band keys and always pass. */
+  /** The guard as a frame-in/frame-out transform — identical plan for a
+    * streaming or batch `arrivals` frame (StreamingSpec proves the two
+    * agree row for row). */
+  def ingestDedupOf(arrivals: DataFrame, idx: DataFrame): DataFrame = {
+    var keyed = graft.ops.Dedup.withShinglesOf(arrivals)
+      .withColumn("sig",
+        when(col("n") > 0, expr("minhash_sigs(shingles, 8)")))
+    for (b <- 0 until 4)
+      keyed = keyed.withColumn(s"bk$b",
+        when(col("n") > 0, expr(s"concat(sig[${2 * b}], sig[${2 * b + 1}])")))
+    var joined: DataFrame = keyed
+    for (b <- 0 until 4)
+      joined = joined.join(
+        idx.filter(col("band") === b)
+          .select(col("bkey").as(s"bk$b"), col("bmin").as(s"bmin$b")),
+        Seq(s"bk$b"), "left")
+    joined
+      .filter((0 until 4)
+        .map(b => col(s"bmin$b").isNull || col(s"bmin$b") > col("doc_id"))
+        .reduce(_ && _))
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  def ingestDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashSigs.register(spark)
+    ingestDedupOf(
+      readDocuments(spark, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f"),
+      indexBandMins(spark, dir))
+  }
+
+  /** Run [[ingestDedupStream]] with AvailableNow into a memory sink.
+    * Append mode: each surviving document emits exactly once; the result
+    * is arrival-order-free (the keep decision is a pure per-row
+    * function), so the driver oracle hash-matches it directly. */
+  def runIngestDedupAvailableNow(spark: SparkSession, dir: String,
+                                 queryName: String = "graft_ingest_dedup"): DataFrame = {
+    val q = ingestDedupStream(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("doc_id")
+  }
 }

@@ -115,6 +115,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming ingest dedup: state-free, equals the batch guard row for row") {
+    import org.apache.spark.sql.functions._
+    graft.functions.MinHashSigs.register(spark)
+    // streaming run, keeping a handle on the query to inspect progress
+    val q = EventStream.ingestDedupStream(spark, dir)
+      .writeStream.format("memory").queryName("ingest_dedup_spec")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // ZERO streaming state: no aggregation, no watermark, no dedup
+    // buffer — the property that lets the guard run at line rate forever
+    val progresses = q.recentProgress
+    assert(progresses.nonEmpty)
+    assert(progresses.forall(_.stateOperators.isEmpty),
+      "ingest guard accumulated streaming state")
+    val streamed = spark.table("ingest_dedup_spec")
+      .collect().map(_.getLong(0)).toSet
+    // batch mirror: same transform over a batch read of the same files
+    val batchArrivals = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+    val batch = EventStream.ingestDedupOf(batchArrivals,
+      EventStream.indexBandMins(spark, dir))
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming upsert equals the settled batch state") {
     val streamed = EventStream.streamUpsertLatest(spark, dir).collect()
     val e = spark.read.parquet(s"$dir/events.parquet")
