@@ -50,6 +50,7 @@ object SparkEntry {
     "q32_grouping_sets"      -> (Relational.q32GroupingSets _),
     "q33_date_spine"         -> (Relational.q33DateSpine _),
     "q34_scd2"               -> (Relational.q34Scd2 _),
+    "q35_skew_report"        -> (Relational.q35SkewReport _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

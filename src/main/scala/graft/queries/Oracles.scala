@@ -293,6 +293,21 @@ object RelationalOracles {
         |FROM i
         |ORDER BY user_id, valid_from_us""".stripMargin,
 
+    // q35: join-key skew report — per-key counts, share of table, and
+    // hot/mean ratio for the 20 hottest keys (total order: rows desc,
+    // key asc). All ratios are single double ops on exact integers.
+    "q35_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_orderkey AS key, count(*) AS rows FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rows) AS BIGINT) AS total_rows,
+        |             count(*) AS n_keys FROM c)
+        |SELECT key, CAST(rows AS BIGINT) AS rows,
+        |  round(CAST(rows AS DOUBLE) / total_rows, 6) AS share,
+        |  round(CAST(rows AS DOUBLE) * n_keys / total_rows, 4) AS hot_to_mean
+        |FROM c CROSS JOIN t
+        |ORDER BY rows DESC, key ASC
+        |LIMIT 20""".stripMargin,
+
     // q30: the oracle is the declarative window form of grouped top-k;
     // the Spark side runs the custom TopKPerGroup operator — equal
     // row sets because the order is total (unique o_orderkey tie-break).

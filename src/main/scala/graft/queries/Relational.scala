@@ -595,6 +595,29 @@ object Relational {
       .orderBy("user_id", "valid_from_us")
   }
 
+  /** JOIN-KEY SKEW diagnosis (q35) — the measurement that decides the
+    * mitigation (q27's salting, AQE skew-join, broadcast): per candidate
+    * join key, the hottest keys with their share of the table and the
+    * hot/mean ratio. At 100 TB this report is what stops a blind shuffle
+    * join from putting one key's terabyte in one task. Two aggregations:
+    * per-key counts (uniform shuffle), then a broadcast 1-row total —
+    * the top-k lands via TakeOrderedAndProject, never a global window.
+    * Shares are exact integer-derived decimals rounded at projection. */
+  def q35SkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("key"))
+      .agg(count(lit(1)).as("rows"))
+    val tot = counts.agg(
+      sum("rows").as("total_rows"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("rows"),
+        round(col("rows").cast("double") / col("total_rows"), 6).as("share"),
+        round(col("rows").cast("double") * col("n_keys") / col("total_rows"), 4)
+          .as("hot_to_mean"))
+      .orderBy(col("rows").desc, col("key").asc)
+      .limit(20)
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */
