@@ -134,6 +134,8 @@ object SparkEntry {
     "f05_compaction"         ->
       ((s: SparkSession, d: String) => graft.sources.Compaction.compact(s, d)),
     "f06_zorder"             -> (graft.sources.ZOrder.zorderQuery _),
+    "f07_orc_roundtrip"      -> (graft.sources.OrcRoundTrip.roundTrip _),
+    "d23_threshold_sweep"    -> (Dedup.thresholdSweep _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     // S2 sink round trip — ref_-prefixed (reads the fixed-size reference

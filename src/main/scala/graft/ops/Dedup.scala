@@ -559,6 +559,29 @@ object Dedup {
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame =
     minhashEstimateOf(docShingles(spark, dir))
 
+  /** Dedup THRESHOLD SWEEP (d23) — the calibration report that sizes the
+    * Jaccard cutoff before a corpus-wide apply: for each candidate
+    * threshold, how many verified near-dup pairs and how many dropped
+    * documents survive. Read bottom-up, the curve shows what loosening
+    * the cutoff by 0.05 costs in corpus mass — the number a pipeline
+    * owner signs off on before d07 deletes documents. Input is the
+    * PRODUCTION detector's verified pair set (already linear via LSH);
+    * the sweep itself is a broadcast of 10 threshold rows against the
+    * detection-sized pair table — negligible at any corpus size. */
+  def thresholdSweepOf(pairs: DataFrame): DataFrame = {
+    val ts = pairs.sparkSession.range(1)
+      .selectExpr("explode(sequence(50, 95, 5)) as i")
+      .select((col("i") / 100.0).as("threshold"))
+    pairs.crossJoin(broadcast(ts))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("pairs"), countDistinct(col("d2")).as("losers"))
+      .orderBy("threshold")
+  }
+
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepOf(minhashLsh(spark, dir))
+
   /** Portable 16-bit SimHash per document: each distinct token hashes to a
     * 16-bit value (first 4 hex chars of md5, decoded arithmetically so
     * Spark and DuckDB agree), each bit votes ±1, the sign of the vote sum

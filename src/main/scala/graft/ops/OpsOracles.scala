@@ -1278,6 +1278,39 @@ object OpsOracles {
         |WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
+    // d23: threshold sweep over the production detector's verified pairs —
+    // per candidate cutoff, surviving pair and loser counts. Thresholds
+    // are i/100.0 on both engines (identical doubles), compared against
+    // the shared 4dp-rounded jaccard.
+    "d23_threshold_sweep" ->
+      s"""WITH $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2,
+        |    round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |ts AS (SELECT i / 100.0 AS threshold FROM range(50, 100, 5) r(i))
+        |SELECT threshold, count(*) AS pairs,
+        |  count(DISTINCT d2) AS losers
+        |FROM pairs CROSS JOIN ts
+        |WHERE jaccard >= threshold
+        |GROUP BY threshold
+        |ORDER BY threshold""".stripMargin,
+
+    "f07_orc_roundtrip" ->
+      """SELECT doc_id, md5(text) AS fp, lang, n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "s01_knn_brute" -> knnBruteSql,
 
     // f02: the DSv2 generator connector's scan query — the oracle

@@ -557,6 +557,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(incrementalKept === expectedKept)
   }
 
+  test("threshold sweep: monotone non-increasing, anchored at the detector's pair set") {
+    val rows = Dedup.thresholdSweep(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    // tightening the cutoff can only shed pairs and losers
+    rows.sliding(2).foreach {
+      case Array((_, p1, l1), (_, p2, l2)) =>
+        assert(p2 <= p1 && l2 <= l1)
+      case _ => ()
+    }
+    // the 0.5 row IS the production detector's output
+    assert(rows.head._1 === 0.5)
+    assert(rows.head._2 === Dedup.minhashLsh(spark, dir).count())
+  }
+
   test("minhash estimate: exact for identical docs, unbiased within tolerance") {
     val rows = Dedup.minhashEstimate(spark, dir).collect()
     assert(rows.nonEmpty, "testdata should contain exact near-dup pairs")
