@@ -123,6 +123,7 @@ object SparkEntry {
     "t17_temperature_mix"    -> (TextAnalysis.temperatureMix _),
     "t18_oov_rate"           -> (TextAnalysis.oovRate _),
     "t19_unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
+    "t21_bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
     "t20_mixture_report"     -> (TextAnalysis.mixtureReport _),
     "w06_session_stats"      -> (graft.streaming.EventStream.sessionStats _),
     "f03_bucketed_join"      -> (graft.sources.Bucketing.bucketedRevenueByPriority _),

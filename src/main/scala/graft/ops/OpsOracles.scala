@@ -491,6 +491,34 @@ object OpsOracles {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // t21: bigram conditional log-prob with add-one smoothing —
+    // p(cur|prev) = (c(prev,cur)+1)/(c(prev)+V); one double division per
+    // bigram type, ln rounded 6dp → DECIMAL(18,6), exact per-doc sums.
+    "t21_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |big AS (
+        |  SELECT doc_id, b.prev AS prev, b.cur AS cur FROM (
+        |    SELECT doc_id,
+        |      unnest(CASE WHEN len(l) < 2 THEN []
+        |             ELSE list_transform(range(len(l) - 1),
+        |                  i -> struct_pack(prev := l[i+1], cur := l[i+2])) END) AS b
+        |    FROM toks)),
+        |bfreq AS (SELECT prev, cur, count(*) AS cb FROM big GROUP BY 1, 2),
+        |ufreq AS (SELECT prev, count(*) AS cu FROM big GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS vocab
+        |      FROM (SELECT unnest(l) AS t FROM toks)),
+        |lp AS (
+        |  SELECT b.prev, b.cur,
+        |    CAST(round(ln(CAST(cb + 1 AS DOUBLE) / (cu + vocab)), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM bfreq b JOIN ufreq u ON b.prev = u.prev CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+        |FROM big JOIN lp USING (prev, cur)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "t05_vocabulary" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)

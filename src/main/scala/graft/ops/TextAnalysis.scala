@@ -475,6 +475,57 @@ object TextAnalysis {
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     unigramLogprobOf(Tables.documents(spark, dir))
 
+  /** BIGRAM conditional log-probability (t21) — the 2-gram refinement of
+    * [[unigramLogprobOf]], one step closer to the KenLM filter real
+    * pipelines run: per document, the mean ln p(cur|prev) under the
+    * corpus bigram model with add-one smoothing over the vocabulary
+    * (p = (c(prev,cur)+1) / (c(prev)+V)). Word-salad scores far lower
+    * than fluent text even when its unigrams are common — the signal the
+    * unigram model cannot see.
+    *
+    * Determinism: counts and V are exact integers; each conditional
+    * probability is ONE double division, its ln rounded to 6dp and cast
+    * DECIMAL(18,6) (t06/t19's proven discipline), so per-doc sums are
+    * exact and order-independent.
+    *
+    * Scale shape: bigram extraction is a narrow per-row array transform
+    * (docs under 2 tokens yield none); the bigram-model table aggregates
+    * with map-side combine and joins back co-partitioned on (prev, cur)
+    * — unlike t19's vocab-sized broadcast, the bigram table scales with
+    * distinct bigrams, so the scoring join is a plain co-partitioned
+    * shuffle join, exactly what you want at corpus scale. The 1-row
+    * vocabulary count broadcasts. */
+  def bigramLogprobOf(docs: DataFrame): DataFrame = {
+    val toks = withToks(docs)
+    val big = toks
+      .select(col("doc_id"), explode(expr(
+        """case when size(toks) < 2 then array()
+          |else transform(sequence(1, size(toks) - 1),
+          |               i -> struct(toks[i-1] as prev, toks[i] as cur)) end
+          |""".stripMargin.replaceAll("\n", " "))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val bfreq = big.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val ufreq = big.groupBy("prev").agg(count(lit(1)).as("cu"))
+    val vocab = toks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct("tok").as("vocab"))
+    val lp = bfreq.join(ufreq, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        round(log((col("cb") + 1).cast("double") / (col("cu") + col("vocab"))), 6)
+          .cast("decimal(18,6)"))
+      .select("prev", "cur", "lp")
+    big.join(lp, Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("sum_lp"))
+      .withColumn("avg_logprob",
+        round(col("sum_lp").cast("double") / col("n_bigrams"), 4))
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .orderBy("doc_id")
+  }
+
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprobOf(Tables.documents(spark, dir))
+
   /** Corpus MIXTURE report — the "dataset card" table a training run
     * publishes: documents, token mass, and corpus share per (language,
     * quality band). The grain every data-mixing decision (and t17's

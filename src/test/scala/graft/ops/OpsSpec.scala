@@ -557,6 +557,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(incrementalKept === expectedKept)
   }
 
+  test("bigram logprob: repeated-bigram text outscores unique-bigram text, short docs excluded") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),   // bigram types repeat — high conditional probs
+      (2L, "c d e f g h"),   // every bigram occurs once
+      (3L, "x")              // no bigrams at all
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogprobOf(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(!r.contains(3L), "a one-token doc has no bigrams to score")
+    assert(r(1L)._1 === 5L && r(2L)._1 === 5L) // size-1 bigrams each
+    assert(r(1L)._2 > r(2L)._2,
+      s"repeated bigrams must outscore unique ones: ${r(1L)._2} vs ${r(2L)._2}")
+  }
+
   test("threshold sweep: monotone non-increasing, anchored at the detector's pair set") {
     val rows = Dedup.thresholdSweep(spark, dir).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
