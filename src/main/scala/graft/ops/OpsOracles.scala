@@ -118,7 +118,7 @@ object OpsOracles {
   /** Nearest-codeword assignment of `sub`'s (vec_id, s, sv) rows against
     * codebook table `cents` — reused by the PQ training iterations, the
     * final encode (s11/s12), and the residual encode (s13). */
-  private def pqAssignCte(cents: String, out: String) =
+  private def pqAssignCte(cents: String, out: String, src: String = "sub") =
     s"""$out AS (
        |  SELECT vec_id, s, cid, sv FROM (
        |    SELECT b.vec_id, b.s, c.cid, b.sv,
@@ -126,7 +126,7 @@ object OpsOracles {
        |        round(list_sum(list_transform(range(8),
        |          i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))), 6) ASC,
        |        c.cid ASC) AS rk
-       |    FROM sub b JOIN $cents c ON b.s = c.s)
+       |    FROM $src b JOIN $cents c ON b.s = c.s)
        |  WHERE rk = 1)""".stripMargin
 
   private def pqMeansCte(assigned: String, m: String, c: String) =
@@ -596,6 +596,85 @@ object OpsOracles {
     // exactly s13's chain recomputed from the raw table.
     "s15_index_roundtrip" ->
       s"""WITH $ivfPqCtes
+        |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
+        |FROM rankedq
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // s16: incremental index update — coarse centroids and residual
+    // codebooks trained on the INDEX subset only (md5 bucket != 'f';
+    // seeds = its 16 smallest ids), every candidate encoded with the
+    // frozen trainers, search over the merged code table. Mirrors
+    // Similarity.incrementalIndexAnn stage for stage.
+    "s16_incremental_index" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |cand AS (SELECT * FROM n WHERE vec_id >= 10),
+        |idx AS (SELECT * FROM cand
+        |        WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) != 'f'),
+        |cent0 AS (
+        |  SELECT label AS cell, i AS dim, round(avg(v[i+1]), 6) AS centroid
+        |  FROM idx, range(64) AS t(i) GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(centroid ORDER BY dim) AS cv
+        |         FROM cent0 GROUP BY cell),
+        |cranked AS (
+        |  SELECT c.vec_id, ct.cell, c.v, c.norm,
+        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(64),
+        |        i -> (c.v[i+1] - ct.cv[i+1]) * (c.v[i+1] - ct.cv[i+1]))), 6) ASC,
+        |      ct.cell ASC) AS rk
+        |  FROM cand c CROSS JOIN cent ct),
+        |assigned AS (SELECT vec_id, cell, v FROM cranked WHERE rk = 1),
+        |resid AS (
+        |  SELECT a.vec_id,
+        |    list_transform(range(64), i -> a.v[i+1] - c.cv[i+1]) AS v
+        |  FROM assigned a JOIN cent c ON a.cell = c.cell),
+        |suball AS (SELECT vec_id, CAST(s AS INT) AS s, v[s*8+1 : s*8+8] AS sv
+        |           FROM resid, range(8) AS t(s)),
+        |sub AS (SELECT * FROM suball
+        |        WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) != 'f'),
+        |c0 AS (
+        |  SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM sub
+        |  WHERE vec_id IN (SELECT vec_id FROM (
+        |    SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT 16))),
+        |${pqAssignCte("c0", "a1")},
+        |${pqMeansCte("a1", "m1", "c1")},
+        |${pqAssignCte("c1", "a2")},
+        |${pqMeansCte("a2", "m2", "c2")},
+        |${pqAssignCte("c2", "a3", "suball")},
+        |codes AS (
+        |  SELECT a3.vec_id AS cand_id, ass.cell, a3.s, a3.cid AS code
+        |  FROM a3 JOIN assigned ass ON a3.vec_id = ass.vec_id),
+        |qranked AS (
+        |  SELECT q.vec_id, ct.cell, q.v,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(64),
+        |        i -> (q.v[i+1] - ct.cv[i+1]) * (q.v[i+1] - ct.cv[i+1]))), 6) ASC,
+        |      ct.cell ASC) AS rk
+        |  FROM n q CROSS JOIN cent ct WHERE q.vec_id < 10),
+        |probes AS (SELECT vec_id AS query_id, cell, v FROM qranked WHERE rk <= 2),
+        |qres AS (
+        |  SELECT p.query_id, p.cell,
+        |    list_transform(range(64), i -> p.v[i+1] - c.cv[i+1]) AS v
+        |  FROM probes p JOIN cent c ON p.cell = c.cell),
+        |qsub AS (SELECT query_id, cell, CAST(s AS INT) AS s, v[s*8+1 : s*8+8] AS sv
+        |         FROM qres, range(8) AS t(s)),
+        |lut AS (
+        |  SELECT q.query_id, q.cell, q.s, b.cid AS code,
+        |    CAST(round(list_sum(list_transform(range(8),
+        |      i -> (q.sv[i+1] - b.cv[i+1]) * (q.sv[i+1] - b.cv[i+1]))), 6)
+        |      AS DECIMAL(18,6)) AS d
+        |  FROM qsub q JOIN c2 b ON q.s = b.s),
+        |scored AS (
+        |  SELECT query_id, cand_id, sum(d) AS adist
+        |  FROM codes JOIN lut USING (cell, s, code)
+        |  GROUP BY query_id, cand_id),
+        |rankedq AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rnk
+        |  FROM scored)
         |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
         |FROM rankedq
         |WHERE rnk <= 3

@@ -549,9 +549,9 @@ object Similarity {
     * iteration — [[kmeansCentroids]]'s determinism discipline, so the
     * DuckDB oracle replays training exactly). The subspace is DATA, not
     * code: one grouped aggregation trains all 8 codebooks at once. */
-  private def pqCodebooksOf(sub: DataFrame): DataFrame = {
-    var cents = sub.filter(col("vec_id") < PqK)
-      .select(col("s"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+  /** The shared 2-iteration Lloyd refinement over per-subspace seeds. */
+  private def pqLloyd(sub: DataFrame, seed: DataFrame): DataFrame = {
+    var cents = seed
     for (_ <- 1 to 2) {
       cents = pqAssign(sub, cents)
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("dim", "val")))
@@ -562,6 +562,11 @@ object Similarity {
     }
     cents
   }
+
+  private def pqCodebooksOf(sub: DataFrame): DataFrame =
+    pqLloyd(sub,
+      sub.filter(col("vec_id") < PqK)
+        .select(col("s"), col("vec_id").cast("int").as("cid"), col("sv").as("cv")))
 
   /** Raw-embedding PQ index, trained/encoded ONCE per (session, dir):
     * [[memo]] makes the build-index/query-index split real — s10/s11/s12
@@ -730,6 +735,57 @@ object Similarity {
       spark.read.parquet(s"$base/centroids"),
       spark.read.parquet(s"$base/codebooks"),
       spark.read.parquet(s"$base/codes"), k, nprobe)
+  }
+
+  /** INCREMENTAL INDEX UPDATE (s16) — the ANN analog of d22's
+    * delta-vs-index dedup, completing the incremental family (exact
+    * d19, text near-dup d22, streaming w08): vectors that arrived AFTER
+    * the index was built (md5(vec_id) bucket 'f' — the same arrival
+    * line) fold in WITHOUT any retraining. The coarse centroids and
+    * residual codebooks are FROZEN at build time — trained on the index
+    * corpus only, seeds = its 16 smallest ids — and the delta pays just
+    * assignment + encoding (a broadcast-table pass per arriving vector,
+    * O(delta)); search runs over the merged (index ∪ delta) code table.
+    * This is the standard production posture: codebooks drift-tolerant
+    * between periodic retrains, arrivals indexed at line rate. The
+    * frozen-trainer split is the verified semantics — the oracle trains
+    * on exactly the index subset and encodes everything with it. */
+  def incrementalIndexAnn(spark: SparkSession, dir: String,
+                          k: Int = 3, nprobe: Int = 2): DataFrame = {
+    def delta(c: org.apache.spark.sql.Column) =
+      substring(md5(c.cast("string")), 1, 1) === "f"
+    val cand = vectors(spark, dir).filter(col("vec_id") >= 10)
+    val idx = cand.filter(!delta(col("vec_id")))
+    // build-time coarse centroids: per-label means over the INDEX only
+    val cents = idx
+      .select(col("label").as("cell"), posexplode(col("v")).as(Seq("dim", "vv")))
+      .groupBy("cell", "dim").agg(round(avg("vv"), 6).as("c"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cv"))
+    // every candidate (index at build time, delta on arrival) assigns to
+    // the frozen cells — the packed-key min_by hash-agg, no sort
+    val assigned = cand.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
+      .groupBy("vec_id", "v", "norm")
+      .agg(min_by(col("cell"), assignKey("cell")).as("cell"))
+    val resid = assigned.join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"), expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
+    val rsubAll = subvectorsOf(resid)
+    val rsubIdx = rsubAll.filter(!delta(col("vec_id")))
+    // frozen residual codebooks: trained on index residuals, seeded by
+    // the 16 smallest index ids (subset-safe — vec_id<16 are all queries
+    // or possibly delta here)
+    val seeds = rsubIdx.select("vec_id").distinct().orderBy("vec_id").limit(16)
+    val books = pqLloyd(rsubIdx,
+      rsubIdx.join(broadcast(seeds), Seq("vec_id"))
+        .select(col("s"), col("vec_id").cast("int").as("cid"), col("sv").as("cv")))
+    // delta encoding = the same assignment pass the index paid at build
+    val codes = pqAssign(rsubAll, books)
+      .select(col("vec_id").as("cand_id"), col("s"), col("cid").as("code"))
+      .join(assigned.select(col("vec_id").as("cand_id"), col("cell")), Seq("cand_id"))
+    ivfPqSearch(spark, dir, cents, books, codes, k, nprobe)
   }
 
   /** Embedding near-dup APPLICATION — completes the detect→apply chain for

@@ -735,6 +735,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental index: complete rank structure, repeat calls identical") {
+    val r1 = Similarity.incrementalIndexAnn(spark, dir).collect()
+    val r2 = Similarity.incrementalIndexAnn(spark, dir).collect()
+    assert(r1.toSeq === r2.toSeq, "frozen-trainer search must be deterministic")
+    val byQuery = r1.groupBy(_.getLong(0))
+    assert(byQuery.keySet === (0L until 10L).toSet)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3))
+    }
+  }
+
   test("index round trip: search from the persisted parquet index equals the in-session answer") {
     val fromDisk = Similarity.indexRoundTrip(spark, dir).collect().toSeq
     val inSession = Similarity.ivfPqAnn(spark, dir).collect().toSeq
