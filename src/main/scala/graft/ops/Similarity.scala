@@ -754,37 +754,43 @@ object Similarity {
                           k: Int = 3, nprobe: Int = 2): DataFrame = {
     def delta(c: org.apache.spark.sql.Column) =
       substring(md5(c.cast("string")), 1, 1) === "f"
-    val cand = vectors(spark, dir).filter(col("vec_id") >= 10)
-    val idx = cand.filter(!delta(col("vec_id")))
-    // build-time coarse centroids: per-label means over the INDEX only
-    val cents = idx
-      .select(col("label").as("cell"), posexplode(col("v")).as(Seq("dim", "vv")))
-      .groupBy("cell", "dim").agg(round(avg("vv"), 6).as("c"))
-      .groupBy("cell")
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
-        .as("cv"))
+    def cand = vectors(spark, dir).filter(col("vec_id") >= 10)
+    // build-time coarse centroids: per-label means over the INDEX only —
+    // memoized like every other index artifact (build once, query many)
+    val cents = memo(spark, dir, "incr-cents") {
+      cand.filter(!delta(col("vec_id")))
+        .select(col("label").as("cell"), posexplode(col("v")).as(Seq("dim", "vv")))
+        .groupBy("cell", "dim").agg(round(avg("vv"), 6).as("c"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+          .as("cv"))
+    }
     // every candidate (index at build time, delta on arrival) assigns to
     // the frozen cells — the packed-key min_by hash-agg, no sort
-    val assigned = cand.crossJoin(broadcast(cents))
+    def assigned = cand.crossJoin(broadcast(cents))
       .withColumn("dist",
         expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
       .groupBy("vec_id", "v", "norm")
       .agg(min_by(col("cell"), assignKey("cell")).as("cell"))
-    val resid = assigned.join(broadcast(cents), Seq("cell"))
-      .select(col("vec_id"), expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
-    val rsubAll = subvectorsOf(resid)
-    val rsubIdx = rsubAll.filter(!delta(col("vec_id")))
+    def rsubAll = subvectorsOf(
+      assigned.join(broadcast(cents), Seq("cell"))
+        .select(col("vec_id"), expr("zip_with(v, cv, (x, c) -> x - c)").as("v")))
     // frozen residual codebooks: trained on index residuals, seeded by
     // the 16 smallest index ids (subset-safe — vec_id<16 are all queries
     // or possibly delta here)
-    val seeds = rsubIdx.select("vec_id").distinct().orderBy("vec_id").limit(16)
-    val books = pqLloyd(rsubIdx,
-      rsubIdx.join(broadcast(seeds), Seq("vec_id"))
-        .select(col("s"), col("vec_id").cast("int").as("cid"), col("sv").as("cv")))
+    val books = memo(spark, dir, "incr-books") {
+      val rsubIdx = rsubAll.filter(!delta(col("vec_id")))
+      val seeds = rsubIdx.select("vec_id").distinct().orderBy("vec_id").limit(16)
+      pqLloyd(rsubIdx,
+        rsubIdx.join(broadcast(seeds), Seq("vec_id"))
+          .select(col("s"), col("vec_id").cast("int").as("cid"), col("sv").as("cv")))
+    }
     // delta encoding = the same assignment pass the index paid at build
-    val codes = pqAssign(rsubAll, books)
-      .select(col("vec_id").as("cand_id"), col("s"), col("cid").as("code"))
-      .join(assigned.select(col("vec_id").as("cand_id"), col("cell")), Seq("cand_id"))
+    val codes = memo(spark, dir, "incr-codes") {
+      pqAssign(rsubAll, books)
+        .select(col("vec_id").as("cand_id"), col("s"), col("cid").as("code"))
+        .join(assigned.select(col("vec_id").as("cand_id"), col("cell")), Seq("cand_id"))
+    }
     ivfPqSearch(spark, dir, cents, books, codes, k, nprobe)
   }
 
