@@ -51,6 +51,8 @@ object SparkEntry {
     "q33_date_spine"         -> (Relational.q33DateSpine _),
     "q34_scd2"               -> (Relational.q34Scd2 _),
     "q35_skew_report"        -> (Relational.q35SkewReport _),
+    "q36_column_stats"       -> (Relational.q36ColumnStats _),
+    "q37_dq_report"          -> (Relational.q37DqReport _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

@@ -308,6 +308,51 @@ object RelationalOracles {
         |ORDER BY rows DESC, key ASC
         |LIMIT 20""".stripMargin,
 
+    // q36: ANALYZE-style column stats — keys and prices are exactly
+    // double-representable, NDV is exact countDistinct, one scan.
+    "q36_column_stats" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(min(o_orderkey) AS DOUBLE) AS min_ok,
+        |    CAST(max(o_orderkey) AS DOUBLE) AS max_ok,
+        |    count(DISTINCT o_orderkey) AS ndv_ok,
+        |    CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS null_ok,
+        |    CAST(min(o_custkey) AS DOUBLE) AS min_ck,
+        |    CAST(max(o_custkey) AS DOUBLE) AS max_ck,
+        |    count(DISTINCT o_custkey) AS ndv_ck,
+        |    CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_ck,
+        |    min(o_totalprice) AS min_tp,
+        |    max(o_totalprice) AS max_tp,
+        |    count(DISTINCT o_totalprice) AS ndv_tp,
+        |    CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT) AS null_tp
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS column_name, min_ok AS min_value,
+        |  max_ok AS max_value, ndv_ok AS ndv, null_ok AS null_count FROM s
+        |UNION ALL
+        |SELECT 'o_custkey', min_ck, max_ck, ndv_ck, null_ck FROM s
+        |UNION ALL
+        |SELECT 'o_totalprice', min_tp, max_tp, ndv_tp, null_tp FROM s
+        |ORDER BY column_name""".stripMargin,
+
+    // q37: data-quality expectations — orphan/PK/null/range violation
+    // counts, each an exact integer.
+    "q37_dq_report" ->
+      """SELECT 'lineitem_orphan_orderkeys' AS check, count(*) AS violations
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'orders_orphan_custkeys', count(*)
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'orders_duplicate_pk', count(*) FROM (
+        |  SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'orders_null_priority', count(*)
+        |FROM orders WHERE o_orderpriority IS NULL
+        |UNION ALL
+        |SELECT 'lineitem_nonpositive_price', count(*)
+        |FROM lineitem WHERE l_extendedprice <= 0
+        |ORDER BY "check"""".stripMargin,
+
     // q30: the oracle is the declarative window form of grouped top-k;
     // the Spark side runs the custom TopKPerGroup operator — equal
     // row sets because the order is total (unique o_orderkey tie-break).

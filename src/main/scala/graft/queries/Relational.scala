@@ -618,6 +618,73 @@ object Relational {
       .limit(20)
   }
 
+  /** TABLE STATISTICS collection (q36) — the ANALYZE-TABLE shape: per
+    * numeric column, min/max/exact-NDV/null count in ONE pass over the
+    * table (every stat is an aggregate over the same scan — Spark
+    * computes all columns' stats in a single aggregation, no per-column
+    * rescan). These are the numbers a cost-based optimizer and a data
+    * catalog live on; NDV here is exact countDistinct — at 100 TB the
+    * approx_count_distinct sketch takes over (engine-empirical, so the
+    * exact form is the hash-verified surface, the sketch is spec'd in
+    * BucketingSpec). Keys and prices are exactly representable as
+    * doubles, so the min/max casts are lossless. */
+  def q36ColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val stats = o.agg(
+      min(col("o_orderkey")).cast("double").as("min_orderkey"),
+      max(col("o_orderkey")).cast("double").as("max_orderkey"),
+      countDistinct(col("o_orderkey")).as("ndv_orderkey"),
+      sum(col("o_orderkey").isNull.cast("long")).as("nulls_orderkey"),
+      min(col("o_custkey")).cast("double").as("min_custkey"),
+      max(col("o_custkey")).cast("double").as("max_custkey"),
+      countDistinct(col("o_custkey")).as("ndv_custkey"),
+      sum(col("o_custkey").isNull.cast("long")).as("nulls_custkey"),
+      min(col("o_totalprice")).as("min_totalprice"),
+      max(col("o_totalprice")).as("max_totalprice"),
+      countDistinct(col("o_totalprice")).as("ndv_totalprice"),
+      sum(col("o_totalprice").isNull.cast("long")).as("nulls_totalprice"))
+    stats.selectExpr(
+      """stack(3,
+        |  'o_orderkey',   min_orderkey,   max_orderkey,   ndv_orderkey,   nulls_orderkey,
+        |  'o_custkey',    min_custkey,    max_custkey,    ndv_custkey,    nulls_custkey,
+        |  'o_totalprice', min_totalprice, max_totalprice, ndv_totalprice, nulls_totalprice)
+        |as (column_name, min_value, max_value, ndv, null_count)
+        |""".stripMargin.replaceAll("\n", " "))
+      .orderBy("column_name")
+  }
+
+  /** DATA-QUALITY expectations report (q37) — the contract a pipeline
+    * checks before publishing a table: referential integrity (anti-join
+    * orphan counts on the uniform key), primary-key uniqueness, null and
+    * range rules. Each check is one aggregate or anti-join count; the
+    * report is checks-sized. At 100 TB every check here stays a single
+    * scan or a co-partitioned anti-join — nothing quadratic, nothing
+    * driver-side. A non-zero violation row is the signal that blocks the
+    * publish. */
+  def q37DqReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def check(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check"), col("violations"))
+    // one distributed plan, five branches — no driver-side counts
+    Seq(
+      check("lineitem_orphan_orderkeys",
+        li.join(o.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")),
+      check("orders_orphan_custkeys",
+        o.join(c.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti")),
+      check("orders_duplicate_pk",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)),
+      check("orders_null_priority", o.filter(col("o_orderpriority").isNull)),
+      check("lineitem_nonpositive_price", li.filter(col("l_extendedprice") <= 0)))
+      .reduce(_ union _)
+      .orderBy("check")
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */
