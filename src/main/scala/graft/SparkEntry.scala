@@ -89,6 +89,7 @@ object SparkEntry {
     "s14_ann_recall"         -> ((s: SparkSession, d: String) => Similarity.annRecallReport(s, d)),
     "s15_index_roundtrip"    -> ((s: SparkSession, d: String) => Similarity.indexRoundTrip(s, d)),
     "s16_incremental_index"  -> ((s: SparkSession, d: String) => Similarity.incrementalIndexAnn(s, d)),
+    "s17_index_delete"       -> ((s: SparkSession, d: String) => Similarity.indexDeleteAnn(s, d)),
     "d13_neardup_cells"      -> (Similarity.embeddingNearDupCells _),
     "d18_srp_neardup"        -> (Similarity.srpNearDup _),
     "d14_clean_corpus"       -> (Dedup.cleanCorpus _),

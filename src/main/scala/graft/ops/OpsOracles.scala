@@ -155,11 +155,12 @@ object OpsOracles {
        |        FROM n, range(8) AS t(s)),
        |$pqTrainCtes""".stripMargin
 
-  /** IVF-PQ chain shared by s13 (the search) and s14 (the recall
-    * report): coarse cells, residual subvectors, residual-PQ training,
+  /** IVF-PQ chain shared by s13 (the search), s14 (the recall report),
+    * and s17 (`codesFilter` drops tombstoned candidates from the code
+    * table): coarse cells, residual subvectors, residual-PQ training,
     * candidate codes, nprobe=2 probes, residual LUTs, ADC ranking into
     * `rankedq`. Mirrors Similarity.ivfPqAnn step for step. */
-  private val ivfPqCtes =
+  private def ivfPqCtesWith(codesFilter: String): String =
     s"""$ivfRankedCte,
        |assigned AS (SELECT vec_id, cell, v FROM cellranked WHERE rk = 1),
        |resid AS (
@@ -173,7 +174,7 @@ object OpsOracles {
        |codes AS (
        |  SELECT a3.vec_id AS cand_id, ass.cell, a3.s, a3.cid AS code
        |  FROM a3 JOIN assigned ass ON a3.vec_id = ass.vec_id
-       |  WHERE a3.vec_id >= 10),
+       |  WHERE a3.vec_id >= 10$codesFilter),
        |probes AS (
        |  SELECT vec_id AS query_id, cell, v FROM cellranked
        |  WHERE rk <= 2 AND vec_id < 10),
@@ -197,6 +198,8 @@ object OpsOracles {
        |  SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rnk
        |  FROM scored)""".stripMargin
+
+  private val ivfPqCtes = ivfPqCtesWith("")
 
   /** Shared by m06 (detection) and m07 (application): the m05 feature
     * vectors (closed-form from octet_length — Multimodal.featureBatch's
@@ -596,6 +599,16 @@ object OpsOracles {
     // exactly s13's chain recomputed from the raw table.
     "s15_index_roundtrip" ->
       s"""WITH $ivfPqCtes
+        |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
+        |FROM rankedq
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // s17: index delete — s13's chain with the tombstoned md5-'0' slice
+    // dropped from the code table before scoring.
+    "s17_index_delete" ->
+      s"""WITH ${ivfPqCtesWith(
+             " AND substring(md5(CAST(a3.vec_id AS VARCHAR)), 1, 1) != '0'")}
         |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
         |FROM rankedq
         |WHERE rnk <= 3

@@ -737,6 +737,27 @@ object Similarity {
       spark.read.parquet(s"$base/codes"), k, nprobe)
   }
 
+  /** INDEX DELETE (s17) — the tombstone path a production vector store
+    * runs for user-data removal and licence churn, completing the index
+    * lifecycle (build s13, persist s15, extend s16, now shrink): a
+    * delete set (here the md5(vec_id) '0' hash slice — a deterministic
+    * stand-in for the removal list) is broadcast-anti-joined out of the
+    * persisted candidate code table and search serves the survivors.
+    * Nothing retrains and nothing rebuilds — the trainers keep their
+    * geometry (drift reclaimed at the next periodic retrain, s16's
+    * posture) and the touched data is O(index), a single anti-join on
+    * the uniform id, with the deleted rows never scored. */
+  def indexDeleteAnn(spark: SparkSession, dir: String,
+                     k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val deletes = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("cand_id"))
+      .filter(substring(md5(col("cand_id").cast("string")), 1, 1) === "0")
+    val codes = residCandidateCodes(spark, dir)
+      .join(broadcast(deletes), Seq("cand_id"), "left_anti")
+    ivfPqSearch(spark, dir, centroidVectors(spark, dir),
+      residCodebooks(spark, dir), codes, k, nprobe)
+  }
+
   /** INCREMENTAL INDEX UPDATE (s16) — the ANN analog of d22's
     * delta-vs-index dedup, completing the incremental family (exact
     * d19, text near-dup d22, streaming w08): vectors that arrived AFTER

@@ -746,6 +746,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("index delete: tombstoned candidates never surface, survivors keep s13's relative order") {
+    val deleted = graft.Tables.embeddings(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+      .filter(id => java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
+        .startsWith("0")).toSet
+    assert(deleted.nonEmpty, "hash slice selected no tombstones — vacuous")
+    val after = Similarity.indexDeleteAnn(spark, dir).collect()
+    after.foreach { r =>
+      assert(!deleted.contains(r.getLong(1)),
+        s"deleted candidate ${r.getLong(1)} surfaced in search results")
+    }
+    // deletion only removes candidates: any s13 result whose candidate
+    // survives must keep its (query, cand) pairing
+    val before = Similarity.ivfPqAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val survivors = before.filter { case (_, c) => !deleted.contains(c) }
+    val afterPairs = after.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(survivors.subsetOf(afterPairs))
+  }
+
   test("index round trip: search from the persisted parquet index equals the in-session answer") {
     val fromDisk = Similarity.indexRoundTrip(spark, dir).collect().toSeq
     val inSession = Similarity.ivfPqAnn(spark, dir).collect().toSeq
