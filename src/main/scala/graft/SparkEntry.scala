@@ -128,6 +128,7 @@ object SparkEntry {
     "t18_oov_rate"           -> (TextAnalysis.oovRate _),
     "t19_unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
     "t21_bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
+    "t22_pii_redact"         -> (TextAnalysis.piiRedact _),
     "t20_mixture_report"     -> (TextAnalysis.mixtureReport _),
     "w06_session_stats"      -> (graft.streaming.EventStream.sessionStats _),
     "f03_bucketed_join"      -> (graft.sources.Bucketing.bucketedRevenueByPriority _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "d23_threshold_sweep"    -> (Dedup.thresholdSweep _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
+    "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),
     // S2 sink round trip — ref_-prefixed (reads the fixed-size reference
     // CSVs, ignores sfDir) so the bench suite stays sf-parameterized
     "ref_warehouse_roundtrip" ->

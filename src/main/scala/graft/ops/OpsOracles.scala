@@ -1569,6 +1569,50 @@ object OpsOracles {
         |GROUP BY 1, 2
         |ORDER BY purchase_id""".stripMargin,
 
+    // PII redaction: DuckDB regexp_replace needs the 'g' flag (Spark
+    // replaces all matches by default); counts via regexp_extract_all
+    // length, cast to Spark's INT
+    "t22_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1-555-'
+        |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS raw
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(
+        |      regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |                     '[EMAIL]', 'g'),
+        |      '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
+        |  FROM raw)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS emails,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS phones,
+        |  md5(clean) AS clean_fp,
+        |  CAST(len(raw) - len(clean) AS INT) AS chars_removed
+        |FROM cleaned
+        |ORDER BY doc_id""".stripMargin,
+
+    // blocked fuzzy join: the ok-blocks census (HAVING count <= 1000)
+    // mirrors FuzzyJoin.blockedPairs' maxBlock guard; levenshtein is
+    // exact-integer in both engines, cast to Spark's INT
+    "j03_fuzzy_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, substr(text, 1, 40) AS pre,
+        |    split_part(text, ' ', 1) AS t1
+        |  FROM documents),
+        |ok AS (SELECT lang, t1 FROM d GROUP BY 1, 2 HAVING count(*) <= 1000)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+        |  CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+        |FROM d a
+        |JOIN d b ON a.lang = b.lang AND a.t1 = b.t1 AND a.doc_id < b.doc_id
+        |JOIN ok ON ok.lang = a.lang AND ok.t1 = a.t1
+        |WHERE levenshtein(a.pre, b.pre) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Clicks are pre-aggregated to ONE row per (user_id, µs ts) with the
     // max event_id BEFORE the ASOF join: Spark's carry-forward tie-break
     // keeps the largest click_id among equal-µs ties, and DuckDB's ASOF

@@ -240,6 +240,43 @@ object TextAnalysis {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** PII REDACTION: strip emails and phone numbers from every document
+    * and report what was removed — the privacy-scrub pass a training
+    * corpus takes before any other processing. The synthetic corpus
+    * contains no real PII, so the op first PLANTS deterministic fake
+    * contact strings derived from doc_id (the same clearly-marked-stub
+    * discipline as the multimodal decode path) and then runs the real
+    * redaction: regex scan + global replace + audit counts.
+    *
+    * Scale shape: a pure narrow per-row map — regexp_count/replace are
+    * codegen'd, no shuffle at any corpus size; the only exchange is the
+    * driver-contract ORDER BY. */
+  def piiRedactOf(docs: DataFrame): DataFrame = {
+    val emailRe = """[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"""
+    val phoneRe = """\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"""
+    val planted = docs.select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0")).as("raw"))
+    // emails first, then phones: the planted phone follows the email, and
+    // a fixed order makes the audit deterministic even if patterns touch
+    val cleaned = planted.withColumn("clean",
+      regexp_replace(regexp_replace(col("raw"), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"))
+    cleaned.select(
+      col("doc_id"),
+      regexp_count(col("raw"), lit(emailRe)).as("emails"),
+      regexp_count(col("raw"), lit(phoneRe)).as("phones"),
+      md5(col("clean")).as("clean_fp"),
+      (length(col("raw")) - length(col("clean"))).cast("int").as("chars_removed"))
+      .orderBy("doc_id")
+  }
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOf(Tables.documents(spark, dir))
+
   /** Token-window CHUNKING: split each document into `window`-token
     * chunks every `stride` tokens (stride < window ⇒ overlapping chunks —
     * the context-window preprocessing step an LLM tokenize/pack pipeline
