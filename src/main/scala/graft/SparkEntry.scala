@@ -142,6 +142,7 @@ object SparkEntry {
     "f06_zorder"             -> (graft.sources.ZOrder.zorderQuery _),
     "f07_orc_roundtrip"      -> (graft.sources.OrcRoundTrip.roundTrip _),
     "d23_threshold_sweep"    -> (Dedup.thresholdSweep _),
+    "d24_corpus_merge"       -> (Dedup.corpusMerge _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),

@@ -582,6 +582,51 @@ object Dedup {
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
     thresholdSweepOf(minhashLsh(spark, dir))
 
+  /** CORPUS MERGE with precedence (d24): union N corpora and keep, per
+    * exact text fingerprint, the copy from the highest-precedence source
+    * (lowest `pri`), tie-broken by smallest doc_id — the snapshot-merge /
+    * curated-beats-crawl step a corpus refresh runs before training.
+    *
+    * Scale shape: ONE hash-shuffle on a uniform md5 key with map-side
+    * partial aggregation, same as exact dedup. The winner is a
+    * `min(packed BIGINT)` where packed = pri·2⁴⁰ + doc_id: a fully
+    * primitive min keeps the agg a HashAggregate (a struct-ordered
+    * min_by would fall back to SortAggregate — README §correctness). */
+  def mergeWithPrecedenceOf(corpora: Seq[(DataFrame, String, Int)]): DataFrame = {
+    require(corpora.nonEmpty && corpora.map(_._3).distinct.size == corpora.size,
+      "each corpus needs a distinct priority")
+    val slot = lit(1L << 40)
+    val union = corpora.map { case (docs, _, pri) =>
+      docs.select(col("doc_id"), col("text"), lit(pri).cast("long").as("pri"))
+    }.reduce(_ unionByName _)
+    val merged = union
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("pri") * slot + col("doc_id")).as("packed"),
+        count(lit(1)).as("copies"))
+    val srcOf = corpora.foldLeft(lit(null).cast("string")) {
+      case (acc, (_, name, pri)) =>
+        when(expr(s"packed div ${1L << 40}") === pri, lit(name)).otherwise(acc)
+    }
+    merged.select(
+      (col("packed") % slot).as("doc_id"),
+      srcOf.as("source"),
+      col("copies"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract form: merges the corpus (as 'curated', precedence 0)
+    * with a derived 'crawl' snapshot — every third document an exact
+    * duplicate of its curated twin (merge must keep curated), the rest
+    * revised text (merge must keep both). */
+  def corpusMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val crawl = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" rev2"))).as("text"))
+    mergeWithPrecedenceOf(Seq((docs, "curated", 0), (crawl, "crawl", 1)))
+  }
+
   /** Portable 16-bit SimHash per document: each distinct token hashes to a
     * 16-bit value (first 4 hex chars of md5, decoded arithmetically so
     * Spark and DuckDB agree), each bit votes ±1, the sign of the vote sum

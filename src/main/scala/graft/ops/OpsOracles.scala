@@ -1569,6 +1569,29 @@ object OpsOracles {
         |GROUP BY 1, 2
         |ORDER BY purchase_id""".stripMargin,
 
+    // corpus merge with precedence: packed-BIGINT min (pri*2^40 + doc_id)
+    // mirrors Dedup.mergeWithPrecedenceOf; count(*) cast to Spark's BIGINT
+    "d24_corpus_merge" ->
+      """WITH curated AS (
+        |  SELECT doc_id, text, 0 AS pri FROM documents),
+        |crawl AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' rev2' END AS text,
+        |    1 AS pri
+        |  FROM documents),
+        |u AS (SELECT * FROM curated UNION ALL SELECT * FROM crawl),
+        |k AS (
+        |  SELECT md5(text) AS fp,
+        |    min(CAST(pri AS BIGINT) * 1099511627776 + doc_id) AS packed,
+        |    CAST(count(*) AS BIGINT) AS copies
+        |  FROM u GROUP BY 1)
+        |SELECT packed % 1099511627776 AS doc_id,
+        |  CASE WHEN packed // 1099511627776 = 0
+        |    THEN 'curated' ELSE 'crawl' END AS source,
+        |  copies
+        |FROM k
+        |ORDER BY doc_id""".stripMargin,
+
     // PII redaction: DuckDB regexp_replace needs the 'g' flag (Spark
     // replaces all matches by default); counts via regexp_extract_all
     // length, cast to Spark's INT

@@ -856,4 +856,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(twoPhase.toSeq === direct.toSeq)
     assert(twoPhase.groupBy(_._1).values.forall(_.length <= 5))
   }
+
+  test("corpus merge: precedence wins on collision, ties break to smallest id") {
+    val s = spark; import s.implicits._
+    val curated = Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text")
+    val crawl = Seq(
+      (20L, "alpha"),  // exact dup of curated 10 → curated wins
+      (21L, "gamma"),  // new content → kept
+      (22L, "gamma")   // same-priority dup → smallest id (21) wins
+    ).toDF("doc_id", "text")
+    val out = Dedup.mergeWithPrecedenceOf(
+      Seq((curated, "curated", 0), (crawl, "crawl", 1)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet === Set(
+      (10L, "curated", 2L), (11L, "curated", 1L), (21L, "crawl", 2L)))
+    // the merge agg must stay a HashAggregate: the packed-BIGINT min is
+    // fully primitive (a struct min_by would fall back to SortAggregate)
+    val plan = Dedup.mergeWithPrecedenceOf(
+      Seq((curated, "curated", 0), (crawl, "crawl", 1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("SortAggregate"))
+  }
 }
