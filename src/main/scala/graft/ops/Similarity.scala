@@ -189,10 +189,25 @@ object Similarity {
     * ordering — min_by(_, struct(dist, cell)) — demotes the whole
     * aggregate to SortAggregate: struct buffers aren't UnsafeRow-mutable,
     * measured on 4.1.2.) The key is unique per (row, cell), so ties
-    * cannot exist and the argmin is deterministic. */
-  private def assignKey(cellCol: String): org.apache.spark.sql.Column =
-    expr("cast(cast(round(dist, 6) as decimal(18,6)) * 1000000 as bigint) * 1024") +
-      col(cellCol).cast("long")
+    * cannot exist and the argmin is deterministic.
+    *
+    * Packing invariants, GUARDED (not assumed): cell ids must stay below
+    * 1024 (the low-bits field width; every trainer here caps k ≤ 256) and
+    * round(dist,6) below DECIMAL(18,6)'s ~1e12 ceiling (squared L2 of
+    * unit-norm 64-dim data is ≤ 4·64). Violations used to yield a NULL
+    * packed key under non-ANSI overflow, which min_by would silently
+    * mis-rank; now they raise at the first offending row. */
+  private def assignKey(cellCol: String): org.apache.spark.sql.Column = {
+    def packed =
+      expr("cast(cast(round(dist, 6) as decimal(18,6)) * 1000000 as bigint) * 1024")
+    when(col(cellCol).cast("long") >= 1024L || col(cellCol).cast("long") < 0L,
+        raise_error(concat(lit("assignKey: cell id out of packing range [0,1024): "),
+          col(cellCol).cast("string"))))
+      .when(col("dist").isNotNull && packed.isNull,
+        raise_error(concat(lit("assignKey: distance overflows DECIMAL(18,6) packing: "),
+          col("dist").cast("string"))))
+      .otherwise(packed + col(cellCol).cast("long"))
+  }
 
   /** Distances of every vector in `df` to every centroid — the narrow
     * scoring pass both the assignment argmin and the probe ranking read. */
@@ -787,12 +802,17 @@ object Similarity {
           .as("cv"))
     }
     // every candidate (index at build time, delta on arrival) assigns to
-    // the frozen cells — the packed-key min_by hash-agg, no sort
-    def assigned = cand.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
-      .groupBy("vec_id", "v", "norm")
-      .agg(min_by(col("cell"), assignKey("cell")).as("cell"))
+    // the frozen cells — the packed-key min_by hash-agg, no sort; memoized
+    // so the codebook build and the code table share ONE evaluation (at
+    // 1e9 vectors a second full assignment pass is the dominant avoidable
+    // build cost)
+    val assigned = memo(spark, dir, "incr-assign") {
+      cand.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
+        .groupBy("vec_id", "v", "norm")
+        .agg(min_by(col("cell"), assignKey("cell")).as("cell"))
+    }
     def rsubAll = subvectorsOf(
       assigned.join(broadcast(cents), Seq("cell"))
         .select(col("vec_id"), expr("zip_with(v, cv, (x, c) -> x - c)").as("v")))

@@ -265,8 +265,10 @@ object RelationalOracles {
 
     // q34: SCD2 interval assembly — gaps-and-islands over each user's
     // event stream; valid_to is the next run's exclusive start. The run
-    // id is internal numbering only (never emitted); ordering keys
-    // (ts_us, event_id) are a total order.
+    // id is internal numbering only (never emitted) but tie-breaks the
+    // interval ordering: it is unique, monotone, and identically derived
+    // on both engines, so same-microsecond adjacent runs stay total.
+    // Ordering keys (ts_us, event_id) are a total order for the stream.
     "q34_scd2" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
@@ -285,10 +287,10 @@ object RelationalOracles {
         |    min(ts_us) AS valid_from_us, count(*) AS n_events
         |  FROM s GROUP BY user_id, run)
         |SELECT user_id, state, valid_from_us,
-        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us, run)
         |    AS valid_to_us,
         |  n_events,
-        |  CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+        |  CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us, run)
         |    IS NULL AS INT) AS is_current
         |FROM i
         |ORDER BY user_id, valid_from_us""".stripMargin,

@@ -574,7 +574,11 @@ object Relational {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts_us").asc, col("event_id").asc)
     val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byStart = Window.partitionBy("user_id").orderBy(col("valid_from_us").asc)
+    // run is the tie-break: unique, monotone, and identically derived on
+    // both engines — two adjacent runs of one user starting in the same
+    // microsecond would leave (user_id, valid_from_us) non-total
+    val byStart = Window.partitionBy("user_id")
+      .orderBy(col("valid_from_us").asc, col("run").asc)
     spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("ts_us"))

@@ -46,13 +46,23 @@ object Bucketing {
   def bucketedRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
     val token = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     // GC: a finished application's table pair can never be read again —
-    // drop every graft-bucketed table from OTHER applications before
-    // writing this run's, so the warehouse holds at most one live pair
-    // per running app (this run's own tables must outlive this call: the
-    // returned frame reads them lazily, hence no drop-after-use here)
+    // drop graft-bucketed tables from OTHER applications before writing
+    // this run's, so the warehouse converges to one live pair per running
+    // app (this run's own tables must outlive this call: the returned
+    // frame reads them lazily, hence no drop-after-use here). Same
+    // liveness guard as StaleOutputs.sweep: a concurrently running app's
+    // lazy query may still read its pair, so only tables whose warehouse
+    // directory has been quiet past the TTL are presumed abandoned.
+    val warehouse = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val now = System.currentTimeMillis()
     spark.catalog.listTables().collect()
       .filter(t => (t.name.startsWith("graft_li_") || t.name.startsWith("graft_ord_")) &&
         !t.name.endsWith(token))
+      .filter { t =>
+        val loc = new java.io.File(warehouse, t.name)
+        !loc.exists() || now - loc.lastModified() > StaleOutputs.SweepTtlMs
+      }
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_extendedprice"))

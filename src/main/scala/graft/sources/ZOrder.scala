@@ -50,6 +50,13 @@ object ZOrder {
     val stats = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).first()
+    if ((0 until 4).exists(stats.isNullAt)) {
+      // empty table or all-null layout column: no curve to lay out along;
+      // layout is pure physical organization, so a plain write is the
+      // correct (and only well-defined) result rather than an NPE
+      df.write.mode("overwrite").parquet(out)
+      return
+    }
     val zv = morton(
       bucket(col(colA), stats.getDouble(0), stats.getDouble(1)),
       bucket(col(colB), stats.getDouble(2), stats.getDouble(3)))
