@@ -143,6 +143,8 @@ object SparkEntry {
     "f07_orc_roundtrip"      -> (graft.sources.OrcRoundTrip.roundTrip _),
     "d23_threshold_sweep"    -> (Dedup.thresholdSweep _),
     "d24_corpus_merge"       -> (Dedup.corpusMerge _),
+    "d25_span_neardup"       -> (Dedup.spanNearDup _),
+    "d26_span_apply"         -> (Dedup.spanExcise _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),

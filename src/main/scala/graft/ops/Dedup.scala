@@ -817,4 +817,111 @@ object Dedup {
       .select("d1", "d2", "hamming")
       .orderBy("d1", "d2")
   }
+
+  // ───────────────────────── span-level (substring) dedup ─────────────────────
+
+  /** Every `window`-token span at every token position of every document,
+    * as (doc_id, pos, fp) with fp = md5 of the space-joined span. The ONLY
+    * columns that leave this projection are the id, the position, and the
+    * 32-char fingerprint — the span text itself dies inside the per-row
+    * transform, so nothing downstream (group, join, shuffle) ever carries
+    * document text (PlanSpec asserts no exchange partitions on text).
+    * Narrow per-row work: output rows = corpus token count (stride 1, the
+    * full-recall grain; a production run at 100 TB strides >1 and lets the
+    * window-union in the apply close coverage gaps). */
+  private def spanOccurrencesOf(docs: DataFrame, window: Int): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= window)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, n - $window), s -> md5(concat_ws(' ', slice(toks, s + 1, $window))))"))
+          .as(Seq("pos", "fp")))
+
+  /** Repeated spans with document frequency 2..maxDf: (fp, df, n_occ,
+    * keeper = min doc_id containing the span). */
+  private def repeatedSpansOf(occ: DataFrame, maxDf: Int): DataFrame =
+    occ.groupBy("fp", "doc_id")
+      .agg(count(lit(1)).as("occ_in_doc"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"),
+        sum(col("occ_in_doc")).as("n_occ"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+
+  /** SPAN-level (substring) near-dup DETECTION (d25) — the dedup grain the
+    * document-grain family (d01–d24) cannot see: the same `window`-token
+    * run repeated across DISTINCT documents (boilerplate, licence headers,
+    * templated frames — the known production gap once whole-document dedup
+    * is done; Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", which excises repeated substrings rather than
+    * documents). Suffix arrays (their exact tool) are not a distributed
+    * primitive; the scalable equivalent is the rolling-window fingerprint
+    * grain of t10 ([[graft.ops.TextAnalysis.rollingFingerprintOf]]) applied
+    * per position: every window-token span fingerprints to md5, spans
+    * group on the fingerprint, and a span seen in ≥2 distinct documents is
+    * a repeat. Overlapping windows mean a shared run of length L ≥ window
+    * surfaces as L−window+1 repeated spans whose position union covers the
+    * whole run — so the excision apply (d26) removes arbitrary-length
+    * shared substrings even though detection is fixed-grain.
+    *
+    * Scale shape: NO pair join anywhere (unlike doc-grain LSH, which
+    * buckets then pairs) — detection is two hash aggregations, (fp,
+    * doc_id) then fp, on uniform md5 keys with map-side partials; shuffle
+    * rows = corpus windows, each 44 bytes of key+id. The two-phase shape
+    * dodges the count-distinct Expand. `maxDf` is d15's lever re-used: a
+    * span hotter than maxDf documents (empty-string frames, all-stopword
+    * runs) is capped out of the apply join before it can fan out — the
+    * report stays linear in corpus size no matter how viral a span is. */
+  def spanNearDupOf(docs: DataFrame, window: Int = 8, maxDf: Int = 16): DataFrame =
+    repeatedSpansOf(spanOccurrencesOf(docs, window), maxDf)
+      .select("fp", "df", "n_occ", "keeper")
+      .orderBy("fp")
+
+  def spanNearDup(spark: SparkSession, dir: String): DataFrame =
+    spanNearDupOf(Tables.documents(spark, dir).select("doc_id", "text"))
+
+  /** SPAN EXCISION apply (d26) — detect→apply for the span grain: every
+    * repeated span keeps its occurrences in the keeper (min doc_id)
+    * document and is cut out of every other document, token-exactly. Each
+    * losing occurrence contributes its covered token positions; a doc's
+    * covered set is the UNION over its losing occurrences (overlapping
+    * windows from one long shared run merge into one contiguous cut); the
+    * cleaned text is the original token sequence minus covered positions.
+    * Output is the per-doc excision report (id, token counts, md5 of the
+    * cleaned text) — the full cleaned corpus is the same frame minus the
+    * fingerprint column.
+    *
+    * Scale shape: occurrences join repeated spans ON THE FINGERPRINT KEY
+    * (never text — PlanSpec), linear via the maxDf cap; covered positions
+    * aggregate per doc_id (ints only); the rebuild is one broadcast-or-
+    * shuffle join of the tiny covered-set table back to the corpus and a
+    * per-row array filter. Three uniform-key shuffles, zero pair joins,
+    * candidate volume linear in corpus windows. */
+  def spanExciseOf(docs: DataFrame, window: Int = 8, maxDf: Int = 16): DataFrame = {
+    val occ = spanOccurrencesOf(docs, window)
+    val spans = repeatedSpansOf(occ, maxDf).select("fp", "keeper")
+    val covered = occ.join(spans, Seq("fp"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${window - 1})")).as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("p"))).as("cov"))
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("cast(array() as array<int>)")))
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        size(col("cov")).as("tokens_removed"),
+        md5(expr(
+          "concat_ws(' ', transform(filter(sequence(0, n - 1), p -> NOT array_contains(cov, p)), p -> element_at(toks, p + 1)))"))
+          .as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  def spanExcise(spark: SparkSession, dir: String): DataFrame =
+    spanExciseOf(Tables.documents(spark, dir).select("doc_id", "text"))
 }

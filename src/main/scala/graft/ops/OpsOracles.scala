@@ -1592,6 +1592,65 @@ object OpsOracles {
         |FROM k
         |ORDER BY doc_id""".stripMargin,
 
+    // span-level near-dup detection: every 8-token window fingerprints to
+    // md5; spans in 2..16 distinct docs are repeats. Two-phase grouping
+    // (fp, doc) then fp mirrors the Spark plan's Expand-free distinct.
+    // DuckDB lateral over a column-derived range needs the
+    // unnest(list_transform(range(...))) form; list slicing l[a:b] is
+    // 1-based inclusive = Spark slice(l, a, b-a+1).
+    "d25_span_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, u.pos AS pos,
+        |    md5(array_to_string(toks[u.pos + 1 : u.pos + 8], ' ')) AS fp
+        |  FROM d, UNNEST(list_transform(range(0, n - 8 + 1), x -> x)) AS u(pos)
+        |  WHERE n >= 8),
+        |pd AS (
+        |  SELECT fp, doc_id, count(*) AS occ_in_doc FROM o GROUP BY 1, 2),
+        |s AS (
+        |  SELECT fp, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(occ_in_doc) AS BIGINT) AS n_occ,
+        |    min(doc_id) AS keeper
+        |  FROM pd GROUP BY 1)
+        |SELECT fp, df, n_occ, keeper FROM s
+        |WHERE df BETWEEN 2 AND 16
+        |ORDER BY fp""".stripMargin,
+
+    // span excision apply: losing occurrences (doc != keeper) cover token
+    // positions pos..pos+7; a doc's covered set is the union; cleaned text
+    // = original tokens minus covered positions, fingerprinted
+    "d26_span_apply" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, u.pos AS pos,
+        |    md5(array_to_string(toks[u.pos + 1 : u.pos + 8], ' ')) AS fp
+        |  FROM d, UNNEST(list_transform(range(0, n - 8 + 1), x -> x)) AS u(pos)
+        |  WHERE n >= 8),
+        |pd AS (SELECT fp, doc_id FROM o GROUP BY 1, 2),
+        |s AS (
+        |  SELECT fp, count(*) AS df, min(doc_id) AS keeper
+        |  FROM pd GROUP BY 1 HAVING count(*) BETWEEN 2 AND 16),
+        |cv AS (
+        |  SELECT DISTINCT o.doc_id, pp.p
+        |  FROM o JOIN s USING (fp),
+        |    UNNEST(list_transform(range(o.pos, o.pos + 8), x -> x)) AS pp(p)
+        |  WHERE o.doc_id != s.keeper),
+        |cl AS (SELECT doc_id, list(p) AS cov FROM cv GROUP BY 1)
+        |SELECT d.doc_id, d.n AS n_tokens,
+        |  CAST(coalesce(len(cl.cov), 0) AS INT) AS tokens_removed,
+        |  md5(coalesce(array_to_string(list_transform(
+        |    list_filter(range(0, d.n),
+        |      p -> cl.cov IS NULL OR NOT list_contains(cl.cov, p)),
+        |    p -> toks[p + 1]), ' '), '')) AS clean_fp
+        |FROM d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // PII redaction: DuckDB regexp_replace needs the 'g' flag (Spark
     // replaces all matches by default); counts via regexp_extract_all
     // length, cast to Spark's INT

@@ -207,6 +207,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d25/d26: span aggregation and excision join key on fingerprints, never text") {
+    // span dedup's scale contract: document text is read once at the
+    // window projection and dies there — every exchange downstream
+    // partitions on the md5 fingerprint (or plain int ids), so no shuffle
+    // ever carries text as a key. A refactor that grouped or joined on
+    // the raw span string would blow shuffle volume up by the span width.
+    Seq("d25_span_neardup", "d26_span_apply").foreach { n =>
+      val p = plan(n)
+      val parts = "hashpartitioning\\([^)]*".r.findAllIn(p).toSeq
+      assert(parts.exists(_.contains("fp#")),
+        s"$n: no fingerprint-keyed exchange:\n${p.take(1500)}")
+      parts.foreach(x => assert(!x.contains("text#") && !x.contains("toks#"),
+        s"$n: exchange keyed on document text: $x"))
+    }
+  }
+
   test("s06_ivf_trained: assignment is a sort-free min_by HashAggregate") {
     // the corpus→cell argmin must stay a partial-aggregating
     // HashAggregate on the packed (round(dist,6), cell) BIGINT key — a

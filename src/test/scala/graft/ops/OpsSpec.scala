@@ -572,6 +572,64 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"repeated bigrams must outscore unique ones: ${r(1L)._2} vs ${r(2L)._2}")
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // the sf corpus has near-dup documents but no planted exact shared
+  // spans, so the span tests plant their own frames (README correctness
+  // note): a 4-token boilerplate frame in docs 1-3 and a 6-token shared
+  // run in docs 5-6 (the run is LONGER than the window — it must surface
+  // as overlapping repeated windows whose union covers the whole run)
+  private def spanDocs(s: SparkSession) = {
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox alpha beta gamma delta"),
+      (2L, "x1 the quick brown fox y1 y2"),
+      (3L, "x2 x3 the quick brown fox"),
+      (4L, "totally different tokens here now"),
+      (5L, "one two three four five six tail5"),
+      (6L, "head6 one two three four five six")
+    ).toDF("doc_id", "text")
+  }
+
+  test("span near-dup: planted shared frame found with min-doc keeper; " +
+       "long shared run surfaces as overlapping windows") {
+    val spans = Dedup.spanNearDupOf(spanDocs(spark), window = 4).collect()
+    assert(spans.length === 4, spans.mkString("; "))
+    val frame = spans.filter(_.getAs[Long]("df") == 3L)
+    assert(frame.length === 1, "exactly one span lives in three documents")
+    assert(frame(0).getAs[Long]("keeper") === 1L)
+    assert(frame(0).getAs[Long]("n_occ") === 3L)
+    // the 6-token run shared by docs 5/6 = 3 overlapping 4-token windows
+    val run = spans.filter(_.getAs[Long]("df") == 2L)
+    assert(run.length === 3)
+    assert(run.forall(_.getAs[Long]("keeper") == 5L))
+  }
+
+  test("span excision: losers lose exactly the shared span, keeper and " +
+       "outsider docs byte-identical") {
+    val m = Dedup.spanExciseOf(spanDocs(spark), window = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // keeper of the frame: untouched
+    assert(m(1L).getAs[Int]("tokens_removed") === 0)
+    assert(m(1L).getAs[String]("clean_fp") ===
+      md5Hex("the quick brown fox alpha beta gamma delta"))
+    // losers: exactly the 4 frame tokens cut, surroundings stitched
+    assert(m(2L).getAs[Int]("tokens_removed") === 4)
+    assert(m(2L).getAs[String]("clean_fp") === md5Hex("x1 y1 y2"))
+    assert(m(3L).getAs[Int]("tokens_removed") === 4)
+    assert(m(3L).getAs[String]("clean_fp") === md5Hex("x2 x3"))
+    // unrelated doc: untouched
+    assert(m(4L).getAs[Int]("tokens_removed") === 0)
+    assert(m(4L).getAs[String]("clean_fp") ===
+      md5Hex("totally different tokens here now"))
+    // overlapping windows union into ONE contiguous 6-token cut
+    assert(m(5L).getAs[Int]("tokens_removed") === 0)
+    assert(m(6L).getAs[Int]("tokens_removed") === 6)
+    assert(m(6L).getAs[String]("clean_fp") === md5Hex("head6"))
+  }
+
   test("threshold sweep: monotone non-increasing, anchored at the detector's pair set") {
     val rows = Dedup.thresholdSweep(spark, dir).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
