@@ -887,6 +887,33 @@ object OpsOracles {
         |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // t23: sequence packing — chunks (t13's grain, text not needed) get a
+    // global token offset (doc-grain base + intra-doc running sum) and a
+    // sequence id by integer division on base = budget-window+1 = 97,
+    // which caps every sequence at budget (offsets contiguous, chunk <=
+    // window). sum(INT) goes HUGEINT in DuckDB: cast BIGINT throughout.
+    "t23_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, unnest(range(0, n, 24)) AS s, n FROM t),
+        |ch AS (SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+        |  CAST(least(32, n - s) AS INT) AS nt FROM c),
+        |dt AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS doc_tokens
+        |  FROM ch GROUP BY 1),
+        |db AS (SELECT doc_id, CAST(coalesce(sum(doc_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS doc_base
+        |  FROM dt),
+        |o AS (SELECT ch.doc_id, chunk_id, nt,
+        |  db.doc_base + CAST(coalesce(sum(nt) OVER (PARTITION BY ch.doc_id
+        |    ORDER BY chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS off
+        |  FROM ch JOIN db ON ch.doc_id = db.doc_id)
+        |SELECT CAST(off // 97 AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // t15: per-language median-threshold filter — the median is compared
     // unrounded and never emitted (midpoint re-rounding is the one
     // engine-divergence hazard); per-row ratios are 4dp-rounded.

@@ -301,6 +301,53 @@ object TextAnalysis {
   def chunkTokens(spark: SparkSession, dir: String): DataFrame =
     chunkTokensOf(Tables.documents(spark, dir))
 
+  /** SEQUENCE PACKING (t23) — the last step before a tokenized corpus
+    * becomes trainable batches: pack [[chunkTokensOf]]'s chunks into
+    * fixed-capacity training sequences, deterministically, in (doc_id,
+    * chunk_id) order. Assignment is arithmetic, not stateful: each chunk's
+    * global token OFFSET (exclusive running sum of chunk sizes in packing
+    * order) divides by `base = budget − window + 1` to give its sequence
+    * id. Because offsets are contiguous and every chunk is ≤ window
+    * tokens, a sequence's total is ≤ (base − 1) + window = budget — the
+    * hard capacity guarantee a trainer needs — while staying a pure
+    * window+divide (no first-fit scan state).
+    *
+    * Scale shape: the only GLOBAL ordering is over per-document token
+    * subtotals — #docs rows, aggregated before the window, the same
+    * doc-grain spine q33 builds — never over chunks; each chunk's offset
+    * is its document's broadcast base plus an intra-document running sum
+    * (window partitioned by doc_id, bounded by one document's chunks).
+    * One uniform hash exchange on doc_id, one doc-grain sort, and the
+    * final seq_id aggregate. At 100 TB the doc-subtotal window runs over
+    * ~10⁹ aggregated rows — the same range-partition discipline as any
+    * global sort — while the corpus itself never globally sorts. */
+  def sequencePackOf(chunks: DataFrame, budget: Int = 128, window: Int = 32): DataFrame = {
+    require(budget >= window, s"budget $budget must fit a $window-token chunk")
+    val base = budget - window + 1
+    val docTotals = chunks.groupBy("doc_id")
+      .agg(sum(col("n_chunk_tokens")).as("doc_tokens"))
+    val docBase = docTotals.withColumn("doc_base",
+      coalesce(sum(col("doc_tokens")).over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val intraDoc = Window.partitionBy("doc_id").orderBy("chunk_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks.join(docBase.select("doc_id", "doc_base"), Seq("doc_id"))
+      .withColumn("off",
+        col("doc_base") + coalesce(sum(col("n_chunk_tokens")).over(intraDoc), lit(0L)))
+      .withColumn("seq_id", expr(s"off div $base"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("seq_id")
+  }
+
+  def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePackOf(chunkTokens(spark, dir))
+
   /** QUANTILE-threshold quality filter: keep documents whose repetition
     * ratio is at or below their LANGUAGE's median — a relative,
     * distribution-aware cut (languages differ in baseline repetition, so

@@ -630,6 +630,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(6L).getAs[String]("clean_fp") === md5Hex("head6"))
   }
 
+  test("sequence packing: every chunk lands exactly once, every sequence within budget") {
+    val chunks = TextAnalysis.chunkTokens(spark, dir)
+    val packed = TextAnalysis.sequencePackOf(chunks).collect()
+    // conservation: chunks and tokens both partition exactly across sequences
+    assert(packed.map(_.getAs[Long]("n_chunks")).sum === chunks.count())
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum ===
+      chunks.agg(sum("n_chunk_tokens")).first().getLong(0))
+    // the hard capacity contract: base = budget - window + 1 caps every
+    // sequence at budget even though assignment is pure integer division
+    packed.foreach(r => assert(r.getAs[Long]("n_tokens") <= 128L,
+      s"sequence ${r.getAs[Long]("seq_id")} overflows: ${r.getAs[Long]("n_tokens")}"))
+    // chunk size <= window < base: every bin receives a chunk start, so
+    // sequence ids are gapless from 0
+    val ids = packed.map(_.getAs[Long]("seq_id")).toSeq
+    assert(ids === (0L until ids.length.toLong).toSeq)
+  }
+
   test("threshold sweep: monotone non-increasing, anchored at the detector's pair set") {
     val rows = Dedup.thresholdSweep(spark, dir).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
