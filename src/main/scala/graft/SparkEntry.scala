@@ -142,6 +142,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.sources.Compaction.compact(s, d)),
     "f06_zorder"             -> (graft.sources.ZOrder.zorderQuery _),
     "f07_orc_roundtrip"      -> (graft.sources.OrcRoundTrip.roundTrip _),
+    "f08_shard_export"       ->
+      ((s: SparkSession, d: String) => graft.sources.ShardExport.shardExport(s, d)),
     "d23_threshold_sweep"    -> (Dedup.thresholdSweep _),
     "d24_corpus_merge"       -> (Dedup.corpusMerge _),
     "d25_span_neardup"       -> (Dedup.spanNearDup _),

@@ -1458,6 +1458,27 @@ object OpsOracles {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // f08: seeded shard export manifest — global permutation rank by
+    // md5('42:' || doc_id), shard = (rank-1) mod 8 (exact balance), each
+    // shard fingerprinted by its rank-ordered id list. The oracle ranks
+    // with one global row_number; Spark reaches the same rank via the
+    // 256-bucket two-phase form (bucket = key prefix, so bucket-then-key
+    // order IS key order).
+    "f08_shard_export" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    md5('42:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |rnk AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY rk, doc_id) AS rank
+        |  FROM r)
+        |SELECT CAST((rank - 1) % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank)) AS ids_fp
+        |FROM rnk GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "s01_knn_brute" -> knnBruteSql,
 
     // f02: the DSv2 generator connector's scan query — the oracle
