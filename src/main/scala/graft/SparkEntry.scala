@@ -144,6 +144,7 @@ object SparkEntry {
     "f07_orc_roundtrip"      -> (graft.sources.OrcRoundTrip.roundTrip _),
     "f08_shard_export"       ->
       ((s: SparkSession, d: String) => graft.sources.ShardExport.shardExport(s, d)),
+    "f09_time_travel"        -> (graft.sources.TimeTravel.timeTravelQuery _),
     "d23_threshold_sweep"    -> (Dedup.thresholdSweep _),
     "d24_corpus_merge"       -> (Dedup.corpusMerge _),
     "d25_span_neardup"       -> (Dedup.spanNearDup _),

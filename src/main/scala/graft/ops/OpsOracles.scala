@@ -1479,6 +1479,21 @@ object OpsOracles {
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank)) AS ids_fp
         |FROM rnk GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // f09: time travel — v1 must equal the raw corpus (pre-merge), v2 the
+    // merge outcome (ids <= 100 suffixed ' v2', of those the multiples of
+    // 17 deleted). Hash equality proves the manifest-resolved reads see
+    // exactly the right file sets.
+    "f09_time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS version, doc_id, lang, n_chars,
+        |  md5(text) AS fp
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS version, doc_id, lang, n_chars,
+        |  md5(CASE WHEN doc_id <= 100 THEN text || ' v2' ELSE text END) AS fp
+        |FROM documents
+        |WHERE NOT (doc_id <= 100 AND doc_id % 17 = 0)
+        |ORDER BY version, doc_id""".stripMargin,
+
     "s01_knn_brute" -> knnBruteSql,
 
     // f02: the DSv2 generator connector's scan query — the oracle

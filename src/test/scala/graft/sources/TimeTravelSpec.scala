@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Time travel: the v2 read sees the merge, the v1 read does not, and the
+  * merge commit reuses untouched v1 files by manifest reference (real
+  * copy-on-write, not a second full snapshot). */
+class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("v1 read is pre-merge, v2 read is post-merge, untouched files shared") {
+    val base = TimeTravel.buildDemo(spark, dir)
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val v1 = TimeTravel.readAsOf(spark, base, 1)
+    val v2 = TimeTravel.readAsOf(spark, base, 2)
+
+    // v1 ≡ the pre-merge corpus, byte-for-byte on text
+    assert(v1.count() === raw.count())
+    assert(v1.filter(col("text").endsWith(" v2")).count() === 0,
+      "the v1 read must not see the merge")
+
+    // v2: every surviving id <= 100 is updated, multiples of 17 are gone,
+    // ids > 100 are untouched
+    val deleted = raw.filter(col("doc_id") <= 100 && col("doc_id") % 17 === 0).count()
+    assert(deleted > 0, "testdata must exercise the delete branch")
+    assert(v2.count() === raw.count() - deleted)
+    assert(v2.filter(col("doc_id") <= 100 && col("doc_id") % 17 === 0).count() === 0)
+    assert(v2.filter(col("doc_id") <= 100 && !col("text").endsWith(" v2")).count() === 0,
+      "every surviving merged row must carry the update")
+    assert(v2.filter(col("doc_id") > 100 && col("text").endsWith(" v2")).count() === 0,
+      "rows outside the merge predicate must be untouched")
+
+    // copy-on-write: v2's manifest reuses v1 files and adds rewritten ones
+    def manifest(v: Int) = spark.read.parquet(s"$base/manifests/v$v")
+      .collect().map(_.getString(0)).toSet
+    val (m1, m2) = (manifest(1), manifest(2))
+    assert((m1 & m2).nonEmpty,
+      "merge must carry untouched files by reference, not rewrite the table")
+    assert((m2 -- m1).nonEmpty, "merge must add the rewritten file(s)")
+    assert((m1 -- m2).nonEmpty, "the touched file(s) must leave the v2 manifest")
+  }
+}
