@@ -32,6 +32,47 @@ object OpsOracles {
       |              i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]) END) AS shingle
       |  FROM toks)""".stripMargin
 
+  /** t24: the eight BPE stages unrolled (DuckDB 1.0 has no recursive
+    * lambda state beyond list_reduce's first-element seed, and memory's
+    * fold-portability note rules out cross-engine fold cleverness — so
+    * each stage is generated: pair counts from v(k-1), argmax with the
+    * (cnt desc, a, b) tie-break, greedy merge application via the same
+    * string-accumulator fold as TextAnalysis.applyMergeSql). */
+  private def bpeStage(k: Int): String = {
+    val prev = if (k == 1) "v0" else s"v${k - 1}"
+    s"""p$k AS (
+       |  SELECT sp[u.i] AS a, sp[u.i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, string_split(repr, '|') AS sp FROM $prev) t,
+       |    UNNEST(list_transform(range(1, len(sp)), x -> x)) AS u(i)
+       |  GROUP BY 1, 2),
+       |t$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+       |v$k AS (
+       |  SELECT word, freq, list_reduce(string_split(repr, '|'), (acc, s) ->
+       |    CASE WHEN regexp_extract(acc, '[^|]*$$') = t$k.a AND s = t$k.b
+       |    THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^|]*$$'))) ||
+       |      t$k.a || t$k.b
+       |    ELSE acc || '|' || s END) AS repr
+       |  FROM $prev, t$k)""".stripMargin
+  }
+
+  private def bpeOracleSql: String = {
+    val stages = (1 to 8).map(bpeStage).mkString(",\n")
+    val union = (1 to 8).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs, cnt AS pair_count, a || b AS merged FROM t$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) s
+       |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')
+       |  GROUP BY 1 ORDER BY freq DESC, word LIMIT 256),
+       |v0 AS (SELECT word, freq,
+       |  array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '|') AS repr
+       |  FROM w),
+       |$stages
+       |$union
+       |ORDER BY step""".stripMargin
+  }
+
   /** MinHash signatures → 4 band keys per doc (mirrors
     * Dedup.minhashLshOf's signature/band construction; shared by the
     * full-corpus LSH CTEs and the d22 incremental split). */
@@ -1874,5 +1915,7 @@ object OpsOracles {
         |FROM m
         |GROUP BY format
         |ORDER BY format""".stripMargin,
+
+    "t24_bpe_merges" -> bpeOracleSql,
   )
 }

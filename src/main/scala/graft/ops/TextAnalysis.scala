@@ -348,6 +348,84 @@ object TextAnalysis {
   def sequencePack(spark: SparkSession, dir: String): DataFrame =
     sequencePackOf(chunkTokens(spark, dir))
 
+  /** The greedy merge-application fold for one BPE merge (a, b), as a SQL
+    * expression over the `repr` column ("l|o|w" symbol strings): fold left
+    * over the symbols, and when the accumulator's LAST symbol is `a` and
+    * the incoming symbol is `b`, replace that last symbol with the merged
+    * one — left-to-right non-overlapping, so "a|a|a" under (a,a) becomes
+    * "aa|a", the Sennrich et al. greedy semantics. String accumulator
+    * (symbols never contain '|') keeps the identical fold expressible in
+    * DuckDB's list_reduce, whose accumulator must share the element type.
+    * Interpolation is safe: the vocabulary is pre-filtered to ^[a-z0-9]+$
+    * so symbols cannot contain quotes or regex metacharacters. */
+  private def applyMergeSql(a: String, b: String): String =
+    s"""aggregate(slice(split(repr, '\\\\|'), 2, length(repr)),
+       |  element_at(split(repr, '\\\\|'), 1),
+       |  (acc, s) -> CASE WHEN regexp_extract(acc, '[^|]*$$', 0) = '$a' AND s = '$b'
+       |    THEN concat(substring(acc, 1, length(acc) - length(regexp_extract(acc, '[^|]*$$', 0))), '$a$b')
+       |    ELSE concat(acc, '|', s) END)""".stripMargin.replaceAll("\n", " ")
+
+  /** BPE MERGE INDUCTION (t24) — subword vocabulary training, the step
+    * past whitespace tokens (t05/t18): from the corpus's top-`maxVocab`
+    * alphanumeric words (frequency-weighted), run `merges` rounds of
+    * byte-pair encoding — count adjacent symbol pairs, merge the most
+    * frequent pair corpus-wide, repeat (Sennrich, Haddow & Birch 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"). Ties
+    * break on (count desc, lhs, rhs) so the merge table is deterministic
+    * cross-engine. Rounds stop early if no adjacent pairs remain.
+    *
+    * Scale shape: the trainer-loop discipline of the k-means path (s08) —
+    * each round is ONE distributed aggregation over the vocabulary
+    * (pair explode → hash agg → top-1 via TakeOrdered) and one narrow
+    * per-row fold to apply the winner; only the single winning pair is
+    * ever collected. The corpus is scanned once (word counts); everything
+    * after runs on the aggregated vocabulary, which is capped and tiny
+    * relative to any corpus (at 100 TB: a 10M-type vocab per round, the
+    * same cost class as one k-means iteration). */
+  def bpeMergesOf(docs: DataFrame, merges: Int = 8, maxVocab: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(maxVocab)
+      .withColumn("repr", concat_ws("|", split(col("word"), "")))
+      .persist()
+    vocab.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, String)]
+    var step = 1
+    var exhausted = false
+    while (!exhausted && step <= merges) {
+      val top = vocab
+        .withColumn("sp", split(col("repr"), "\\|"))
+        .filter(size(col("sp")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sp) - 1), i -> struct(element_at(sp, i) as a, element_at(sp, i + 1) as b))"))
+          .as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((step.toLong, a, b, cnt, a + b))
+        val next = vocab.withColumn("repr", expr(applyMergeSql(a, b))).persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("step", "lhs", "rhs", "pair_count", "merged").orderBy("step")
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(Tables.documents(spark, dir))
+
   /** QUANTILE-threshold quality filter: keep documents whose repetition
     * ratio is at or below their LANGUAGE's median — a relative,
     * distribution-aware cut (languages differ in baseline repetition, so

@@ -647,6 +647,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids === (0L until ids.length.toLong).toSeq)
   }
 
+  test("BPE merges: greedy overlap semantics, monotone counts, early stop, " +
+       "one new symbol per merge") {
+    val s = spark; import s.implicits._
+    // "aaaa" → pairs (a,a)×3; greedy left-to-right gives "aa|aa" (NOT
+    // "aa|a|a" or three merges); then (aa,aa)×1 → "aaaa"; then no pairs
+    // remain and induction stops early at 2 of the 8 requested merges
+    val m = TextAnalysis.bpeMergesOf(Seq((1L, "aaaa")).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4)))
+    assert(m.toSeq === Seq((1L, "a", "a", 3L, "aa"), (2L, "aa", "aa", 1L, "aaaa")))
+
+    // corpus induction: full 8 rounds, counts monotone non-increasing
+    // (a merge can only remove adjacencies or create pairs bounded by its
+    // own count), vocabulary grows by exactly one fresh symbol per merge
+    val c = TextAnalysis.bpeMerges(spark, dir).collect()
+    assert(c.length === 8)
+    val counts = c.map(_.getAs[Long]("pair_count")).toSeq
+    assert(counts.sliding(2).forall(w => w.head >= w.last), counts.mkString(","))
+    c.foreach(r => assert(r.getAs[String]("merged") ===
+      r.getAs[String]("lhs") + r.getAs[String]("rhs")))
+    assert(c.map(_.getAs[String]("merged")).distinct.length === 8)
+  }
+
   test("threshold sweep: monotone non-increasing, anchored at the detector's pair set") {
     val rows = Dedup.thresholdSweep(spark, dir).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
