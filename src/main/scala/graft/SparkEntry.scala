@@ -131,6 +131,7 @@ object SparkEntry {
     "t22_pii_redact"         -> (TextAnalysis.piiRedact _),
     "t23_sequence_pack"      -> (TextAnalysis.sequencePack _),
     "t24_bpe_merges"         -> (TextAnalysis.bpeMerges _),
+    "t25_bpe_encode"         -> (TextAnalysis.bpeEncode _),
     "t20_mixture_report"     -> (TextAnalysis.mixtureReport _),
     "w06_session_stats"      -> (graft.streaming.EventStream.sessionStats _),
     "f03_bucketed_join"      -> (graft.sources.Bucketing.bucketedRevenueByPriority _),

@@ -73,6 +73,48 @@ object OpsOracles {
        |ORDER BY step""".stripMargin
   }
 
+  /** t25: the t24 merge stages (t1..t8) re-derived, then the encode chain —
+    * the same string-accumulator greedy fold applied to every distinct
+    * corpus word (not just the training vocabulary), joined back to the
+    * token stream for per-doc subword counts. */
+  private def bpeEncodeOracleSql: String = {
+    val stages = (1 to 8).map(bpeStage).mkString(",\n")
+    val encodeStages = (1 to 8).map { k =>
+      val prev = if (k == 1) "e0" else s"e${k - 1}"
+      s"""e$k AS (
+         |  SELECT word, list_reduce(string_split(repr, '|'), (acc, s) ->
+         |    CASE WHEN regexp_extract(acc, '[^|]*$$') = t$k.a AND s = t$k.b
+         |    THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^|]*$$'))) ||
+         |      t$k.a || t$k.b
+         |    ELSE acc || '|' || s END) AS repr
+         |  FROM $prev, t$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) s
+       |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')
+       |  GROUP BY 1 ORDER BY freq DESC, word LIMIT 256),
+       |v0 AS (SELECT word, freq,
+       |  array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '|') AS repr
+       |  FROM w),
+       |$stages,
+       |dw AS (
+       |  SELECT doc_id, tok AS word
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) s
+       |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')),
+       |e0 AS (SELECT DISTINCT word,
+       |  array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '|') AS repr
+       |  FROM dw),
+       |$encodeStages,
+       |enc AS (SELECT word, CAST(len(string_split(repr, '|')) AS INT) AS n_sub FROM e8)
+       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS word_count,
+       |  CAST(sum(enc.n_sub) AS BIGINT) AS subword_count,
+       |  round(CAST(sum(enc.n_sub) AS DOUBLE) / count(*), 6) AS expansion
+       |FROM dw JOIN enc USING (word)
+       |GROUP BY dw.doc_id
+       |ORDER BY dw.doc_id""".stripMargin
+  }
+
   /** MinHash signatures → 4 band keys per doc (mirrors
     * Dedup.minhashLshOf's signature/band construction; shared by the
     * full-corpus LSH CTEs and the d22 incremental split). */
@@ -1917,5 +1959,7 @@ object OpsOracles {
         |ORDER BY format""".stripMargin,
 
     "t24_bpe_merges" -> bpeOracleSql,
+
+    "t25_bpe_encode" -> bpeEncodeOracleSql,
   )
 }

@@ -426,6 +426,47 @@ object TextAnalysis {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesOf(Tables.documents(spark, dir))
 
+  /** BPE ENCODE (t25) — apply [[bpeMergesOf]]'s induced merge table to the
+    * corpus: tokenize each document into subword units and report per-doc
+    * token economics (whitespace words in vs subword tokens out, and the
+    * expansion factor a trainer budgets context length by). Completes the
+    * tokenizer lifecycle: t24 trains the vocabulary, t25 runs it.
+    *
+    * Scale shape: a DICTIONARY ENCODE. The merge table is collected —
+    * ≤`merges` rows of trained model parameters, the same collect-only-
+    * the-model discipline as the k-means loop (s08) — and the chained
+    * greedy folds run once per distinct word TYPE (vocabulary-sized,
+    * millions of rows at 100 TB), never per token occurrence. The token
+    * stream then hash-joins word→subword_count at the (doc, word) grain
+    * and aggregates to docs: one exchange on the type table, one on the
+    * doc aggregate. Encoding cost is O(types × merges), independent of
+    * corpus token count. */
+  def bpeEncodeOf(docs: DataFrame, merges: Int = 8, maxVocab: Int = 256): DataFrame = {
+    val mergeTable = bpeMergesOf(docs, merges, maxVocab)
+      .select("lhs", "rhs").collect()
+    val words = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val types0 = words.select("word").distinct()
+      .withColumn("repr", concat_ws("|", split(col("word"), "")))
+    val encoded = mergeTable
+      .foldLeft(types0) { (df, m) =>
+        df.withColumn("repr", expr(applyMergeSql(m.getString(0), m.getString(1))))
+      }
+      .select(col("word"), size(split(col("repr"), "\\|")).as("n_sub"))
+    words.join(encoded, Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("word_count"),
+        sum(col("n_sub").cast("long")).as("subword_count"))
+      .withColumn("expansion",
+        round(col("subword_count").cast("double") / col("word_count"), 6))
+      .orderBy("doc_id")
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOf(Tables.documents(spark, dir))
+
   /** QUANTILE-threshold quality filter: keep documents whose repetition
     * ratio is at or below their LANGUAGE's median — a relative,
     * distribution-aware cut (languages differ in baseline repetition, so

@@ -671,6 +671,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.map(_.getAs[String]("merged")).distinct.length === 8)
   }
 
+  test("BPE encode: merges compress, expansion bounded by chars, token conservation") {
+    val s = spark; import s.implicits._
+    // "aaaa aaaa b" induces (a,a) then (aa,aa): every "aaaa" encodes to ONE
+    // subword, "b" stays one — 3 words, 3 subwords despite 9 characters
+    val enc = TextAnalysis.bpeEncodeOf(Seq((1L, "aaaa aaaa b")).toDF("doc_id", "text"))
+      .collect()
+    assert(enc.length === 1)
+    assert(enc.head.getAs[Long]("word_count") === 3L)
+    assert(enc.head.getAs[Long]("subword_count") === 3L)
+
+    // corpus: subword counts sit between word count (merges only shrink to
+    // >=1 per word) and character count (no merge ever splits)
+    val docs = graft.Tables.documents(spark, dir)
+    val out = TextAnalysis.bpeEncode(spark, dir)
+    assert(out.count() === docs.count())
+    val bad = out.filter(col("subword_count") < col("word_count") ||
+      col("expansion") < 1.0)
+    assert(bad.count() === 0)
+    // conservation: word_count matches the tokenizer's own alnum-word grain
+    val words = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$")).count()
+    assert(out.agg(sum("word_count")).first().getLong(0) === words)
+  }
+
   test("threshold sweep: monotone non-increasing, anchored at the detector's pair set") {
     val rows = Dedup.thresholdSweep(spark, dir).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
