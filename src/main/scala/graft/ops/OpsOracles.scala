@@ -115,6 +115,34 @@ object OpsOracles {
        |ORDER BY dw.doc_id""".stripMargin
   }
 
+  /** g01: the three PageRank supersteps unrolled (mirrors
+    * GraphRank.graphRankOf — 12dp-rounded per-edge contributions summed
+    * exactly as DECIMAL(30,15), damping as the 0.15/0.85 literal pair). */
+  private def graphRankOracleSql: String = {
+    def step(k: Int): String = {
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT e.dst AS node,
+         |    round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
+         |      CAST(0.85 AS DOUBLE) *
+         |        CAST(sum(CAST(round(r.r / d.deg, 12) AS DECIMAL(30,15))) AS DOUBLE), 12) AS r
+         |  FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT src AS node, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS r FROM deg, nn),
+       |${(1 to 3).map(step).mkString(",\n")}
+       |SELECT r.node, d.deg AS degree, r.r AS rank_score
+       |FROM r3 r JOIN deg d ON r.node = d.src
+       |WHERE r.node LIKE 's%'
+       |ORDER BY node""".stripMargin
+  }
+
   /** MinHash signatures → 4 band keys per doc (mirrors
     * Dedup.minhashLshOf's signature/band construction; shared by the
     * full-corpus LSH CTEs and the d22 incremental split). */
@@ -1961,5 +1989,7 @@ object OpsOracles {
     "t24_bpe_merges" -> bpeOracleSql,
 
     "t25_bpe_encode" -> bpeEncodeOracleSql,
+
+    "g01_graph_rank" -> graphRankOracleSql,
   )
 }

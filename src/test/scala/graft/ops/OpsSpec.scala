@@ -696,6 +696,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.agg(sum("word_count")).first().getLong(0) === words)
   }
 
+  test("graph rank: hand-walked supersteps, teleport floor, node accounting") {
+    val s = spark; import s.implicits._
+    // c1—{s1,s2}, c2—{s2}: degrees c1=2, c2=1, s1=1, s2=2, n=4. Three
+    // hand-walked supersteps from uniform 0.25 (all values terminate
+    // within 12dp, so rounding is exact and the trajectory is closed-form)
+    val ord = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("l_orderkey", "l_suppkey")
+    val m = GraphRank.graphRankOf(ord, li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m === Map(
+      "s1" -> (1L, 0.16971484375),
+      "s2" -> (2L, 0.33028515625)))
+
+    // corpus: one row per participating supplier; every rank holds the
+    // teleport floor 0.15/n and stays below 1
+    val orders = graft.Tables.orders(spark, dir)
+    val lineitem = graft.Tables.lineitem(spark, dir)
+    val out = GraphRank.graphRank(spark, dir).collect()
+    assert(out.length === lineitem.select("l_suppkey").distinct().count())
+    val n = orders.select("o_custkey").distinct().count() +
+      lineitem.select("l_suppkey").distinct().count()
+    out.foreach { r =>
+      val score = r.getAs[Double]("rank_score")
+      assert(score >= 0.15 / n && score < 1.0, s"${r.getString(0)}: $score")
+    }
+  }
+
   test("threshold sweep: monotone non-increasing, anchored at the detector's pair set") {
     val rows = Dedup.thresholdSweep(spark, dir).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
