@@ -147,6 +147,7 @@ object SparkEntry {
     "f08_shard_export"       ->
       ((s: SparkSession, d: String) => graft.sources.ShardExport.shardExport(s, d)),
     "f09_time_travel"        -> (graft.sources.TimeTravel.timeTravelQuery _),
+    "f10_snapshot_expire"    -> (graft.sources.TimeTravel.snapshotExpireQuery _),
     "d23_threshold_sweep"    -> (Dedup.thresholdSweep _),
     "d24_corpus_merge"       -> (Dedup.corpusMerge _),
     "d25_span_neardup"       -> (Dedup.spanNearDup _),

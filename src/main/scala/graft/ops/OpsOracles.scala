@@ -1605,6 +1605,15 @@ object OpsOracles {
         |WHERE NOT (doc_id <= 100 AND doc_id % 17 = 0)
         |ORDER BY version, doc_id""".stripMargin,
 
+    // f10: the current version's state after expiring v1 — the v2 half of
+    // f09's oracle; identity with it proves the vacuum touched no live file
+    "f10_snapshot_expire" ->
+      """SELECT doc_id, lang, n_chars,
+        |  md5(CASE WHEN doc_id <= 100 THEN text || ' v2' ELSE text END) AS fp
+        |FROM documents
+        |WHERE NOT (doc_id <= 100 AND doc_id % 17 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
     "s01_knn_brute" -> knnBruteSql,
 
     // f02: the DSv2 generator connector's scan query — the oracle

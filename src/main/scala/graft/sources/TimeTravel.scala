@@ -79,6 +79,46 @@ object TimeTravel {
     base
   }
 
+  /** SNAPSHOT EXPIRATION + VACUUM (f10) — the retention half of the
+    * versioned table's lifecycle: drop version `v`'s manifest, then delete
+    * every data file no SURVIVING manifest references. Copy-on-write makes
+    * this pure manifest arithmetic — the reachable-file set is the union
+    * of the remaining manifests (an O(#files) metadata scan, no data
+    * read), and files shared across versions survive because the v2
+    * manifest still references them. At 100 TB this is the nightly
+    * retention job that keeps storage linear in the live table, not in
+    * its history. Returns (files deleted, files surviving). */
+  def expire(spark: SparkSession, base: String, v: Int): (Int, Int) = {
+    val manifestsDir = new java.io.File(s"$base/manifests")
+    val survivors = Option(manifestsDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != s"v$v")
+      .map(_.getName.stripPrefix("v").toInt).toSeq
+    require(survivors.nonEmpty, s"cannot expire v$v: no surviving version")
+    val reachable = survivors.flatMap(manifestPaths(spark, base, _)).toSet
+    val dataDirs = Option(new java.io.File(s"$base/data").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+    val dead = dataDirs.flatMap(d => listParquet(d.getAbsolutePath))
+      .filterNot(reachable)
+    dead.foreach(p => new java.io.File(p).delete())
+    val vDir = new java.io.File(s"$base/manifests/v$v")
+    Option(vDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    vDir.delete()
+    (dead.length, reachable.size)
+  }
+
+  /** Driver surface (f10): build the two-version table, expire v1, vacuum,
+    * then read the CURRENT version back through its manifest — post-vacuum.
+    * Hash-matching the merge's outcome proves the vacuum deleted only
+    * unreachable files (a GC'd shared file would break the read; a
+    * lingering v1-only file is asserted gone in the spec). */
+  def snapshotExpireQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = buildDemo(spark, dir)
+    expire(spark, base, 1)
+    readAsOf(spark, base, 2).select(
+      col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   /** Driver surface (f09): both versions read back through their
     * manifests, tagged and unioned — hash-matching the oracle proves the
     * v1 read sees exactly the pre-merge corpus and the v2 read sees

@@ -56,4 +56,25 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((m2 -- m1).nonEmpty, "merge must add the rewritten file(s)")
     assert((m1 -- m2).nonEmpty, "the touched file(s) must leave the v2 manifest")
   }
+
+  test("expire v1 deletes exactly the unreachable files and keeps v2 whole") {
+    val base = TimeTravel.buildDemo(spark, dir)
+    def manifest(v: Int) = spark.read.parquet(s"$base/manifests/v$v")
+      .collect().map(_.getString(0)).toSet
+    val (m1, m2) = (manifest(1), manifest(2))
+    val preRows = TimeTravel.readAsOf(spark, base, 2).count()
+
+    val (deleted, surviving) = TimeTravel.expire(spark, base, 1)
+    // accounting: exactly the v1-only files die, exactly v2's files survive
+    assert(deleted === (m1 -- m2).size)
+    assert(surviving === m2.size)
+    // disk agrees: shared files still present, v1-only files gone
+    (m1 -- m2).foreach(p => assert(!new java.io.File(p).exists(), s"leaked: $p"))
+    m2.foreach(p => assert(new java.io.File(p).exists(), s"GC'd live file: $p"))
+    // the v1 manifest is gone, the v2 read is untouched by the vacuum
+    assert(!new java.io.File(s"$base/manifests/v1").exists())
+    assert(TimeTravel.readAsOf(spark, base, 2).count() === preRows)
+    // a second expire has no surviving-version target left to protect v2
+    assertThrows[IllegalArgumentException](TimeTravel.expire(spark, base, 2))
+  }
 }
