@@ -53,6 +53,8 @@ object SparkEntry {
     "q35_skew_report"        -> (Relational.q35SkewReport _),
     "q36_column_stats"       -> (Relational.q36ColumnStats _),
     "q37_dq_report"          -> (Relational.q37DqReport _),
+    "q38_cohort_retention"   -> (Relational.q38CohortRetention _),
+    "q39_funnel"             -> (Relational.q39Funnel _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

@@ -355,6 +355,52 @@ object RelationalOracles {
         |FROM lineitem WHERE l_extendedprice <= 0
         |ORDER BY "check"""".stripMargin,
 
+    // q38: cohort × age retention matrix — month keys stay integer
+    // (year×12+month) so ages subtract exactly; retention is an exact
+    // integer ratio rounded at projection.
+    "q38_cohort_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(extract(year FROM o_orderdate) * 12 +
+        |         extract(month FROM o_orderdate) AS INT) AS am
+        |  FROM orders),
+        |cohort AS (SELECT o_custkey, min(am) AS cm FROM active GROUP BY 1),
+        |sizes AS (SELECT cm, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM cohort GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cm, CAST(a.am - c.cm AS INT) AS age_months,
+        |    CAST(count(*) AS BIGINT) AS active_customers
+        |  FROM active a JOIN cohort c ON a.o_custkey = c.o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT CAST((x.cm - 1) // 12 AS VARCHAR) || '-' ||
+        |    lpad(CAST((x.cm - 1) % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+        |  x.age_months, x.active_customers, s.cohort_size,
+        |  round(CAST(x.active_customers AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM cells x JOIN sizes s ON x.cm = s.cm
+        |ORDER BY cohort_month, age_months""".stripMargin,
+
+    // q39: order-sensitive funnel — each step's first event gated
+    // at-or-after the user's previous step.
+    "q39_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |n AS (
+        |  SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS users FROM s1
+        |  UNION ALL
+        |  SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL
+        |  SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3)
+        |SELECT step, users,
+        |  round(CAST(users AS DOUBLE) /
+        |    (SELECT users FROM n WHERE step = '1_view'), 6) AS pct_of_first
+        |FROM n ORDER BY step""".stripMargin,
+
     // q30: the oracle is the declarative window form of grouped top-k;
     // the Spark side runs the custom TopKPerGroup operator — equal
     // row sets because the order is total (unique o_orderkey tie-break).

@@ -689,6 +689,77 @@ object Relational {
       .orderBy("check")
   }
 
+  /** COHORT RETENTION MATRIX (q38) — the full cohort × age grid behind
+    * q08's scalar: customers grouped by first-order month, tracked by
+    * months-since-cohort, with per-cell retention against cohort size.
+    * Month arithmetic stays integer (year×12+month) so ages subtract
+    * exactly cross-engine; the display month re-derives from the key.
+    *
+    * Scale shape: activity collapses to (customer, month) grain before
+    * anything joins; the cohort assignment is a per-customer min; the
+    * matrix aggregate shuffles month-grain cells; cohort sizes are a
+    * months-sized broadcast. Nothing ever holds more than one customer's
+    * months, and no global sort exists outside the output contract. */
+  def q38CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    // consumed twice (cohort derivation + matrix join): cached at the
+    // collapsed (customer, month) grain so the fact scans once (PlanSpec)
+    val active = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("am"))
+      .distinct()
+      .persist()
+    val cohort = active.groupBy("o_custkey").agg(min("am").as("cm"))
+    val sizes = cohort.groupBy("cm").agg(count(lit(1)).as("cohort_size"))
+    active.join(cohort, Seq("o_custkey"))
+      .groupBy(col("cm"), (col("am") - col("cm")).as("age_months"))
+      .agg(count(lit(1)).as("active_customers"))
+      .join(broadcast(sizes), Seq("cm"))
+      .select(
+        concat(expr("(cm - 1) div 12").cast("string"), lit("-"),
+          lpad(((col("cm") - 1) % 12 + 1).cast("string"), 2, "0")).as("cohort_month"),
+        col("age_months"), col("active_customers"), col("cohort_size"),
+        round(col("active_customers").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_month", "age_months")
+  }
+
+  /** SEQUENTIAL FUNNEL (q39) — view → click → purchase where each step's
+    * FIRST qualifying event must fall at-or-after the user's previous
+    * step (order-sensitive conversion, not mere per-type existence —
+    * a click before any view does not convert).
+    *
+    * Scale shape: each step is one filtered aggregate to user-grain
+    * first-touch, then a user-co-partitioned join that gates the next
+    * step — three uniform user_id exchanges total; the final counts are
+    * 1-row aggregates with a broadcast step-1 denominator. */
+  def q39Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    // s1/s2 are each consumed by the next gate, the step counts, and (s1)
+    // the denominator — cached at user-grain first-touch size so each
+    // event-type scan happens exactly once (PlanSpec)
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+      .persist()
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+      .persist()
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val steps = Seq("1_view" -> s1, "2_click" -> s2, "3_purchase" -> s3)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("users")).select(lit(name).as("step"), col("users"))
+      }
+      .reduce(_ union _)
+    val first = s1.agg(count(lit(1)).as("first_users"))
+    steps.crossJoin(broadcast(first))
+      .select(col("step"), col("users"),
+        round(col("users").cast("double") / col("first_users"), 6).as("pct_of_first"))
+      .orderBy("step")
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

@@ -162,6 +162,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashExchanges("q34_scd2") === 1, plan("q34_scd2").take(2000))
   }
 
+  test("q38_cohort_retention: one orders scan — the (customer, month) grain " +
+       "is cached, cohort and matrix both read the cache") {
+    val ordersScans = fileScans("q38_cohort_retention").count(_.contains("orders"))
+    assert(ordersScans === 0, s"orders scanned outside the cache $ordersScans times")
+    assert(plan("q38_cohort_retention").contains("InMemoryTableScan"))
+  }
+
+  test("q39_funnel: cached first-touch gates — only the final step scans " +
+       "events outside a cache, with its event_type predicate pushed") {
+    val scans = scanDetails("q39_funnel").filter(_._1.contains("events"))
+    assert(scans.length === 1, s"expected 1 un-cached events scan: $scans")
+    assert(scans.head._3.contains("EqualTo(event_type,purchase)"), scans.head._3)
+    assert(plan("q39_funnel").contains("InMemoryTableScan"))
+  }
+
   /** (path, read columns, pushed-filter string) for every file scan in
     * the executed tree. */
   private def scanDetails(name: String): Seq[(String, Seq[String], String)] = {
