@@ -155,6 +155,7 @@ object SparkEntry {
     "d25_span_neardup"       -> (Dedup.spanNearDup _),
     "d26_span_apply"         -> (Dedup.spanExcise _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
+    "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),

@@ -22,14 +22,22 @@ import graft.Tables
   * adjacency (edges ⋈ out-degree) is built once, persisted, and reused
   * by every superstep; the rank frame stays node-sized throughout.
   *
-  * Determinism cross-engine: per-edge contributions are 12dp-rounded
-  * doubles cast to DECIMAL(30,15) before the sum — exact, order-
-  * independent addition (the engine-portability discipline of the exact-
-  * sum paths) — and each new rank re-rounds to 12dp, so both engines walk
-  * identical fixed-point trajectories. Damping stays the 0.15/0.85
-  * literal pair (never computed as 1−d: 1.0−0.85 is not the double 0.15).
+  * Determinism cross-engine: rank mass is FIXED-POINT INTEGER — micro
+  * units at 10⁻¹² of total mass, every operation BIGINT floor division,
+  * multiplication, and exact sums. Floating point appears nowhere, so
+  * there is nothing to round and no half-boundary for engines to
+  * disagree on (a 12dp double formulation measurably coin-flips: damping
+  * by 0.85 turns 12-decimal sums into 14-decimal values that sit exactly
+  * on round-half boundaries, where Spark's exact HALF_UP and a scaled-
+  * double round diverge). Floor division leaks < 1 micro-unit per node
+  * per superstep — irrelevant to a rank score and identical on both
+  * engines. Damping is the integer pair (85, 100); teleport 0.15 is
+  * 15·SCALE/100 exactly.
   */
 object GraphRank {
+
+  /** 1.0 of rank mass, in micro-units. */
+  private val Scale = 1000000000000L
 
   /** Bipartite purchase edges, both directions (undirected walk — every
     * node therefore has out-degree ≥ 1: no dangling-mass handling). */
@@ -43,42 +51,89 @@ object GraphRank {
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
-  def graphRankOf(
-      orders: DataFrame,
-      lineitem: DataFrame,
-      iterations: Int = 3,
-      damping: Double = 0.85,
-      teleport: Double = 0.15): DataFrame = {
+  /** One damped superstep over the persisted adjacency: route `r div deg`
+    * along every edge, sum exactly, damp by 85/100 in integer space, add
+    * each node's teleport grant. */
+  private def superstep(adj: DataFrame, ranks: DataFrame,
+                        grants: DataFrame): DataFrame =
+    adj
+      .join(ranks, adj("src") === ranks("node"))
+      .select(adj("dst"), expr("r div deg").as("c"))
+      .groupBy("dst")
+      .agg(sum(col("c")).as("s"))
+      .join(grants, col("dst") === grants("gnode"))
+      .select(col("dst").as("node"),
+        (expr("(85 * s) div 100") + col("grant")).as("r"))
+
+  /** Shared loop: start from `init` (node, r), run `iterations`
+    * supersteps with per-node teleport `grants` (gnode, grant), emit the
+    * supplier side with degrees. */
+  private def run(orders: DataFrame, lineitem: DataFrame, iterations: Int)(
+      mkInitAndGrants: (DataFrame) => (DataFrame, DataFrame)): DataFrame = {
     val edges = purchaseEdges(orders, lineitem)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val adj = edges.join(deg, Seq("src")).persist()
     adj.count()
-    val nDf = deg.agg(count(lit(1)).as("n"))
-
-    var ranks = deg.select(col("src").as("node"))
-      .crossJoin(broadcast(nDf))
-      .select(col("node"), round(lit(1.0) / col("n"), 12).as("r"))
-    for (_ <- 1 to iterations) {
-      ranks = adj
-        .join(ranks, adj("src") === ranks("node"))
-        .select(adj("dst"),
-          round(col("r") / col("deg"), 12).cast("decimal(30,15)").as("c"))
-        .groupBy("dst")
-        .agg(sum(col("c")).as("s"))
-        .crossJoin(broadcast(nDf))
-        .select(
-          col("dst").as("node"),
-          round(lit(teleport) / col("n") +
-            lit(damping) * col("s").cast("double"), 12).as("r"))
-    }
-
+    val (init, grants) = mkInitAndGrants(deg)
+    var ranks = init
+    for (_ <- 1 to iterations) ranks = superstep(adj, ranks, grants)
     ranks
       .join(deg, ranks("node") === deg("src"))
       .filter(col("node").startsWith("s"))
-      .select(col("node"), col("deg").as("degree"), col("r").as("rank_score"))
+      .select(col("node"), col("deg").as("degree"), col("r").as("rank_micros"))
       .orderBy("node")
   }
 
+  /** Uniform PageRank (g01): every node starts with SCALE/n mass and
+    * receives the uniform teleport grant 0.15·SCALE/n. */
+  def graphRankOf(orders: DataFrame, lineitem: DataFrame,
+                  iterations: Int = 3): DataFrame =
+    run(orders, lineitem, iterations) { deg =>
+      val nDf = deg.agg(count(lit(1)).as("n"))
+      val nodes = deg.select(col("src").as("node")).crossJoin(broadcast(nDf))
+      val init = nodes.select(col("node"), expr(s"${Scale}L div n").as("r"))
+      val grants = nodes.select(col("node").as("gnode"),
+        expr(s"((15 * ${Scale}L) div 100) div n").as("grant"))
+      (init, grants)
+    }
+
   def graphRank(spark: SparkSession, dir: String): DataFrame =
     graphRankOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  /** PERSONALIZED PageRank (g02) — teleport mass restricted to a SEED set
+    * (customers of one nation): rank becomes proximity to the seeds, the
+    * random-walk form of seed-biased source weighting (a training-data
+    * pipeline uses exactly this to upweight crawl domains near a trusted
+    * seed list — the quality-propagation idea behind curated-corpus
+    * expansion). Same superstep loop; only initialization and teleport
+    * change: both put 1/|S| on seeds and ZERO elsewhere, so mass reaches
+    * non-seeds only by walking edges. */
+  def personalizedRankOf(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      customer: DataFrame,
+      seedNation: Int = 1,
+      iterations: Int = 3): DataFrame =
+    run(orders, lineitem, iterations) { deg =>
+      val seeds = deg.join(
+        customer.filter(col("c_nationkey") === seedNation)
+          .select(concat(lit("c"), col("c_custkey")).as("src")),
+        Seq("src"))
+        .select(col("src").as("seed"))
+      val nS = seeds.agg(count(lit(1)).as("ns"))
+      val nodes = deg.select(col("src").as("node"))
+        .join(seeds, col("node") === col("seed"), "left")
+        .crossJoin(broadcast(nS))
+      val init = nodes.select(col("node"),
+        when(col("seed").isNotNull, expr(s"${Scale}L div ns"))
+          .otherwise(lit(0L)).as("r"))
+      val grants = nodes.select(col("node").as("gnode"),
+        when(col("seed").isNotNull, expr(s"((15 * ${Scale}L) div 100) div ns"))
+          .otherwise(lit(0L)).as("grant"))
+      (init, grants)
+    }
+
+  def personalizedRank(spark: SparkSession, dir: String): DataFrame =
+    personalizedRankOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+      Tables.customer(spark, dir))
 }

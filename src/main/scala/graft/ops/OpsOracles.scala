@@ -115,33 +115,70 @@ object OpsOracles {
        |ORDER BY dw.doc_id""".stripMargin
   }
 
-  /** g01: the three PageRank supersteps unrolled (mirrors
-    * GraphRank.graphRankOf — 12dp-rounded per-edge contributions summed
-    * exactly as DECIMAL(30,15), damping as the 0.15/0.85 literal pair). */
-  private def graphRankOracleSql: String = {
+  /** The three fixed-point PageRank supersteps unrolled (mirrors
+    * GraphRank.superstep: BIGINT micro-unit mass, floor division, integer
+    * 85/100 damping, per-node teleport grants from the `g` CTE — no
+    * floating point anywhere, so nothing can round differently). */
+  private def rankSteps: String = {
     def step(k: Int): String = {
       val prev = if (k == 1) "r0" else s"r${k - 1}"
       s"""r$k AS (
          |  SELECT e.dst AS node,
-         |    round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
-         |      CAST(0.85 AS DOUBLE) *
-         |        CAST(sum(CAST(round(r.r / d.deg, 12) AS DECIMAL(30,15))) AS DOUBLE), 12) AS r
+         |    CAST((85 * sum(r.r // d.deg)) // 100 + g.grant AS BIGINT) AS r
          |  FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
-         |  GROUP BY e.dst)""".stripMargin
+         |    JOIN g ON e.dst = g.gnode
+         |  GROUP BY e.dst, g.grant)""".stripMargin
     }
-    s"""WITH e0 AS (
-       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-       |r0 AS (SELECT src AS node, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS r FROM deg, nn),
-       |${(1 to 3).map(step).mkString(",\n")}
-       |SELECT r.node, d.deg AS degree, r.r AS rank_score
-       |FROM r3 r JOIN deg d ON r.node = d.src
-       |WHERE r.node LIKE 's%'
-       |ORDER BY node""".stripMargin
+    (1 to 3).map(step).mkString(",\n")
   }
+
+  private val rankEdgesCte =
+    """e0 AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1)""".stripMargin
+
+  private val rankOutput =
+    """SELECT r.node, d.deg AS degree, r.r AS rank_micros
+      |FROM r3 r JOIN deg d ON r.node = d.src
+      |WHERE r.node LIKE 's%'
+      |ORDER BY node""".stripMargin
+
+  /** g01: uniform init SCALE/n and uniform grant 0.15·SCALE/n. */
+  private def graphRankOracleSql: String =
+    s"""WITH $rankEdgesCte,
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT src AS node, 1000000000000 // nn.n AS r FROM deg, nn),
+       |g AS (SELECT src AS gnode, ((15 * 1000000000000) // 100) // nn.n AS grant
+       |  FROM deg, nn),
+       |$rankSteps
+       |$rankOutput""".stripMargin
+
+  /** g02: personalized PageRank — the same fixed-point supersteps with
+    * init mass and teleport grants restricted to nation-1 customer seeds
+    * (SCALE/|S| on seeds, 0 elsewhere). */
+  private def personalizedRankOracleSql: String =
+    s"""WITH $rankEdgesCte,
+       |seeds AS (
+       |  SELECT d.src AS seed FROM deg d
+       |  JOIN (SELECT 'c' || c_custkey AS src FROM customer WHERE c_nationkey = 1) c
+       |    ON d.src = c.src),
+       |nsc AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds),
+       |r0 AS (
+       |  SELECT d.src AS node,
+       |    CASE WHEN s.seed IS NOT NULL
+       |      THEN 1000000000000 // (SELECT ns FROM nsc)
+       |      ELSE CAST(0 AS BIGINT) END AS r
+       |  FROM deg d LEFT JOIN seeds s ON d.src = s.seed),
+       |g AS (
+       |  SELECT d.src AS gnode,
+       |    CASE WHEN s.seed IS NOT NULL
+       |      THEN ((15 * 1000000000000) // 100) // (SELECT ns FROM nsc)
+       |      ELSE CAST(0 AS BIGINT) END AS grant
+       |  FROM deg d LEFT JOIN seeds s ON d.src = s.seed),
+       |$rankSteps
+       |$rankOutput""".stripMargin
 
   /** MinHash signatures → 4 band keys per doc (mirrors
     * Dedup.minhashLshOf's signature/band construction; shared by the
@@ -2000,5 +2037,7 @@ object OpsOracles {
     "t25_bpe_encode" -> bpeEncodeOracleSql,
 
     "g01_graph_rank" -> graphRankOracleSql,
+
+    "g02_personalized_rank" -> personalizedRankOracleSql,
   )
 }

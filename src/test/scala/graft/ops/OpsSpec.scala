@@ -699,28 +699,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("graph rank: hand-walked supersteps, teleport floor, node accounting") {
     val s = spark; import s.implicits._
     // c1—{s1,s2}, c2—{s2}: degrees c1=2, c2=1, s1=1, s2=2, n=4. Three
-    // hand-walked supersteps from uniform 0.25 (all values terminate
-    // within 12dp, so rounding is exact and the trajectory is closed-form)
+    // hand-walked fixed-point supersteps from uniform SCALE/4 mass
+    // (divisions land exactly, so no floor loss obscures the arithmetic)
     val ord = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
     val li = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("l_orderkey", "l_suppkey")
     val m = GraphRank.graphRankOf(ord, li).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(m === Map(
-      "s1" -> (1L, 0.16971484375),
-      "s2" -> (2L, 0.33028515625)))
+      "s1" -> (1L, 169714843750L),
+      "s2" -> (2L, 330285156250L)))
 
     // corpus: one row per participating supplier; every rank holds the
-    // teleport floor 0.15/n and stays below 1
+    // integer teleport floor and stays below total mass
     val orders = graft.Tables.orders(spark, dir)
     val lineitem = graft.Tables.lineitem(spark, dir)
     val out = GraphRank.graphRank(spark, dir).collect()
     assert(out.length === lineitem.select("l_suppkey").distinct().count())
     val n = orders.select("o_custkey").distinct().count() +
       lineitem.select("l_suppkey").distinct().count()
+    val grant = (15L * 1000000000000L / 100L) / n
     out.foreach { r =>
-      val score = r.getAs[Double]("rank_score")
-      assert(score >= 0.15 / n && score < 1.0, s"${r.getString(0)}: $score")
+      val score = r.getAs[Long]("rank_micros")
+      assert(score >= grant && score < 1000000000000L, s"${r.getString(0)}: $score")
     }
+
+    // personalized: only seed-reachable mass — totals strictly below the
+    // uniform walk's, and seeds' suppliers outrank the global floor
+    val pr = GraphRank.personalizedRank(spark, dir).collect()
+    assert(pr.length === out.length)
+    pr.foreach { r =>
+      val score = r.getAs[Long]("rank_micros")
+      assert(score >= 0L && score < 1000000000000L)
+    }
+    val uniform = out.map(r => r.getString(0) -> r.getAs[Long]("rank_micros")).toMap
+    assert(pr.exists(r => uniform(r.getString(0)) != r.getAs[Long]("rank_micros")),
+      "seed-restricted teleport must actually reshape the distribution")
   }
 
   test("threshold sweep: monotone non-increasing, anchored at the detector's pair set") {
