@@ -134,6 +134,8 @@ object SparkEntry {
     "t23_sequence_pack"      -> (TextAnalysis.sequencePack _),
     "t24_bpe_merges"         -> (TextAnalysis.bpeMerges _),
     "t25_bpe_encode"         -> (TextAnalysis.bpeEncode _),
+    "t26_quality_classifier" -> (TextAnalysis.qualityClassifier _),
+    "t27_vocab_growth"       -> (TextAnalysis.vocabGrowth _),
     "t20_mixture_report"     -> (TextAnalysis.mixtureReport _),
     "w06_session_stats"      -> (graft.streaming.EventStream.sessionStats _),
     "f03_bucketed_join"      -> (graft.sources.Bucketing.bucketedRevenueByPriority _),

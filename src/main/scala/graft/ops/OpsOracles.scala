@@ -2036,6 +2036,45 @@ object OpsOracles {
 
     "t25_bpe_encode" -> bpeEncodeOracleSql,
 
+    // t26: logistic quality classifier — integer features; the double
+    // ratios feed exp() so the 6dp round lands on a non-terminating value.
+    "t26_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens, n_types, n_chars,
+        |    round(CAST(1.0 AS DOUBLE) / (1.0 + exp(-(
+        |      CAST(-4.0 AS DOUBLE) +
+        |      0.45 * (CAST(n_chars AS DOUBLE) / n_tokens) +
+        |      4.0 * (CAST(n_types AS DOUBLE) / n_tokens) +
+        |      0.002 * n_tokens))), 6) AS score
+        |  FROM f)
+        |SELECT doc_id, n_tokens, n_types, n_chars, score,
+        |  CAST(score >= 0.5 AS INT) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // t27: Heaps-curve vocabulary growth — first occurrence per type,
+    // then doc-grain running totals.
+    "t27_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fs AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+        |nt AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM fs GROUP BY 1),
+        |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM toks GROUP BY 1)
+        |SELECT sp.doc_id, sp.n_tokens,
+        |  CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(sum(COALESCE(nt.new_types, 0)) OVER w AS BIGINT) AS cum_types,
+        |  CAST(sum(sp.n_tokens) OVER w AS BIGINT) AS cum_tokens
+        |FROM sp LEFT JOIN nt ON sp.doc_id = nt.doc_id
+        |WINDOW w AS (ORDER BY sp.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY sp.doc_id""".stripMargin,
+
     "g01_graph_rank" -> graphRankOracleSql,
 
     "g02_personalized_rank" -> personalizedRankOracleSql,

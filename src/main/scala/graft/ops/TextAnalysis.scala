@@ -467,6 +467,71 @@ object TextAnalysis {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeOf(Tables.documents(spark, dir))
 
+  /** MODEL-BASED quality classifier (t26) — the classifier-filter step of
+    * the modern corpus pipelines (FineWeb-Edu, DCLM: a small trained
+    * scorer replaces hand rules): a fixed-weight logistic model over
+    * per-doc features — length, lexical diversity (type/token ratio),
+    * mean token length — scored with a sigmoid, thresholded at 0.5.
+    * Weights here are fixed literals standing in for trained parameters
+    * (the Spark-side mechanics — broadcastable model, one narrow pass,
+    * no UDF — are what carries to a real model).
+    *
+    * Engine-portability: emitted features stay INTEGER; the double
+    * ratios live only inside the exponent, where exp() makes the value
+    * non-terminating before the 6dp round (a directly-rounded ratio like
+    * 1/128 terminates exactly ON a half boundary and coin-flips — the
+    * g01 lesson). One scan, zero shuffles until the output sort. */
+  def qualityClassifierOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_types", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_chars", length(expr("replace(text, ' ', '')")).cast("long"))
+      .withColumn("z",
+        lit(-4.0) +
+          lit(0.45) * (col("n_chars").cast("double") / col("n_tokens")) +
+          lit(4.0) * (col("n_types").cast("double") / col("n_tokens")) +
+          lit(0.002) * col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_types"), col("n_chars"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"))
+      .withColumn("keep", (col("score") >= 0.5).cast("int"))
+      .orderBy("doc_id")
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierOf(Tables.documents(spark, dir))
+
+  /** VOCABULARY GROWTH curve (t27) — Heaps-law saturation measurement:
+    * how many NEW word types each document contributes in doc_id order,
+    * with running type and token totals. The curve's flattening is the
+    * signal that more of the same crawl stops buying vocabulary — a
+    * corpus-acquisition decision input.
+    *
+    * Scale shape: first occurrences come from a token-type-grain
+    * aggregate (min doc_id per type — uniform hash keys); everything
+    * after runs on the doc-grain spine, where the only global ordering
+    * lives (same discipline as t23's subtotals: windows over ~#docs
+    * aggregated rows, never over tokens). */
+  def vocabGrowthOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val firstSeen = toks.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("new_types"))
+    val spine = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val byDoc = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(firstSeen, Seq("doc_id"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum("new_types").over(byDoc))
+      .withColumn("cum_tokens", sum("n_tokens").over(byDoc))
+      .select("doc_id", "n_tokens", "new_types", "cum_types", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthOf(Tables.documents(spark, dir))
+
   /** QUANTILE-threshold quality filter: keep documents whose repetition
     * ratio is at or below their LANGUAGE's median — a relative,
     * distribution-aware cut (languages differ in baseline repetition, so

@@ -736,6 +736,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "seed-restricted teleport must actually reshape the distribution")
   }
 
+  test("quality classifier: real separation, threshold consistency, score bounds") {
+    val out = TextAnalysis.qualityClassifier(spark, dir).collect()
+    assert(out.length === graft.Tables.documents(spark, dir).count())
+    val labels = out.map(_.getAs[Int]("keep")).distinct.sorted
+    assert(labels.toSeq === Seq(0, 1), "threshold must actually separate the corpus")
+    out.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s > 0.0 && s < 1.0)
+      assert((r.getAs[Int]("keep") === 1) === (s >= 0.5))
+    }
+  }
+
+  test("vocab growth: conservation against corpus totals, monotone curves") {
+    val docs = graft.Tables.documents(spark, dir)
+    val rows = TextAnalysis.vocabGrowth(spark, dir).collect()
+    assert(rows.length === docs.count())
+    // every type is attributed exactly once; totals close the books
+    val allToks = docs.select(explode(split(col("text"), " ")).as("t"))
+    assert(rows.map(_.getAs[Long]("new_types")).sum ===
+      allToks.distinct().count())
+    assert(rows.last.getAs[Long]("cum_types") ===
+      rows.map(_.getAs[Long]("new_types")).sum)
+    assert(rows.last.getAs[Long]("cum_tokens") === allToks.count())
+    // running sums are monotone and the curve saturates (late docs add
+    // fewer new types than the opening doc, which contributes all of its
+    // distinct tokens)
+    assert(rows.sliding(2).forall(w =>
+      w.head.getAs[Long]("cum_types") <= w.last.getAs[Long]("cum_types")))
+    assert(rows.head.getAs[Long]("new_types") > rows.last.getAs[Long]("new_types"))
+  }
+
   test("threshold sweep: monotone non-increasing, anchored at the detector's pair set") {
     val rows = Dedup.thresholdSweep(spark, dir).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
