@@ -152,10 +152,13 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.sources.ShardExport.shardExport(s, d)),
     "f09_time_travel"        -> (graft.sources.TimeTravel.timeTravelQuery _),
     "f10_snapshot_expire"    -> (graft.sources.TimeTravel.snapshotExpireQuery _),
+    "f11_partition_overwrite" -> (graft.sources.PartitionOverwrite.overwriteQuery _),
     "d23_threshold_sweep"    -> (Dedup.thresholdSweep _),
     "d24_corpus_merge"       -> (Dedup.corpusMerge _),
     "d25_span_neardup"       -> (Dedup.spanNearDup _),
     "d26_span_apply"         -> (Dedup.spanExcise _),
+    "s18_filtered_ann"       ->
+      ((s: SparkSession, d: String) => Similarity.filteredAnn(s, d)),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),

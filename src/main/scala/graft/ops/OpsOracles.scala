@@ -762,6 +762,17 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s18: filtered ANN — s13's chain with the even-label metadata
+    // predicate restricting the code table BEFORE scoring (pre-filter
+    // semantics: top-k fills from the allowed subset).
+    "s18_filtered_ann" ->
+      s"""WITH ${ivfPqCtesWith(
+             " AND a3.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")}
+        |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
+        |FROM rankedq
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     // s16: incremental index update — coarse centroids and residual
     // codebooks trained on the INDEX subset only (md5 bucket != 'f';
     // seeds = its 16 smallest ids), every candidate encoded with the
@@ -1641,6 +1652,14 @@ object OpsOracles {
         |FROM documents
         |WHERE NOT (doc_id <= 100 AND doc_id % 17 = 0)
         |ORDER BY version, doc_id""".stripMargin,
+
+    // f11: dynamic partition overwrite — only the 'en' partition re-lands
+    // with revised text; everything else must read back unchanged.
+    "f11_partition_overwrite" ->
+      """SELECT doc_id, lang, n_chars,
+        |  md5(CASE WHEN lang = 'en' THEN text || ' r2' ELSE text END) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // f10: the current version's state after expiring v1 — the v2 half of
     // f09's oracle; identity with it proves the vacuum touched no live file

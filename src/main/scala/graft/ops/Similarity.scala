@@ -773,6 +773,28 @@ object Similarity {
       residCodebooks(spark, dir), codes, k, nprobe)
   }
 
+  /** FILTERED ANN (s18) — vector search under a metadata predicate (here:
+    * even labels), the retrieval shape every production vector store must
+    * serve ("nearest neighbors among docs in language X / licence Y").
+    * Semantics are PRE-FILTER: the predicate restricts the candidate code
+    * table BEFORE scoring, so the top-k is guaranteed to come from — and
+    * fill up from — the allowed subset (post-filtering an unfiltered
+    * top-k silently under-returns when matches are sparse). The filter is
+    * a semi-join of the 8-bytes-per-vector code table against the allowed
+    * id set on the uniform key; the trained index is untouched and fully
+    * reused (same memoized artifacts as s13/s15/s17) — selectivity costs
+    * an id-set join, never a retrain or a float scan. */
+  def filteredAnn(spark: SparkSession, dir: String,
+                  k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val allowed = Tables.embeddings(spark, dir)
+      .filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("cand_id"))
+    val codes = residCandidateCodes(spark, dir)
+      .join(allowed, Seq("cand_id"), "left_semi")
+    ivfPqSearch(spark, dir, centroidVectors(spark, dir),
+      residCodebooks(spark, dir), codes, k, nprobe)
+  }
+
   /** INCREMENTAL INDEX UPDATE (s16) — the ANN analog of d22's
     * delta-vs-index dedup, completing the incremental family (exact
     * d19, text near-dup d22, streaming w08): vectors that arrived AFTER

@@ -962,6 +962,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors.subsetOf(afterPairs))
   }
 
+  test("filtered ANN: pre-filter fills top-k from the allowed subset only") {
+    val evens = graft.Tables.embeddings(spark, dir)
+      .filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(evens.nonEmpty)
+    val out = Similarity.filteredAnn(spark, dir).collect()
+    // every hit obeys the predicate, and every query still fills k=3 —
+    // the guarantee post-filtering an unfiltered top-k cannot give
+    out.foreach(r => assert(evens.contains(r.getLong(1)),
+      s"candidate ${r.getLong(1)} violates the metadata predicate"))
+    val perQuery = out.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQuery === Set(3))
+    // the predicate must actually bind: some unfiltered hit is odd-labeled
+    val unfiltered = Similarity.ivfPqAnn(spark, dir).collect()
+    assert(unfiltered.exists(r => !evens.contains(r.getLong(1))),
+      "even-label filter is vacuous against s13's results")
+  }
+
   test("index round trip: search from the persisted parquet index equals the in-session answer") {
     val fromDisk = Similarity.indexRoundTrip(spark, dir).collect().toSeq
     val inSession = Similarity.ivfPqAnn(spark, dir).collect().toSeq
