@@ -55,6 +55,7 @@ object SparkEntry {
     "q37_dq_report"          -> (Relational.q37DqReport _),
     "q38_cohort_retention"   -> (Relational.q38CohortRetention _),
     "q39_funnel"             -> (Relational.q39Funnel _),
+    "q40_copurchase"         -> (Relational.q40Copurchase _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),
+    "m08_media_search"       -> (graft.ops.Multimodal.mediaSearch _),
     // S2 sink round trip — ref_-prefixed (reads the fixed-size reference
     // CSVs, ignores sfDir) so the bench suite stays sf-parameterized
     "ref_warehouse_roundtrip" ->

@@ -187,6 +187,23 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** CROSS-MODAL retrieval (m08) — similarity search in the media feature
+    * space (query items' vectors against the media corpus), the serving
+    * half of a multimodal pipeline (caption→image / image→image lookup).
+    * The feature column contract does the work: [[featureBatch]]'s dense
+    * `array<double>` flows into the generic kNN ([[Similarity.knnOf]])
+    * unchanged — the same operator that serves text embeddings serves
+    * every modality, which is the architectural point (one ANN stack, N
+    * encoders). Broadcast query side, one narrow candidate pass,
+    * distributed top-k. */
+  def mediaSearch(spark: SparkSession, dir: String): DataFrame = {
+    val feats = featureBatch(spark, dir).toDF()
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    Similarity.knnOf(
+      feats.filter(col("vec_id") < 10),
+      feats.filter(col("vec_id") >= 10), 3)
+  }
+
   /** Per-format corpus summary over the decoded metadata. */
   def formatSummary(spark: SparkSession, dir: String): DataFrame =
     decodedMeta(spark, dir)

@@ -349,6 +349,32 @@ object OpsOracles {
 
   private val ivfPqCtes = ivfPqCtesWith("")
 
+  /** m08: cross-modal retrieval — the m05 closed-form feature vectors
+    * through the s01 brute-cosine ranking. */
+  private val mediaSearchSql =
+    """WITH b0 AS (SELECT doc_id, octet_length(encode(text)) AS bytes FROM documents),
+      |n AS (
+      |  SELECT doc_id AS vec_id,
+      |    [CAST(bytes AS DOUBLE), CAST(64 + bytes % 512 AS DOUBLE),
+      |     CAST(64 + (bytes * 7) % 512 AS DOUBLE), CAST(bytes % 3 AS DOUBLE),
+      |     CAST(bytes // 1024 + 1 AS DOUBLE), CAST(bytes % 997 AS DOUBLE),
+      |     CAST(bytes % 499 AS DOUBLE), CAST(bytes % 251 AS DOUBLE)] AS v
+      |  FROM b0),
+      |n2 AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM n),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+      |          / (q.norm * c.norm), 6) AS cosine
+      |  FROM n2 q CROSS JOIN n2 c
+      |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+      |SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   /** Shared by m06 (detection) and m07 (application): the m05 feature
     * vectors (closed-form from octet_length — Multimodal.featureBatch's
     * deterministic stub) pushed through d18's SRP-LSH construction at
@@ -2052,6 +2078,8 @@ object OpsOracles {
         |ORDER BY format""".stripMargin,
 
     "t24_bpe_merges" -> bpeOracleSql,
+
+    "m08_media_search" -> mediaSearchSql,
 
     "t25_bpe_encode" -> bpeEncodeOracleSql,
 

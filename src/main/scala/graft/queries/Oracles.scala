@@ -401,6 +401,17 @@ object RelationalOracles {
         |    (SELECT users FROM n WHERE step = '1_view'), 6) AS pct_of_first
         |FROM n ORDER BY step""".stripMargin,
 
+    // q40: pairwise co-purchase support — per-order distinct parts
+    // self-joined under part1 < part2.
+    "q40_copurchase" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS part1, b.pk AS part2, CAST(count(*) AS BIGINT) AS support
+        |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2
+        |ORDER BY support DESC, part1, part2
+        |LIMIT 25""".stripMargin,
+
     // q30: the oracle is the declarative window form of grouped top-k;
     // the Spark side runs the custom TopKPerGroup operator — equal
     // row sets because the order is total (unique o_orderkey tie-break).

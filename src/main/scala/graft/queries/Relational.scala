@@ -760,6 +760,28 @@ object Relational {
       .orderBy("step")
   }
 
+  /** CO-PURCHASE pair mining (q40) — pairwise frequent itemsets: the top
+    * part pairs appearing together in an order, with support counts. The
+    * bounded-blocks discipline of j03/d15: pairs generate from a
+    * CO-PARTITIONED self-join on the order key (both sides hash the same
+    * key — ONE exchange pair, no broadcast of the fact), and the fan-out
+    * per order is C(k,2) with k = that order's distinct parts — bounded
+    * by basket size, so the pair stream stays linear in orders at 100 TB
+    * (never a parts×parts join). Top-k lands via TakeOrderedAndProject
+    * with full tie-breaks. */
+  def q40Copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("part1"), col("b.pk").as("part2"))
+    pairs.groupBy("part1", "part2")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part1").asc, col("part2").asc)
+      .limit(25)
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

@@ -980,6 +980,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "even-label filter is vacuous against s13's results")
   }
 
+  test("media search: 3 ranked hits per query, descending cosine, valid range") {
+    val out = graft.ops.Multimodal.mediaSearch(spark, dir).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.values.forall(_.length === 3))
+    byQuery.values.foreach { hits =>
+      val cos = hits.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cosine"))
+      assert(cos.sliding(2).forall(w => w.head >= w.last), cos.mkString(","))
+      cos.foreach(c => assert(c >= -1.0 && c <= 1.0))
+    }
+  }
+
+  test("co-purchase: canonical pair order, support cross-checked directly") {
+    val out = Relational_q40(spark)
+    assert(out.nonEmpty && out.length <= 25)
+    out.foreach(r => assert(r.getLong(0) < r.getLong(1), "pairs must be canonical"))
+    // supports arrive sorted and the top pair's support re-derives exactly
+    val supports = out.map(_.getAs[Long]("support"))
+    assert(supports.sliding(2).forall(w => w.head >= w.last))
+    val (p1, p2) = (out.head.getLong(0), out.head.getLong(1))
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val direct = li.filter(col("l_partkey") === p1).select("l_orderkey")
+      .intersect(li.filter(col("l_partkey") === p2).select("l_orderkey"))
+      .count()
+    assert(direct === supports.head)
+  }
+
+  private def Relational_q40(s: org.apache.spark.sql.SparkSession) =
+    graft.queries.Relational.q40Copurchase(s, dir).collect()
+
   test("index round trip: search from the persisted parquet index equals the in-session answer") {
     val fromDisk = Similarity.indexRoundTrip(spark, dir).collect().toSeq
     val inSession = Similarity.ivfPqAnn(spark, dir).collect().toSeq
