@@ -42,12 +42,16 @@ object GraphRank {
   /** Bipartite purchase edges, both directions (undirected walk — every
     * node therefore has out-degree ≥ 1: no dangling-mass handling). */
   private def purchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // e0 feeds both union branches, and the edge frame feeds both the
+    // degree aggregate and the adjacency join — without the cache the
+    // fact join+distinct would evaluate 4× before adj materializes
     val e0 = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(
         concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
+      .persist()
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 

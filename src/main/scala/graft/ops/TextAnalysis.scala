@@ -423,8 +423,28 @@ object TextAnalysis {
     out.toSeq.toDF("step", "lhs", "rhs", "pair_count", "merged").orderBy("step")
   }
 
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMergesOf(Tables.documents(spark, dir))
+  /** The corpus merge table memoized per (session, dir) — t24's surface
+    * and t25's encode both consume it; the 8-round trainer runs once
+    * (the compute-once/query-many discipline of the ANN index artifacts).
+    * The rows are the trained model (≤ merges entries), so holding them
+    * driver-side IS the broadcast-the-model posture. */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, String, String, Long, String)]]
+
+  private def corpusMerges(spark: SparkSession,
+                           dir: String): Seq[(Long, String, String, Long, String)] = {
+    bpeMemo.keys.filter(_._1.sparkContext.isStopped).foreach(bpeMemo.remove)
+    bpeMemo.getOrElseUpdate((spark, dir),
+      bpeMergesOf(Tables.documents(spark, dir)).collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getString(4))))
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corpusMerges(spark, dir)
+      .toDF("step", "lhs", "rhs", "pair_count", "merged").orderBy("step")
+  }
 
   /** BPE ENCODE (t25) — apply [[bpeMergesOf]]'s induced merge table to the
     * corpus: tokenize each document into subword units and report per-doc
@@ -441,17 +461,16 @@ object TextAnalysis {
     * and aggregates to docs: one exchange on the type table, one on the
     * doc aggregate. Encoding cost is O(types × merges), independent of
     * corpus token count. */
-  def bpeEncodeOf(docs: DataFrame, merges: Int = 8, maxVocab: Int = 256): DataFrame = {
-    val mergeTable = bpeMergesOf(docs, merges, maxVocab)
-      .select("lhs", "rhs").collect()
+  private def bpeEncodeWith(docs: DataFrame,
+                            merges: Seq[(String, String)]): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
     val types0 = words.select("word").distinct()
       .withColumn("repr", concat_ws("|", split(col("word"), "")))
-    val encoded = mergeTable
+    val encoded = merges
       .foldLeft(types0) { (df, m) =>
-        df.withColumn("repr", expr(applyMergeSql(m.getString(0), m.getString(1))))
+        df.withColumn("repr", expr(applyMergeSql(m._1, m._2)))
       }
       .select(col("word"), size(split(col("repr"), "\\|")).as("n_sub"))
     words.join(encoded, Seq("word"))
@@ -464,8 +483,14 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  def bpeEncodeOf(docs: DataFrame, merges: Int = 8, maxVocab: Int = 256): DataFrame =
+    bpeEncodeWith(docs,
+      bpeMergesOf(docs, merges, maxVocab).collect().toSeq
+        .map(r => (r.getString(1), r.getString(2))))
+
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
-    bpeEncodeOf(Tables.documents(spark, dir))
+    bpeEncodeWith(Tables.documents(spark, dir),
+      corpusMerges(spark, dir).map(m => (m._2, m._3)))
 
   /** MODEL-BASED quality classifier (t26) — the classifier-filter step of
     * the modern corpus pipelines (FineWeb-Edu, DCLM: a small trained
