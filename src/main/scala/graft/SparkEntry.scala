@@ -157,9 +157,16 @@ object SparkEntry {
     "d23_threshold_sweep"    -> (Dedup.thresholdSweep _),
     "d24_corpus_merge"       -> (Dedup.corpusMerge _),
     "d25_span_neardup"       -> (Dedup.spanNearDup _),
+    "d27_drop_provenance"    -> (Dedup.dropProvenance _),
     "d26_span_apply"         -> (Dedup.spanExcise _),
     "s18_filtered_ann"       ->
       ((s: SparkSession, d: String) => Similarity.filteredAnn(s, d)),
+    "s19_index_compact"      ->
+      ((s: SparkSession, d: String) => Similarity.indexCompactAnn(s, d)),
+    "t28_bloom_decontaminate" -> (TextAnalysis.bloomDecontaminate _),
+    "t29_cms_topwords"       -> (TextAnalysis.cmsTopWords _),
+    "t30_histogram_quantiles" -> (TextAnalysis.histogramQuantiles _),
+    "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),

@@ -414,6 +414,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** DROP PROVENANCE (d27) — the per-document audit [[cleanCorpus]]
+    * throws away: WHY each doc survived or died, as one row per corpus
+    * doc with a 0/1 flag per gate (exact-dup loser, near-dup loser,
+    * quality reject) and the final `kept` verdict. This is the
+    * observability surface a production pipeline publishes next to the
+    * cleaned corpus — "where did my 40% go" is unanswerable from d14's
+    * survivors alone, and rerunning the pipeline per-question costs a
+    * corpus pass each time. `kept = 1` rows are exactly d14's output
+    * (spec-pinned), so the report is the pipeline's decision log, not a
+    * parallel reimplementation that can drift.
+    *
+    * Scale shape: each gate is the same detection d14 already runs; the
+    * flags assemble by doc_id-keyed left joins against detection-sized
+    * sides (losers and rejects, not the corpus), and the doc_id spine
+    * never widens — one narrow pass plus uniform-key joins. */
+  def dropProvenanceOf(docs: DataFrame, nearLosers: DataFrame,
+                       okDocs: DataFrame): DataFrame = {
+    val keepers = docs
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id").withColumn("keeper", lit(1))
+    val nd = nearLosers.select(col("d2").as("doc_id")).distinct()
+      .withColumn("nd", lit(1))
+    val ok = okDocs.select("doc_id").withColumn("okf", lit(1))
+    docs.select("doc_id")
+      .join(keepers, Seq("doc_id"), "left_outer")
+      .join(nd, Seq("doc_id"), "left_outer")
+      .join(ok, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        when(col("keeper").isNull, 1).otherwise(0).as("exact_dup"),
+        coalesce(col("nd"), lit(0)).as("near_dup"),
+        when(col("okf").isNull, 1).otherwise(0).as("low_quality"),
+        when(col("keeper").isNotNull && col("nd").isNull && col("okf").isNotNull, 1)
+          .otherwise(0).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  def dropProvenance(spark: SparkSession, dir: String): DataFrame =
+    dropProvenanceOf(
+      Tables.documents(spark, dir),
+      minhashLsh(spark, dir),
+      TextAnalysis.qualityScore(spark, dir).filter(col("quality_band") === "ok"))
+
   /** INCREMENTAL ingest dedup — the nightly-arrival shape: dedup a NEW
     * batch against the existing corpus without ever rescanning the
     * corpus' text. The md5(doc_id) hash-split plays the arrival boundary

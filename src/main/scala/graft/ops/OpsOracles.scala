@@ -705,6 +705,76 @@ object OpsOracles {
         |ORDER BY occurrences DESC, token ASC
         |LIMIT 50""".stripMargin,
 
+    // t29: count-min sketch heavy hitters — the sketch grid, the
+    // estimates, and the exact counts all replay bit-identically (md5
+    // row hashes, integer counters), so the whole report hash-matches.
+    "t29_cms_topwords" -> {
+      def decode(m: String) = (0 until 8).map { j =>
+        val mult = 1L << (4 * (7 - j))
+        s"(strpos('0123456789abcdef', $m[${j + 1}]) - 1) * CAST($mult AS BIGINT)"
+      }.mkString(" + ")
+      val bucketed =
+        s"""SELECT word, i AS hrow, (${decode("m")}) % 512 AS bucket
+           |  FROM (SELECT word, i,
+           |          substr(md5(CAST(i AS VARCHAR) || '#' || word), 1, 8) AS m""".stripMargin
+      s"""WITH toks AS (
+        |  SELECT tok AS word
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) s
+        |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')),
+        |tb AS (
+        |  $bucketed
+        |        FROM toks, range(4) t(i))),
+        |cells AS (SELECT hrow, bucket, count(*) AS cell_count FROM tb GROUP BY 1, 2),
+        |exact AS (SELECT word, count(*) AS exact_count FROM toks GROUP BY 1),
+        |wb AS (
+        |  $bucketed
+        |        FROM (SELECT DISTINCT word FROM toks) w, range(4) t(i))),
+        |est AS (
+        |  SELECT e.word, e.exact_count, min(c.cell_count) AS cms_estimate
+        |  FROM exact e JOIN wb USING (word) JOIN cells c USING (hrow, bucket)
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    ORDER BY cms_estimate DESC, word ASC) AS rank FROM est)
+        |SELECT CAST(rank AS INT) AS rank, word, exact_count, cms_estimate
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
+
+    // t30: histogram-sketch quantiles — integer ceil-division ranks, one
+    // divide+multiply interpolation, explicit rank-semantics exact column:
+    // every number replays bit-identically.
+    "t30_histogram_quantiles" ->
+      """WITH hist AS (
+        |  SELECT least(n_chars // 16, 63) AS bin, count(*) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, c, sum(c) OVER (
+        |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |targets AS (
+        |  SELECT pct, (pct * n + 99) // 100 AS r
+        |  FROM (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct), n),
+        |ranked AS (
+        |  SELECT pct, r, bin, c, cum - c AS cumprev,
+        |    row_number() OVER (PARTITION BY pct ORDER BY bin) AS rk
+        |  FROM targets JOIN cum ON cum >= r),
+        |e AS (
+        |  SELECT pct, r,
+        |    round(bin * 16 + 16 * CAST(r - cumprev AS DOUBLE) / c, 6) AS est_q
+        |  FROM ranked WHERE rk = 1),
+        |vals AS (SELECT n_chars AS v, count(*) AS vc FROM documents GROUP BY 1),
+        |vcum AS (
+        |  SELECT v, sum(vc) OVER (
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vcum
+        |  FROM vals),
+        |ex AS (
+        |  SELECT pct, v AS exact_q,
+        |    row_number() OVER (PARTITION BY pct ORDER BY v) AS rk
+        |  FROM e JOIN vcum ON vcum >= r)
+        |SELECT CAST(e.pct AS INT) AS pct, e.est_q, ex.exact_q
+        |FROM e JOIN ex ON e.pct = ex.pct AND ex.rk = 1
+        |ORDER BY pct""".stripMargin,
+
     "t06_idf" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
@@ -781,6 +851,18 @@ object OpsOracles {
     // s17: index delete — s13's chain with the tombstoned md5-'0' slice
     // dropped from the code table before scoring.
     "s17_index_delete" ->
+      s"""WITH ${ivfPqCtesWith(
+             " AND substring(md5(CAST(a3.vec_id AS VARCHAR)), 1, 1) != '0'")}
+        |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
+        |FROM rankedq
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // s19: index compaction — the physical rewrite (tombstones applied,
+    // cell-clustered layout) must be invisible to answers, so the oracle
+    // is exactly s17's post-delete chain; hash identity proves the
+    // compacted artifact serves the same index.
+    "s19_index_compact" ->
       s"""WITH ${ivfPqCtesWith(
              " AND substring(md5(CAST(a3.vec_id AS VARCHAR)), 1, 1) != '0'")}
         |SELECT query_id, cand_id, CAST(adist AS DOUBLE) AS adist, CAST(rnk AS INT) AS rnk
@@ -1032,6 +1114,21 @@ object OpsOracles {
     // sharing any 3-gram shingle with the eval slice (bucket 'f');
     // mirrors TextAnalysis.decontaminateOf (sh is per-doc distinct).
     "t11_decontaminate" ->
+      s"""WITH $shingleCte,
+        |b AS (SELECT doc_id, shingle,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket FROM sh),
+        |ev AS (SELECT DISTINCT shingle FROM b WHERE bucket = 'f')
+        |SELECT doc_id, count(*) AS shared_shingles
+        |FROM b JOIN ev USING (shingle)
+        |WHERE bucket != 'f'
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // t28: bloom-prefiltered decontamination — the bloom is a pure
+    // execution-side pruning device (false positives die in the exact
+    // confirm join), so the oracle is t11's exact chain verbatim: hash
+    // identity IS the proof that fpp never leaked into the answer.
+    "t28_bloom_decontaminate" ->
       s"""WITH $shingleCte,
         |b AS (SELECT doc_id, shingle,
         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket FROM sh),
@@ -1487,6 +1584,45 @@ object OpsOracles {
         |  AND NOT (q.stop_ratio > 0.4)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // d27: drop provenance — d14's gates re-expressed as per-doc 0/1
+    // flags; the kept column must reproduce d14's survivor set exactly.
+    "d27_drop_provenance" ->
+      s"""WITH $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |    round(len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the','a','of','and','is')))
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+        |    round(1.0 - len(list_distinct(string_split(text, ' ')))
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS repetition_ratio
+        |  FROM documents),
+        |flags AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |         THEN 0 ELSE 1 END AS exact_dup,
+        |    CASE WHEN d.doc_id IN (SELECT d2 FROM losers) THEN 1 ELSE 0 END AS near_dup,
+        |    CASE WHEN q.n_tokens < 10 OR q.repetition_ratio > 0.8
+        |           OR q.stop_ratio > 0.4 THEN 1 ELSE 0 END AS low_quality
+        |  FROM documents d JOIN qual q USING (doc_id))
+        |SELECT doc_id, exact_dup, near_dup, low_quality,
+        |  CASE WHEN exact_dup = 0 AND near_dup = 0 AND low_quality = 0
+        |       THEN 1 ELSE 0 END AS kept
+        |FROM flags
+        |ORDER BY doc_id""".stripMargin,
+
     // d16: connected components over the verified LSH pair graph via a
     // recursive reachability CTE — min reachable node == the fixpoint of
     // Spark's min-label propagation (mirrors Dedup.dedupClusters).
@@ -1685,6 +1821,20 @@ object OpsOracles {
       """SELECT doc_id, lang, n_chars,
         |  md5(CASE WHEN lang = 'en' THEN text || ' r2' ELSE text END) AS fp
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // f12: snapshot diff — the manifest-delta join must surface exactly
+    // the merge's row-level effects: ids <= 100 updated (' v2' suffix),
+    // of those the multiples of 17 deleted; unchanged rows riding along
+    // in rewritten files are filtered by fingerprint equality.
+    "f12_snapshot_diff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'D' ELSE 'U' END AS change,
+        |  md5(text) AS fp_before,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL
+        |       ELSE md5(text || ' v2') END AS fp_after
+        |FROM documents
+        |WHERE doc_id <= 100
         |ORDER BY doc_id""".stripMargin,
 
     // f10: the current version's state after expiring v1 — the v2 half of

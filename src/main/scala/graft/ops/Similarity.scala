@@ -773,6 +773,38 @@ object Similarity {
       residCodebooks(spark, dir), codes, k, nprobe)
   }
 
+  /** INDEX COMPACTION (s19) — the LSM-style maintenance step that closes
+    * the index lifecycle (build s13, persist s15, extend s16, tombstone
+    * s17): the logical index a serving node sees after churn is
+    * (persisted codes − tombstones), an anti-join paid on EVERY query;
+    * compaction rewrites the physical code table once with the
+    * tombstones applied, CLUSTERED BY COARSE CELL (`partitionBy(cell)` —
+    * the on-disk form of IVF's inverted lists), and search serves from
+    * the compacted artifact alone. Two scale effects: queries stop
+    * paying the tombstone join, and a probe's `nprobe` cells prune at
+    * the FILE level — a 1-cell probe of a 1024-cell index opens 1/1024
+    * of the code files (partition pruning, spec-asserted). Cost is one
+    * pass over the 8-bytes-per-vector code table — floats and trainers
+    * untouched. Hash-matching s17's oracle proves the rewrite is
+    * lossless: tombstones applied, nothing else disturbed. */
+  def indexCompactAnn(spark: SparkSession, dir: String,
+                      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_anncompact/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    graft.sources.StaleOutputs.sweep("graft_anncompact", spark.sparkContext.applicationId)
+    val deletes = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("cand_id"))
+      .filter(substring(md5(col("cand_id").cast("string")), 1, 1) === "0")
+    val live = residCandidateCodes(spark, dir)
+      .join(broadcast(deletes), Seq("cand_id"), "left_anti")
+    live.write.mode("overwrite").partitionBy("cell").parquet(s"$base/codes")
+    // read back under the pre-write schema: partition-column type
+    // inference must not drift `cell`'s type across the round trip
+    val compacted = spark.read.schema(live.schema).parquet(s"$base/codes")
+    ivfPqSearch(spark, dir, centroidVectors(spark, dir),
+      residCodebooks(spark, dir), compacted, k, nprobe)
+  }
+
   /** FILTERED ANN (s18) — vector search under a metadata predicate (here:
     * even labels), the retrieval shape every production vector store must
     * serve ("nearest neighbors among docs in language X / licence Y").

@@ -228,6 +228,73 @@ object TextAnalysis {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateOf(Dedup.docShingles(spark, dir))
 
+  /** Spark's bloom-probe expression registered under a session-local
+    * name ([[graft.functions.CosineSimilarity]]'s registry discipline) —
+    * `might_contain` is the engine's own runtime-row-level-filter
+    * primitive but isn't exposed in the public function registry. */
+  private def registerMightContain(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1)))
+
+  /** BLOOM-PREFILTERED decontamination (t28) — t11's detection with the
+    * probe volume cut BEFORE the join, the posture the exact form grows
+    * into at 100 TB. t11 hash-joins EVERY train shingle against the
+    * broadcast eval set; here the eval set first builds a Bloom filter
+    * (distributed build, driver merge — the eval side is KB–MB even when
+    * the corpus is 100 TB), the filter ships as a ~60 KB literal inside a
+    * codegen'd `might_contain(filter, xxhash64(shingle))` scan predicate
+    * (the exact expression pair Spark's own runtime row-level filtering
+    * injects), and only survivors — true matches plus the fpp tail —
+    * reach the exact confirm join. The confirm join is what keeps the
+    * answer hash-identical to t11: false positives die there, so fpp
+    * trades shuffle volume, never correctness. At 3-gram grain a clean
+    * corpus overlaps the eval suite rarely, so the bloom drops ~(1-fpp)
+    * of the probe stream — the shuffle-side win that makes routine
+    * decontamination sweeps affordable. */
+  /** The (survivor, eval-shingle) halves of the bloom-prefiltered probe —
+    * split out so the spec can measure the prefilter's selectivity on the
+    * same frames the shipped op consumes. */
+  private[ops] def bloomPrefilter(spark: SparkSession, ds: DataFrame,
+                                  fpp: Double): (DataFrame, DataFrame) = {
+    registerMightContain(spark)
+    val bucketed = ds
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+    val evalShingles = bucketed.filter(col("bucket") === "f")
+      .select(explode(col("shingles")).as("shingle"))
+      .distinct()
+    // capacity is a fixed eval-suite cap, not a count() of the data —
+    // sizing the filter must not cost an extra pass over the eval set
+    val bf = evalShingles.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", 1L << 16, fpp)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os); os.toByteArray
+    }
+    val survivors = bucketed.filter(col("bucket") =!= "f")
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .filter(call_function("graft_might_contain",
+        lit(bytes), xxhash64(col("shingle"))))
+    (survivors, evalShingles)
+  }
+
+  def bloomDecontaminateOf(spark: SparkSession, ds: DataFrame,
+                           fpp: Double = 0.03): DataFrame = {
+    val (survivors, evalShingles) = bloomPrefilter(spark, ds, fpp)
+    survivors.join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .orderBy("doc_id")
+  }
+
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminateOf(spark, Dedup.docShingles(spark, dir))
+
   /** Decontamination APPLICATION: the train split with contaminated
     * documents anti-joined away — detect→apply, same pattern as the dedup
     * modalities (d07/d09/d12). The contaminated set is detection-output
@@ -838,6 +905,121 @@ object TextAnalysis {
       .select("lang", "quality_band", "docs", "tokens", "doc_share")
       .orderBy("lang", "quality_band")
   }
+
+  /** COUNT-MIN SKETCH heavy hitters (t29) — the sublinear-memory
+    * frequency structure (Cormode & Muthukrishnan 2005) a 100 TB token
+    * stream needs when the vocabulary itself is too hot to shuffle: the
+    * sketch is a depth×width grid of counters (here 4×512 = 2 K cells,
+    * CONSTANT in corpus size), each token increments one bucket per hash
+    * row, and a word's estimate is the MIN over its row buckets — always
+    * ≥ the true count, overshooting only by collision mass. The scale
+    * win is the aggregate's key space: the sketch build shuffles ≤ 2 K
+    * cell keys regardless of vocabulary (map-side combine collapses each
+    * partition to the grid), where an exact count shuffles every word.
+    *
+    * Hash rows are md5-derived ([[rollingFingerprintOf]]'s decode
+    * discipline: first 8 hex chars → BIGINT, mod width, salted by the
+    * row index) — a published-construction hash both engines compute
+    * bit-identically, so sketch contents and estimates hash-match DuckDB
+    * exactly. The report joins the exact counts beside the estimates for
+    * the top-k — the d20 calibration posture: the sketch is the shipped
+    * path, the exact column is what certifies its error. */
+  def cmsTopWordsOf(docs: DataFrame, depth: Int = 4, width: Int = 512,
+                    topK: Int = 20): DataFrame = {
+    def bucketSql(i: Int): String = {
+      val m = s"m$i"
+      val dec = (0 until 8).map { j =>
+        val mult = 1L << (4 * (7 - j))
+        s"(instr('0123456789abcdef', substr($m, ${j + 1}, 1)) - 1) * cast($mult as bigint)"
+      }.mkString(" + ")
+      s"($dec) % $width"
+    }
+    def withBuckets(df: DataFrame): DataFrame =
+      (0 until depth).foldLeft(df) { (d, i) =>
+        d.withColumn(s"m$i", expr(s"substr(md5(concat('$i#', word)), 1, 8)"))
+          .withColumn(s"b$i", expr(bucketSql(i)))
+      }
+    val bCols = (0 until depth).map(i => col(s"b$i"))
+    val toks = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val cells = withBuckets(toks)
+      .select(posexplode(array(bCols: _*)).as(Seq("hrow", "bucket")))
+      .groupBy("hrow", "bucket")
+      .agg(count(lit(1)).as("cell_count"))
+    val exact = toks.groupBy("word").agg(count(lit(1)).as("exact_count"))
+    val rw = Window.orderBy(col("cms_estimate").desc, col("word").asc)
+    withBuckets(exact)
+      .select(col("word"), col("exact_count"),
+        posexplode(array(bCols: _*)).as(Seq("hrow", "bucket")))
+      .join(broadcast(cells), Seq("hrow", "bucket"))
+      .groupBy("word", "exact_count")
+      .agg(min("cell_count").as("cms_estimate"))
+      .withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= topK)
+      .select("rank", "word", "exact_count", "cms_estimate")
+      .orderBy("rank")
+  }
+
+  def cmsTopWords(spark: SparkSession, dir: String): DataFrame =
+    cmsTopWordsOf(Tables.documents(spark, dir))
+
+  /** HISTOGRAM-SKETCH quantiles (t30) — t29's companion for the other
+    * streaming question, "where do the percentiles sit": a fixed-width
+    * histogram (64 bins — CONSTANT memory, map-side combine collapses
+    * every partition to the grid) estimates any quantile by cumulative
+    * walk + linear interpolation inside the landing bin, where the exact
+    * answer needs a value-grain shuffle. One-sided-bounded error: the
+    * true rank-r value lives in the same bin the estimate interpolates,
+    * so |est − exact| ≤ bin width by construction (spec-pinned).
+    *
+    * Determinism: ranks are INTEGER ceil-division (pct·n+99)÷100 — no
+    * double·double products before the compare — and the interpolation
+    * is one divide + one multiply on exact integers, bit-identical
+    * across IEEE engines, rounded to 6dp. Exact quantiles (the
+    * calibration column, d20/t29 posture) use explicit rank semantics —
+    * smallest value with cumulative count ≥ r — not either engine's
+    * interpolating built-in. */
+  def histogramQuantilesOf(docs: DataFrame, width: Int = 16,
+                           bins: Int = 64): DataFrame = {
+    val pcts = Seq(10, 25, 50, 75, 90, 99)
+    val hist = docs
+      .select(least(expr(s"n_chars div $width"), lit(bins - 1)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    // 64-row and 6-row frames: the unpartitioned windows/joins below run
+    // on grid-sized data regardless of corpus size
+    val cw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum("c").over(cw))
+      .withColumn("cumprev", col("cum") - col("c"))
+    val targets = docs.selectExpr("explode(array(" +
+        pcts.mkString(",") + ")) as pct").distinct()
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .withColumn("r", expr("(pct * n + 99) div 100"))
+    val bw = Window.partitionBy("pct").orderBy("bin")
+    val est = targets.join(broadcast(cum), col("cum") >= col("r"))
+      .withColumn("rk", row_number().over(bw))
+      .filter(col("rk") === 1)
+      .withColumn("est_q", round(
+        col("bin") * width +
+          lit(width) * (col("r") - col("cumprev")).cast("double") / col("c"), 6))
+      .select("pct", "r", "est_q")
+    val vals = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("vc"))
+    val vw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val vcum = vals.withColumn("vcum", sum("vc").over(vw))
+    val ew = Window.partitionBy("pct").orderBy("v")
+    val exact = est.select("pct", "r")
+      .join(broadcast(vcum), col("vcum") >= col("r"))
+      .withColumn("rk", row_number().over(ew))
+      .filter(col("rk") === 1)
+      .select(col("pct"), col("v").as("exact_q"))
+    est.join(exact, Seq("pct"))
+      .select(col("pct").cast("int").as("pct"), col("est_q"), col("exact_q"))
+      .orderBy("pct")
+  }
+
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame =
+    histogramQuantilesOf(Tables.documents(spark, dir))
 
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =

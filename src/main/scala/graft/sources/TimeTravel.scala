@@ -119,6 +119,42 @@ object TimeTravel {
       .orderBy("doc_id")
   }
 
+  /** SNAPSHOT DIFF (f12) — what changed between two committed versions,
+    * computed from the MANIFEST DELTA only. Copy-on-write makes files
+    * carried by both manifests byte-identical, so they can contribute
+    * nothing to a diff and are NEVER OPENED: the diff reads just the
+    * files v2 dropped and the files v2 added, full-outer joins them on
+    * the key, and keeps rows whose fingerprint differs (update), or that
+    * exist on one side only (delete/add). At 100 TB a merge that rewrote
+    * one day's partition diffs at the cost of that day — table size is
+    * irrelevant. This is the audit primitive behind incremental
+    * downstream refresh ("which rows changed since v1?") and merge
+    * verification. Output: one row per changed key with before/after
+    * fingerprints; rows in rewritten files that carried over unchanged
+    * are filtered by fingerprint equality. */
+  def snapshotDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = buildDemo(spark, dir)
+    val v1 = manifestPaths(spark, base, 1).toSet
+    val v2 = manifestPaths(spark, base, 2).toSet
+    val dropped = (v1 -- v2).toSeq.sorted
+    val added = (v2 -- v1).toSeq.sorted
+    require(dropped.nonEmpty && added.nonEmpty,
+      s"manifest delta is empty: v1-only=${dropped.size} v2-only=${added.size}")
+    def side(paths: Seq[String], fpAs: String) =
+      spark.read.parquet(paths: _*)
+        .select(col("doc_id"), md5(col("text")).as(fpAs))
+    side(dropped, "fp_before")
+      .join(side(added, "fp_after"), Seq("doc_id"), "full_outer")
+      .filter(col("fp_before").isNull || col("fp_after").isNull ||
+        col("fp_before") =!= col("fp_after"))
+      .select(col("doc_id"),
+        when(col("fp_before").isNull, lit("A"))
+          .when(col("fp_after").isNull, lit("D"))
+          .otherwise(lit("U")).as("change"),
+        col("fp_before"), col("fp_after"))
+      .orderBy("doc_id")
+  }
+
   /** Driver surface (f09): both versions read back through their
     * manifests, tagged and unioned — hash-matching the oracle proves the
     * v1 read sees exactly the pre-merge corpus and the v2 read sees

@@ -431,6 +431,104 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === train - flagged.length)
   }
 
+  test("bloom decontamination: prefilter prunes the probe, answer stays exact") {
+    val ds = Dedup.docShingles(spark, dir)
+    val (survivors, _) = TextAnalysis.bloomPrefilter(spark, ds, fpp = 0.03)
+    // the bloom predicate is a scan-side filter in the executed plan
+    survivors.collect()
+    val plan = survivors.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom filter absent from plan:\n$plan")
+    // selectivity: most train shingles never touch the eval suite, so the
+    // prefilter must drop the bulk of the probe stream (true matches +
+    // the 3% fpp tail survive)
+    val total = ds
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .filter(col("bucket") =!= "f")
+      .select(explode(col("shingles"))).count()
+    val kept = survivors.count()
+    assert(kept < total / 2, s"bloom kept $kept of $total probe shingles")
+    // and the fpp tail dies in the confirm join: result == the exact op
+    val exact = TextAnalysis.decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloomed = TextAnalysis.bloomDecontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloomed === exact)
+  }
+
+  test("cms heavy hitters: estimates dominate exact counts, even under collision") {
+    val docs = graft.Tables.documents(spark, dir)
+    val report = TextAnalysis.cmsTopWordsOf(docs).collect()
+    assert(report.length === 20)
+    val ests = report.map(_.getAs[Long]("cms_estimate"))
+    assert(ests.sameElements(ests.sorted.reverse), "report must rank by estimate")
+    report.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_count"),
+        s"CMS underestimated ${r.getAs[String]("word")}")
+    }
+    // a deliberately tiny grid (width 8) forces collisions: estimates
+    // inflate but NEVER undershoot — the one-sided error CMS guarantees
+    TextAnalysis.cmsTopWordsOf(docs, width = 8).collect().foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_count"))
+    }
+  }
+
+  test("drop provenance: the decision log reproduces the clean-corpus verdicts") {
+    val prov = Dedup.dropProvenance(spark, dir).collect()
+    val total = graft.Tables.documents(spark, dir).count()
+    assert(prov.length.toLong === total, "one audit row per corpus doc")
+    prov.foreach { r =>
+      Seq("exact_dup", "near_dup", "low_quality", "kept").foreach { c =>
+        assert(Set(0, 1).contains(r.getAs[Int](c)), s"$c not a 0/1 flag")
+      }
+      val dropped = r.getAs[Int]("exact_dup") + r.getAs[Int]("near_dup") +
+        r.getAs[Int]("low_quality") > 0
+      assert(r.getAs[Int]("kept") === (if (dropped) 0 else 1))
+    }
+    // kept = 1 rows ARE d14's survivors — the log can't drift from the pipeline
+    val keptIds = prov.filter(_.getAs[Int]("kept") === 1).map(_.getLong(0)).toSet
+    val d14Ids = Dedup.cleanCorpus(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(keptIds === d14Ids)
+  }
+
+  test("histogram quantiles: estimate lands in the true value's bin") {
+    val docs = graft.Tables.documents(spark, dir)
+    val rows = TextAnalysis.histogramQuantilesOf(docs).collect()
+    assert(rows.length === 6)
+    val pcts = rows.map(_.getAs[Int]("pct"))
+    assert(pcts.sameElements(Array(10, 25, 50, 75, 90, 99)))
+    // the rank-r value lives inside the bin the estimate interpolates, so
+    // the sketch error is bounded by one bin width — the histogram's
+    // one-sided analogue of CMS's overshoot-only guarantee
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_q")
+      val exact = r.getAs[Long]("exact_q").toDouble
+      assert(math.abs(est - exact) <= 16.0,
+        s"p${r.getAs[Int]("pct")}: |$est - $exact| > bin width")
+    }
+    // quantile estimates are nondecreasing in p
+    val ests = rows.map(_.getAs[Double]("est_q"))
+    assert(ests.sameElements(ests.sorted))
+  }
+
+  test("index compaction: tombstones applied physically, cell-clustered, lossless") {
+    val compacted = Similarity.indexCompactAnn(spark, dir).collect().toSeq
+    val logical = Similarity.indexDeleteAnn(spark, dir).collect().toSeq
+    assert(compacted === logical, "compacted index must serve s17's answers")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_anncompact/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}/codes"
+    val cellDirs = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length > 1, s"expected cell=* inverted-list layout under $base")
+    // no tombstoned id survives in the physical artifact
+    val ids = spark.read.parquet(base).select("cand_id").distinct()
+      .collect().map(_.getLong(0))
+    assert(ids.nonEmpty)
+    ids.foreach { id =>
+      assert(!org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).startsWith("0"),
+        s"tombstoned vec $id present after compaction")
+    }
+  }
+
   test("chunking: stride-24/window-32 chunks tile every document exactly") {
     val docs = graft.Tables.documents(spark, dir)
     val nToks = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n"))

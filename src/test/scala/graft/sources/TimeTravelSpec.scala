@@ -57,6 +57,39 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((m1 -- m2).nonEmpty, "the touched file(s) must leave the v2 manifest")
   }
 
+  test("snapshot diff reads only the manifest delta, never the carried files") {
+    val diff = TimeTravel.snapshotDiffQuery(spark, dir)
+    val base = TimeTravel.baseDir(spark, dir)
+    def manifest(v: Int) = spark.read.parquet(s"$base/manifests/v$v")
+      .collect().map(_.getString(0)).toSet
+    val (m1, m2) = (manifest(1), manifest(2))
+    val carried = m1 & m2
+    val delta = (m1 | m2) -- carried
+    assert(carried.nonEmpty, "demo must carry files for the pruning claim to bite")
+
+    // the plan's input set is exactly the manifest delta — carried files
+    // contribute nothing to a copy-on-write diff and must not be opened
+    val inputs = diff.inputFiles.map(p => new java.net.URI(p).getPath).toSet
+    assert(inputs.subsetOf(delta), s"diff read outside the delta: ${inputs -- delta}")
+    assert((inputs & carried).isEmpty, "diff opened a carried (unchanged) file")
+
+    // row-level outcome: ids <= 100 update, multiples of 17 delete,
+    // nothing else surfaces (unchanged riders are fingerprint-filtered)
+    val rows = diff.collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(id <= 100, s"doc $id leaked into the diff")
+      val expected = if (id % 17 == 0) "D" else "U"
+      assert(r.getString(1) === expected)
+      assert(r.getString(1) != "U" || r.getString(2) != r.getString(3))
+    }
+    val ids = rows.map(_.getLong(0)).toSet
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") <= 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === expected, "diff must cover exactly the merge's touched ids")
+  }
+
   test("expire v1 deletes exactly the unreachable files and keeps v2 whole") {
     val base = TimeTravel.buildDemo(spark, dir)
     def manifest(v: Int) = spark.read.parquet(s"$base/manifests/v$v")
