@@ -169,6 +169,9 @@ object SparkEntry {
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),
+    "g03_triangle_count"     -> (graft.ops.GraphRank.triangleCount _),
+    "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),

@@ -140,4 +140,56 @@ object GraphRank {
   def personalizedRank(spark: SparkSession, dir: String): DataFrame =
     personalizedRankOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir),
       Tables.customer(spark, dir))
+
+  /** TRIANGLE COUNT (g03) — graph clustering structure over the
+    * co-purchase graph (parts as nodes, an edge when two parts share ≥ 2
+    * orders — q40's pair mining as graph construction). The naive
+    * wedge-close join explodes on hubs: a degree-d node contributes
+    * C(d,2) wedges, and real graphs have power-law hubs. The fix is the
+    * DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii 2011's MR-node-
+    * iterator): orient every edge from its lower-(degree, id) endpoint to
+    * the higher one — a total order, so each triangle survives as
+    * exactly ONE oriented wedge + closing edge — and hub wedges
+    * redistribute to their lower-degree neighbors, capping wedge volume
+    * at O(m^1.5) instead of Σd². Ordering keys pack (degree, id) into
+    * one BIGINT — integers, no ties, engine-portable.
+    *
+    * Three exchanges beyond the pair mining: the degree aggregate, the
+    * wedge self-join on src, and the closing-edge join on (v, w). */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // edges feeds the degree aggregate, the orientation join, and the
+    // closing join — compute the pair mining once
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("p1", "p2")
+      .persist()
+    val deg = edges.select(col("p1").as("pk"))
+      .union(edges.select(col("p2").as("pk")))
+      .groupBy("pk").agg(count(lit(1)).as("d"))
+    val okey = deg.select(col("pk"), (col("d") * lit(2147483648L) + col("pk")).as("k"))
+    val oriented = edges
+      .join(okey.as("ka"), col("p1") === col("ka.pk"))
+      .join(okey.as("kb"), col("p2") === col("kb.pk"))
+      .select(
+        when(col("ka.k") < col("kb.k"), col("p1")).otherwise(col("p2")).as("src"),
+        when(col("ka.k") < col("kb.k"), col("p2")).otherwise(col("p1")).as("dst"),
+        when(col("ka.k") < col("kb.k"), col("kb.k")).otherwise(col("ka.k")).as("dstk"))
+      .persist()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dstk") < col("e2.dstk"))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges
+      .join(oriented.as("o"), col("v") === col("o.src") && col("w") === col("o.dst"))
+      .agg(count(lit(1)).as("triangles"))
+    tri
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("nodes"))))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("edges"))))
+  }
 }

@@ -739,6 +739,63 @@ object OpsOracles {
         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
     },
 
+    // w09: streaming sketch maintenance — the streamed grid is
+    // arrival-order-free (pure counts), so the oracle is the batch grid:
+    // t29's cell CTE with the grid as output.
+    "w09_stream_sketch" -> {
+      val decode = (0 until 8).map { j =>
+        val mult = 1L << (4 * (7 - j))
+        s"(strpos('0123456789abcdef', m[${j + 1}]) - 1) * CAST($mult AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT tok AS word
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) s
+        |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')),
+        |tb AS (
+        |  SELECT word, i AS hrow, ($decode) % 512 AS bucket
+        |  FROM (SELECT word, i,
+        |          substr(md5(CAST(i AS VARCHAR) || '#' || word), 1, 8) AS m
+        |        FROM toks, range(4) t(i)))
+        |SELECT CAST(hrow AS INT) AS hrow, bucket, count(*) AS cell_count
+        |FROM tb GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+    },
+
+    // g03: triangle count — the same degree-ordered orientation replayed
+    // relationally: pack (degree, id) keys, orient, wedge self-join,
+    // close. Counts are integers; nothing can diverge.
+    "g03_triangle_count" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |deg AS (
+        |  SELECT pk, count(*) AS d FROM (
+        |    SELECT p1 AS pk FROM edges UNION ALL SELECT p2 AS pk FROM edges)
+        |  GROUP BY 1),
+        |okey AS (SELECT pk, d * 2147483648 + pk AS k FROM deg),
+        |oriented AS (
+        |  SELECT CASE WHEN ka.k < kb.k THEN e.p1 ELSE e.p2 END AS src,
+        |         CASE WHEN ka.k < kb.k THEN e.p2 ELSE e.p1 END AS dst,
+        |         CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS dstk
+        |  FROM edges e
+        |  JOIN okey ka ON e.p1 = ka.pk
+        |  JOIN okey kb ON e.p2 = kb.pk),
+        |wedges AS (
+        |  SELECT e1.dst AS v, e2.dst AS w
+        |  FROM oriented e1 JOIN oriented e2
+        |    ON e1.src = e2.src AND e1.dstk < e2.dstk),
+        |tri AS (
+        |  SELECT count(*) AS triangles
+        |  FROM wedges JOIN oriented o ON wedges.v = o.src AND wedges.w = o.dst)
+        |SELECT CAST(triangles AS BIGINT) AS triangles,
+        |  CAST((SELECT count(*) FROM deg) AS BIGINT) AS nodes,
+        |  CAST((SELECT count(*) FROM edges) AS BIGINT) AS edges
+        |FROM tri""".stripMargin,
+
     // t30: histogram-sketch quantiles — integer ceil-division ranks, one
     // divide+multiply interpolation, explicit rank-semantics exact column:
     // every number replays bit-identically.

@@ -924,8 +924,10 @@ object TextAnalysis {
     * exactly. The report joins the exact counts beside the estimates for
     * the top-k — the d20 calibration posture: the sketch is the shipped
     * path, the exact column is what certifies its error. */
-  def cmsTopWordsOf(docs: DataFrame, depth: Int = 4, width: Int = 512,
-                    topK: Int = 20): DataFrame = {
+  /** The per-hash-row bucket columns b0..b(depth−1) of a `word` column —
+    * shared by the batch sketch ([[cmsTopWordsOf]]) and the streaming
+    * grid maintenance ([[graft.streaming.EventStream]] w09). */
+  private def cmsWithBuckets(df: DataFrame, depth: Int, width: Int): DataFrame = {
     def bucketSql(i: Int): String = {
       val m = s"m$i"
       val dec = (0 until 8).map { j =>
@@ -934,17 +936,33 @@ object TextAnalysis {
       }.mkString(" + ")
       s"($dec) % $width"
     }
-    def withBuckets(df: DataFrame): DataFrame =
-      (0 until depth).foldLeft(df) { (d, i) =>
-        d.withColumn(s"m$i", expr(s"substr(md5(concat('$i#', word)), 1, 8)"))
-          .withColumn(s"b$i", expr(bucketSql(i)))
-      }
+    (0 until depth).foldLeft(df) { (d, i) =>
+      d.withColumn(s"m$i", expr(s"substr(md5(concat('$i#', word)), 1, 8)"))
+        .withColumn(s"b$i", expr(bucketSql(i)))
+    }
+  }
+
+  /** One (hrow, bucket) increment per token per hash row — the sketch
+    * update stream, usable from a batch OR a streaming plan (it is
+    * narrow: tokenize, hash, explode; no aggregation). */
+  private[graft] def cmsCellPairs(docs: DataFrame, depth: Int = 4,
+                                  width: Int = 512): DataFrame = {
+    val toks = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val bCols = (0 until depth).map(i => col(s"b$i"))
+    cmsWithBuckets(toks, depth, width)
+      .select(posexplode(array(bCols: _*)).as(Seq("hrow", "bucket")))
+  }
+
+  def cmsTopWordsOf(docs: DataFrame, depth: Int = 4, width: Int = 512,
+                    topK: Int = 20): DataFrame = {
+    def withBuckets(df: DataFrame): DataFrame = cmsWithBuckets(df, depth, width)
     val bCols = (0 until depth).map(i => col(s"b$i"))
     val toks = docs
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
-    val cells = withBuckets(toks)
-      .select(posexplode(array(bCols: _*)).as(Seq("hrow", "bucket")))
+    val cells = cmsCellPairs(docs, depth, width)
       .groupBy("hrow", "bucket")
       .agg(count(lit(1)).as("cell_count"))
     val exact = toks.groupBy("word").agg(count(lit(1)).as("exact_count"))

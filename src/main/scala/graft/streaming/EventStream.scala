@@ -497,4 +497,37 @@ object EventStream {
     q.awaitTermination()
     spark.table(queryName).orderBy("doc_id")
   }
+
+  /** STREAMING SKETCH MAINTENANCE (w09) — t29's count-min grid kept live
+    * over the document feed. This is WHY sketches matter on streams: a
+    * streaming exact word count holds one state row per distinct word —
+    * unbounded, the state store grows with the vocabulary forever — while
+    * the sketch aggregate's key space is the grid, so state is ≤
+    * depth×width rows (2 K) on an UNBOUNDED stream, and every partition
+    * map-side-combines to the same 2 K cells before the shuffle. No
+    * watermark needed: the grid never expires, it converges. The final
+    * grid equals the batch sketch bit-for-bit (counts are
+    * arrival-order-free), so the driver oracle hash-matches the streamed
+    * state directly — the same stream≡batch discipline as w01/w08. */
+  def streamCmsCells(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.cmsCellPairs(docs)
+      .groupBy("hrow", "bucket")
+      .agg(count(lit(1)).as("cell_count"))
+
+  /** Run [[streamCmsCells]] with AvailableNow into a memory sink.
+    * Complete mode: the sink holds the whole (grid-sized) state each
+    * commit — exactly the "publish the sketch" step a live pipeline
+    * runs per trigger. */
+  def runStreamCmsAvailableNow(spark: SparkSession, dir: String,
+                               queryName: String = "graft_stream_cms"): DataFrame = {
+    val q = streamCmsCells(readDocuments(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("hrow", "bucket")
+  }
 }

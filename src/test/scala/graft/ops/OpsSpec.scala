@@ -472,6 +472,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("triangle count: degree-ordered orientation matches id-ordered brute force") {
+    val r = GraphRank.triangleCount(spark, dir).collect()(0)
+    assert(r.getAs[Long]("nodes") > 0 && r.getAs[Long]("edges") > 0)
+    // independent enumeration: canonical a<b<c id-order (a different total
+    // order than the shipped degree-order — same triangles, different plan)
+    val items = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
+      .select("p1", "p2").persist()
+    val brute = edges.as("e1")
+      .join(edges.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(edges.as("e3"),
+        col("e1.p1") === col("e3.p1") && col("e2.p2") === col("e3.p2"))
+      .count()
+    edges.unpersist()
+    assert(r.getAs[Long]("triangles") === brute)
+  }
+
   test("drop provenance: the decision log reproduces the clean-corpus verdicts") {
     val prov = Dedup.dropProvenance(spark, dir).collect()
     val total = graft.Tables.documents(spark, dir).count()

@@ -142,6 +142,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("streaming sketch: grid-bounded state, equals the batch sketch") {
+    import org.apache.spark.sql.functions._
+    val q = EventStream.streamCmsCells(EventStream.readDocuments(spark, dir))
+      .writeStream.format("memory").queryName("stream_cms_spec")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the whole point: streaming state is the GRID, bounded by
+    // depth×width = 2048 rows no matter how long the stream runs
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal)
+    assert(stateRows.nonEmpty, "sketch aggregate should be stateful")
+    assert(stateRows.forall(_ <= 4 * 512),
+      s"sketch state exceeded the grid: $stateRows")
+    // the streamed grid equals the batch grid bit-for-bit (counts are
+    // arrival-order-free)
+    val streamed = spark.table("stream_cms_spec")
+      .orderBy("hrow", "bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.ops.TextAnalysis
+      .cmsCellPairs(spark.read.parquet(s"$dir/documents.parquet"))
+      .groupBy("hrow", "bucket").agg(count(lit(1)).as("cell_count"))
+      .orderBy("hrow", "bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming upsert equals the settled batch state") {
     val streamed = EventStream.streamUpsertLatest(spark, dir).collect()
     val e = spark.read.parquet(s"$dir/events.parquet")
