@@ -426,9 +426,10 @@ object Dedup {
     * parallel reimplementation that can drift.
     *
     * Scale shape: each gate is the same detection d14 already runs; the
-    * flags assemble by doc_id-keyed left joins against detection-sized
-    * sides (losers and rejects, not the corpus), and the doc_id spine
-    * never widens — one narrow pass plus uniform-key joins. */
+    * flags assemble by uniform doc_id-keyed left joins — the near-dup and
+    * quality sides are detection-sized, the exact-keeper side is
+    * corpus-cardinality but two narrow columns (the fp-grain min_by) —
+    * and the doc_id spine never widens. */
   def dropProvenanceOf(docs: DataFrame, nearLosers: DataFrame,
                        okDocs: DataFrame): DataFrame = {
     val keepers = docs

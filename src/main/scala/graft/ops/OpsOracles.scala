@@ -927,6 +927,27 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s20: refined ANN — s13's ADC chain over-fetches a 12-deep
+    // shortlist, then the exact float rerank picks the top 3; mirrors
+    // Similarity.refinedAnn (shortlist from rankedq, exact L2 from n).
+    "s20_refined_ann" ->
+      s"""WITH $ivfPqCtes,
+        |short AS (SELECT query_id, cand_id FROM rankedq WHERE rnk <= 12),
+        |ex AS (
+        |  SELECT s.query_id, s.cand_id,
+        |    round(list_sum(list_transform(range(64),
+        |      i -> (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1]))), 6) AS dist
+        |  FROM short s
+        |  JOIN n q ON s.query_id = q.vec_id
+        |  JOIN n c ON s.cand_id = c.vec_id),
+        |rr AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist ASC, cand_id ASC) AS rnk
+        |  FROM ex)
+        |SELECT query_id, cand_id, CAST(dist AS DOUBLE) AS dist, CAST(rnk AS INT) AS rnk
+        |FROM rr WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     // s18: filtered ANN — s13's chain with the even-label metadata
     // predicate restricting the code table BEFORE scoring (pre-filter
     // semantics: top-k fills from the allowed subset).

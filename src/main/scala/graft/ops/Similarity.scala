@@ -773,6 +773,41 @@ object Similarity {
       residCodebooks(spark, dir), codes, k, nprobe)
   }
 
+  /** REFINED ANN (s20) — the two-stage retrieve-then-rerank every
+    * production PQ deployment runs (Jégou et al. 2011 §VI's re-ranking):
+    * ADC distances are approximations (codebook distortion), so stage 1
+    * over-fetches a SHORTLIST (4k) from the compressed index — 8
+    * bytes/vector, floats untouched — and stage 2 reranks ONLY the
+    * shortlist by exact float distance. Float access is queries ×
+    * shortlist rows fetched by uniform-key join, never a corpus scan:
+    * the expensive exactness is spent on the 0.0001% of vectors that
+    * might make top-k, which is the entire economics of compressed
+    * retrieval. Recall can only improve on s13 (any true neighbor the
+    * ADC ranked 4..12 gets rescued by the exact rerank). */
+  def refinedAnn(spark: SparkSession, dir: String,
+                 k: Int = 3, shortlist: Int = 12, nprobe: Int = 2): DataFrame = {
+    val short = ivfPqSearch(spark, dir, centroidVectors(spark, dir),
+      residCodebooks(spark, dir), residCandidateCodes(spark, dir),
+      shortlist, nprobe)
+      .select("query_id", "cand_id")
+    val qv = vectors(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cv = vectors(spark, dir)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
+    short
+      .join(cv, Seq("cand_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("dist", round(
+        expr("aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"),
+        6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("dist"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** INDEX COMPACTION (s19) — the LSM-style maintenance step that closes
     * the index lifecycle (build s13, persist s15, extend s16, tombstone
     * s17): the logical index a serving node sees after churn is

@@ -531,6 +531,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ests.sameElements(ests.sorted))
   }
 
+  test("refined ANN: exact rerank never loses recall to the raw ADC ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = emb.filter(col("vec_id") >= 10).select(col("vec_id").as("cid"), col("v").as("cv"))
+    val pairDist = q.crossJoin(c).withColumn("dist", round(
+      expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 6))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("cid").asc)
+    val brute = pairDist.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).collect()
+      .groupBy(_.getAs[Long]("qid")).view.mapValues(_.map(_.getAs[Long]("cid")).toSet).toMap
+    val dists = pairDist.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) -> r.getAs[Double]("dist")).toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet)
+      byQ.map { case (qid, got) => (got & brute(qid)).size.toDouble / 3 }.sum / byQ.size
+    }
+    val refined = Similarity.refinedAnn(spark, dir).collect()
+    val adc = Similarity.ivfPqAnn(spark, dir).collect()
+    assert(recall(refined) >= recall(adc),
+      s"rerank recall ${recall(refined)} < ADC recall ${recall(adc)}")
+    // every reranked distance is the true exact distance of that pair
+    refined.foreach { r =>
+      assert(r.getAs[Double]("dist") ===
+        dists((r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))))
+    }
+  }
+
   test("index compaction: tombstones applied physically, cell-clustered, lossless") {
     val compacted = Similarity.indexCompactAnn(spark, dir).collect().toSeq
     val logical = Similarity.indexDeleteAnn(spark, dir).collect().toSeq
