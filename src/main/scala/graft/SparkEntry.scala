@@ -56,6 +56,7 @@ object SparkEntry {
     "q38_cohort_retention"   -> (Relational.q38CohortRetention _),
     "q39_funnel"             -> (Relational.q39Funnel _),
     "q40_copurchase"         -> (Relational.q40Copurchase _),
+    "q41_peak_concurrency"   -> (Relational.q41PeakConcurrency _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),

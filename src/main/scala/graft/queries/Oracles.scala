@@ -295,6 +295,56 @@ object RelationalOracles {
         |FROM i
         |ORDER BY user_id, valid_from_us""".stripMargin,
 
+    // q41: sweep-line peak concurrency — deltas net per microsecond (tie
+    // order irrelevant), day-partitioned running sum + cumulative day
+    // carry, peak located by join-back. sum() over BIGINT goes HUGEINT in
+    // DuckDB, so every summed column casts back at use.
+    "q41_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM r),
+        |sess AS (
+        |  SELECT user_id, run, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, run),
+        |deltas AS (
+        |  SELECT ts_us, CAST(sum(d) AS BIGINT) AS nd, ts_us // 86400000000 AS day
+        |  FROM (
+        |    SELECT start_us AS ts_us, 1 AS d FROM sess
+        |    UNION ALL
+        |    SELECT end_us + 1 AS ts_us, -1 AS d FROM sess)
+        |  GROUP BY ts_us),
+        |carry AS (
+        |  SELECT day, CAST(coalesce(sum(dsum) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS carry
+        |  FROM (SELECT day, sum(nd) AS dsum FROM deltas GROUP BY day)),
+        |conc AS (
+        |  SELECT d.day, d.ts_us,
+        |    c.carry + CAST(sum(d.nd) OVER (PARTITION BY d.day ORDER BY d.ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |  FROM deltas d JOIN carry c USING (day)),
+        |peaks AS (SELECT day, max(conc) AS peak_concurrency FROM conc GROUP BY day),
+        |peakat AS (
+        |  SELECT day, peak_concurrency, min(ts_us) AS peak_at_us
+        |  FROM conc JOIN peaks USING (day)
+        |  WHERE conc = peak_concurrency
+        |  GROUP BY day, peak_concurrency),
+        |starts AS (
+        |  SELECT start_us // 86400000000 AS day, count(*) AS sessions_started
+        |  FROM sess GROUP BY 1)
+        |SELECT day,
+        |  CAST(coalesce(sessions_started, 0) AS BIGINT) AS sessions_started,
+        |  peak_concurrency, peak_at_us
+        |FROM peakat FULL OUTER JOIN starts USING (day)
+        |ORDER BY day""".stripMargin,
+
     // q35: join-key skew report — per-key counts, share of table, and
     // hot/mean ratio for the 20 hottest keys (total order: rows desc,
     // key asc). All ratios are single double ops on exact integers.

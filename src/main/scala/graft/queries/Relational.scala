@@ -782,6 +782,66 @@ object Relational {
       .limit(25)
   }
 
+  /** SWEEP-LINE interval stacking (q41) — peak session concurrency per
+    * day, the capacity question ("how many users at once") every ops
+    * dashboard asks of interval data. The naive form joins every session
+    * to every instant it covers; the sweep reduces it to ±1 DELTAS at
+    * session boundaries and a running sum — concurrency at t is the
+    * prefix sum of deltas through t.
+    *
+    * The distributed form is a TWO-LEVEL PREFIX SUM (the scan-primitive
+    * decomposition): deltas net out per microsecond (grouping by ts makes
+    * tie order irrelevant — no within-timestamp ordering convention to
+    * disagree on), the running sum partitions by DAY (bounded partitions,
+    * parallel), and each day's carry-in — sessions straddling midnight —
+    * is the cumulative sum of per-day totals, a day-grain table that
+    * broadcasts. No global sort ever happens: the only unpartitioned
+    * window is over ~days rows. Peak location is a day-grain join-back
+    * (max then min-ts filter), not a struct aggregate (the min_by/struct
+    * SortAggregate trap). */
+  def q41PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("run", sum("chg").over(runSum))
+      .groupBy("user_id", "run")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+    val deltas = sess.select(col("start_us").as("ts_us"), lit(1L).as("d"))
+      .unionByName(sess.select((col("end_us") + 1).as("ts_us"), lit(-1L).as("d")))
+      .groupBy("ts_us").agg(sum("d").as("nd"))
+      .withColumn("day", expr(s"ts_us div $usPerDay"))
+    val byDayTs = Window.partitionBy("day").orderBy("ts_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carryW = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = deltas.groupBy("day").agg(sum("nd").as("dsum"))
+      .withColumn("carry", coalesce(sum("dsum").over(carryW), lit(0L)))
+      .select("day", "carry")
+    val conc = deltas
+      .withColumn("lsum", sum("nd").over(byDayTs))
+      .join(broadcast(carry), Seq("day"))
+      .withColumn("conc", col("carry") + col("lsum"))
+    val peaks = conc.groupBy("day").agg(max("conc").as("peak_concurrency"))
+    val peakAt = conc.join(broadcast(peaks), Seq("day"))
+      .filter(col("conc") === col("peak_concurrency"))
+      .groupBy("day", "peak_concurrency")
+      .agg(min("ts_us").as("peak_at_us"))
+    val starts = sess
+      .withColumn("day", expr(s"start_us div $usPerDay"))
+      .groupBy("day").agg(count(lit(1)).as("sessions_started"))
+    peakAt.join(starts, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("sessions_started"), lit(0L)).as("sessions_started"),
+        col("peak_concurrency"), col("peak_at_us"))
+      .orderBy("day")
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

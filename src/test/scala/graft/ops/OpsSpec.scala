@@ -472,6 +472,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("peak concurrency: sweep-line peaks match brute interval counting") {
+    import org.apache.spark.sql.expressions.Window
+    val report = graft.queries.Relational.q41PeakConcurrency(spark, dir).collect()
+    assert(report.nonEmpty)
+    assert(report.forall(_.getAs[Long]("peak_concurrency") >= 1))
+    // brute force: concurrency peaks only at session starts, so per day
+    // max over starts of |sessions covering that instant| is the truth
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val sess = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("run", sum("chg").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run")
+      .agg(min("ts_us").as("s"), max("ts_us").as("e"))
+      .persist()
+    val brute = sess.select(col("s").as("t"))
+      .join(sess, col("s") <= col("t") && col("t") <= col("e"))
+      .groupBy("t").agg(count(lit(1)).as("conc"))
+      .withColumn("day", expr("t div 86400000000"))
+      .groupBy("day").agg(max("conc").as("bpeak"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sess.unpersist()
+    report.foreach { r =>
+      assert(r.getAs[Long]("peak_concurrency") === brute(r.getAs[Long]("day")),
+        s"day ${r.getAs[Long]("day")}")
+    }
+  }
+
   test("triangle count: degree-ordered orientation matches id-ordered brute force") {
     val r = GraphRank.triangleCount(spark, dir).collect()(0)
     assert(r.getAs[Long]("nodes") > 0 && r.getAs[Long]("edges") > 0)
@@ -578,6 +611,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).startsWith("0"),
         s"tombstoned vec $id present after compaction")
     }
+    // the payoff of the cell-clustered layout: a one-cell probe PRUNES at
+    // the file level — the scan opens only that cell's files
+    val someCell = spark.read.parquet(base).agg(min("cell")).collect()(0).get(0)
+    val oneCell = spark.read.parquet(base).filter(col("cell") === someCell)
+    oneCell.collect()
+    val scanned = oneCell.queryExecution.executedPlan.collectLeaves().flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.metrics("numFiles").value)
+      case _ => Seq.empty
+    }.sum
+    val totalFiles = spark.read.parquet(base).inputFiles.length
+    assert(scanned > 0 && scanned < totalFiles,
+      s"cell probe scanned $scanned of $totalFiles files — no partition pruning")
   }
 
   test("chunking: stride-24/window-32 chunks tile every document exactly") {
