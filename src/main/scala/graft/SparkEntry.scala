@@ -166,6 +166,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.indexCompactAnn(s, d)),
     "s20_refined_ann"        ->
       ((s: SparkSession, d: String) => Similarity.refinedAnn(s, d)),
+    "s21_hybrid_search"      ->
+      ((s: SparkSession, d: String) => Similarity.hybridSearch(s, d)),
     "t28_bloom_decontaminate" -> (TextAnalysis.bloomDecontaminate _),
     "t29_cms_topwords"       -> (TextAnalysis.cmsTopWords _),
     "t30_histogram_quantiles" -> (TextAnalysis.histogramQuantiles _),

@@ -78,7 +78,10 @@ object GraphRank {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val adj = edges.join(deg, Seq("src")).persist()
     adj.count()
-    val (init, grants) = mkInitAndGrants(deg)
+    // grants is referenced by every superstep of the final lineage —
+    // uncached, the deg→(seeds→)nodes chain replays once per iteration
+    val (init, grants0) = mkInitAndGrants(deg)
+    val grants = grants0.persist()
     var ranks = init
     for (_ <- 1 to iterations) ranks = superstep(adj, ranks, grants)
     ranks

@@ -948,6 +948,60 @@ object OpsOracles {
         |FROM rr WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s21: hybrid search — IDF-overlap lexical ranking and brute cosine
+    // ranking fused by integer reciprocal-rank fusion (1e6 // (60+rank));
+    // ranks are exact, floor division is exact, the fusion cannot drift.
+    "s21_hybrid_search" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |vscored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS cosine
+        |  FROM n q CROSS JOIN n c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |vr AS (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS r
+        |  FROM vscored),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |dfq AS (SELECT token, count(*) AS doc_freq FROM tok GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |lex AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+        |    sum(CAST(round(ln(n_docs / CAST(doc_freq AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6))) AS lex
+        |  FROM tok q
+        |  JOIN tok c USING (token)
+        |  JOIN dfq USING (token)
+        |  CROSS JOIN nd
+        |  WHERE q.doc_id < 10 AND c.doc_id >= 10
+        |  GROUP BY 1, 2),
+        |lr AS (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY lex DESC, cand_id ASC) AS r
+        |  FROM lex),
+        |pts AS (
+        |  SELECT query_id, cand_id, CAST(1000000 // (60 + r) AS BIGINT) AS pts
+        |  FROM lr WHERE r <= 10
+        |  UNION ALL
+        |  SELECT query_id, cand_id, CAST(1000000 // (60 + r) AS BIGINT) AS pts
+        |  FROM vr WHERE r <= 10),
+        |fused AS (
+        |  SELECT query_id, cand_id, CAST(sum(pts) AS BIGINT) AS rrf_score
+        |  FROM pts GROUP BY 1, 2),
+        |rr AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_score DESC, cand_id ASC) AS rnk
+        |  FROM fused)
+        |SELECT query_id, cand_id, rrf_score, CAST(rnk AS INT) AS rnk
+        |FROM rr WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     // s18: filtered ANN — s13's chain with the even-label metadata
     // predicate restricting the code table BEFORE scoring (pre-filter
     // semantics: top-k fills from the allowed subset).

@@ -808,6 +808,71 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** The lexical half of [[hybridSearch]]: candidates ranked per query by
+    * summed IDF of shared distinct tokens (rare shared terms dominate —
+    * BM25's core signal without the length normalization). Per-token
+    * weights round to 6dp and sum as DECIMAL (order-independent), so the
+    * ranking is engine-exact. The pair join is bounded by shared-token
+    * postings, the df table is vocab-sized and broadcasts. */
+  private[ops] def lexicalRanked(spark: SparkSession, dir: String,
+                                 fuse: Int): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val dfq = toks.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("query_id").orderBy(col("lex").desc, col("cand_id").asc)
+    toks.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("token"))
+      .join(toks.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("cand_id"), col("token")), Seq("token"))
+      .join(broadcast(dfq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("w",
+        round(log(col("n_docs").cast("double") / col("doc_freq")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("w").as("lex"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= fuse)
+      .select("query_id", "cand_id", "r")
+  }
+
+  /** HYBRID SEARCH (s21) — lexical ⊕ vector retrieval fused by
+    * RECIPROCAL RANK FUSION (Cormack, Clarke & Büttcher 2009), the
+    * production-standard hybrid: each source contributes
+    * 1e6 div (60 + rank) points for its top-`fuse` candidates and the
+    * fused list ranks by summed points. RRF is rank-only — no score
+    * calibration across incommensurable signals (an IDF sum vs a
+    * cosine), which is why it ships in real search stacks — and INTEGER
+    * here (floor division of exact ranks), so the fusion layer cannot
+    * diverge across engines. Scale shape: both sources are top-`fuse`
+    * lists (query-bounded), the fusion is a union + tiny aggregate —
+    * retrieval cost stays in the sources, fusion is free. A candidate
+    * surfaced by both views beats single-view winners exactly when the
+    * rank arithmetic says so — the behavior that rescues vocabulary-gap
+    * misses (lexical finds what embeddings blur, vectors find what
+    * wording hides). */
+  def hybridSearch(spark: SparkSession, dir: String,
+                   k: Int = 3, fuse: Int = 10, rrfK: Int = 60): DataFrame = {
+    val vs = vectors(spark, dir)
+    val vecRanked = cosineTopK(vs.filter(col("vec_id") < 10),
+      vs.filter(col("vec_id") >= 10), Seq.empty, fuse)
+      .select(col("query_id"), col("cand_id"), col("rnk").as("r"))
+    val pts = expr(s"1000000L div ($rrfK + r)")
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("cand_id").asc)
+    lexicalRanked(spark, dir, fuse).select(col("query_id"), col("cand_id"), pts.as("pts"))
+      .unionByName(vecRanked.select(col("query_id"), col("cand_id"), pts.as("pts")))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("pts").as("rrf_score"))
+      .withColumn("rnk", row_number().over(fw))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rrf_score"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** INDEX COMPACTION (s19) — the LSM-style maintenance step that closes
     * the index lifecycle (build s13, persist s15, extend s16, tombstone
     * s17): the logical index a serving node sees after churn is

@@ -594,6 +594,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hybrid search: fused ranking is exactly the RRF of its two sources") {
+    val lex = Similarity.lexicalRanked(spark, dir, fuse = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("r")).toMap
+    // the vector source: brute cosine ranks recomputed independently
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val cos = q.crossJoin(c)
+      .withColumn("cosine", round(
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (col("qn") * col("cn")), 6))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Double]("cosine")))
+      .toSeq
+    val vec = cos.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+        .map { case ((qid, cid, _), i) => (qid, cid) -> (i + 1) }
+    }.toMap
+    def rrf(pair: (Long, Long)): Long =
+      lex.get(pair).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        vec.get(pair).map(r => 1000000L / (60 + r)).getOrElse(0L)
+    val expected = (lex.keySet ++ vec.keySet).groupBy(_._1).flatMap { case (_, pairs) =>
+      pairs.toSeq.map(p => (p, rrf(p))).sortBy { case ((_, cid), s) => (-s, cid) }.take(3)
+    }.toMap
+    val got = Similarity.hybridSearch(spark, dir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val pair = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      assert(expected.contains(pair), s"$pair not in expected fused top-3")
+      assert(r.getAs[Long]("rrf_score") === expected(pair))
+    }
+  }
+
   test("index compaction: tombstones applied physically, cell-clustered, lossless") {
     val compacted = Similarity.indexCompactAnn(spark, dir).collect().toSeq
     val logical = Similarity.indexDeleteAnn(spark, dir).collect().toSeq
