@@ -57,6 +57,10 @@ object SparkEntry {
     "q39_funnel"             -> (Relational.q39Funnel _),
     "q40_copurchase"         -> (Relational.q40Copurchase _),
     "q41_peak_concurrency"   -> (Relational.q41PeakConcurrency _),
+    "q42_attribution"        -> (Relational.q42Attribution _),
+    "q43_assoc_rules"        -> (Relational.q43AssocRules _),
+    "q44_anomaly_zscore"     -> (Relational.q44AnomalyZscore _),
+    "q45_trend_fit"          -> (Relational.q45TrendFit _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),
@@ -171,6 +175,7 @@ object SparkEntry {
     "t28_bloom_decontaminate" -> (TextAnalysis.bloomDecontaminate _),
     "t29_cms_topwords"       -> (TextAnalysis.cmsTopWords _),
     "t30_histogram_quantiles" -> (TextAnalysis.histogramQuantiles _),
+    "t31_hll_distinct"       -> (TextAnalysis.hllDistinct _),
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),

@@ -832,6 +832,52 @@ object OpsOracles {
         |FROM e JOIN ex ON e.pct = ex.pct AND ex.rk = 1
         |ORDER BY pct""".stripMargin,
 
+    // t31: HyperLogLog — registers replay bit-identically (md5-hex hash,
+    // string-position ρ over zero-padded bin(), exact dyadic 2^-reg
+    // terms); CAST(0.709 AS DOUBLE) forces double (bare literal product
+    // is DECIMAL in DuckDB); exact NDV beside as calibration.
+    "t31_hll_distinct" -> {
+      val decode = (0 until 8).map { j =>
+        val mult = 1L << (4 * (7 - j))
+        s"(strpos('0123456789abcdef', m8[${j + 1}]) - 1) * CAST($mult AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT source, tok AS word
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents) s
+        |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')),
+        |h AS (
+        |  SELECT source, ($decode) AS h
+        |  FROM (SELECT source, substr(md5('h#' || word), 1, 8) AS m8 FROM toks) t),
+        |b AS (SELECT source, h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (
+        |  SELECT source, bucket,
+        |    max(CASE WHEN w = 0 THEN 27
+        |             ELSE strpos(lpad(bin(w), 26, '0'), '1') END) AS reg
+        |  FROM b GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, count(*) AS present,
+        |    sum(1.0 / CAST(CAST(1 AS BIGINT) << reg AS DOUBLE)) AS sumterm
+        |  FROM r GROUP BY 1),
+        |e AS (
+        |  SELECT source, present, 64 - present AS zeros,
+        |    sumterm + CAST(64 - present AS DOUBLE) AS ssum
+        |  FROM a),
+        |est AS (
+        |  SELECT source, present,
+        |    round(CASE WHEN CAST(0.709 AS DOUBLE) * 4096 / ssum <= 160.0
+        |                AND zeros > 0
+        |      THEN 64.0 * ln(64.0 / zeros)
+        |      ELSE CAST(0.709 AS DOUBLE) * 4096 / ssum END, 2) AS hll_ndv
+        |  FROM e),
+        |x AS (SELECT source, count(DISTINCT word) AS exact_ndv FROM toks GROUP BY 1)
+        |SELECT source, CAST(64 AS INT) AS m, CAST(present AS INT) AS nonzero_registers,
+        |  hll_ndv, exact_ndv,
+        |  round((hll_ndv - exact_ndv) / exact_ndv, 4) AS rel_err
+        |FROM est JOIN x USING (source)
+        |ORDER BY source""".stripMargin
+    },
+
     "t06_idf" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token

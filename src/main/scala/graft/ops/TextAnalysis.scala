@@ -1039,6 +1039,70 @@ object TextAnalysis {
   def histogramQuantiles(spark: SparkSession, dir: String): DataFrame =
     histogramQuantilesOf(Tables.documents(spark, dir))
 
+  /** HYPERLOGLOG distinct-count sketch (t31; Flajolet, Fusy, Gandouet &
+    * Meunier 2007) — the sketch that answers "how many distinct tokens
+    * per source" WITHOUT a distinct-key shuffle, completing the sketch
+    * family (membership t28, frequency t29, quantiles t30): the exact
+    * answer must shuffle every distinct token; the sketch's aggregation
+    * state is m=64 REGISTERS per group — map-side combine collapses every
+    * partition to ≤ groups×64 rows, so the exchange is constant in corpus
+    * size. Register update is max(ρ) where ρ = 1 + leading zeros of the
+    * hash remainder; estimate = α·m²/Σ2^(−reg), with the standard
+    * linear-counting fallback below 2.5m when empty registers remain.
+    *
+    * Determinism cross-engine: the hash is the t29 md5-hex idiom (bit-
+    * identical), ρ comes from string position over a zero-padded BINARY
+    * rendering (integer ops only — no log2 whose libm could stray near
+    * 2^k boundaries), and every 2^(−reg) term is an exact dyadic double
+    * (1/(1L<<reg)) whose sum of ≤64 terms ≥2⁻²⁷ is exact in ANY order —
+    * the one float sum here is order-free by construction. α·m² forces
+    * DOUBLE on the oracle side (DuckDB's bare 0.709·4096 is DECIMAL).
+    * The exact NDV sits beside the estimate as calibration (d20/t29
+    * posture); m=64 ⇒ ±1.04/√64 ≈ 13% expected relative error. */
+  def hllDistinctOf(docs: DataFrame, m: Int = 64): DataFrame = {
+    require((m & (m - 1)) == 0 && m >= 16, s"register count must be a power of two >= 16, got $m")
+    val remBits = 32 - (31 - Integer.numberOfLeadingZeros(m)) // 26 for m=64
+    val toks = docs
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val dec = (0 until 8).map { j =>
+      val mult = 1L << (4 * (7 - j))
+      s"(instr('0123456789abcdef', substr(m8, ${j + 1}, 1)) - 1) * cast($mult as bigint)"
+    }.mkString(" + ")
+    val regs = toks
+      .withColumn("m8", expr("substr(md5(concat('h#', word)), 1, 8)"))
+      .withColumn("h", expr(dec))
+      .withColumn("bucket", expr(s"h % $m"))
+      .withColumn("w", expr(s"h div $m"))
+      .withColumn("rho", expr(
+        s"CASE WHEN w = 0 THEN ${remBits + 1} " +
+          s"ELSE instr(lpad(bin(w), $remBits, '0'), '1') END"))
+      .groupBy("source", "bucket")
+      .agg(max("rho").as("reg"))
+    val est = regs.groupBy("source")
+      .agg(count(lit(1)).as("present"),
+        sum(expr("1.0 / cast(shiftleft(cast(1 as bigint), reg) as double)"))
+          .as("sumterm"))
+      .withColumn("zeros", lit(m) - col("present"))
+      .withColumn("ssum", col("sumterm") + col("zeros").cast("double"))
+      .withColumn("raw", lit(0.709) * lit(m * m) / col("ssum"))
+      .withColumn("hll_ndv", round(
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")), 2))
+    val exact = toks.groupBy("source").agg(countDistinct("word").as("exact_ndv"))
+    est.join(exact, Seq("source"))
+      .select(col("source"), lit(m).as("m"),
+        col("present").cast("int").as("nonzero_registers"),
+        col("hll_ndv"), col("exact_ndv"),
+        round((col("hll_ndv") - col("exact_ndv")) / col("exact_ndv"), 4)
+          .as("rel_err"))
+      .orderBy("source")
+  }
+
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllDistinctOf(Tables.documents(spark, dir))
+
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     withToks(Tables.documents(spark, dir))

@@ -572,5 +572,138 @@ object RelationalOracles {
         |  round(sum(l_extendedprice * (1.0 - l_discount) * l_tax), 2) AS total_tax,
         |  count(*) AS line_count
         |FROM lineitem""".stripMargin,
+
+    // q42: multi-touch attribution — the oracle pairs conversions to
+    // lookback touches with the plain theta join (correctness form of the
+    // engine's bucketed range join); per-row 6dp credits sum as DECIMAL.
+    "q42_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |  FROM events),
+        |conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts_us AS c_us, value
+        |  FROM ev WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, ts_us AS t_us, event_type AS channel,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS idx
+        |  FROM ev WHERE event_type IN ('view', 'click', 'signup')),
+        |j AS (
+        |  SELECT conv_id, value, channel, t_us * 4 + idx AS pack
+        |  FROM conv JOIN touch USING (user_id)
+        |  WHERE t_us < c_us AND t_us >= c_us - 604800000000),
+        |chan AS (
+        |  SELECT conv_id, value, channel, count(*) AS cnt FROM j GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT conv_id, value, count(*) AS n,
+        |    max(pack) AS lp, min(pack) AS fp
+        |  FROM j GROUP BY 1, 2),
+        |credits AS (
+        |  SELECT 'last_touch' AS model,
+        |    CASE lp % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click' ELSE 'signup' END AS channel,
+        |    CAST(1 AS DECIMAL(18,6)) AS cc, CAST(value AS DECIMAL(18,6)) AS cv
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT 'first_touch',
+        |    CASE fp % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click' ELSE 'signup' END,
+        |    CAST(1 AS DECIMAL(18,6)), CAST(value AS DECIMAL(18,6))
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT 'linear', channel,
+        |    CAST(round(cnt / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)),
+        |    CAST(round(value * cnt / n, 6) AS DECIMAL(18,6))
+        |  FROM chan JOIN (SELECT conv_id, n FROM tot) t USING (conv_id)
+        |  UNION ALL
+        |  SELECT m.model, '(direct)', CAST(1 AS DECIMAL(18,6)),
+        |    CAST(value AS DECIMAL(18,6))
+        |  FROM conv c CROSS JOIN (VALUES ('last_touch'), ('first_touch'), ('linear')) m(model)
+        |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.conv_id = c.conv_id))
+        |SELECT model, channel,
+        |  CAST(round(sum(cc), 4) AS DOUBLE) AS credited_conversions,
+        |  CAST(round(sum(cv), 2) AS DOUBLE) AS credited_value
+        |FROM credits GROUP BY model, channel
+        |ORDER BY model, channel""".stripMargin,
+
+    // q43: association rules — every score is one double divide over
+    // exact BIGINT counts; ranking on the rounded scores + id tie-breaks.
+    "q43_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+        |deg AS (SELECT pk, count(*) AS sup FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS sup_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS (
+        |  SELECT p1 AS ante, p2 AS cons, sup_ab FROM pairs
+        |  UNION ALL
+        |  SELECT p2, p1, sup_ab FROM pairs),
+        |score AS (
+        |  SELECT ante, cons, sup_ab AS support,
+        |    round(sup_ab / CAST(da.sup AS DOUBLE), 6) AS confidence,
+        |    round(sup_ab * n_orders / (CAST(da.sup AS DOUBLE) * db.sup), 6) AS lift,
+        |    round(sup_ab / CAST(da.sup + db.sup - sup_ab AS DOUBLE), 6) AS jaccard
+        |  FROM rules
+        |  JOIN deg da ON ante = da.pk
+        |  JOIN deg db ON cons = db.pk
+        |  CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY lift DESC, confidence DESC, ante ASC, cons ASC) AS rank
+        |  FROM score)
+        |SELECT ante, cons, support, confidence, lift, jaccard, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    // q44: rolling z-score anomalies — BIGINT window sums over integer
+    // daily counts, then one fixed double chain (sqrt is IEEE-exact);
+    // DuckDB's window sum(BIGINT) → HUGEINT casts back at the CTE edge.
+    "q44_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, events,
+        |    count(events) OVER win AS n7,
+        |    CAST(sum(events) OVER win AS BIGINT) AS s7,
+        |    CAST(sum(events * events) OVER win AS BIGINT) AS q7
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT event_type, day, events,
+        |    s7 / 7.0 AS mean,
+        |    sqrt((q7 - s7 * s7 / 7.0) / 6.0) AS sd
+        |  FROM w WHERE n7 = 7),
+        |z AS (
+        |  SELECT event_type, day, events,
+        |    round(mean, 4) AS mean7, round(sd, 4) AS sd7,
+        |    CASE WHEN sd = 0 THEN CAST(NULL AS DOUBLE)
+        |         ELSE round((events - mean) / sd, 4) END AS zscore
+        |  FROM m)
+        |SELECT event_type, day, events, mean7, sd7, zscore,
+        |  CAST(zscore IS NOT NULL AND abs(zscore) >= 2.0 AS INT) AS is_anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin,
+
+    // q45: closed-form OLS per group — exact BIGINT moments (x re-based
+    // to the global min day), single divides, R² squared via double.
+    "q45_trend_fit" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |based AS (
+        |  SELECT event_type, day - (SELECT min(day) FROM daily) AS x, y FROM daily),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM based GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round((sy * sxx - sx * sxy) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept,
+        |  round((CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)) /
+        |        (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s WHERE n * sxx - sx * sx > 0
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -840,6 +840,201 @@ object Relational {
         coalesce(col("sessions_started"), lit(0L)).as("sessions_started"),
         col("peak_concurrency"), col("peak_at_us"))
       .orderBy("day")
+  }
+
+  /** MULTI-TOUCH ATTRIBUTION (q42) — the question a marketing warehouse
+    * exists to answer (the reference's ROAS/ROI views credit spend to
+    * channels; this credits CONVERSIONS to the touchpoints that preceded
+    * them): each purchase is attributed to the view/click/signup events in
+    * its 7-day lookback under three standard models — last-touch,
+    * first-touch, and linear (position-weight) — with untouched
+    * conversions credited to `(direct)`.
+    *
+    * Scale shape: the conversion↔touch pairing is the j02 BUCKETED range
+    * join, never a theta join — conversions explode to their 8 candidate
+    * day-buckets, touches carry one, the join is equi on (user, bucket)
+    * with an exact µs range filter after; shuffle is O(rows×8), never
+    * O(pairs). Last/first touch are HashAggregate max/min over a packed
+    * BIGINT (ts_µs·4 + channel-index — the min_by/SortAggregate trap from
+    * round 3 §0.2), not a window sort. Credit fractions round to 6dp
+    * per-row (single IEEE divide, engine-identical), sum as DECIMAL
+    * (exact, order-free), and round at the final projection only.
+    *
+    * Reference: etl_script/04_views.sql:16-232 (channel KPI credit
+    * semantics); analytics_queries.sql:118-160 (Q6 spend-vs-revenue
+    * attribution shape). */
+  def q42Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val lookUs = 7 * dayUs
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts_us").as("c_us"), col("value"))
+    val touch = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("ts_us").as("t_us"),
+        col("event_type").as("channel"),
+        expr("CASE event_type WHEN 'view' THEN 0L WHEN 'click' THEN 1L ELSE 2L END")
+          .as("idx"))
+      .withColumn("bucket", expr(s"t_us div $dayUs"))
+    val j = conv
+      .withColumn("bucket",
+        explode(expr(s"sequence(c_us div $dayUs - 7, c_us div $dayUs)")))
+      .join(touch, Seq("user_id", "bucket"))
+      .filter(col("t_us") < col("c_us") && col("t_us") >= col("c_us") - lookUs)
+      .select(col("conv_id"), col("value"), col("channel"),
+        (col("t_us") * 4 + col("idx")).as("pack"))
+      .persist() // feeds chan, tot, and the direct anti-join
+    val chan = j.groupBy("conv_id", "value", "channel")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = j.groupBy("conv_id", "value")
+      .agg(count(lit(1)).as("n"), max("pack").as("lp"), min("pack").as("fp"))
+    def decode(c: Column): Column =
+      when(pmod(c, lit(4L)) === 0, "view")
+        .when(pmod(c, lit(4L)) === 1, "click").otherwise("signup")
+    val one = lit(1.0).cast("decimal(18,6)")
+    val lastT = tot.select(lit("last_touch").as("model"),
+      decode(col("lp")).as("channel"), one.as("cc"),
+      col("value").cast("decimal(18,6)").as("cv"))
+    val firstT = tot.select(lit("first_touch").as("model"),
+      decode(col("fp")).as("channel"), one.as("cc"),
+      col("value").cast("decimal(18,6)").as("cv"))
+    val nW = Window.partitionBy("conv_id")
+    val linear = chan.withColumn("n", sum("cnt").over(nW))
+      .select(lit("linear").as("model"), col("channel"),
+        round(col("cnt") / col("n"), 6).cast("decimal(18,6)").as("cc"),
+        round(col("value") * col("cnt") / col("n"), 6)
+          .cast("decimal(18,6)").as("cv"))
+    val direct = conv
+      .join(j.select("conv_id").distinct(), Seq("conv_id"), "left_anti")
+      .withColumn("model",
+        explode(array(lit("first_touch"), lit("last_touch"), lit("linear"))))
+      .select(col("model"), lit("(direct)").as("channel"), one.as("cc"),
+        col("value").cast("decimal(18,6)").as("cv"))
+    lastT.unionByName(firstT).unionByName(linear).unionByName(direct)
+      .groupBy("model", "channel")
+      .agg(round(sum("cc"), 4).cast("double").as("credited_conversions"),
+        round(sum("cv"), 2).cast("double").as("credited_value"))
+      .orderBy("model", "channel")
+  }
+
+  /** ASSOCIATION RULES (q43) — market-basket confidence/lift/Jaccard over
+    * q40's co-purchase pair supports (Agrawal & Srikant 1994 measures):
+    * rule a→b scores confidence = sup(ab)/sup(a), lift =
+    * sup(ab)·N/(sup(a)·sup(b)), Jaccard = sup(ab)/(sup(a)+sup(b)−sup(ab)).
+    *
+    * Every score is ONE double division whose numerator and denominator
+    * are exact BIGINT counts — nothing accumulates in float, so round(,6)
+    * is engine-identical. The pair table is q40's self-join of the
+    * order-item set (bounded by basket width, never |parts|²); the degree
+    * table is item-catalog-sized and broadcasts to both rule directions. */
+  def q43AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist() // feeds deg, the order count, and both sides of the pair join
+    val nOrders = items.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+    val deg = items.groupBy("pk").agg(count(lit(1)).as("sup"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= 2)
+    val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"), col("sup_ab"))
+      .unionByName(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("sup_ab")))
+    val rw = Window.orderBy(col("lift").desc, col("confidence").desc,
+      col("ante").asc, col("cons").asc)
+    rules
+      .join(broadcast(deg.select(col("pk").as("ante"), col("sup").as("sup_a"))), Seq("ante"))
+      .join(broadcast(deg.select(col("pk").as("cons"), col("sup").as("sup_b"))), Seq("cons"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("sup_ab").as("support"),
+        round(col("sup_ab") / col("sup_a"), 6).as("confidence"),
+        round((col("sup_ab") * col("n_orders")) /
+          (col("sup_a").cast("double") * col("sup_b")), 6).as("lift"),
+        round(col("sup_ab") / (col("sup_a") + col("sup_b") - col("sup_ab")), 6)
+          .as("jaccard"))
+      .withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= 25)
+      .orderBy("rank")
+  }
+
+  /** ROLLING Z-SCORE ANOMALY DETECTION (q44) — the ops question every
+    * daily KPI series gets ("did yesterday spike?"): per event type, each
+    * day's count against the trailing-7-OBSERVATION mean/std (ROWS frame
+    * — a RANGE frame over sparse days would silently shrink the sample),
+    * flagging |z| ≥ 2.
+    *
+    * Determinism: the windowed sums are BIGINT over integer counts
+    * (exact); mean, variance, and z are then one fixed chain of IEEE
+    * double ops on exact integers — identical cross-engine, sqrt is
+    * IEEE-correctly-rounded — with round() only at the projection. The
+    * window partitions by event type over day-grain rows: the shuffled
+    * data is the pre-aggregated daily grid (~types × days), not events. */
+  def q44AnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("events"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    daily
+      .withColumn("n7", count("events").over(w))
+      .withColumn("s7", sum("events").over(w))
+      .withColumn("q7", sum(col("events") * col("events")).over(w))
+      .filter(col("n7") === 7)
+      .withColumn("mean", col("s7") / lit(7.0))
+      .withColumn("sd",
+        sqrt((col("q7") - col("s7") * col("s7") / lit(7.0)) / lit(6.0)))
+      .withColumn("zscore",
+        when(col("sd") === 0, lit(null).cast("double"))
+          .otherwise(round((col("events") - col("mean")) / col("sd"), 4)))
+      .select(col("event_type"), col("day"), col("events"),
+        round(col("mean"), 4).as("mean7"),
+        round(col("sd"), 4).as("sd7"),
+        col("zscore"),
+        (col("zscore").isNotNull && abs(col("zscore")) >= 2.0)
+          .cast("int").as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** PER-GROUP TREND FIT (q45) — closed-form OLS (slope, intercept, R²)
+    * of daily event volume per type: the "is this channel growing"
+    * primitive under every marketing dashboard's trendline.
+    *
+    * All five OLS moments (Σx, Σy, Σx², Σxy, Σy²) are exact BIGINT sums
+    * over the day-grain grid (x re-based to the global min day keeps the
+    * products small); slope and intercept are single divides of exact
+    * integers, R² squares via double (its integer operands sit < 2⁵³, so
+    * the cast is exact and the arithmetic identical cross-engine). The
+    * events table collapses to the daily grid before any window/join —
+    * the fit itself runs on ~types × days rows. */
+  def q45TrendFit(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val minDay = daily.agg(min("day").as("day0"))
+    val s = daily.crossJoin(broadcast(minDay))
+      .withColumn("x", col("day") - col("day0"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+    s.select(col("event_type"), col("n").as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .orderBy("event_type")
   }
 
   /** A8+A10 scalar P&L over expressions (arith inside agg).

@@ -1352,4 +1352,127 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("HashAggregate"))
     assert(!plan.contains("SortAggregate"))
   }
+
+  test("hll: raw-branch estimate within tolerance, invariant under duplication") {
+    // 4000 distinct single-word docs: fills all 64 registers (raw branch,
+    // not linear counting); duplication must not move an NDV estimate.
+    val docs = spark.range(4000)
+      .select(lit("s1").as("source"), concat(lit("w"), col("id")).as("text"))
+    val once = TextAnalysis.hllDistinctOf(docs).collect()(0)
+    assert(once.getAs[Int]("nonzero_registers") === 64) // raw path
+    assert(once.getAs[Long]("exact_ndv") === 4000L)
+    assert(math.abs(once.getAs[Double]("rel_err")) < 0.35) // ~2.7x the 13% sigma
+    val tripled = TextAnalysis.hllDistinctOf(
+      docs.union(docs).union(docs)).collect()(0)
+    assert(tripled.getAs[Double]("hll_ndv") === once.getAs[Double]("hll_ndv"))
+  }
+
+  test("attribution: every model conserves conversions and revenue") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("value")).collect()
+    val purchases = ev.filter(_.getString(0) == "purchase")
+    val nConv = purchases.length.toDouble
+    val totalValue = purchases.map(_.getDouble(1)).sum
+    val rows = graft.queries.Relational.q42Attribution(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSet ===
+      Set("first_touch", "last_touch", "linear"))
+    assert(rows.map(_.getString(1)).toSet.subsetOf(
+      Set("view", "click", "signup", "(direct)")))
+    rows.groupBy(_.getString(0)).foreach { case (model, rs) =>
+      val cc = rs.map(_.getAs[Double]("credited_conversions")).sum
+      val cv = rs.map(_.getAs[Double]("credited_value")).sum
+      // linear credits round per-touch at 6dp, so conservation holds to
+      // ~1e-6 x touches; last/first are exact integers
+      assert(math.abs(cc - nConv) < 0.01, s"$model conversions: $cc vs $nConv")
+      assert(math.abs(cv - totalValue) < 0.05, s"$model value: $cv vs $totalValue")
+    }
+  }
+
+  test("assoc rules: scores match brute recompute, ranking is total") {
+    val items = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = items.map(_._1).distinct.length
+    val deg = items.groupBy(_._2).map { case (pk, xs) => pk -> xs.length }
+    val sup = items.groupBy(_._1).values
+      .flatMap { basket =>
+        val pks = basket.map(_._2).sorted
+        for (i <- pks.indices; j <- i + 1 until pks.length) yield (pks(i), pks(j))
+      }
+      .groupBy(identity).map { case (p, xs) => p -> xs.size }
+    val rows = graft.queries.Relational.q43AssocRules(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[Long]("ante"), r.getAs[Long]("cons"))
+      val sab = sup.getOrElse(if (a < c) (a, c) else (c, a), 0)
+      assert(sab === r.getAs[Long]("support"))
+      assert(sab >= 2)
+      val (sa, sb) = (deg(a), deg(c))
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r6(sab.toDouble / sa) === r.getAs[Double]("confidence"))
+      assert(r6(sab.toDouble * nOrders / (sa.toDouble * sb)) === r.getAs[Double]("lift"))
+      assert(r6(sab.toDouble / (sa + sb - sab)) === r.getAs[Double]("jaccard"))
+    }
+    val ranked = rows.sortBy(_.getAs[Int]("rank"))
+    val resorted = rows.sortBy(r => (-r.getAs[Double]("lift"),
+      -r.getAs[Double]("confidence"), r.getAs[Long]("ante"), r.getAs[Long]("cons")))
+    assert(ranked.map(_.getAs[Long]("ante")).toSeq ===
+      resorted.map(_.getAs[Long]("ante")).toSeq)
+  }
+
+  test("zscore anomalies: window stats match brute trailing-7 recompute") {
+    val dayUs = 86400000000L
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val series = daily.groupBy(_._1._1).map { case (et, m) =>
+      et -> m.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1)
+    }
+    val rows = graft.queries.Relational.q44AnomalyZscore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (et, day, c) = (r.getString(0), r.getLong(1), r.getAs[Long]("events"))
+      val s = series(et)
+      val i = s.indexWhere(_._1 == day)
+      val win = s.slice(i - 7, i).map(_._2)
+      assert(win.length === 7) // only full windows are emitted
+      assert(c === s(i)._2)
+      val mean = win.sum / 7.0
+      val sd = math.sqrt((win.map(x => x * x).sum - win.sum * win.sum / 7.0) / 6.0)
+      val z = r4((c - mean) / sd)
+      assert(r.getAs[Double]("zscore") === z)
+      assert(r.getAs[Int]("is_anomaly") === (if (math.abs(z) >= 2.0) 1 else 0))
+    }
+  }
+
+  test("trend fit: closed-form OLS matches brute recompute per group") {
+    val dayUs = 86400000000L
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }.toSeq
+    val day0 = daily.map(_._1._2).min
+    val rows = graft.queries.Relational.q45TrendFit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val pts = daily.filter(_._1._1 == et)
+        .map { case ((_, d), c) => (d - day0, c) }
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      assert(r.getAs[Long]("n_days") === n)
+      val den = (n * sxx - sx * sx).toDouble
+      assert(r.getAs[Double]("slope") === r6((n * sxy - sx * sy) / den))
+      assert(r.getAs[Double]("intercept") === r6((sy * sxx - sx * sxy) / den))
+      val r2 = ((n * sxy - sx * sy).toDouble * (n * sxy - sx * sy)) /
+        (den * (n * syy - sy * sy))
+      assert(r.getAs[Double]("r2") === r6(r2))
+    }
+  }
 }
