@@ -61,6 +61,7 @@ object SparkEntry {
     "q43_assoc_rules"        -> (Relational.q43AssocRules _),
     "q44_anomaly_zscore"     -> (Relational.q44AnomalyZscore _),
     "q45_trend_fit"          -> (Relational.q45TrendFit _),
+    "q46_conversion_paths"   -> (Relational.q46ConversionPaths _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),
     "g03_triangle_count"     -> (graft.ops.GraphRank.triangleCount _),
+    "g04_node_similarity"    -> (graft.ops.GraphRank.nodeSimilarity _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),

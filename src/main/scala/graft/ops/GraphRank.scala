@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -194,5 +195,50 @@ object GraphRank {
     tri
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("nodes"))))
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("edges"))))
+  }
+
+  /** COMMON-NEIGHBOR SIMILARITY (g04) — structural node similarity over
+    * the co-purchase graph ("parts bought alongside the same parts", the
+    * item-item collaborative-filtering primitive): for every node pair,
+    * |N(v)∩N(w)| via wedge enumeration and Jaccard over neighbor sets.
+    *
+    * The wedge self-join (adjacency ⋈ adjacency on the CENTER, v<w on the
+    * endpoints) is the same shape as g03's triangle wedges: volume is
+    * Σ deg(c)² over the support-thresholded graph — the ≥2-support cut is
+    * what keeps hub fan-out bounded (at 100 TB the standard extra guard
+    * is a degree cap on centers: a celebrity hub's C(deg,2) wedges say
+    * nothing about item similarity and get sampled or dropped; bounded
+    * here by basket width, so no cap needed). Jaccard is ONE double
+    * divide of exact BIGINT counts; both degree lookups broadcast. */
+  def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("p1", "p2")
+      .persist() // feeds the degree aggregate and both wedge sides
+    val und = edges
+      .union(edges.select(col("p2").as("p1"), col("p1").as("p2")))
+    val deg = und.groupBy(col("p1").as("pk")).agg(count(lit(1)).as("deg"))
+    val wedges = und.as("e1")
+      .join(und.as("e2"),
+        col("e1.p1") === col("e2.p1") && col("e1.p2") < col("e2.p2"))
+      .groupBy(col("e1.p2").as("v"), col("e2.p2").as("w"))
+      .agg(count(lit(1)).as("cn"))
+    val rw = Window.orderBy(col("jaccard").desc, col("cn").desc,
+      col("v").asc, col("w").asc)
+    wedges
+      .join(broadcast(deg.select(col("pk").as("v"), col("deg").as("deg_v"))), Seq("v"))
+      .join(broadcast(deg.select(col("pk").as("w"), col("deg").as("deg_w"))), Seq("w"))
+      .withColumn("jaccard",
+        round(col("cn") / (col("deg_v") + col("deg_w") - col("cn")), 6))
+      .withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= 25)
+      .select("rank", "v", "w", "cn", "deg_v", "deg_w", "jaccard")
+      .orderBy("rank")
   }
 }

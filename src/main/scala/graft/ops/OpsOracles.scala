@@ -796,6 +796,37 @@ object OpsOracles {
         |  CAST((SELECT count(*) FROM edges) AS BIGINT) AS edges
         |FROM tri""".stripMargin,
 
+    // g04: common-neighbor similarity — wedge enumeration over the
+    // undirected support-thresholded co-purchase graph; Jaccard is one
+    // double divide of exact BIGINT counts, ranking on the rounded score
+    // with (cn, v, w) tie-breaks making the order total.
+    "g04_node_similarity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |und AS (SELECT p1, p2 FROM edges UNION ALL SELECT p2, p1 FROM edges),
+        |deg AS (SELECT p1 AS pk, count(*) AS deg FROM und GROUP BY 1),
+        |wedges AS (
+        |  SELECT e1.p2 AS v, e2.p2 AS w, count(*) AS cn
+        |  FROM und e1 JOIN und e2 ON e1.p1 = e2.p1 AND e1.p2 < e2.p2
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT v, w, cn, dv.deg AS deg_v, dw.deg AS deg_w,
+        |    round(cn / CAST(dv.deg + dw.deg - cn AS DOUBLE), 6) AS jaccard
+        |  FROM wedges
+        |  JOIN deg dv ON v = dv.pk
+        |  JOIN deg dw ON w = dw.pk),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY jaccard DESC, cn DESC, v ASC, w ASC) AS rank
+        |  FROM sc)
+        |SELECT CAST(rank AS INT) AS rank, v, w, cn, deg_v, deg_w, jaccard
+        |FROM ranked WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
     // t30: histogram-sketch quantiles — integer ceil-division ranks, one
     // divide+multiply interpolation, explicit rank-semantics exact column:
     // every number replays bit-identically.

@@ -705,5 +705,44 @@ object RelationalOracles {
         |        (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6) AS r2
         |FROM s WHERE n * sxx - sx * sx > 0
         |ORDER BY event_type""".stripMargin,
+
+    // q46: conversion path analysis — the ordered aggregate is DuckDB's
+    // string_agg(... ORDER BY pack) vs Spark's array_sort(collect_list)
+    // on the same total pack key; counts/shares are one double divide.
+    "q46_conversion_paths" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |  FROM events),
+        |conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts_us AS c_us, value
+        |  FROM ev WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, ts_us AS t_us, event_type AS channel,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS idx
+        |  FROM ev WHERE event_type IN ('view', 'click', 'signup')),
+        |j AS (
+        |  SELECT conv_id, value, channel, t_us * 4 + idx AS pack
+        |  FROM conv JOIN touch USING (user_id)
+        |  WHERE t_us < c_us AND t_us >= c_us - 604800000000),
+        |paths AS (
+        |  SELECT conv_id, value, string_agg(channel, '>' ORDER BY pack) AS path
+        |  FROM j GROUP BY 1, 2),
+        |allp AS (
+        |  SELECT conv_id, value, path FROM paths
+        |  UNION ALL
+        |  SELECT conv_id, value, '(direct)'
+        |  FROM conv c WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.conv_id = c.conv_id)),
+        |tot AS (SELECT count(*) AS total FROM allp),
+        |agg AS (
+        |  SELECT path, count(*) AS conversions,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |  FROM allp GROUP BY 1),
+        |ranked AS (
+        |  SELECT path, conversions,
+        |    round(conversions / CAST(total AS DOUBLE), 6) AS share, revenue,
+        |    row_number() OVER (ORDER BY conversions DESC, path ASC) AS rank
+        |  FROM agg CROSS JOIN tot)
+        |SELECT CAST(rank AS INT) AS rank, path, conversions, share, revenue
+        |FROM ranked WHERE rank <= 25 ORDER BY rank""".stripMargin,
   )
 }

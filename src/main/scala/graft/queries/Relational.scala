@@ -863,29 +863,45 @@ object Relational {
     * Reference: etl_script/04_views.sql:16-232 (channel KPI credit
     * semantics); analytics_queries.sql:118-160 (Q6 spend-vs-revenue
     * attribution shape). */
-  def q42Attribution(spark: SparkSession, dir: String): DataFrame = {
+  /** Purchase conversions (shared by q42/q46): one row per purchase. */
+  private def conversions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        expr("ts div 1000").as("c_us"), col("value"))
+
+  /** The conversion↔touch lookback pairing shared by attribution (q42)
+    * and path analysis (q46): each purchase joined to the view/click/
+    * signup events in its 7-day lookback via the j02 BUCKETED range join
+    * — conversions explode to 8 candidate day-buckets, the join is equi
+    * on (user, bucket), the exact µs range filter runs after. `pack` is
+    * ts_µs·4 + channel-index: one BIGINT that orders touches totally
+    * (HashAggregate max/min and array_sort both key on it). Persisted —
+    * both consumers and the direct anti-join read it; identical plans
+    * dedupe through the CacheManager across queries. */
+  private def convTouchPairs(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     val lookUs = 7 * dayUs
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
-        col("user_id"), col("event_type"), col("value"))
-    val conv = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("conv_id"), col("user_id"),
-        col("ts_us").as("c_us"), col("value"))
-    val touch = ev.filter(col("event_type").isin("view", "click", "signup"))
-      .select(col("user_id"), col("ts_us").as("t_us"),
+    val touch = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
         col("event_type").as("channel"),
         expr("CASE event_type WHEN 'view' THEN 0L WHEN 'click' THEN 1L ELSE 2L END")
           .as("idx"))
       .withColumn("bucket", expr(s"t_us div $dayUs"))
-    val j = conv
+    conversions(spark, dir)
       .withColumn("bucket",
         explode(expr(s"sequence(c_us div $dayUs - 7, c_us div $dayUs)")))
       .join(touch, Seq("user_id", "bucket"))
       .filter(col("t_us") < col("c_us") && col("t_us") >= col("c_us") - lookUs)
       .select(col("conv_id"), col("value"), col("channel"),
         (col("t_us") * 4 + col("idx")).as("pack"))
-      .persist() // feeds chan, tot, and the direct anti-join
+      .persist()
+  }
+
+  def q42Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val conv = conversions(spark, dir)
+    val j = convTouchPairs(spark, dir)
     val chan = j.groupBy("conv_id", "value", "channel")
       .agg(count(lit(1)).as("cnt"))
     val tot = j.groupBy("conv_id", "value")
@@ -917,6 +933,38 @@ object Relational {
       .agg(round(sum("cc"), 4).cast("double").as("credited_conversions"),
         round(sum("cv"), 2).cast("double").as("credited_value"))
       .orderBy("model", "channel")
+  }
+
+  /** CONVERSION PATH ANALYSIS (q46) — q42's other half: not "which channel
+    * gets credit" but "which SEQUENCES convert" — each purchase's lookback
+    * touches collapse to an ordered channel path (`view>view>click`), and
+    * paths rank by conversion volume with share and revenue. The
+    * ordered-sequence aggregation is collect_list → array_sort(struct) —
+    * sort INSIDE the aggregate over each conversion's own touches (grouped
+    * state bounded by per-conversion touch count), never a global sort;
+    * `pack` (ts_µs·4+channel-idx) makes the order total, so Spark's
+    * unordered collect_list and DuckDB's ORDER BY aggregate agree exactly.
+    * Untouched conversions surface as the `(direct)` path. */
+  def q46ConversionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val j = convTouchPairs(spark, dir)
+    val paths = j.groupBy("conv_id", "value")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pack, channel)))," +
+        " x -> x.channel), '>')").as("path"))
+    val direct = conversions(spark, dir)
+      .join(j.select("conv_id").distinct(), Seq("conv_id"), "left_anti")
+      .select(col("conv_id"), col("value"), lit("(direct)").as("path"))
+    val all = paths.select("conv_id", "value", "path").unionByName(direct)
+    val total = all.agg(count(lit(1)).as("total"))
+    val rw = Window.orderBy(col("conversions").desc, col("path").asc)
+    all.groupBy("path")
+      .agg(count(lit(1)).as("conversions"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("conversions") / col("total"), 6))
+      .withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= 25)
+      .select("rank", "path", "conversions", "share", "revenue")
+      .orderBy("rank")
   }
 
   /** ASSOCIATION RULES (q43) — market-basket confidence/lift/Jaccard over

@@ -266,4 +266,67 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"PushedFilters lost the event_type predicate: $pushed")
     }
   }
+
+  test("q42_attribution: bucketed range join stays equi; last/first touch " +
+       "are sort-free HashAggregates") {
+    val p = plan("q42_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lookback pairing degenerated to a theta join:\n${p.take(2000)}")
+    assert(!p.contains("SortAggregate"),
+      s"packed-BIGINT max/min fell back to SortAggregate:\n${p.take(2000)}")
+  }
+
+  test("q43_assoc_rules: both degree joins broadcast; only the 1-row totals " +
+       "join is nested-loop") {
+    val p = plan("q43_assoc_rules")
+    // ante and cons degree lookups must both be broadcast hash joins
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the single BNLJ allowed is the broadcast 1-row n_orders scalar (J4
+    // pattern); a second one would mean a degree join degenerated
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+  }
+
+  test("q44_anomaly_zscore: the window consumes the day-grain grid — " +
+       "partial aggregation runs before any exchange") {
+    val p = plan("q44_anomaly_zscore")
+    // map-side partial agg must collapse events to (type, day) cells
+    // before the shuffle that feeds the trailing window
+    assert("partial_count".r.findAllIn(p).nonEmpty, p.take(2000))
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"window must partition by event_type (day-grid, bounded partitions):\n${p.take(2000)}")
+  }
+
+  test("q46_conversion_paths: the ordered path aggregate is an " +
+       "ObjectHashAggregate over per-conversion state — no global sort " +
+       "feeds collect_list, no theta join") {
+    val p = plan("q46_conversion_paths")
+    assert(!p.contains("CartesianProduct"),
+      s"lookback pairing degenerated to a theta join:\n${p.take(2000)}")
+    // the single BNLJ allowed is the broadcast 1-row share denominator
+    // (J4 pattern); a second would mean the touch pairing degenerated
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+    // array_sort(collect_list) must aggregate hash-grouped (state bounded
+    // by one conversion's touches), never SortAggregate over a global sort
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(2000))
+  }
+
+  test("g04_node_similarity: both degree lookups broadcast onto the wedge " +
+       "aggregate — the pair table shuffles once, never nested-loop") {
+    val p = plan("g04_node_similarity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"degree lookups must broadcast, not shuffle the wedge table:\n${p.take(2000)}")
+  }
+
+  test("t31_hll_distinct: register aggregate is a HashAggregate with " +
+       "map-side combine — the token stream never shuffles raw") {
+    val p = plan("t31_hll_distinct")
+    assert(!p.contains("SortAggregate"), p.take(2000))
+    // partial max(rho) per (source, bucket): the exchange carries at most
+    // groups x 64 register rows per task, constant in corpus size
+    assert("partial_max".r.findAllIn(p).nonEmpty, p.take(2000))
+  }
 }

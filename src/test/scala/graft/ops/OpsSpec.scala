@@ -526,6 +526,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("triangles") === brute)
   }
 
+  test("node similarity: wedge counts match set-intersection brute force") {
+    val top = GraphRank.nodeSimilarity(spark, dir).collect()
+    assert(top.length > 0 && top.length <= 25)
+    // independent recomputation: materialize each node's neighbor SET and
+    // intersect arrays — a different algorithm (set semantics) than the
+    // shipped wedge self-join (multiset scan), so a pairing bug can't
+    // cancel out on both sides
+    val items = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
+      .select("p1", "p2")
+    val nbrs = edges.union(edges.select(col("p2"), col("p1")))
+      .groupBy(col("p1").as("pk")).agg(collect_set(col("p2")).as("ns"))
+      .collect().map(r => r.getAs[Long]("pk") ->
+        r.getSeq[Long](1).toSet).toMap
+    top.foreach { r =>
+      val (v, w) = (r.getAs[Long]("v"), r.getAs[Long]("w"))
+      val inter = (nbrs(v) intersect nbrs(w)).size.toLong
+      assert(r.getAs[Long]("cn") === inter, s"pair ($v,$w)")
+      assert(r.getAs[Long]("deg_v") === nbrs(v).size.toLong, s"deg($v)")
+      assert(r.getAs[Long]("deg_w") === nbrs(w).size.toLong, s"deg($w)")
+      val jac = BigDecimal(inter.toDouble / (nbrs(v).size + nbrs(w).size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("jaccard") - jac) < 1e-9, s"jaccard($v,$w)")
+    }
+  }
+
   test("drop provenance: the decision log reproduces the clean-corpus verdicts") {
     val prov = Dedup.dropProvenance(spark, dir).collect()
     val total = graft.Tables.documents(spark, dir).count()
