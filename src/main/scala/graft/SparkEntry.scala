@@ -62,6 +62,7 @@ object SparkEntry {
     "q44_anomaly_zscore"     -> (Relational.q44AnomalyZscore _),
     "q45_trend_fit"          -> (Relational.q45TrendFit _),
     "q46_conversion_paths"   -> (Relational.q46ConversionPaths _),
+    "q47_ewma_forecast"      -> (Relational.q47EwmaForecast _),
     // LLM-data-pipeline operators (BASELINE.json north-star)
     "t01_token_stats"        -> (TextAnalysis.tokenStats _),
     "t02_quality_score"      -> (TextAnalysis.qualityScore _),
@@ -177,11 +178,13 @@ object SparkEntry {
     "t29_cms_topwords"       -> (TextAnalysis.cmsTopWords _),
     "t30_histogram_quantiles" -> (TextAnalysis.histogramQuantiles _),
     "t31_hll_distinct"       -> (TextAnalysis.hllDistinct _),
+    "t32_distribution_drift" -> (TextAnalysis.distributionDrift _),
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),
     "g03_triangle_count"     -> (graft.ops.GraphRank.triangleCount _),
     "g04_node_similarity"    -> (graft.ops.GraphRank.nodeSimilarity _),
+    "g05_bfs_hops"           -> (graft.ops.GraphRank.bfsHops _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),

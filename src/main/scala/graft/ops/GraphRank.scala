@@ -241,4 +241,68 @@ object GraphRank {
       .select("rank", "v", "w", "cn", "deg_v", "deg_w", "jaccard")
       .orderBy("rank")
   }
+
+  /** BFS HOP PROFILE (g05) — single-source shortest-path (unweighted)
+    * over the co-purchase graph, reported as the hop histogram from the
+    * minimum node id: the reachability/eccentricity probe behind "how
+    * connected is this catalog" and the link-graph crawl-depth audit a
+    * corpus pipeline runs on its domain graph.
+    *
+    * Frontier BFS as iterative joins (the scale-correct Spark shape —
+    * never a driver-side queue): each round joins only the FRONTIER
+    * (nodes first reached last round) to the adjacency, anti-joins the
+    * visited set, and appends. Work per round is O(edges out of the
+    * frontier); total O(E) over the whole run — textbook BFS cost, just
+    * partitioned. The d16 loop discipline applies verbatim: frames are
+    * LAZY localCheckpoints and the per-round `count()` is the ONE action
+    * that both materializes the round and reads the loop signal; the
+    * visited set is a union of checkpointed leaves, so no round replays
+    * a predecessor. Rounds = graph eccentricity (small-world graphs:
+    * ~10-20), each a co-partitioned join — the exchange count, not the
+    * data volume, is the scale cost, exactly like g01's supersteps.
+    * Every quantity is a BIGINT count or id; nothing to round. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("p1", "p2")
+    val und = edges
+      .union(edges.select(col("p2").as("p1"), col("p1").as("p2")))
+      .persist()
+    // the source: minimum node id in the edge set — deterministic, and a
+    // 1-row driver scalar (the loop needs it as a literal frontier seed)
+    val seed = und.agg(min("p1")).first().getLong(0)
+    import spark.implicits._
+    var frontier = Seq(seed).toDF("pk")
+      .withColumn("hop", lit(0)).localCheckpoint()
+    var dist = frontier
+    var hop = 0
+    var grew = 1L
+    while (grew > 0 && hop < 63) {
+      hop += 1
+      val next = frontier.join(und, frontier("pk") === und("p1"))
+        .select(col("p2").as("pk")).distinct()
+        .join(dist, Seq("pk"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint(eager = false)
+      grew = next.count() // the ONE action: materializes + loop signal
+      if (grew > 0) {
+        dist = dist.union(next) // union of checkpointed leaves
+        frontier = next
+      }
+    }
+    // every dist leaf is a materialized localCheckpoint — the final
+    // aggregate's lineage no longer reads the adjacency, so release it
+    und.unpersist()
+    dist.groupBy("hop")
+      .agg(count(lit(1)).as("nodes"), min("pk").as("min_pk"), max("pk").as("max_pk"))
+      .select(col("hop").cast("int").as("hop"), col("nodes"),
+        col("min_pk"), col("max_pk"))
+      .orderBy("hop")
+  }
 }

@@ -909,6 +909,62 @@ object OpsOracles {
         |ORDER BY source""".stripMargin
     },
 
+    // g05: BFS hop profile — DuckDB replays the frontier loop as a
+    // recursive CTE: UNION-dedup on (pk, hop) with a hop bound matching
+    // the engine's cap, then min(hop) per node = first visit. Integers
+    // only; nothing can diverge.
+    "g05_bfs_hops" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |und AS (SELECT p1, p2 FROM edges UNION ALL SELECT p2, p1 FROM edges),
+        |walk(pk, hop) AS (
+        |  SELECT (SELECT min(p1) FROM und), 0
+        |  UNION
+        |  SELECT u.p2, w.hop + 1
+        |  FROM walk w JOIN und u ON u.p1 = w.pk
+        |  WHERE w.hop < 63),
+        |dist AS (SELECT pk, min(hop) AS hop FROM walk GROUP BY 1)
+        |SELECT CAST(hop AS INT) AS hop, count(*) AS nodes,
+        |  min(pk) AS min_pk, max(pk) AS max_pk
+        |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // t32: distribution drift — lang-mix JS divergence between the corpus
+    // and the md5-bucket-'f' ingest slice; shares are exact divides, the
+    // ln chain is rounded only at the projection (per-lang JS terms are
+    // ≥ 0 by the log-sum inequality, so HALF_UP == half-away).
+    "t32_distribution_drift" ->
+      """WITH sliced AS (
+        |  SELECT lang,
+        |    CAST(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS INT) AS is_delta
+        |  FROM documents),
+        |grid AS (
+        |  SELECT lang,
+        |    CAST(sum(1 - is_delta) AS BIGINT) AS base_n,
+        |    CAST(sum(is_delta) AS BIGINT) AS delta_n
+        |  FROM sliced GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(1 - is_delta) AS BIGINT) AS base_total,
+        |    CAST(sum(is_delta) AS BIGINT) AS delta_total
+        |  FROM sliced),
+        |sh AS (
+        |  SELECT lang, base_n, delta_n,
+        |    base_n / CAST(base_total AS DOUBLE) AS p,
+        |    delta_n / CAST(delta_total AS DOUBLE) AS q
+        |  FROM grid CROSS JOIN tot),
+        |t AS (
+        |  SELECT lang, base_n, delta_n, p, q, (p + q) / 2.0 AS m FROM sh)
+        |SELECT lang, base_n, delta_n,
+        |  round(p, 6) AS base_share, round(q, 6) AS delta_share,
+        |  round(CASE WHEN base_n = 0 THEN 0.0 ELSE p * ln(p / m) / 2.0 END
+        |      + CASE WHEN delta_n = 0 THEN 0.0 ELSE q * ln(q / m) / 2.0 END,
+        |    6) AS js_term
+        |FROM t ORDER BY lang""".stripMargin,
+
     "t06_idf" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token

@@ -1103,6 +1103,49 @@ object TextAnalysis {
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
     hllDistinctOf(Tables.documents(spark, dir))
 
+  /** DISTRIBUTION DRIFT (t32) — Jensen–Shannon divergence between the
+    * corpus's language mix and tonight's ingest batch's: the bias monitor
+    * every recurring crawl ingest runs before merging ("is the new batch
+    * shifting the mixture?"). The batch is the same 1/16 md5(doc_id)
+    * bucket-'f' slice as [[graft.ops.Dedup.incrementalDedupOf]], so the
+    * drift report describes exactly the delta that d19/d22 dedup.
+    *
+    * Each side collapses to a lang-grain count first (two rows per lang
+    * shuffle, not documents); shares are single exact divides; the JS
+    * contribution ½·p·ln(p/m) + ½·q·ln(q/m) is one fixed double chain
+    * rounded at the projection (ln + round-6, the [[idf]] discipline).
+    * A lang missing on one side contributes its full ½·ln 2 mass via the
+    * p=0/q=0 branches — the full-outer join + explicit zero-branch CASE
+    * keeps 0·ln 0 out of the arithmetic (NaN otherwise). JSD is the
+    * bounded, symmetric drift measure (≤ ln 2), so per-lang terms are
+    * comparable across runs; the total is the terms' sum. */
+  def distributionDriftOf(docs: DataFrame): DataFrame = {
+    val sliced = docs.withColumn("is_delta",
+      (substring(md5(col("doc_id").cast("string")), 1, 1) === "f").cast("int"))
+    val grid = sliced.groupBy("lang")
+      .agg(sum(lit(1) - col("is_delta")).as("base_n"),
+        sum(col("is_delta")).as("delta_n"))
+    val totals = sliced.agg(
+      sum(lit(1) - col("is_delta")).as("base_total"),
+      sum(col("is_delta")).as("delta_total"))
+    val p = col("base_n") / col("base_total")
+    val q = col("delta_n") / col("delta_total")
+    val m = (p + q) / lit(2.0)
+    val termP = when(col("base_n") === 0, lit(0.0))
+      .otherwise(p * log(p / m) / lit(2.0))
+    val termQ = when(col("delta_n") === 0, lit(0.0))
+      .otherwise(q * log(q / m) / lit(2.0))
+    grid.crossJoin(broadcast(totals))
+      .select(col("lang"), col("base_n"), col("delta_n"),
+        round(p, 6).as("base_share"),
+        round(q, 6).as("delta_share"),
+        round(termP + termQ, 6).as("js_term"))
+      .orderBy("lang")
+  }
+
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame =
+    distributionDriftOf(Tables.documents(spark, dir))
+
   /** Per-language corpus profile (summary aggregate). */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     withToks(Tables.documents(spark, dir))

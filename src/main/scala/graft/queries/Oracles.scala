@@ -744,5 +744,25 @@ object RelationalOracles {
         |  FROM agg CROSS JOIN tot)
         |SELECT CAST(rank AS INT) AS rank, path, conversions, share, revenue
         |FROM ranked WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    // q47: EWMA forecast — dyadic weights keep the numerator an exact
+    // BIGINT (no pow()); the forecast is one double divide by 255.
+    "q47_ewma_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS events
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, day, events,
+        |    lag(events, 1) OVER win * 128 + lag(events, 2) OVER win * 64 +
+        |    lag(events, 3) OVER win * 32  + lag(events, 4) OVER win * 16 +
+        |    lag(events, 5) OVER win * 8   + lag(events, 6) OVER win * 4 +
+        |    lag(events, 7) OVER win * 2   + lag(events, 8) OVER win * 1 AS num
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, events,
+        |  round(num / 255.0, 6) AS forecast,
+        |  round(events - num / 255.0, 6) AS residual
+        |FROM lagged WHERE num IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin,
   )
 }

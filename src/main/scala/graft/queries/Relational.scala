@@ -1085,6 +1085,38 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** EWMA FORECAST (q47) — next-day volume forecast per event type: the
+    * exponentially-weighted moving average that backs every "expected vs
+    * actual" ops dashboard, evaluated one day ahead so each row carries
+    * its own residual.
+    *
+    * The decay is DYADIC (α = ½, 8 lags): weights 2⁻¹…2⁻⁸ make the
+    * numerator Σ yₜ₋ᵢ·2⁸⁻ⁱ an exact BIGINT (no pow(), whose libm vs JVM
+    * rounding differs cross-engine) and the whole forecast ONE double
+    * divide by 255 (= 2⁸−1, the normalizing Σ weights scaled by 2⁸) —
+    * bit-identical on any IEEE engine, rounded only at the projection.
+    * NULL lag propagation through the sum is the warm-up filter: a row
+    * survives iff all 8 predecessors exist. Like q44, the window runs on
+    * the pre-aggregated day grid (~types × days rows), so partial
+    * aggregation collapses events map-side before the only exchange. */
+  def q47EwmaForecast(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("events"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val num = (1 to 8)
+      .map(i => lag(col("events"), i).over(w) * lit(1L << (8 - i)))
+      .reduce(_ + _)
+    daily
+      .withColumn("num", num)
+      .filter(col("num").isNotNull) // all 8 lags present (warm-up cut)
+      .select(col("event_type"), col("day"), col("events"),
+        round(col("num") / lit(255.0), 6).as("forecast"),
+        round(col("events") - col("num") / lit(255.0), 6).as("residual"))
+      .orderBy("event_type", "day")
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

@@ -556,6 +556,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bfs hops: frontier-loop distances match a textbook queue BFS") {
+    val hist = GraphRank.bfsHops(spark, dir).collect()
+    assert(hist.length > 0 && hist.head.getAs[Int]("hop") === 0)
+    // reference: collect the (small, sf0.001) edge set and run classic
+    // driver-side BFS — a wholly different mechanism than the join loop
+    val items = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
+      .select("p1", "p2").collect()
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      adj(a) = b :: adj(a); adj(b) = a :: adj(b)
+    }
+    val seed = adj.keys.min
+    val distRef = scala.collection.mutable.Map(seed -> 0)
+    val queue = scala.collection.mutable.Queue(seed)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      adj(u).foreach { v =>
+        if (!distRef.contains(v)) { distRef(v) = distRef(u) + 1; queue += v }
+      }
+    }
+    val refHist = distRef.toSeq.groupBy(_._2).map { case (h, xs) =>
+      h -> (xs.size.toLong, xs.map(_._1).min, xs.map(_._1).max)
+    }
+    assert(hist.length === refHist.size, "hop level count")
+    hist.foreach { r =>
+      val (n, lo, hi) = refHist(r.getAs[Int]("hop"))
+      assert(r.getAs[Long]("nodes") === n, s"hop ${r.getAs[Int]("hop")} count")
+      assert(r.getAs[Long]("min_pk") === lo && r.getAs[Long]("max_pk") === hi,
+        s"hop ${r.getAs[Int]("hop")} id range")
+    }
+  }
+
   test("drop provenance: the decision log reproduces the clean-corpus verdicts") {
     val prov = Dedup.dropProvenance(spark, dir).collect()
     val total = graft.Tables.documents(spark, dir).count()
