@@ -180,6 +180,7 @@ object SparkEntry {
     "t31_hll_distinct"       -> (TextAnalysis.hllDistinct _),
     "t32_distribution_drift" -> (TextAnalysis.distributionDrift _),
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
+    "f13_data_skipping"      -> (graft.sources.DataSkipping.skippingQuery _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),
     "g03_triangle_count"     -> (graft.ops.GraphRank.triangleCount _),

@@ -1532,6 +1532,17 @@ object OpsOracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // f13: file-stats data skipping — layout + manifest pruning must be
+    // invisible to results; the oracle is the same band aggregate over
+    // the raw table.
+    "f13_data_skipping" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE n_chars BETWEEN 200 AND 400
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
     // w07: streaming upsert — latest event per (user, type) with update
     // count; the oracle recomputes the settled state from all events.
     "w07_stream_upsert" ->
