@@ -179,6 +179,8 @@ object SparkEntry {
     "t30_histogram_quantiles" -> (TextAnalysis.histogramQuantiles _),
     "t31_hll_distinct"       -> (TextAnalysis.hllDistinct _),
     "t32_distribution_drift" -> (TextAnalysis.distributionDrift _),
+    "t33_source_quota"       -> (TextAnalysis.sourceQuota _),
+    "q48_sessionize"         -> (Relational.q48Sessionize _),
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "f13_data_skipping"      -> (graft.sources.DataSkipping.skippingQuery _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),

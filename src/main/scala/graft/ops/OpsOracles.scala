@@ -933,6 +933,34 @@ object OpsOracles {
         |  min(pk) AS min_pk, max(pk) AS max_pk
         |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // t33: per-source quota cap — t02's quality machinery + one ranked
+    // window; ordering keys are integers/strings with a doc_id tie-break.
+    "t33_source_quota" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS INT) AS n_tokens,
+        |    round(len(list_filter(toks, w -> w IN ('the','a','of','and','is')))
+        |          / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
+        |    round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+        |      AS repetition_ratio
+        |  FROM t),
+        |band AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CASE WHEN n_tokens < 10 THEN 'too_short'
+        |         WHEN repetition_ratio > 0.8 THEN 'repetitive'
+        |         WHEN stop_ratio > 0.4 THEN 'boilerplate'
+        |         ELSE 'ok' END AS quality_band
+        |  FROM s),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY
+        |      CASE WHEN quality_band = 'ok' THEN 1 ELSE 0 END DESC,
+        |      n_tokens DESC, doc_id ASC) AS rank
+        |  FROM band)
+        |SELECT source, CAST(rank AS INT) AS rank, doc_id, n_tokens, quality_band
+        |FROM r WHERE rank <= 50
+        |ORDER BY source, rank""".stripMargin,
+
     // t32: distribution drift — lang-mix JS divergence between the corpus
     // and the md5-bucket-'f' ingest slice; shares are exact divides, the
     // ln chain is rounded only at the projection (per-lang JS terms are

@@ -1103,6 +1103,46 @@ object TextAnalysis {
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
     hllDistinctOf(Tables.documents(spark, dir))
 
+  /** SOURCE QUOTA CAP (t33) — deterministic per-source document budget:
+    * every source keeps at most `quota` docs, best-first (quality band
+    * 'ok' before flagged, longer before shorter, doc_id as the total
+    * tie-break). This is the domain-cap curation step every large-corpus
+    * recipe applies (no single crawl domain may dominate the mixture —
+    * the per-domain caps of the public corpus pipelines), expressed as
+    * one rank-per-group window over t02's quality signals.
+    *
+    * One exchange on source; the window's per-group state is a counter
+    * (row_number), not a buffer. At 100 TB the source-grain skew rule
+    * applies: a mega-source's partition holds that source's docs only,
+    * and the rank cut discards its tail without shuffling anything
+    * else. All ordering keys are integers/strings — nothing to round. */
+  def sourceQuotaOf(docs: DataFrame, quota: Int = 50): DataFrame = {
+    val stopList = EnStopwords.map(w => s"'$w'").mkString(", ")
+    val byQuality = Window.partitionBy("source").orderBy(
+      (col("quality_band") === "ok").cast("int").desc,
+      col("n_tokens").desc, col("doc_id").asc)
+    withToks(docs)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        round(expr(s"size(filter(toks, w -> w in ($stopList)))").cast("double")
+          / col("n_tokens"), 4))
+      .withColumn("repetition_ratio",
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+          / col("n_tokens"), 4))
+      .withColumn("quality_band",
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("repetition_ratio") > 0.8, "repetitive")
+          .when(col("stop_ratio") > 0.4, "boilerplate")
+          .otherwise("ok"))
+      .withColumn("rank", row_number().over(byQuality).cast("int"))
+      .filter(col("rank") <= quota)
+      .select("source", "rank", "doc_id", "n_tokens", "quality_band")
+      .orderBy("source", "rank")
+  }
+
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame =
+    sourceQuotaOf(Tables.documents(spark, dir))
+
   /** DISTRIBUTION DRIFT (t32) — Jensen–Shannon divergence between the
     * corpus's language mix and tonight's ingest batch's: the bias monitor
     * every recurring crawl ingest runs before merging ("is the new batch

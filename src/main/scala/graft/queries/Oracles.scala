@@ -764,5 +764,35 @@ object RelationalOracles {
         |  round(events - num / 255.0, 6) AS residual
         |FROM lagged WHERE num IS NOT NULL
         |ORDER BY event_type, day""".stripMargin,
+
+    // q48: gaps-and-islands sessionization — boundary flags via lag, a
+    // running sum numbers the islands; (ts_us, event_id) makes the order
+    // total. Integer/µs outputs only.
+    "q48_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    CASE WHEN lag(ts_us, 1) OVER win IS NULL
+        |           OR ts_us - lag(ts_us, 1) OVER win > 1800000000
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, ts_us, event_type,
+        |    CAST(sum(boundary) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM b)
+        |SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS duration_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchases
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
   )
 }

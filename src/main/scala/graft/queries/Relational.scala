@@ -1117,6 +1117,49 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** BATCH SESSIONIZATION (q48) — gaps-and-islands: assign every event to
+    * a session (a maximal run of one user's events with < 30 min between
+    * neighbors) with pure window functions, then aggregate per session.
+    * This is the BATCH counterpart of the streaming session windows
+    * (w02/w06): the nightly re-sessionization a pipeline runs over the
+    * full history, where no watermark state exists and the islands must
+    * come out of a sort.
+    *
+    * Classic two-window shape: lag() marks boundaries (gap > 30 min or
+    * first event), a running sum of boundary flags numbers the islands —
+    * both windows share ONE partition-by-user sort, so the whole
+    * assignment is a single exchange + sort, then the per-session
+    * aggregate reuses the same partitioning (no second shuffle of the
+    * event stream). The (ts_us, event_id) compound order is total —
+    * same-microsecond events cannot make engines disagree. All outputs
+    * are integers/µs — nothing to round. */
+  def q48Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val byTs = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+    ev
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byTs))
+      .withColumn("boundary",
+        (col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs)
+          .cast("long"))
+      .withColumn("session_seq",
+        sum("boundary").over(byTs.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_purchases"))
+      .select(col("user_id"), col("session_seq").cast("int").as("session_seq"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"),
+        col("n_events"), col("n_purchases"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */

@@ -157,6 +157,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan("w06_session_stats").take(2000))
   }
 
+  test("q48_sessionize: ONE hash exchange — boundary window, island sum, " +
+       "and the per-session aggregate all reuse the user partitioning") {
+    assert(hashExchanges("q48_sessionize") === 1,
+      plan("q48_sessionize").take(2000))
+  }
+
   test("q34_scd2: ONE hash exchange — run aggregate and both windows share " +
        "the user_id partitioning") {
     assert(hashExchanges("q34_scd2") === 1, plan("q34_scd2").take(2000))
