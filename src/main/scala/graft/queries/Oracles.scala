@@ -794,5 +794,27 @@ object RelationalOracles {
         |    AS n_purchases
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // q49: RFM segmentation — ntile quartiles with custkey tie-breaks
+    // (total order → identical boundaries); monetary ranks on the exact
+    // decimal spend.
+    "q49_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+        |  FROM orders GROUP BY 1),
+        |sc AS (
+        |  SELECT o_custkey, spend,
+        |    CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS INT)
+        |      AS r_score,
+        |    CAST(ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC) AS INT)
+        |      AS f_score,
+        |    CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS INT)
+        |      AS m_score
+        |  FROM cust)
+        |SELECT r_score, f_score, m_score, count(*) AS customers,
+        |  CAST(round(sum(spend), 2) AS DOUBLE) AS segment_spend
+        |FROM sc GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
   )
 }

@@ -1160,6 +1160,42 @@ object Relational {
       .orderBy("user_id", "session_seq")
   }
 
+  /** RFM SEGMENTATION (q49) — recency/frequency/monetary quartile scores
+    * per customer, rolled up to segment counts: the classic marketing
+    * segmentation the reference's KPI views feed into downstream. Three
+    * ntile(4) windows over the customer-grain aggregate (~customers
+    * rows, not orders); each window's ORDER BY carries a c_custkey
+    * tie-break so the quartile boundaries are total-ordered and
+    * engine-portable. Monetary ranks on the EXACT decimal spend (double
+    * sums would order-flip at the last ulp across engines); the segment
+    * rollup rounds only at the projection.
+    *
+    * The unpartitioned ntile windows are the oracle-exact form; global
+    * quantile bucketing inherently needs a global order. The 100 TB
+    * posture replaces them with three approx-quantile cut lookups
+    * (percentile_approx over the same customer grain, broadcast the 3×3
+    * cut points, score by comparison) — same segments off-boundary,
+    * no single-partition sort. */
+  def q49RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
+    val r = Window.orderBy(col("last_order").desc, col("o_custkey").asc)
+    val f = Window.orderBy(col("n_orders").desc, col("o_custkey").asc)
+    val m = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+    cust
+      .withColumn("r_score", ntile(4).over(r))
+      .withColumn("f_score", ntile(4).over(f))
+      .withColumn("m_score", ntile(4).over(m))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("customers"),
+        round(sum("spend"), 2).cast("double").as("segment_spend"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */
