@@ -62,23 +62,26 @@ object GraphRank {
   private def superstep(adj: DataFrame, ranks: DataFrame,
                         grants: DataFrame): DataFrame =
     adj
-      .join(ranks, adj("src") === ranks("node"))
+      // SHUFFLE_HASH: the node-grain rank vector is the hash build side —
+      // a sort-merge join would re-SORT the 100×-larger cached adjacency
+      // every superstep (the adjacency is already src-partitioned, so the
+      // only per-superstep movement is the rank vector's exchange)
+      .join(ranks.hint("shuffle_hash"), adj("src") === ranks("node"))
       .select(adj("dst"), expr("r div deg").as("c"))
       .groupBy("dst")
       .agg(sum(col("c")).as("s"))
-      .join(grants, col("dst") === grants("gnode"))
+      // grants is node-grain and persisted: broadcast beats exchanging
+      // the contribution aggregate a second time
+      .join(broadcast(grants), col("dst") === grants("gnode"))
       .select(col("dst").as("node"),
         (expr("(85 * s) div 100") + col("grant")).as("r"))
 
   /** Shared loop: start from `init` (node, r), run `iterations`
     * supersteps with per-node teleport `grants` (gnode, grant), emit the
-    * supplier side with degrees. */
-  private def run(orders: DataFrame, lineitem: DataFrame, iterations: Int)(
+    * supplier side with degrees. `adj` must already be materialized
+    * (persisted or memoized) — every superstep reads it. */
+  private def runLoop(adj: DataFrame, deg: DataFrame, iterations: Int)(
       mkInitAndGrants: (DataFrame) => (DataFrame, DataFrame)): DataFrame = {
-    val edges = purchaseEdges(orders, lineitem)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, Seq("src")).persist()
-    adj.count()
     // grants is referenced by every superstep of the final lineage —
     // uncached, the deg→(seeds→)nodes chain replays once per iteration
     val (init, grants0) = mkInitAndGrants(deg)
@@ -86,27 +89,83 @@ object GraphRank {
     var ranks = init
     for (_ <- 1 to iterations) ranks = superstep(adj, ranks, grants)
     ranks
-      .join(deg, ranks("node") === deg("src"))
+      .join(broadcast(deg), ranks("node") === deg("src"))
       .filter(col("node").startsWith("s"))
       .select(col("node"), col("deg").as("degree"), col("r").as("rank_micros"))
       .orderBy("node")
   }
 
-  /** Uniform PageRank (g01): every node starts with SCALE/n mass and
-    * receives the uniform teleport grant 0.15·SCALE/n. */
-  def graphRankOf(orders: DataFrame, lineitem: DataFrame,
-                  iterations: Int = 3): DataFrame =
-    run(orders, lineitem, iterations) { deg =>
-      val nDf = deg.agg(count(lit(1)).as("n"))
-      val nodes = deg.select(col("src").as("node")).crossJoin(broadcast(nDf))
-      val init = nodes.select(col("node"), expr(s"${Scale}L div n").as("r"))
-      val grants = nodes.select(col("node").as("gnode"),
-        expr(s"((15 * ${Scale}L) div 100) div n").as("grant"))
-      (init, grants)
+  /** Ad-hoc-frame form: build + persist the adjacency locally (spec entry
+    * point; the (session, dir) driver entries use the memoized build). */
+  private def run(orders: DataFrame, lineitem: DataFrame, iterations: Int)(
+      mkInitAndGrants: (DataFrame) => (DataFrame, DataFrame)): DataFrame = {
+    val edges = purchaseEdges(orders, lineitem)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = edges.join(deg, Seq("src")).repartition(col("src")).persist()
+    adj.count()
+    runLoop(adj, deg, iterations)(mkInitAndGrants)
+  }
+
+  /** Build-once graph artifacts per (session, dir) — the same
+    * compute-once/query-many memo discipline as the ANN index family
+    * ([[Similarity]]): g01 and g02 walk the SAME purchase graph, so the
+    * fact join + distinct + degree aggregate run once per session, not
+    * once per query. At 100 TB the adjacency is the write-once
+    * intermediate table both rank jobs read. */
+  private val memoCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def memo(spark: SparkSession, dir: String, tag: String)
+                  (build: => DataFrame): DataFrame = {
+    memoCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(memoCache.remove)
+    memoCache.getOrElseUpdate((spark, dir, tag), {
+      val df = build.persist()
+      df.count()
+      df
+    })
+  }
+
+  private def edgesFor(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "graph-edges") {
+      purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
     }
 
+  private def degFor(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "graph-deg") {
+      edgesFor(spark, dir).groupBy("src").agg(count(lit(1)).as("deg"))
+    }
+
+  /** The adjacency is cached HASH-PARTITIONED ON src: the deg lookup
+    * broadcasts, so without the explicit repartition the cache would
+    * keep the upstream (src, dst) distinct's partitioning and every
+    * superstep would re-exchange the EDGE-GRAIN side of the rank join.
+    * Partitioned on src, each superstep shuffles only the node-grain
+    * rank vector — the pregel routing-table discipline. */
+  private def adjFor(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "graph-adj") {
+      edgesFor(spark, dir).join(degFor(spark, dir), Seq("src"))
+        .repartition(col("src"))
+    }
+
+  /** Uniform init: every node starts with SCALE/n mass and receives the
+    * uniform teleport grant 0.15·SCALE/n. */
+  private def uniformInit(deg: DataFrame): (DataFrame, DataFrame) = {
+    val nDf = deg.agg(count(lit(1)).as("n"))
+    val nodes = deg.select(col("src").as("node")).crossJoin(broadcast(nDf))
+    val init = nodes.select(col("node"), expr(s"${Scale}L div n").as("r"))
+    val grants = nodes.select(col("node").as("gnode"),
+      expr(s"((15 * ${Scale}L) div 100) div n").as("grant"))
+    (init, grants)
+  }
+
+  /** Uniform PageRank (g01). */
+  def graphRankOf(orders: DataFrame, lineitem: DataFrame,
+                  iterations: Int = 3): DataFrame =
+    run(orders, lineitem, iterations)(uniformInit)
+
   def graphRank(spark: SparkSession, dir: String): DataFrame =
-    graphRankOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+    runLoop(adjFor(spark, dir), degFor(spark, dir), 3)(uniformInit)
 
   /** PERSONALIZED PageRank (g02) — teleport mass restricted to a SEED set
     * (customers of one nation): rank becomes proximity to the seeds, the
@@ -116,34 +175,37 @@ object GraphRank {
     * expansion). Same superstep loop; only initialization and teleport
     * change: both put 1/|S| on seeds and ZERO elsewhere, so mass reaches
     * non-seeds only by walking edges. */
+  private def seedInit(customer: DataFrame, seedNation: Int)(
+      deg: DataFrame): (DataFrame, DataFrame) = {
+    val seeds = deg.join(
+      customer.filter(col("c_nationkey") === seedNation)
+        .select(concat(lit("c"), col("c_custkey")).as("src")),
+      Seq("src"))
+      .select(col("src").as("seed"))
+    val nS = seeds.agg(count(lit(1)).as("ns"))
+    val nodes = deg.select(col("src").as("node"))
+      .join(seeds, col("node") === col("seed"), "left")
+      .crossJoin(broadcast(nS))
+    val init = nodes.select(col("node"),
+      when(col("seed").isNotNull, expr(s"${Scale}L div ns"))
+        .otherwise(lit(0L)).as("r"))
+    val grants = nodes.select(col("node").as("gnode"),
+      when(col("seed").isNotNull, expr(s"((15 * ${Scale}L) div 100) div ns"))
+        .otherwise(lit(0L)).as("grant"))
+    (init, grants)
+  }
+
   def personalizedRankOf(
       orders: DataFrame,
       lineitem: DataFrame,
       customer: DataFrame,
       seedNation: Int = 1,
       iterations: Int = 3): DataFrame =
-    run(orders, lineitem, iterations) { deg =>
-      val seeds = deg.join(
-        customer.filter(col("c_nationkey") === seedNation)
-          .select(concat(lit("c"), col("c_custkey")).as("src")),
-        Seq("src"))
-        .select(col("src").as("seed"))
-      val nS = seeds.agg(count(lit(1)).as("ns"))
-      val nodes = deg.select(col("src").as("node"))
-        .join(seeds, col("node") === col("seed"), "left")
-        .crossJoin(broadcast(nS))
-      val init = nodes.select(col("node"),
-        when(col("seed").isNotNull, expr(s"${Scale}L div ns"))
-          .otherwise(lit(0L)).as("r"))
-      val grants = nodes.select(col("node").as("gnode"),
-        when(col("seed").isNotNull, expr(s"((15 * ${Scale}L) div 100) div ns"))
-          .otherwise(lit(0L)).as("grant"))
-      (init, grants)
-    }
+    run(orders, lineitem, iterations)(seedInit(customer, seedNation))
 
   def personalizedRank(spark: SparkSession, dir: String): DataFrame =
-    personalizedRankOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir),
-      Tables.customer(spark, dir))
+    runLoop(adjFor(spark, dir), degFor(spark, dir), 3)(
+      seedInit(Tables.customer(spark, dir), 1))
 
   /** TRIANGLE COUNT (g03) — graph clustering structure over the
     * co-purchase graph (parts as nodes, an edge when two parts share ≥ 2
