@@ -291,6 +291,9 @@ object GraphRank {
         col("e1.p1") === col("e2.p1") && col("e1.p2") < col("e2.p2"))
       .groupBy(col("e1.p2").as("v"), col("e2.p2").as("w"))
       .agg(count(lit(1)).as("cn"))
+    // top-25 via orderBy+limit (TakeOrderedAndProject — the wedge pair
+    // table is corpus-scale; a global rank window would single-partition
+    // sort it); rank is a window over the 25 survivors only
     val rw = Window.orderBy(col("jaccard").desc, col("cn").desc,
       col("v").asc, col("w").asc)
     wedges
@@ -298,8 +301,9 @@ object GraphRank {
       .join(broadcast(deg.select(col("pk").as("w"), col("deg").as("deg_w"))), Seq("w"))
       .withColumn("jaccard",
         round(col("cn") / (col("deg_v") + col("deg_w") - col("cn")), 6))
+      .orderBy(col("jaccard").desc, col("cn").desc, col("v").asc, col("w").asc)
+      .limit(25)
       .withColumn("rank", row_number().over(rw).cast("int"))
-      .filter(col("rank") <= 25)
       .select("rank", "v", "w", "cn", "deg_v", "deg_w", "jaccard")
       .orderBy("rank")
   }

@@ -966,6 +966,9 @@ object TextAnalysis {
       .groupBy("hrow", "bucket")
       .agg(count(lit(1)).as("cell_count"))
     val exact = toks.groupBy("word").agg(count(lit(1)).as("exact_count"))
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    // never a single-partition sort of the vocab-grain estimate table);
+    // rank is then a window over topK rows only
     val rw = Window.orderBy(col("cms_estimate").desc, col("word").asc)
     withBuckets(exact)
       .select(col("word"), col("exact_count"),
@@ -973,8 +976,9 @@ object TextAnalysis {
       .join(broadcast(cells), Seq("hrow", "bucket"))
       .groupBy("word", "exact_count")
       .agg(min("cell_count").as("cms_estimate"))
+      .orderBy(col("cms_estimate").desc, col("word").asc)
+      .limit(topK)
       .withColumn("rank", row_number().over(rw).cast("int"))
-      .filter(col("rank") <= topK)
       .select("rank", "word", "exact_count", "cms_estimate")
       .orderBy("rank")
   }

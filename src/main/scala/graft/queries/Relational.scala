@@ -961,8 +961,12 @@ object Relational {
         round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("revenue"))
       .crossJoin(broadcast(total))
       .withColumn("share", round(col("conversions") / col("total"), 6))
+      // top-25 via orderBy+limit (TakeOrderedAndProject — the path table
+      // is conversion-scale; no single-partition rank window over it),
+      // then rank over the 25 survivors
+      .orderBy(col("conversions").desc, col("path").asc)
+      .limit(25)
       .withColumn("rank", row_number().over(rw).cast("int"))
-      .filter(col("rank") <= 25)
       .select("rank", "path", "conversions", "share", "revenue")
       .orderBy("rank")
   }
@@ -1003,8 +1007,13 @@ object Relational {
           (col("sup_a").cast("double") * col("sup_b")), 6).as("lift"),
         round(col("sup_ab") / (col("sup_a") + col("sup_b") - col("sup_ab")), 6)
           .as("jaccard"))
+      // top-25 via orderBy+limit (TakeOrderedAndProject — the rule table
+      // is pair-scale; no single-partition rank window over it), then
+      // rank over the 25 survivors
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("ante").asc, col("cons").asc)
+      .limit(25)
       .withColumn("rank", row_number().over(rw).cast("int"))
-      .filter(col("rank") <= 25)
       .orderBy("rank")
   }
 

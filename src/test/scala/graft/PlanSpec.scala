@@ -291,6 +291,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the single BNLJ allowed is the broadcast 1-row n_orders scalar (J4
     // pattern); a second one would mean a degree join degenerated
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+    // top-25 must be a distributed heap, never a global rank window over
+    // the pair-scale rule table
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
   test("q44_anomaly_zscore: the window consumes the day-grain grid — " +
@@ -316,6 +319,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // by one conversion's touches), never SortAggregate over a global sort
     assert(p.contains("ObjectHashAggregate"), p.take(2000))
     assert(!p.contains("SortAggregate"), p.take(2000))
+    // top-25 paths via distributed heap, not a global rank window
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
   test("g04_node_similarity: both degree lookups broadcast onto the wedge " +
@@ -325,6 +330,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(2000))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       s"degree lookups must broadcast, not shuffle the wedge table:\n${p.take(2000)}")
+    // top-25 pairs via distributed heap, not a global rank window over
+    // the wedge-scale scored table
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
   test("t31_hll_distinct: register aggregate is a HashAggregate with " +
