@@ -327,21 +327,17 @@ object GraphRank {
     * ~10-20), each a co-partitioned join — the exchange count, not the
     * data volume, is the scale cost, exactly like g01's supersteps.
     * Every quantity is a BIGINT count or id; nothing to round. */
-  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select("p1", "p2")
+  /** Core loop over any undirected (p1, p2) edge frame — JobCountSpec
+    * drives a hand-built chain through it to pin the ≤1-action-per-round
+    * shape. */
+  def bfsHopsOf(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     val und = edges
       .union(edges.select(col("p2").as("p1"), col("p1").as("p2")))
       .persist()
     // the source: minimum node id in the edge set — deterministic, and a
-    // 1-row driver scalar (the loop needs it as a literal frontier seed)
+    // 1-row driver scalar (the loop needs it as a literal frontier seed);
+    // this one action also materializes the adjacency cache
     val seed = und.agg(min("p1")).first().getLong(0)
     import spark.implicits._
     var frontier = Seq(seed).toDF("pk")
@@ -370,5 +366,18 @@ object GraphRank {
       .select(col("hop").cast("int").as("hop"), col("nodes"),
         col("min_pk"), col("max_pk"))
       .orderBy("hop")
+  }
+
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("p1", "p2")
+    bfsHopsOf(edges)
   }
 }

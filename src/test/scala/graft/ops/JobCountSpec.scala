@@ -73,4 +73,36 @@ class JobCountSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("g05 BFS loop: one Spark action per frontier round") {
+    val s = spark; import s.implicits._
+    // a 7-node path 0-1-...-6: eccentricity 6 from the seed, so the loop
+    // needs 6 growing rounds + 1 empty round — one hop per round is the
+    // worst case, which makes the job budget tight
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("p1", "p2")
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val hist = GraphRank.bfsHopsOf(chain) // seed + loop run here
+      val loopJobs = settledJobCount(jobs)
+      // 1 seed/materialize job + 1 eager frontier checkpoint + 7 rounds ×
+      // 1 job: a second action per round (e.g. a separate isEmpty probe)
+      // would spend 16 — the budget below fails it
+      assert(loopJobs <= 10, s"BFS loop spent $loopJobs jobs for 7 rounds")
+      val rows = hist.collect()
+      assert(rows.length === 7, "hop levels 0..6")
+      rows.foreach { r =>
+        val h = r.getAs[Int]("hop")
+        assert(r.getAs[Long]("nodes") === 1L, s"hop $h")
+        assert(r.getAs[Long]("min_pk") === h.toLong &&
+          r.getAs[Long]("max_pk") === h.toLong, s"hop $h node id")
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
