@@ -180,6 +180,7 @@ object SparkEntry {
     "t31_hll_distinct"       -> (TextAnalysis.hllDistinct _),
     "t32_distribution_drift" -> (TextAnalysis.distributionDrift _),
     "t33_source_quota"       -> (TextAnalysis.sourceQuota _),
+    "t34_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
     "q48_sessionize"         -> (Relational.q48Sessionize _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),

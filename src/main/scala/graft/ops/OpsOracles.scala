@@ -77,9 +77,10 @@ object OpsOracles {
     * the same string-accumulator greedy fold applied to every distinct
     * corpus word (not just the training vocabulary), joined back to the
     * token stream for per-doc subword counts. */
-  private def bpeEncodeOracleSql: String = {
-    val stages = (1 to 8).map(bpeStage).mkString(",\n")
-    val encodeStages = (1 to 8).map { k =>
+  /** The e1..e8 greedy-encode chain over e0's distinct word types —
+    * shared by the t25 and t34 oracles. */
+  private def bpeEncodeStages: String =
+    (1 to 8).map { k =>
       val prev = if (k == 1) "e0" else s"e${k - 1}"
       s"""e$k AS (
          |  SELECT word, list_reduce(string_split(repr, '|'), (acc, s) ->
@@ -89,6 +90,10 @@ object OpsOracles {
          |    ELSE acc || '|' || s END) AS repr
          |  FROM $prev, t$k)""".stripMargin
     }.mkString(",\n")
+
+  private def bpeEncodeOracleSql: String = {
+    val stages = (1 to 8).map(bpeStage).mkString(",\n")
+    val encodeStages = bpeEncodeStages
     s"""WITH w AS (
        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) s
@@ -113,6 +118,41 @@ object OpsOracles {
        |FROM dw JOIN enc USING (word)
        |GROUP BY dw.doc_id
        |ORDER BY dw.doc_id""".stripMargin
+  }
+
+  /** t34: the t24 merge stages + shared encode chain, aggregated to
+    * LANGUAGE grain — fertility (subwords/word) and chars/subword as
+    * single divides of exact BIGINT sums. */
+  private def tokenizerFertilityOracleSql: String = {
+    val stages = (1 to 8).map(bpeStage).mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) s
+       |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')
+       |  GROUP BY 1 ORDER BY freq DESC, word LIMIT 256),
+       |v0 AS (SELECT word, freq,
+       |  array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '|') AS repr
+       |  FROM w),
+       |$stages,
+       |dw AS (
+       |  SELECT lang, tok AS word
+       |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents) s
+       |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')),
+       |e0 AS (SELECT DISTINCT word,
+       |  array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '|') AS repr
+       |  FROM dw),
+       |$bpeEncodeStages,
+       |enc AS (SELECT word, CAST(len(string_split(repr, '|')) AS INT) AS n_sub,
+       |  CAST(length(word) AS BIGINT) AS n_chars_w FROM e8)
+       |SELECT dw.lang, CAST(count(*) AS BIGINT) AS words,
+       |  CAST(sum(enc.n_sub) AS BIGINT) AS subwords,
+       |  CAST(sum(enc.n_chars_w) AS BIGINT) AS chars,
+       |  round(CAST(sum(enc.n_sub) AS DOUBLE) / count(*), 6) AS fertility,
+       |  round(CAST(sum(enc.n_chars_w) AS DOUBLE) / CAST(sum(enc.n_sub) AS DOUBLE), 6)
+       |    AS chars_per_subword
+       |FROM dw JOIN enc USING (word)
+       |GROUP BY dw.lang
+       |ORDER BY dw.lang""".stripMargin
   }
 
   /** The three fixed-point PageRank supersteps unrolled (mirrors
@@ -2536,6 +2576,8 @@ object OpsOracles {
     "m08_media_search" -> mediaSearchSql,
 
     "t25_bpe_encode" -> bpeEncodeOracleSql,
+
+    "t34_tokenizer_fertility" -> tokenizerFertilityOracleSql,
 
     // t26: logistic quality classifier — integer features; the double
     // ratios feed exp() so the 6dp round lands on a non-terminating value.

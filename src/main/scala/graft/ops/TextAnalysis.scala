@@ -528,18 +528,26 @@ object TextAnalysis {
     * and aggregates to docs: one exchange on the type table, one on the
     * doc aggregate. Encoding cost is O(types × merges), independent of
     * corpus token count. */
+  /** Distinct word types → (word, n_sub) under the merge table: the
+    * greedy encode fold runs over the TYPE table (vocab-sized), never the
+    * token stream. */
+  private def encodedTypesOf(words: DataFrame,
+                             merges: Seq[(String, String)]): DataFrame = {
+    val types0 = words.select("word").distinct()
+      .withColumn("repr", concat_ws("|", split(col("word"), "")))
+    merges
+      .foldLeft(types0) { (df, m) =>
+        df.withColumn("repr", expr(applyMergeSql(m._1, m._2)))
+      }
+      .select(col("word"), size(split(col("repr"), "\\|")).as("n_sub"))
+  }
+
   private def bpeEncodeWith(docs: DataFrame,
                             merges: Seq[(String, String)]): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
-    val types0 = words.select("word").distinct()
-      .withColumn("repr", concat_ws("|", split(col("word"), "")))
-    val encoded = merges
-      .foldLeft(types0) { (df, m) =>
-        df.withColumn("repr", expr(applyMergeSql(m._1, m._2)))
-      }
-      .select(col("word"), size(split(col("repr"), "\\|")).as("n_sub"))
+    val encoded = encodedTypesOf(words, merges)
     words.join(encoded, Seq("word"))
       .groupBy("doc_id")
       .agg(
@@ -557,6 +565,39 @@ object TextAnalysis {
 
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeWith(Tables.documents(spark, dir),
+      corpusMerges(spark, dir).map(m => (m._2, m._3)))
+
+  /** TOKENIZER FERTILITY (t34) — subwords-per-word and chars-per-subword
+    * by LANGUAGE under the t24 merge table: the tokenizer-cost audit run
+    * before committing a vocabulary ("how many tokens does each language
+    * pay per word?" — fertility drives training cost and context-window
+    * budget per language, and a vocab trained on one language inflates
+    * the others). Reuses the memoized corpus merges (t24/t25) and the
+    * type-grain encode fold; the token stream only joins the vocab-sized
+    * (word, n_sub) table and aggregates to lang grain — one narrow pass.
+    * Ratios are single double divides of exact BIGINT sums. */
+  def tokenizerFertilityOf(docs: DataFrame,
+                           merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val enc = encodedTypesOf(words, merges)
+      .withColumn("n_chars_w", length(col("word")).cast("long"))
+    words.join(enc, Seq("word"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("words"),
+        sum(col("n_sub").cast("long")).as("subwords"),
+        sum(col("n_chars_w")).as("chars"))
+      .select(col("lang"), col("words"), col("subwords"), col("chars"),
+        round(col("subwords").cast("double") / col("words"), 6).as("fertility"),
+        round(col("chars").cast("double") / col("subwords"), 6)
+          .as("chars_per_subword"))
+      .orderBy("lang")
+  }
+
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenizerFertilityOf(Tables.documents(spark, dir),
       corpusMerges(spark, dir).map(m => (m._2, m._3)))
 
   /** MODEL-BASED quality classifier (t26) — the classifier-filter step of
