@@ -181,7 +181,7 @@ object SparkEntry {
     "t32_distribution_drift" -> (TextAnalysis.distributionDrift _),
     "t33_source_quota"       -> (TextAnalysis.sourceQuota _),
     "t34_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
-    "q48_sessionize"         -> (Relational.q48Sessionize _),
+    "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "f13_data_skipping"      -> (graft.sources.DataSkipping.skippingQuery _),

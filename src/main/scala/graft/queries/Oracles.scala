@@ -765,10 +765,9 @@ object RelationalOracles {
         |FROM lagged WHERE num IS NOT NULL
         |ORDER BY event_type, day""".stripMargin,
 
-    // q48: gaps-and-islands sessionization — boundary flags via lag, a
-    // running sum numbers the islands; (ts_us, event_id) makes the order
-    // total. Integer/µs outputs only.
-    "q48_sessionize" ->
+    // q48: session depth → conversion — gaps-and-islands sessions rolled
+    // to the depth grain; single divides of exact BIGINT sums.
+    "q48_session_depth" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
         |  FROM events),
@@ -785,15 +784,21 @@ object RelationalOracles {
         |      ORDER BY ts_us ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS session_seq
-        |  FROM b)
-        |SELECT user_id, CAST(session_seq AS INT) AS session_seq,
-        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
-        |  max(ts_us) - min(ts_us) AS duration_us,
-        |  count(*) AS n_events,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_purchases
-        |FROM s GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin,
+        |  FROM b),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |    min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |    count(*) AS n_events,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM s GROUP BY user_id, session_seq)
+        |SELECT CAST(least(n_events, 10) AS INT) AS depth,
+        |  count(*) AS sessions,
+        |  CAST(sum(converted) AS BIGINT) AS converting,
+        |  round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conversion_rate,
+        |  round(CAST(sum(end_us - start_us) AS DOUBLE) / count(*), 4)
+        |    AS avg_duration_us
+        |FROM sess GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // q49: RFM segmentation — ntile quartiles with custkey tie-breaks
     // (total order → identical boundaries); monetary ranks on the exact

@@ -1126,30 +1126,28 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
-  /** BATCH SESSIONIZATION (q48) — gaps-and-islands: assign every event to
-    * a session (a maximal run of one user's events with < 30 min between
-    * neighbors) with pure window functions, then aggregate per session.
-    * This is the BATCH counterpart of the streaming session windows
-    * (w02/w06): the nightly re-sessionization a pipeline runs over the
-    * full history, where no watermark state exists and the islands must
-    * come out of a sort.
+  /** SESSION DEPTH → CONVERSION (q48) — the engagement-depth curve: how
+    * conversion probability and dwell time grow with events-per-session.
+    * Sessions come from the same gaps-and-islands assignment the session
+    * table (w06) uses; what THIS surface adds is the second rollup to the
+    * depth grain (depth capped at 10+) with conversion share — the
+    * bounded dashboard table product teams actually read, which the raw
+    * session table is too big to be at 100 TB.
     *
-    * Classic two-window shape: lag() marks boundaries (gap > 30 min or
-    * first event), a running sum of boundary flags numbers the islands —
-    * both windows share ONE partition-by-user sort, so the whole
-    * assignment is a single exchange + sort, then the per-session
-    * aggregate reuses the same partitioning (no second shuffle of the
-    * event stream). The (ts_us, event_id) compound order is total —
-    * same-microsecond events cannot make engines disagree. All outputs
-    * are integers/µs — nothing to round. */
-  def q48Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    * The islands assignment and BOTH aggregates (session grain, then
+    * depth grain) run off one user-hash exchange plus one tiny
+    * depth-grain exchange over ≤11 rows per partial. Conversion rate and
+    * mean duration are single double divides of exact BIGINT sums,
+    * rounded at the projection; the (ts_us, event_id) compound order is
+    * total, so engines cannot disagree on island boundaries. */
+  def q48SessionDepth(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 30L * 60 * 1000000
     val byTs = Window.partitionBy("user_id")
       .orderBy(col("ts_us").asc, col("event_id").asc)
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
         col("event_type"))
-    ev
+    val sessions = ev
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byTs))
       .withColumn("boundary",
         (col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs)
@@ -1161,12 +1159,20 @@ object Relational {
         min("ts_us").as("start_us"),
         max("ts_us").as("end_us"),
         count(lit(1)).as("n_events"),
-        sum((col("event_type") === "purchase").cast("long")).as("n_purchases"))
-      .select(col("user_id"), col("session_seq").cast("int").as("session_seq"),
-        col("start_us"), col("end_us"),
-        (col("end_us") - col("start_us")).as("duration_us"),
-        col("n_events"), col("n_purchases"))
-      .orderBy("user_id", "session_seq")
+        max((col("event_type") === "purchase").cast("long")).as("converted"))
+    sessions
+      .withColumn("depth", least(col("n_events"), lit(10L)).cast("int"))
+      .groupBy("depth")
+      .agg(
+        count(lit(1)).as("sessions"),
+        sum("converted").as("converting"),
+        sum(col("end_us") - col("start_us")).as("dur_sum"))
+      .select(col("depth"), col("sessions"), col("converting"),
+        round(col("converting").cast("double") / col("sessions"), 6)
+          .as("conversion_rate"),
+        round(col("dur_sum").cast("double") / col("sessions"), 4)
+          .as("avg_duration_us"))
+      .orderBy("depth")
   }
 
   /** RFM SEGMENTATION (q49) — recency/frequency/monetary quartile scores

@@ -157,10 +157,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan("w06_session_stats").take(2000))
   }
 
-  test("q48_sessionize: ONE hash exchange — boundary window, island sum, " +
-       "and the per-session aggregate all reuse the user partitioning") {
-    assert(hashExchanges("q48_sessionize") === 1,
-      plan("q48_sessionize").take(2000))
+  test("q48_session_depth: TWO hash exchanges — islands + session aggregate " +
+       "share the user partitioning; the depth rollup moves ≤11 rows per task") {
+    assert(hashExchanges("q48_session_depth") === 2,
+      plan("q48_session_depth").take(2000))
   }
 
   test("q34_scd2: ONE hash exchange — run aggregate and both windows share " +
