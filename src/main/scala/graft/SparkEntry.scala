@@ -192,6 +192,8 @@ object SparkEntry {
     "g05_bfs_hops"           -> (graft.ops.GraphRank.bfsHops _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),
+    "w10_session_window"     -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.runSessionWindowAvailableNow(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),

@@ -1555,6 +1555,38 @@ object OpsOracles {
         |WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
 
+    // w10: native session windows — islands with the session_window
+    // boundary rule (windows [t, t+gap) merge on OVERLAP: a gap of
+    // exactly 30 min starts a NEW session, hence >=), window end = last
+    // event + gap, and the watermark cut keeps only sessions the final
+    // watermark (max event time, 0s delay) has passed.
+    "w10_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |mx AS (SELECT max(ts_us) AS wm FROM e),
+        |b AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |    CASE WHEN lag(ts_us, 1) OVER win IS NULL
+        |           OR ts_us - lag(ts_us, 1) OVER win >= 1800000000
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, ts_us, value,
+        |    CAST(sum(boundary) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+        |  FROM b),
+        |sess AS (
+        |  SELECT user_id, min(ts_us) AS start_us,
+        |    max(ts_us) + 1800000000 AS end_us,
+        |    count(*) AS events,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        |  FROM s GROUP BY user_id, seq)
+        |SELECT user_id, start_us, end_us, events, total_value
+        |FROM sess CROSS JOIN mx WHERE end_us <= wm
+        |ORDER BY user_id, start_us""".stripMargin,
+
     "w02_session_counts" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,

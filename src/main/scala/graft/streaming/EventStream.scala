@@ -530,4 +530,46 @@ object EventStream {
     q.awaitTermination()
     spark.table(queryName).orderBy("hrow", "bucket")
   }
+
+  /** NATIVE SESSION WINDOWS (w10) — the DECLARATIVE form of [[sessionize]]:
+    * Spark's built-in `session_window` aggregate (dynamic-gap merging
+    * windows) instead of hand-rolled flatMapGroupsWithState. Same
+    * 30-minute rule, but state management, merge-on-overlap, and
+    * watermark eviction come from the engine — the form to prefer in
+    * production because it composes with any aggregate and needs no
+    * user state code. Boundary semantics differ from the lag form at
+    * exact-gap equality (windows [t, t+g) merge on OVERLAP, so a gap of
+    * exactly g starts a NEW session — the oracle encodes `>=`).
+    *
+    * Watermark 0s: with AvailableNow the final watermark lands on the
+    * max event time, so append mode emits every session whose window end
+    * (last event + gap) has been passed; only sessions still open within
+    * the trailing gap of the stream's very end stay in state — exactly
+    * the sessions a live pipeline MUST hold, since the next batch could
+    * extend them. The oracle applies the same cut relationally. */
+  def sessionWindowStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("events"),
+        round(sum(col("value").cast("decimal(18,6)")), 4)
+          .cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("events"), col("total_value"))
+
+  def runSessionWindowAvailableNow(spark: SparkSession, dir: String,
+                                   queryName: String = "graft_session_win"): DataFrame = {
+    val q = sessionWindowStats(readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("user_id", "start_us")
+  }
 }
