@@ -165,6 +165,7 @@ object SparkEntry {
     "d24_corpus_merge"       -> (Dedup.corpusMerge _),
     "d25_span_neardup"       -> (Dedup.spanNearDup _),
     "d27_drop_provenance"    -> (Dedup.dropProvenance _),
+    "d28_cluster_best_keep"  -> (Dedup.clusterBestKeep _),
     "d26_span_apply"         -> (Dedup.spanExcise _),
     "s18_filtered_ann"       ->
       ((s: SparkSession, d: String) => Similarity.filteredAnn(s, d)),

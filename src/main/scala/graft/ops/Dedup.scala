@@ -346,6 +346,40 @@ object Dedup {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** BEST-KEEPER selection per duplicate family (d28) — "keep the
+    * LONGEST, not the first": the Lee et al. 2021 refinement over
+    * [[dedupClusters]]' min-id rule (near-dup families usually contain
+    * one fullest copy plus truncated/boilerplate-wrapped variants; the
+    * min-id keeper is arbitrary, the longest keeper preserves the most
+    * content). Emits one row per family with the elected keeper — the
+    * decision table an apply step or a human audit consumes.
+    *
+    * The argmax is a packed-BIGINT `max_by` (n_chars·2²⁴ + (2²⁴−1−doc_id):
+    * longer wins, ties fall to the SMALLER doc_id) — a pure-primitive
+    * partial-aggregating HashAggregate, per the quantizer-assignment
+    * lesson (a struct ordering demotes to SortAggregate). The packing
+    * bound doc_id < 2²⁴ is guarded with raise_error, not assumed. */
+  def clusterBestKeepOf(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val lim = 1L << 24
+    val packed = col("n_chars") * lit(lim) + (lit(lim - 1) - col("doc_id"))
+    labels.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("k",
+        when(col("doc_id") >= lim || col("doc_id") < 0,
+          raise_error(concat(lit("clusterBestKeep: doc_id outside packing range: "),
+            col("doc_id").cast("string"))))
+          .otherwise(packed))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("family_size"),
+        max_by(col("doc_id"), col("k")).as("keeper"),
+        expr(s"max(k) div ${lim}L").as("keeper_chars"))
+      .select("cluster_id", "keeper", "keeper_chars", "family_size")
+      .orderBy("cluster_id")
+  }
+
+  def clusterBestKeep(spark: SparkSession, dir: String): DataFrame =
+    clusterBestKeepOf(dedupClusters(spark, dir), Tables.documents(spark, dir))
+
   /** EXACT dedup APPLICATION: the cleaned corpus with one keeper (min
     * doc_id) per distinct text — the workhorse first pass of every
     * training-data pipeline ([[exactDedup]] reports the summary; this

@@ -2056,6 +2056,45 @@ object OpsOracles {
         |GROUP BY family_size
         |ORDER BY family_size""".stripMargin,
 
+    // d28: best-keeper election per duplicate family — the same walk CTE
+    // as d16, then argmax by (n_chars desc, doc_id asc) via a ranked
+    // window (the oracle form of the engine's packed-BIGINT max_by).
+    "d28_cluster_best_keep" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |bi AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |       UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(doc_id, node) AS (
+        |  SELECT DISTINCT a, a FROM bi
+        |  UNION
+        |  SELECT w.doc_id, e.b FROM walk w JOIN bi e ON w.node = e.a),
+        |labels AS (
+        |  SELECT doc_id, min(node) AS cluster_id FROM walk GROUP BY doc_id),
+        |jd AS (
+        |  SELECT l.doc_id, l.cluster_id, d.n_chars
+        |  FROM labels l JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM jd),
+        |fam AS (SELECT cluster_id, count(*) AS family_size FROM jd GROUP BY 1)
+        |SELECT r.cluster_id, r.doc_id AS keeper,
+        |  CAST(r.n_chars AS BIGINT) AS keeper_chars, fam.family_size
+        |FROM r JOIN fam USING (cluster_id)
+        |WHERE rk = 1
+        |ORDER BY r.cluster_id""".stripMargin,
+
     // d17: the cluster-aware apply — drop clustered docs that are not
     // their component's minimum (same walk CTE as d16).
     "d17_cluster_apply" ->

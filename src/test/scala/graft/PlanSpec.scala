@@ -335,6 +335,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("d28_cluster_best_keep: the keeper argmax is a packed-BIGINT max_by " +
+       "HashAggregate — no SortAggregate anywhere in the election") {
+    val p = plan("d28_cluster_best_keep")
+    assert(!p.contains("SortAggregate"),
+      s"packed max_by fell back to SortAggregate:\n${p.take(2000)}")
+    assert(p.contains("max_by"), p.take(2000))
+  }
+
   test("t31_hll_distinct: register aggregate is a HashAggregate with " +
        "map-side combine — the token stream never shuffles raw") {
     val p = plan("t31_hll_distinct")
