@@ -800,6 +800,31 @@ object RelationalOracles {
         |FROM sess GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
+    // q50: first-order Markov transition grid — lead over the total
+    // (ts, event_id) order; probabilities are single divides of exact
+    // BIGINT counts.
+    "q50_event_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC) AS to_type
+        |  FROM ev),
+        |grid AS (
+        |  SELECT from_type, to_type, count(*) AS transitions
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (
+        |  SELECT from_type, CAST(sum(transitions) AS BIGINT) AS from_total
+        |  FROM grid GROUP BY 1),
+        |al AS (SELECT CAST(sum(transitions) AS BIGINT) AS all_total FROM grid)
+        |SELECT from_type, to_type, transitions,
+        |  round(transitions / CAST(from_total AS DOUBLE), 6) AS p_next,
+        |  round(transitions / CAST(all_total AS DOUBLE), 6) AS share
+        |FROM grid JOIN ft USING (from_type) CROSS JOIN al
+        |ORDER BY from_type, to_type""".stripMargin,
+
     // q49: RFM segmentation — ntile quartiles with custkey tie-breaks
     // (total order → identical boundaries); monetary ranks on the exact
     // decimal spend.

@@ -1211,6 +1211,40 @@ object Relational {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** EVENT TRANSITION MATRIX (q50) — the first-order Markov model of the
+    * user journey: P(next event type | current), the conditional grid
+    * behind next-action prediction and journey-drop-off analysis (q39's
+    * funnel fixes one path; this measures ALL single-step dynamics).
+    *
+    * lead() over the (user, ts, event_id)-ordered stream pairs each
+    * event with its successor — one user-hash exchange, the same
+    * partitioning discipline as q48 — then the transition aggregate
+    * collapses to a types×types grid map-side. Probabilities are single
+    * divides of exact BIGINT counts: conditional P(to|from) against the
+    * broadcast per-from totals, plus each cell's overall share. */
+  def q50EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+    val grid = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(byTs))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    val fromTot = grid.groupBy(col("from_type"))
+      .agg(sum("transitions").as("from_total"))
+    val all = grid.agg(sum("transitions").as("all_total"))
+    grid
+      .join(broadcast(fromTot), Seq("from_type"))
+      .crossJoin(broadcast(all))
+      .select(col("from_type"), col("to_type"), col("transitions"),
+        round(col("transitions") / col("from_total"), 6).as("p_next"),
+        round(col("transitions") / col("all_total"), 6).as("share"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */
