@@ -185,6 +185,7 @@ object SparkEntry {
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),
+    "q51_ab_test"            -> (Relational.q51AbTest _),
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "f13_data_skipping"      -> (graft.sources.DataSkipping.skippingQuery _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),

@@ -825,6 +825,34 @@ object RelationalOracles {
         |FROM grid JOIN ft USING (from_type) CROSS JOIN al
         |ORDER BY from_type, to_type""".stripMargin,
 
+    // q51: two-proportion z-test — four exact BIGINT counts, one fixed
+    // IEEE double chain (sqrt correctly-rounded), round at projection.
+    "q51_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 200
+        |        THEN 1 ELSE 0 END) AS converted,
+        |    (strpos('0123456789abcdef',
+        |       substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |w AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN converted END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN converted END) AS BIGINT) AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        |  round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        |  round(conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE), 6)
+        |    AS abs_lift,
+        |  round((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE)) /
+        |    sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) *
+        |         (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) *
+        |         (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+        |FROM w""".stripMargin,
+
     // q49: RFM segmentation — ntile quartiles with custkey tie-breaks
     // (total order → identical boundaries); monetary ranks on the exact
     // decimal spend.

@@ -1245,6 +1245,49 @@ object Relational {
       .orderBy("from_type", "to_type")
   }
 
+  /** A/B TEST ANALYSIS (q51) — the two-proportion z-test every
+    * experimentation platform reduces to: users hash-split into variants
+    * (md5 parity — the same deterministic-slice convention as d19/t32),
+    * per-variant purchase conversion, absolute lift, and the pooled-
+    * variance z statistic that says whether the difference is noise.
+    *
+    * Everything reduces to FOUR exact BIGINT counts (users and
+    * converters per arm) computed in one user-grain aggregate + one
+    * 4-value reduction; the statistic is then a fixed IEEE double chain
+    * (sqrt is correctly-rounded) rounded at the projection — the q44
+    * discipline. The events table collapses to user grain map-side;
+    * nothing after the first aggregate exceeds a handful of rows. */
+  def q51AbTest(spark: SparkSession, dir: String): DataFrame = {
+    // conversion = a HIGH-VALUE purchase (≥ 200): plain purchase presence
+    // saturates at 100% in this corpus, which degenerates the pooled
+    // variance to zero (and says nothing an experiment would ask)
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max((col("event_type") === "purchase" && col("value") >= 200)
+        .cast("long")).as("converted"))
+      .withColumn("variant",
+        expr("(locate(substring(md5(cast(user_id as string)), 1, 1)," +
+          " '0123456789abcdef') - 1) % 2"))
+    val arms = users.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+    val wide = arms.agg(
+      sum(when(col("variant") === 0, col("n"))).as("n_a"),
+      sum(when(col("variant") === 0, col("conv"))).as("conv_a"),
+      sum(when(col("variant") === 1, col("n"))).as("n_b"),
+      sum(when(col("variant") === 1, col("conv"))).as("conv_b"))
+    val ra = col("conv_a") / col("n_a")
+    val rb = col("conv_b") / col("n_b")
+    val pool = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+    wide.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(ra, 6).as("rate_a"),
+      round(rb, 6).as("rate_b"),
+      round(rb - ra, 6).as("abs_lift"),
+      round((rb - ra) /
+        sqrt(pool * (lit(1.0) - pool) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z_score"))
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */
