@@ -280,6 +280,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lookback pairing degenerated to a theta join:\n${p.take(2000)}")
     assert(!p.contains("SortAggregate"),
       s"packed-BIGINT max/min fell back to SortAggregate:\n${p.take(2000)}")
+    // both event scans must push their type predicates into parquet —
+    // at 100 TB the untouched event types (error, ...) never leave the reader
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"conversion scan lost its pushed filter:\n${p.take(2000)}")
+    assert(p.contains("In(event_type"),
+      s"touch scan lost its pushed In filter:\n${p.take(2000)}")
   }
 
   test("q43_assoc_rules: both degree joins broadcast; only the 1-row totals " +
