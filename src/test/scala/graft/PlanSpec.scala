@@ -341,6 +341,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("t29_cms_topwords: top-k over the vocab-grain estimates is a " +
+       "distributed heap, not a global rank window") {
+    val p = plan("t29_cms_topwords")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("d28_cluster_best_keep: the keeper argmax is a packed-BIGINT max_by " +
        "HashAggregate — no SortAggregate anywhere in the election") {
     val p = plan("d28_cluster_best_keep")
