@@ -186,6 +186,7 @@ object SparkEntry {
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),
     "q51_ab_test"            -> (Relational.q51AbTest _),
+    "q52_unpivot"            -> (Relational.q52Unpivot _),
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "f13_data_skipping"      -> (graft.sources.DataSkipping.skippingQuery _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),

@@ -523,6 +523,16 @@ object RelationalOracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // q52: unpivot — the oracle computes the LONG form directly (never
+    // pivots), so the melt must invert q25 exactly.
+    "q52_unpivot" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_linestatus IN ('F', 'O')
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q26_median" ->
       """SELECT l_returnflag,
         |  round(median(l_extendedprice), 4) AS median_price,

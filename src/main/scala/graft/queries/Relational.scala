@@ -390,6 +390,25 @@ object Relational {
       .withColumnRenamed("O", "rev_o")
       .orderBy("l_returnflag")
 
+  /** UNPIVOT (q52) — the §2.7 pivot's inverse: melt q25's wide
+    * (returnflag × status) revenue matrix back to long form with Spark's
+    * native `unpivot` operator (an Expand under the hood — each input
+    * row fans out to one row per value column, no shuffle at all; the
+    * only exchanges are q25's). Wide→long is the standard prep step
+    * before a long-form join or chart; round-tripping q25 exercises the
+    * operator against an oracle that never pivots. */
+  def q52Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q25Pivot(spark, dir)
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("rev_f"), col("rev_o")), "status_col", "revenue")
+      .withColumn("l_linestatus",
+        when(col("status_col") === "rev_f", "F").otherwise("O"))
+      // SQL UNPIVOT's default EXCLUDE NULLS: a missing pivot cell (a
+      // (flag, status) combination with no rows) is absence, not a value
+      .filter(col("revenue").isNotNull)
+      .select("l_returnflag", "l_linestatus", "revenue")
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** Exact median (linear interpolation) per group. */
   def q26Median(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
