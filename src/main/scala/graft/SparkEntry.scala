@@ -233,7 +233,7 @@ object SparkEntry {
 
   private def refCatalog: Map[String, (SparkSession, String) => DataFrame] = {
     val names = Seq("mv_channel_daily", "mv_channel_daily_incr",
-      "mv_kpi_channel", "mv_kpi_campaign",
+      "mv_kpi_channel", "mv_kpi_campaign", "promo_enrichment",
       "q0_pnl", "q1_best_sellers", "q1_top_profit", "q1_top_margin",
       "q2_channel_kpis", "q3_repeat_drivers", "q4_category",
       "q5_hero_products", "q6_spend_waste_active", "q7_retention",

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -22,6 +24,41 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
   def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
+
+  /** events.ts → µs-since-epoch BIGINT, robust to the physical type the
+    * driver generates (timestamp[us] → TIMESTAMP_NTZ today; int64
+    * nanoseconds in earlier rounds). Sessions run with
+    * spark.sql.session.timeZone=UTC, so the NTZ wall-clock → epoch cast
+    * matches DuckDB's `epoch_us(ts)` on the same parquet exactly.
+    *
+    * Any OTHER type throws loudly here — one probe site instead of a
+    * silent 1000× unit corruption spread across every events consumer
+    * (the round-5 failure mode). */
+  def tsUs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000") // int64 ns since epoch (legacy)
+    case TimestampNTZType | TimestampType => unix_micros(col("ts").cast(TimestampType))
+    case other => throw new IllegalStateException(
+      s"events.ts drifted to unsupported type $other — extend Tables.tsUs " +
+        "(expected timestamp[us] or int64-nanos)")
+  }
+
+  /** events.ts as a session-TZ TimestampType event-time column (the form
+    * watermarks and window() aggregates take), same drift-robustness as
+    * [[tsUs]]. */
+  def eventTime(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => timestamp_micros(expr("ts div 1000"))
+    case TimestampNTZType | TimestampType => col("ts").cast(TimestampType)
+    case other => throw new IllegalStateException(
+      s"events.ts drifted to unsupported type $other — extend Tables.eventTime")
+  }
+
+  /** The events table with `ts` replaced by a normalized `ts_us` BIGINT
+    * column — the reader every µs-arithmetic consumer goes through, so
+    * the unit contract lives in exactly one place. */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.withColumn("ts_us", tsUs(ev)).drop("ts")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -30,7 +30,29 @@ object Pipeline {
 
   /** All named query surfaces over a built star — the analyst-facing
     * catalog (reference: analytics_queries.sql + 04_views.sql). */
-  def queryCatalog(star: Warehouse.Star): Map[String, () => DataFrame] = Map(
+  def queryCatalog(star: Warehouse.Star,
+                   rawDir: String = DefaultRawDir): Map[String, () => DataFrame] = Map(
+    // Promotions enrichment (reference 02_load_csv.py:17-38 loads
+    // campaigns_details + promotion_reference then never joins them —
+    // SURVEY §0.2-2/3): the campaign dim enriched with its declared
+    // channel, run dates, and promo discount. promo_code normalizes to
+    // '' so no-promo campaigns hit the reference file's own ('', 0) row
+    // instead of a hardcoded default. Both join sides are file-sized —
+    // broadcast, no shuffle.
+    "promo_enrichment" -> (() => {
+      import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+      val spark = star.dimCampaigns.sparkSession
+      Warehouse.Enrichment.enrichCampaigns(
+          star.dimCampaigns, Ingest.campaignsDetails(spark, rawDir))
+        .withColumn("promo_code", coalesce(col("promo_code"), lit("")))
+        .join(broadcast(
+          Warehouse.Enrichment.dimPromotions(Ingest.promo(spark, rawDir))),
+          Seq("promo_code"), "left")
+        .select(col("campaign_id"), col("campaign_name"), col("channel"),
+          col("declared_channel"), col("promo_code"),
+          col("start_date"), col("end_date"), col("discount_pct"))
+        .orderBy("campaign_id")
+    }),
     "mv_channel_daily" -> (() => KpiViews.channelDaily(star)),
     // nightly-refresh form: history (last 31 days held out) + delta rollup;
     // must equal mv_channel_daily row-for-row (same oracle)

@@ -199,6 +199,31 @@ object RefOracles {
          |SELECT * FROM channel_daily
          |ORDER BY date ASC NULLS FIRST, channel ASC NULLS FIRST""".stripMargin,
 
+    // Promotions enrichment: the campaign dim joined to the two
+    // loaded-but-unused reference CSVs (campaigns_details promo/run-dates,
+    // promotion_reference discounts). promo_code normalizes to '' so the
+    // no-promo campaigns match the reference file's own ('', 0) row.
+    "ref_promo_enrichment" ->
+      s"""WITH $star,
+         |det AS (
+         |  SELECT campaign_name, channel AS declared_channel, promo_code,
+         |         start_date::DATE AS start_date, end_date::DATE AS end_date
+         |  FROM read_csv('$RawDir/campaigns_details.csv',
+         |                header=true, all_varchar=true)),
+         |promo AS (
+         |  SELECT coalesce(promo_code, '') AS promo_code,
+         |         discount_pct::INT AS discount_pct
+         |  FROM read_csv('$RawDir/promotion_reference.csv',
+         |                header=true, all_varchar=true))
+         |SELECT c.campaign_id, c.campaign_name, c.channel,
+         |       d.declared_channel,
+         |       coalesce(d.promo_code, '') AS promo_code,
+         |       d.start_date, d.end_date, p.discount_pct
+         |FROM dim_campaigns c
+         |LEFT JOIN det d USING (campaign_name)
+         |LEFT JOIN promo p ON coalesce(d.promo_code, '') = p.promo_code
+         |ORDER BY c.campaign_id ASC NULLS FIRST""".stripMargin,
+
     "ref_mv_kpi_channel" ->
       s"""WITH $warehouse
          |SELECT c.channel,

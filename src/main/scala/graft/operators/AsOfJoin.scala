@@ -65,17 +65,19 @@ object AsOfJoin {
     * O(rows×2), never O(pairs). */
   def purchaseClickWindow(spark: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
-    val ev = Tables.events(spark, dir).select("event_id", "ts", "user_id", "event_type")
-    // µs precision throughout — the oracle sees the parquet NANOS
-    // timestamps as µs, so comparisons must truncate identically.
+    // µs precision throughout — the oracle reads the parquet timestamps
+    // at µs (epoch_us), so comparisons must land on identical units;
+    // Tables.eventsUs is the single normalization point.
+    val ev = Tables.eventsUs(spark, dir)
+      .select("event_id", "ts_us", "user_id", "event_type")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
-        expr("ts div 1000").as("p_us"))
+        col("ts_us").as("p_us"))
       // a 1-hour window spans at most 2 hour-buckets
       .withColumn("bucket", explode(array(
         expr(s"p_us div $hourUs"), expr(s"p_us div $hourUs + 1"))))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), expr("ts div 1000").as("c_us"))
+      .select(col("user_id"), col("ts_us").as("c_us"))
       .withColumn("bucket", expr(s"c_us div $hourUs"))
     purchases.join(clicks, Seq("user_id", "bucket"))
       .filter(col("c_us") > col("p_us") && col("c_us") <= col("p_us") + lit(hourUs))
@@ -87,13 +89,12 @@ object AsOfJoin {
   /** Driver-contract query: each `purchase` event matched as-of to the
     * user's most recent `click` at or before it. */
   def purchaseAsOfClick(spark: SparkSession, dir: String): DataFrame = {
-    // Truncate to µs BEFORE matching: DuckDB reads the parquet NANOS
-    // timestamps as µs TIMESTAMPs, so its ASOF matches at µs — matching on
-    // raw ns would diverge on sub-µs-distinct events in the same µs.
+    // Normalize to µs BEFORE matching so the ASOF comparison runs on the
+    // same units as DuckDB's epoch_us view of the parquet timestamps.
     // click_id is the window tie-break (rightTie): among clicks tied on µs
     // ts the largest click_id is carried, deterministically.
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), expr("ts div 1000").as("ts"),
+    val ev = Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("ts_us").as("ts"),
         col("user_id"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))

@@ -2545,10 +2545,26 @@ object OpsOracles {
     // could round differently at a 4dp boundary at larger scale factors.
     "w01_event_windows" -> eventWindowsSql,
 
-    // w05 is the same aggregation run AS A STREAM and round-tripped
-    // through a foreachBatch parquet sink — a hash match against the
-    // batch oracle verifies the whole stream→sink→scan path
-    "w05_stream_sink" -> eventWindowsSql,
+    // w05 is the same aggregation run AS A STREAM in APPEND mode and
+    // round-tripped through a foreachBatch parquet sink — a hash match
+    // verifies the whole stream→sink→scan path. Append + 0s watermark
+    // emits exactly the windows whose end the final watermark (max
+    // event time) has passed (w10 discipline), so the oracle applies
+    // the same cut: drop the stream-trailing open window.
+    "w05_stream_sink" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS ts_us, date_trunc('hour', ts) AS h,
+        |    event_type, value
+        |  FROM events),
+        |mx AS (SELECT max(ts_us) AS wm FROM e)
+        |SELECT CAST(epoch(h) AS BIGINT) AS window_start_epoch,
+        |  event_type,
+        |  count(*) AS events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        |FROM e CROSS JOIN mx
+        |GROUP BY 1, 2, wm
+        |HAVING (CAST(epoch(h) AS BIGINT) + 3600) * 1000000 <= wm
+        |ORDER BY 1, 2""".stripMargin,
 
     "d10_exact_apply" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -598,9 +598,8 @@ object Relational {
     // microsecond would leave (user_id, valid_from_us) non-total
     val byStart = Window.partitionBy("user_id")
       .orderBy(col("valid_from_us").asc, col("run").asc)
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+    Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
       .withColumn("prev", lag(col("event_type"), 1).over(byUser))
       .withColumn("chg",
         when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
@@ -823,8 +822,8 @@ object Relational {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts_us").asc, col("event_id").asc)
     val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    val sess = Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
       .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
       .withColumn("chg",
         when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1L)
@@ -884,10 +883,10 @@ object Relational {
     * attribution shape). */
   /** Purchase conversions (shared by q42/q46): one row per purchase. */
   private def conversions(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.eventsUs(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("conv_id"), col("user_id"),
-        expr("ts div 1000").as("c_us"), col("value"))
+        col("ts_us").as("c_us"), col("value"))
 
   /** The conversion↔touch lookback pairing shared by attribution (q42)
     * and path analysis (q46): each purchase joined to the view/click/
@@ -901,9 +900,9 @@ object Relational {
   private def convTouchPairs(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     val lookUs = 7 * dayUs
-    val touch = Tables.events(spark, dir)
+    val touch = Tables.eventsUs(spark, dir)
       .filter(col("event_type").isin("view", "click", "signup"))
-      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+      .select(col("user_id"), col("ts_us").as("t_us"),
         col("event_type").as("channel"),
         expr("CASE event_type WHEN 'view' THEN 0L WHEN 'click' THEN 1L ELSE 2L END")
           .as("idx"))
@@ -1050,8 +1049,8 @@ object Relational {
     * data is the pre-aggregated daily grid (~types × days), not events. */
   def q44AnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+    val daily = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
       .agg(count(lit(1)).as("events"))
     val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
     daily
@@ -1087,8 +1086,8 @@ object Relational {
     * the fit itself runs on ~types × days rows. */
   def q45TrendFit(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+    val daily = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
       .agg(count(lit(1)).as("y"))
     val minDay = daily.agg(min("day").as("day0"))
     val s = daily.crossJoin(broadcast(minDay))
@@ -1129,8 +1128,8 @@ object Relational {
     * aggregation collapses events map-side before the only exchange. */
   def q47EwmaForecast(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+    val daily = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
       .agg(count(lit(1)).as("events"))
     val w = Window.partitionBy("event_type").orderBy("day")
     val num = (1 to 8)
@@ -1163,9 +1162,8 @@ object Relational {
     val gapUs = 30L * 60 * 1000000
     val byTs = Window.partitionBy("user_id")
       .orderBy(col("ts_us").asc, col("event_id").asc)
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
-        col("event_type"))
+    val ev = Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
     val sessions = ev
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byTs))
       .withColumn("boundary",
@@ -1244,9 +1242,8 @@ object Relational {
   def q50EventTransitions(spark: SparkSession, dir: String): DataFrame = {
     val byTs = Window.partitionBy("user_id")
       .orderBy(col("ts_us").asc, col("event_id").asc)
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
-        col("event_type"))
+    val ev = Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
     val grid = ev
       .withColumn("next_type", lead(col("event_type"), 1).over(byTs))
       .filter(col("next_type").isNotNull)

@@ -19,35 +19,34 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema, declared explicitly (streaming sources require
-    * a user schema). `ts` is TIMESTAMP(NANOS) stored as int64 — read as
-    * long (matching spark.sql.legacy.parquet.nanosAsLong=true) and
-    * converted to a microsecond timestamp column. */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source stream of events with an event-time column. The file
     * source wants a directory; the sf dir is the basePath and the glob
-    * filter selects the events table. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
+    * filter selects the events table.
+    *
+    * The streaming source requires an explicit schema; declaring a FIXED
+    * one is how round 5 silently corrupted units when the driver's `ts`
+    * physical type changed (a user-supplied LongType coerced the new
+    * timestamp[us] values and every event time collapsed to ~1970). So:
+    * probe the batch footer for what is ACTUALLY on disk, declare exactly
+    * that, and let [[graft.Tables.eventTime]]/[[graft.Tables.tsUs]]
+    * normalize — a drift to a third type throws loudly there instead of
+    * corrupting silently. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val onDisk = spark.read.parquet(s"$dir/events.parquet")
+    val df = spark.readStream
+      .schema(onDisk.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    df.withColumn("event_time", graft.Tables.eventTime(df))
+  }
 
   /** Tumbling 1-hour windows per event_type with a 10-minute watermark.
     * The sum follows the exact-sum discipline (per-row decimal casts, round
     * at the end, cast back) so the result is order-independent and matches
     * the DuckDB oracle at any scale factor. */
-  def windowedCounts(events: DataFrame): DataFrame =
+  def windowedCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events
-      .withWatermark("event_time", "10 minutes")
+      .withWatermark("event_time", delay)
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("events"),
@@ -59,12 +58,12 @@ object EventStream {
 
   /** The same aggregation as a batch plan — used by tests to prove the
     * streaming result equals the batch result on a static directory.
-    * event_time from integer µs (ts div 1000), not a double divide — a
-    * double holds 2024-epoch ns only to ~128 ns and the oracle sees µs. */
-  def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame =
-    windowedCounts(
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000"))))
+    * event_time via the shared normalizer, so batch and stream agree on
+    * units by construction. */
+  def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    windowedCounts(ev.withColumn("event_time", graft.Tables.eventTime(ev)))
+  }
 
   /** Driver-contract form of the windowed aggregation: window start as
     * epoch seconds (timestamp columns don't compare portably across
@@ -158,23 +157,36 @@ object EventStream {
     * AvailableNow stream and lands in PARQUET via foreachBatch — the
     * production pattern for continuous ingestion into a lakehouse table
     * (foreachBatch gets a batch DataFrame per micro-batch, so the sink
-    * reuses the exact batch writer; Complete mode makes each batch a
-    * full overwrite and the final one the settled result). The written
-    * table is read back and projected to the driver-contract form, so
-    * the w01 ORACLE verifies the entire stream→sink→scan path end to
-    * end. Output dir carries the applicationId (same concurrency
-    * contract as the other round trips). */
+    * reuses the exact batch writer).
+    *
+    * APPEND mode, not Complete: each micro-batch appends only the
+    * windows the advancing watermark has CLOSED, so per-trigger sink
+    * I/O is O(newly closed windows) — on an unbounded stream the
+    * Complete-mode alternative rewrites the entire aggregate history
+    * every trigger, O(stream length) I/O, which is a scale
+    * anti-pattern (the round-5 implementation did exactly that).
+    * Watermark 0s: with AvailableNow the final watermark lands on the
+    * max event time, so every window whose end has been passed emits
+    * exactly once; only the stream-trailing open window stays in state
+    * — precisely the window the next batch could still extend. The
+    * oracle applies the same cut relationally (w10 discipline).
+    *
+    * The written table is read back and projected to the
+    * driver-contract form, so the oracle verifies the entire
+    * stream→sink→scan path end to end. Output dir carries the
+    * applicationId (same concurrency contract as the other round
+    * trips). */
   def streamToWarehouse(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${sys.props("java.io.tmpdir")}/graft_stream_sink/" +
       s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
     graft.sources.StaleOutputs.sweep("graft_stream_sink",
       spark.sparkContext.applicationId)
-    val q = windowedCounts(readEvents(spark, dir))
+    val q = windowedCounts(readEvents(spark, dir), delay = "0 seconds")
       .writeStream
-      .outputMode("complete")
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
+        batch.write.mode("append").parquet(out)
       }
       .start()
     q.awaitTermination()
@@ -230,8 +242,9 @@ object EventStream {
     graft.sources.StaleOutputs.sweep("graft_upsert",
       spark.sparkContext.applicationId)
     @volatile var last: Option[String] = None
-    val q = readEvents(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val src = readEvents(spark, dir)
+    val q = src
+      .withColumn("ts_us", graft.Tables.tsUs(src))
       .writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -257,9 +270,8 @@ object EventStream {
     * proves the streamed join emits exactly this pair set. */
   def purchaseClickPairs(spark: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
-        col("user_id"), col("event_type"))
+    val ev = graft.Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts_us").as("p_us"))
@@ -329,8 +341,8 @@ object EventStream {
     import org.apache.spark.sql.expressions.Window
     val gapUs = 30L * 60 * 1000 * 1000
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    graft.Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
       .withColumn("prev_us", lag("ts_us", 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
@@ -362,8 +374,8 @@ object EventStream {
     import org.apache.spark.sql.expressions.Window
     val gapUs = 30L * 60 * 1000 * 1000
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+    graft.Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
       .withColumn("prev_us", lag("ts_us", 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))

@@ -19,7 +19,6 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS) (q31 reads it)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -481,8 +480,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // max over starts of |sessions covering that instant| is the truth
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts_us").asc, col("event_id").asc)
-    val sess = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    val sess = graft.Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
       .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
       .withColumn("chg",
         when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1L)
@@ -1491,8 +1490,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("zscore anomalies: window stats match brute trailing-7 recompute") {
     val dayUs = 86400000000L
-    val daily = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+    val daily = graft.Tables.eventsUs(spark, dir)
+      .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
     val series = daily.groupBy(_._1._1).map { case (et, m) =>
@@ -1518,8 +1517,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("trend fit: closed-form OLS matches brute recompute per group") {
     val dayUs = 86400000000L
-    val daily = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+    val daily = graft.Tables.eventsUs(spark, dir)
+      .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }.toSeq
     val day0 = daily.map(_._1._2).min

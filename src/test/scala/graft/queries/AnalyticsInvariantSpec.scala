@@ -18,7 +18,6 @@ class AnalyticsInvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,8 +28,8 @@ class AnalyticsInvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q47 EWMA: every forecast lies within the [min, max] of any 8 " +
        "trailing observations — convex weights cannot extrapolate") {
     import org.apache.spark.sql.functions._
-    val daily = graft.Tables.events(spark, dir)
-      .groupBy(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+    val daily = graft.Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
       .agg(count(lit(1)).as("events"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("day").rowsBetween(-8, -1)

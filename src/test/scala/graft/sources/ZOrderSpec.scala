@@ -24,7 +24,6 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // one row group per small file so row-group pruning == file skipping
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -17,7 +17,6 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,9 +68,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("stateful sessionize agrees with the window-based session counts") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val events = raw
       .select(col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("event_time"),
+        graft.Tables.eventTime(raw).as("event_time"),
         col("value"))
       .as[EventStream.Event]
     // Batch invocation emits only gap-CLOSED sessions; each user's trailing
@@ -89,9 +89,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("upsert merge: any batch split converges to the single-shot state") {
     import org.apache.spark.sql.functions._
-    val e = spark.read.parquet(s"$dir/events.parquet")
+    val e = graft.Tables.eventsUs(spark, dir)
       .select(col("user_id"), col("event_type"),
-        expr("ts div 1000").as("last_ts_us"), col("event_id").as("last_event_id"),
+        col("ts_us").as("last_ts_us"), col("event_id").as("last_event_id"),
         col("value").as("last_value"), lit(1L).as("n_updates"))
     val single = EventStream.upsertMerge(None, e)
       .orderBy("user_id", "event_type").collect()
@@ -103,9 +103,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("user_id", "event_type").collect()
     assert(split.toSeq === single.toSeq)
     // winner really is the latest event per key
-    val direct = spark.read.parquet(s"$dir/events.parquet")
+    val direct = graft.Tables.eventsUs(spark, dir)
       .groupBy("user_id", "event_type")
-      .agg(expr("max_by(event_id, struct(ts div 1000, event_id))").as("eid"),
+      .agg(expr("max_by(event_id, struct(ts_us, event_id))").as("eid"),
         count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
@@ -172,12 +172,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("streaming upsert equals the settled batch state") {
     val streamed = EventStream.streamUpsertLatest(spark, dir).collect()
-    val e = spark.read.parquet(s"$dir/events.parquet")
+    val e = graft.Tables.eventsUs(spark, dir)
     import org.apache.spark.sql.functions._
     val anchor = e.groupBy("user_id", "event_type")
-      .agg(max(expr("ts div 1000")).as("last_ts_us"),
-        expr("max_by(event_id, struct(ts div 1000, event_id))").as("last_event_id"),
-        expr("max_by(value, struct(ts div 1000, event_id))").as("last_value"),
+      .agg(max(col("ts_us")).as("last_ts_us"),
+        expr("max_by(event_id, struct(ts_us, event_id))").as("last_event_id"),
+        expr("max_by(value, struct(ts_us, event_id))").as("last_value"),
         count(lit(1)).as("n_updates"))
       .orderBy("user_id", "event_type").collect()
     assert(streamed.map(_.toString).toSeq === anchor.map(_.toString).toSeq)
