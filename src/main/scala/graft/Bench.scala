@@ -25,6 +25,7 @@ import org.apache.spark.sql.SparkSession
   * the one-line JSON contract. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] / shuffle.partitions=32 is the stated bench environment
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,14 +71,26 @@ object Bench {
       val ts = times.getOrElse(name, Nil)
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    def jmap(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results)
-    val cold = jmap(names.map { case (name, _) =>
+    val coldResults = names.map { case (name, _) =>
       name -> times.getOrElse(name, Nil).headOption.getOrElse(-1.0)
-    })
+    }
+    // 3dp values keep the line as short as possible: the driver's capture
+    // stores only a truncated tail of this line, so every byte of map
+    // noise costs visibility of another per-query entry.
+    def jmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"queries":$qs,"queries_cold":$cold,"sf":"$sfDir"}""")
+    val totalCold = coldResults.map(_._2).filter(_ >= 0).sum
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val errs = results.count(_._2 < 0)
+    // Headline totals appear TWICE — leading (JSON-contract position) and
+    // again as the FINAL fields — so a tail-truncated capture still
+    // carries the suite totals, cold sum, wall clock, and error count as
+    // structured data (the r4/r5 driver artifacts lost the totals to the
+    // 2000-char tail cut).
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":$reps,"queries":${jmap(results)},"queries_cold":${jmap(coldResults)},"sf":"$sfDir","total_min_sec":${f"$total%.3f"},"total_cold_sec":${f"$totalCold%.3f"},"suite_wall_sec":${f"$wallSec%.3f"},"errors":$errs}""")
     spark.stop()
   }
 }

@@ -160,6 +160,26 @@ object Similarity {
     * (session, dir, tag); later calls pay only the cache read. This is the
     * write-index/read-index split a production index needs — training
     * never reruns inside a query. Stopped sessions' entries purge. */
+  /** Materialize a CENTROID-SIZED frame (≤ k ≤ 256 rows by construction
+    * — never a corpus-sized one) into a LocalRelation. Lloyd-style
+    * training loops otherwise nest each iteration's plan inside the next
+    * iteration's broadcast: by iteration 2 every consumer re-optimizes
+    * and re-codegens the whole recursive tree, which is where the cold
+    * index build actually spent its time (measured: s10 cold at sf0.1
+    * was ~14× slower than the data cost; the corpus is only 2000
+    * vectors). Collecting the k×dims table to the driver (≤256×64
+    * doubles) and re-creating it as a LocalRelation makes every
+    * downstream plan flat; the VALUES are identical, so determinism and
+    * oracle parity are untouched. */
+  private def localized(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val t0 = System.nanoTime()
+    val rows = df.collect()
+    if (sys.env.contains("GRAFT_TRACE_COLD"))
+      System.err.println(f"[cold] localized ${rows.length} rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   private def memo(spark: SparkSession, dir: String, tag: String)
                   (build: => DataFrame): DataFrame = {
     memoCache.keys.filter(_._1.sparkContext.isStopped)
@@ -173,10 +193,10 @@ object Similarity {
 
   private def centroidVectors(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "cents") {
-      labelCentroids(spark, dir)
+      localized(labelCentroids(spark, dir)
         .groupBy(col("label").as("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
-          .as("cv"))
+          .as("cv")))
     }
 
   /** The assignment ordering key, as ONE exact BIGINT: the 6dp-rounded
@@ -200,13 +220,22 @@ object Similarity {
   private def assignKey(cellCol: String): org.apache.spark.sql.Column = {
     def packed =
       expr("cast(cast(round(dist, 6) as decimal(18,6)) * 1000000 as bigint) * 1024")
-    when(col(cellCol).cast("long") >= 1024L || col(cellCol).cast("long") < 0L,
-        raise_error(concat(lit("assignKey: cell id out of packing range [0,1024): "),
-          col(cellCol).cast("string"))))
-      .when(col("dist").isNotNull && packed.isNull,
-        raise_error(concat(lit("assignKey: distance overflows DECIMAL(18,6) packing: "),
-          col("dist").cast("string"))))
-      .otherwise(packed + col(cellCol).cast("long"))
+    // Guard shape matters: the r5 two-branch `when(..., raise_error)`
+    // chain re-evaluated `packed` and threaded string-concat branches
+    // through every row of the hot min_by aggregate. coalesce()
+    // short-circuits — the raise_error branch is only ever EVALUATED on
+    // an actually-violating row (NULL packed = decimal overflow, or a
+    // cell id escaping the 10-bit field), so the hot path is the pure
+    // primitive arithmetic and the invariant still fails loudly, not
+    // silently mis-ranking through a NULL key.
+    val cell = col(cellCol).cast("long")
+    val guarded = when(cell >= 0L && cell < 1024L, packed + cell)
+    coalesce(guarded,
+      when(col("dist").isNull, lit(null).cast("bigint"))
+        .otherwise(raise_error(concat(
+          lit("assignKey: packing invariant violated (cell="),
+          col(cellCol).cast("string"), lit(", dist="),
+          col("dist").cast("string"), lit(")")))))
   }
 
   /** Distances of every vector in `df` to every centroid — the narrow
@@ -332,8 +361,10 @@ object Similarity {
   def kmeansCentroids(spark: SparkSession, dir: String,
                       k: Int = 8, iters: Int = 2): DataFrame = {
     val vs = vectors(spark, dir).select("vec_id", "v")
-    var cents = vs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    // localized() per iteration: flat k×dims LocalRelation broadcasts
+    // instead of a recursively nested training lineage (see localized)
+    var cents = localized(vs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv")))
     for (_ <- 1 to iters) {
       // per-iteration assignment is the same packed-key min_by hash-agg
       // as trainedAssignment — a row_number window here would pay one
@@ -344,12 +375,12 @@ object Similarity {
         .groupBy("vec_id", "v")
         .agg(min_by(col("cid"), assignKey("cid")).as("cid"))
         .select("vec_id", "cid", "v")
-      cents = assigned
+      cents = localized(assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
         .groupBy("cid", "dim")
         .agg(round(avg("val"), 6).as("c"))
         .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv")))
     }
     cents
       .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "centroid")))
@@ -566,14 +597,16 @@ object Similarity {
     * code: one grouped aggregation trains all 8 codebooks at once. */
   /** The shared 2-iteration Lloyd refinement over per-subspace seeds. */
   private def pqLloyd(sub: DataFrame, seed: DataFrame): DataFrame = {
-    var cents = seed
+    // each iteration's m×k centroid table goes through localized() so
+    // iteration N+1 broadcasts a flat LocalRelation, not N nested plans
+    var cents = localized(seed)
     for (_ <- 1 to 2) {
-      cents = pqAssign(sub, cents)
+      cents = localized(pqAssign(sub, cents)
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("dim", "val")))
         .groupBy("s", "cid", "dim")
         .agg(round(avg("val"), 6).as("c"))
         .groupBy("s", "cid")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)").as("cv"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)").as("cv")))
     }
     cents
   }
@@ -948,12 +981,12 @@ object Similarity {
     // build-time coarse centroids: per-label means over the INDEX only —
     // memoized like every other index artifact (build once, query many)
     val cents = memo(spark, dir, "incr-cents") {
-      cand.filter(!delta(col("vec_id")))
+      localized(cand.filter(!delta(col("vec_id")))
         .select(col("label").as("cell"), posexplode(col("v")).as(Seq("dim", "vv")))
         .groupBy("cell", "dim").agg(round(avg("vv"), 6).as("c"))
         .groupBy("cell")
         .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
-          .as("cv"))
+          .as("cv")))
     }
     // every candidate (index at build time, delta on arrival) assigns to
     // the frozen cells — the packed-key min_by hash-agg, no sort; memoized
