@@ -175,6 +175,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.refinedAnn(s, d)),
     "s21_hybrid_search"      ->
       ((s: SparkSession, d: String) => Similarity.hybridSearch(s, d)),
+    "s22_sq_train"           -> (Similarity.sqTrain _),
+    "s23_sq_ann"             ->
+      ((s: SparkSession, d: String) => Similarity.sqAnn(s, d)),
     "t28_bloom_decontaminate" -> (TextAnalysis.bloomDecontaminate _),
     "t29_cms_topwords"       -> (TextAnalysis.cmsTopWords _),
     "t30_histogram_quantiles" -> (TextAnalysis.histogramQuantiles _),
@@ -198,6 +201,8 @@ object SparkEntry {
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),
     "w10_session_window"     -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runSessionWindowAvailableNow(s, d)),
+    "w11_stream_enrich"      -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.runEnrichAvailableNow(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),

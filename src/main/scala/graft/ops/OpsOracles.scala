@@ -779,6 +779,19 @@ object OpsOracles {
         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
     },
 
+    // w11: stream-static enrichment — the settled grid is arrival-order-
+    // free (counts + exact-decimal sums), so the oracle is the batch
+    // join/rollup of the same two tables.
+    "w11_stream_enrich" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        |  count(*) AS events,
+        |  CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS total_value
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     // w09: streaming sketch maintenance — the streamed grid is
     // arrival-order-free (pure counts), so the oracle is the batch grid:
     // t29's cell CTE with the grid as output.
@@ -1147,6 +1160,57 @@ object OpsOracles {
         |  FROM ex)
         |SELECT query_id, cand_id, CAST(dist AS DOUBLE) AS dist, CAST(rnk AS INT) AS rnk
         |FROM rr WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // s22: SQ8 training — per-dimension min/max over the candidate
+    // corpus (exact doubles, no rounding discipline needed)
+    "s22_sq_train" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id >= 10)
+        |SELECT CAST(t.d AS INT) AS dim, min(v[t.d + 1]) AS mn,
+        |  max(v[t.d + 1]) AS mx
+        |FROM c, unnest(range(len(v))) AS t(d)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // s23: SQ8 ANN — candidates reconstructed from their byte codes
+    // (floor((x-mn)*255/(mx-mn)+0.5) clamped; floor is the cross-engine
+    // rounding primitive), squared-L2 to the exact query floats via the
+    // same per-row list fold as knnBrute, 6dp round before ranking
+    "s23_sq_ann" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |st AS (
+        |  SELECT CAST(t.d AS INT) AS dim, min(v[t.d + 1]) AS mn,
+        |    max(v[t.d + 1]) AS mx
+        |  FROM n, unnest(range(len(v))) AS t(d)
+        |  WHERE vec_id >= 10
+        |  GROUP BY 1),
+        |sa AS (
+        |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        |  FROM st),
+        |xh AS (
+        |  SELECT vec_id,
+        |    list_transform(range(len(v)), d ->
+        |      CASE WHEN mxs[d + 1] = mns[d + 1] THEN mns[d + 1]
+        |      ELSE mns[d + 1] + least(255, greatest(0,
+        |        floor((v[d + 1] - mns[d + 1]) * 255 / (mxs[d + 1] - mns[d + 1]) + 0.5)))
+        |        * (mxs[d + 1] - mns[d + 1]) / 255 END) AS xhat
+        |  FROM n CROSS JOIN sa
+        |  WHERE vec_id >= 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(len(q.v)),
+        |      i -> (q.v[i + 1] - x.xhat[i + 1]) * (q.v[i + 1] - x.xhat[i + 1]))), 6)
+        |      AS sqdist
+        |  FROM n q CROSS JOIN xh x
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, cand_id, sqdist, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sqdist ASC, cand_id ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
     // s21: hybrid search — IDF-overlap lexical ranking and brute cosine

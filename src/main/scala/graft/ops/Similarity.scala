@@ -1035,4 +1035,80 @@ object Similarity {
       .select("vec_id", "label")
       .orderBy("vec_id")
   }
+
+  // ---------------------------------------------------------------------
+  // SCALAR QUANTIZATION (SQ8) — the OTHER classical compressed index
+  // (FAISS's ScalarQuantizer QT_8bit): per-dimension min/max learned
+  // once from the candidate corpus, every float mapped to ONE byte by
+  // uniform quantization inside its dimension's range. Against PQ
+  // (s10-s13): no codebook training (one min/max pass — the cheapest
+  // cold build in the index family), dims × 1 byte per vector instead
+  // of 8, and reconstruction is a closed-form affine map instead of a
+  // codeword lookup — the right index when build latency or byte budget
+  // beats recall-per-byte. At 100 TB the scan side touches dims bytes
+  // per vector; the trained stats are 2×dims doubles — broadcast
+  // anywhere, and the encode is a single narrow map pass, no shuffle.
+  // ---------------------------------------------------------------------
+
+  /** Per-dimension (min, max) over the candidate corpus — the entire
+    * trained state of the SQ8 index (2×dims doubles; [[localized]]:
+    * dims rows). min/max of doubles is exact, so no rounding discipline
+    * is needed for cross-engine parity. */
+  private[ops] def sqStats(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "sq-stats") {
+      localized(vectors(spark, dir).filter(col("vec_id") >= 10)
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(min("x").as("mn"), max("x").as("mx")))
+    }
+
+  /** Driver surface (s22): the trained per-dimension quantizer stats. */
+  def sqTrain(spark: SparkSession, dir: String): DataFrame =
+    sqStats(spark, dir)
+      .select(col("dim").cast("int").as("dim"), col("mn"), col("mx"))
+      .orderBy("dim")
+
+  /** The stats as ONE broadcastable row of (mns, mxs) arrays ordered by
+    * dimension — the form the encode/decode lambdas index into. */
+  private def sqStatsRow(spark: SparkSession, dir: String): DataFrame =
+    sqStats(spark, dir)
+      .groupBy()
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("mxs"))
+
+  /** SQ8 ANN (s23) — asymmetric search: the query keeps its exact
+    * floats; every candidate is RECONSTRUCTED from its byte code by the
+    * affine map mn + code·(mx−mn)/255, and ranked by squared L2 to the
+    * query. Encode and decode are fused into one expression here (the
+    * byte code is floor((x−mn)·255/(mx−mn) + 0.5) clamped to [0,255]) —
+    * a persisted deployment stores the byte arrays and pays only the
+    * decode half per query; fusing changes no value. floor() is the
+    * cross-engine rounding primitive (both engines floor doubles
+    * identically; round() half-rule differs), distances round to 6dp
+    * before ranking with a cand_id tie-break ([[cosineTopK]]'s
+    * discipline). Constant dimensions (mx = mn) reconstruct to mn
+    * exactly. */
+  def sqAnn(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val xh = vectors(spark, dir).filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(sqStatsRow(spark, dir)))
+      .withColumn("xhat", expr(
+        """transform(sequence(0, size(v) - 1), d ->
+          |  CASE WHEN mxs[d] = mns[d] THEN mns[d]
+          |  ELSE mns[d] + least(255D, greatest(0D,
+          |    floor((v[d] - mns[d]) * 255D / (mxs[d] - mns[d]) + 0.5D)))
+          |    * (mxs[d] - mns[d]) / 255D END)
+          |""".stripMargin.replaceAll("\n", " ")))
+      .select(col("vec_id").as("cand_id"), col("xhat"))
+    val q = vectors(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sqdist").asc, col("cand_id").asc)
+    broadcast(q).crossJoin(xh)
+      .withColumn("sqdist",
+        round(expr("aggregate(zip_with(qv, xhat, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "sqdist", "rnk")
+      .orderBy("query_id", "rnk")
+  }
 }

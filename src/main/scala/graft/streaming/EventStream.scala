@@ -543,6 +543,47 @@ object EventStream {
     spark.table(queryName).orderBy("hrow", "bucket")
   }
 
+  /** STREAM-STATIC ENRICHMENT (w11) — the canonical production join: an
+    * unbounded event stream enriched against a bounded dimension table
+    * (here the customer segment dim), then rolled up per (segment,
+    * event_type). The dim side BROADCASTS — the stream never shuffles
+    * before its map-side partial aggregation, so the join runs at line
+    * rate on any stream volume; streaming state is the segments ×
+    * event_types grid (bounded, converging — the w09 discipline), so no
+    * watermark is needed and the settled Complete-mode result equals the
+    * batch join bit-for-bit (count is exact; the value sum is the
+    * exact-decimal discipline). At 100 TB/day the only scale knob is the
+    * dim size staying under the broadcast threshold — a bigger dim
+    * switches to a shuffled stream-static join with the same semantics. */
+  def enrichedSegmentStats(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy("segment", "event_type")
+      .agg(
+        count(lit(1)).as("events"),
+        round(sum(col("value").cast("decimal(18,6)")), 4)
+          .cast("double").as("total_value"))
+
+  /** The customer segment dimension keyed by the stream's user_id. */
+  def segmentDim(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+
+  /** Run [[enrichedSegmentStats]] as an AvailableNow stream into a
+    * memory sink and return the settled grid, ordered. */
+  def runEnrichAvailableNow(spark: SparkSession, dir: String,
+                            queryName: String = "graft_enrich"): DataFrame = {
+    val q = enrichedSegmentStats(readEvents(spark, dir), segmentDim(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("segment", "event_type")
+  }
+
   /** NATIVE SESSION WINDOWS (w10) — the DECLARATIVE form of [[sessionize]]:
     * Spark's built-in `session_window` aggregate (dynamic-gap merging
     * windows) instead of hand-rolled flatMapGroupsWithState. Same

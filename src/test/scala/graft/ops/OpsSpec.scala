@@ -662,6 +662,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SQ8: stats cover every dim, distortion bounded, high recall vs brute-L2") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val dims = emb.select(size(col("v"))).first().getInt(0)
+    val stats = Similarity.sqTrain(spark, dir).collect()
+    assert(stats.length === dims)
+    stats.foreach(r => assert(r.getAs[Double]("mn") <= r.getAs[Double]("mx")))
+    // brute exact-L2 top-3 ground truth (refined-ANN test's discipline)
+    val q = emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = emb.filter(col("vec_id") >= 10).select(col("vec_id").as("cid"), col("v").as("cv"))
+    val pairDist = q.crossJoin(c).withColumn("dist", round(
+      expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 6))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("cid").asc)
+    val brute = pairDist.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).collect()
+      .groupBy(_.getAs[Long]("qid")).view.mapValues(_.map(_.getAs[Long]("cid")).toSet).toMap
+    val dists = pairDist.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) -> r.getAs[Double]("dist")).toMap
+    val sq = Similarity.sqAnn(spark, dir).collect()
+    assert(sq.nonEmpty)
+    // per-query: exactly k ranked rows, nondecreasing reported distance
+    sq.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq === (1 to sorted.length))
+      val ds = sorted.map(_.getAs[Double]("sqdist")).toSeq
+      assert(ds === ds.sorted)
+    }
+    // 8-bit distortion bound: |sqdist - true| per pair is at most
+    // sum_d step_d * (2*|q_d - x_d| + step_d); bound it loosely by the
+    // worst dim step against the true distance magnitude
+    val maxStep = stats.map(r => (r.getAs[Double]("mx") - r.getAs[Double]("mn")) / 255.0).max
+    sq.foreach { r =>
+      val truth = dists((r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")))
+      val err = math.abs(r.getAs[Double]("sqdist") - truth)
+      val tol = dims * maxStep * (2 * math.sqrt(truth) + maxStep) + 1e-6
+      assert(err <= tol, s"SQ8 distortion $err exceeds bound $tol (true $truth)")
+    }
+    // 1 byte/dim keeps ranking quality: top-3 recall vs exact brute
+    val byQ = sq.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet)
+    val recall = byQ.map { case (qid, got) => (got & brute(qid)).size.toDouble / 3 }.sum / byQ.size
+    assert(recall >= 0.8, f"SQ8 recall@3 degraded: $recall%.3f")
+  }
+
   test("hybrid search: fused ranking is exactly the RRF of its two sources") {
     val lex = Similarity.lexicalRanked(spark, dir, fuse = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("r")).toMap

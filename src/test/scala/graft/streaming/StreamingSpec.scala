@@ -35,6 +35,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(s"$dir/events.parquet").count())
   }
 
+  test("stream-static enrichment settles to the batch join rollup") {
+    val streamed = EventStream.runEnrichAvailableNow(spark, dir, "spec_enrich").collect()
+    val batch = EventStream.enrichedSegmentStats(
+        graft.Tables.events(spark, dir), EventStream.segmentDim(spark, dir))
+      .orderBy("segment", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
   test("AvailableNow dedup keeps one first-seen event per key, same key set as batch") {
     val streamed = EventStream.runDedupAvailableNow(spark, dir, "spec_dedup").collect()
     val streamedKeys = streamed
