@@ -190,6 +190,8 @@ object SparkEntry {
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),
     "q51_ab_test"            -> (Relational.q51AbTest _),
     "q52_unpivot"            -> (Relational.q52Unpivot _),
+    "q53_purchase_latency"   -> (Relational.q53PurchaseLatency _),
+    "q54_revenue_concentration" -> (Relational.q54RevenueConcentration _),
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "f13_data_skipping"      -> (graft.sources.DataSkipping.skippingQuery _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),

@@ -541,6 +541,54 @@ object RelationalOracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // q53: inter-order gaps are exact BIGINT day counts on a total
+    // (date, orderkey) order — sums/counts exact, median interpolates
+    // exact integers as doubles (both engines exact at .5)
+    "q53_purchase_latency" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey,
+        |    datediff('day',
+        |      lag(d) OVER (PARTITION BY o_custkey ORDER BY d ASC, o_orderkey ASC),
+        |      d) AS gap
+        |  FROM o),
+        |j AS (
+        |  SELECT c.c_mktsegment AS segment, gap
+        |  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+        |  WHERE gap IS NOT NULL)
+        |SELECT segment,
+        |  count(*) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS total_gap_days,
+        |  round(CAST(sum(gap) AS DOUBLE) / count(*), 4) AS avg_gap_days,
+        |  median(CAST(gap AS DOUBLE)) AS median_gap_days,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_days
+        |FROM j
+        |GROUP BY segment
+        |ORDER BY segment""".stripMargin,
+
+    // q54: Pareto revenue concentration — ntile over the customer spend
+    // aggregate with a total (spend desc, custkey) order; shares divide
+    // exact decimal sums as doubles
+    "q54_revenue_concentration" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(spend) AS total_rev FROM spend),
+        |d AS (
+        |  SELECT o_custkey, spend,
+        |    ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+        |  FROM spend)
+        |SELECT CAST(decile AS INT) AS decile,
+        |  count(*) AS customers,
+        |  CAST(round(sum(spend), 2) AS DOUBLE) AS decile_revenue,
+        |  round(CAST(sum(spend) AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+        |    AS revenue_share
+        |FROM d CROSS JOIN t
+        |GROUP BY decile, total_rev
+        |ORDER BY decile""".stripMargin,
+
     "q27_salted_join" ->
       """SELECT n.n_name,
         |  count(*) AS customers,

@@ -1304,6 +1304,77 @@ object Relational {
           (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z_score"))
   }
 
+  /** PURCHASE LATENCY (q53) — inter-order gap distribution per customer
+    * segment: the time-between-purchases metric every retention model
+    * feeds on (the reference's Q7 asks "who repeats"; this asks "how
+    * fast"). Gap = datediff of consecutive order dates per customer
+    * ((date, orderkey) compound order is total, so both engines agree on
+    * every gap), first order contributes no gap.
+    *
+    * Scale shape: the lag window partitions by o_custkey — ONE hash
+    * exchange of the orders table's (custkey, date, key) projection;
+    * the segment join then moves only the per-gap rows against the
+    * customer dim, and the final aggregate is segments-sized. Gaps are
+    * exact BIGINT day counts: sums and counts are exact, the mean is one
+    * double divide, and median interpolates exact integers (both
+    * engines' interpolation on .5 is exact in doubles). */
+  def q53PurchaseLatency(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("d").asc, col("o_orderkey").asc)
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"))
+      .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(byCust)))
+      .filter(col("gap").isNotNull)
+    gaps
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("segment")),
+        Seq("o_custkey"))
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast("long")).as("total_gap_days"),
+        round(sum(col("gap").cast("long")) / count(lit(1)), 4).as("avg_gap_days"),
+        median(col("gap").cast("double")).as("median_gap_days"),
+        max(col("gap")).cast("long").as("max_gap_days"))
+      .orderBy("segment")
+  }
+
+  /** REVENUE CONCENTRATION (q54) — the Pareto view: customers ranked by
+    * exact-decimal lifetime spend, cut into spend deciles, each decile's
+    * revenue share. ntile runs over the CUSTOMER AGGREGATE (one row per
+    * customer), not the fact table — the only global sort in the plan is
+    * customers-sized. At larger scale the decile assignment swaps to
+    * pre-computed quantile cutpoints with the same output contract; the
+    * (spend desc, custkey asc) compound order is total either way, so
+    * tie placement is deterministic cross-engine. Shares divide two
+    * exact decimal sums; round only at the projection. */
+  def q54RevenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+    val tot = spend.agg(sum(col("spend")).as("total_rev"))
+    spend
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("customers"),
+        sum(col("spend")).as("rev"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("decile"),
+        col("customers"),
+        round(col("rev"), 2).cast("double").as("decile_revenue"),
+        // divide as doubles (both operands are exact decimal sums cast
+        // identically on both engines) — decimal/decimal scale rules
+        // differ across engines, double division does not
+        round(col("rev").cast("double") / col("total_rev").cast("double"), 6)
+          .as("revenue_share"))
+      .orderBy("decile")
+  }
+
   /** A8+A10 scalar P&L over expressions (arith inside agg).
     * Reference: analytics_queries.sql:12-18 (Q0 P&L summary); :41 (profit
     * expression inside SUM). */
