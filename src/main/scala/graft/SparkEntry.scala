@@ -185,6 +185,8 @@ object SparkEntry {
     "t32_distribution_drift" -> (TextAnalysis.distributionDrift _),
     "t33_source_quota"       -> (TextAnalysis.sourceQuota _),
     "t34_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
+    "t35_hll_merge"          ->
+      ((s: SparkSession, d: String) => TextAnalysis.hllMergeReport(s, d)),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),

@@ -962,6 +962,71 @@ object OpsOracles {
         |ORDER BY source""".stripMargin
     },
 
+    // t35: HLL mergeability — the oracle independently derives BOTH the
+    // per-source-merged and the direct corpus registers and counts
+    // mismatches (0 by max-associativity), then estimates from the
+    // merged sketch with t31's estimator.
+    "t35_hll_merge" -> {
+      val decode = (0 until 8).map { j =>
+        val mult = 1L << (4 * (7 - j))
+        s"(strpos('0123456789abcdef', m8[${j + 1}]) - 1) * CAST($mult AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT source, tok AS word
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents) s
+        |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')),
+        |h AS (
+        |  SELECT source, ($decode) AS h
+        |  FROM (SELECT source, substr(md5('h#' || word), 1, 8) AS m8 FROM toks) t),
+        |b AS (SELECT source, h % 64 AS bucket, h // 64 AS w FROM h),
+        |rs AS (
+        |  SELECT source, bucket,
+        |    max(CASE WHEN w = 0 THEN 27
+        |             ELSE strpos(lpad(bin(w), 26, '0'), '1') END) AS reg
+        |  FROM b GROUP BY 1, 2),
+        |merged AS (SELECT bucket, max(reg) AS reg FROM rs GROUP BY 1),
+        |direct AS (
+        |  SELECT bucket,
+        |    max(CASE WHEN w = 0 THEN 27
+        |             ELSE strpos(lpad(bin(w), 26, '0'), '1') END) AS reg
+        |  FROM b GROUP BY 1),
+        |mm AS (
+        |  SELECT count(*) AS register_mismatches
+        |  FROM merged m FULL JOIN direct d USING (bucket)
+        |  WHERE m.reg IS DISTINCT FROM d.reg),
+        |am AS (
+        |  SELECT count(*) AS present,
+        |    sum(1.0 / CAST(CAST(1 AS BIGINT) << reg AS DOUBLE)) AS sumterm
+        |  FROM merged),
+        |em AS (
+        |  SELECT round(CASE WHEN CAST(0.709 AS DOUBLE) * 4096
+        |      / (sumterm + CAST(64 - present AS DOUBLE)) <= 160.0
+        |      AND 64 - present > 0
+        |    THEN 64.0 * ln(64.0 / (64 - present))
+        |    ELSE CAST(0.709 AS DOUBLE) * 4096
+        |      / (sumterm + CAST(64 - present AS DOUBLE)) END, 2) AS merged_ndv
+        |  FROM am),
+        |ad AS (
+        |  SELECT count(*) AS present,
+        |    sum(1.0 / CAST(CAST(1 AS BIGINT) << reg AS DOUBLE)) AS sumterm
+        |  FROM direct),
+        |ed AS (
+        |  SELECT round(CASE WHEN CAST(0.709 AS DOUBLE) * 4096
+        |      / (sumterm + CAST(64 - present AS DOUBLE)) <= 160.0
+        |      AND 64 - present > 0
+        |    THEN 64.0 * ln(64.0 / (64 - present))
+        |    ELSE CAST(0.709 AS DOUBLE) * 4096
+        |      / (sumterm + CAST(64 - present AS DOUBLE)) END, 2) AS direct_ndv
+        |  FROM ad),
+        |x AS (SELECT count(DISTINCT word) AS exact_ndv FROM toks)
+        |SELECT CAST(64 AS INT) AS m, em.merged_ndv, ed.direct_ndv,
+        |  CAST(mm.register_mismatches AS BIGINT) AS register_mismatches,
+        |  x.exact_ndv,
+        |  round((em.merged_ndv - x.exact_ndv) / x.exact_ndv, 4) AS rel_err
+        |FROM em, ed, mm, x""".stripMargin
+    },
+
     // g05: BFS hop profile — DuckDB replays the frontier loop as a
     // recursive CTE: UNION-dedup on (pk, hop) with a hop bound matching
     // the engine's cap, then min(hop) per node = first visit. Integers

@@ -1104,17 +1104,23 @@ object TextAnalysis {
     * DOUBLE on the oracle side (DuckDB's bare 0.709·4096 is DECIMAL).
     * The exact NDV sits beside the estimate as calibration (d20/t29
     * posture); m=64 ⇒ ±1.04/√64 ≈ 13% expected relative error. */
-  def hllDistinctOf(docs: DataFrame, m: Int = 64): DataFrame = {
-    require((m & (m - 1)) == 0 && m >= 16, s"register count must be a power of two >= 16, got $m")
-    val remBits = 32 - (31 - Integer.numberOfLeadingZeros(m)) // 26 for m=64
-    val toks = docs
+  /** The corpus' lower-cased word tokens — shared head of the t31/t35
+    * HLL pipeline. */
+  private def hllTokens(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
+
+  /** HLL registers over `toks`, max-aggregated per (`keys`..., bucket) —
+    * the whole sketch state is `keys`-groups × m rows. */
+  private def hllRegistersOf(toks: DataFrame, m: Int, keys: Seq[String]): DataFrame = {
+    require((m & (m - 1)) == 0 && m >= 16, s"register count must be a power of two >= 16, got $m")
+    val remBits = 32 - (31 - Integer.numberOfLeadingZeros(m)) // 26 for m=64
     val dec = (0 until 8).map { j =>
       val mult = 1L << (4 * (7 - j))
       s"(instr('0123456789abcdef', substr(m8, ${j + 1}, 1)) - 1) * cast($mult as bigint)"
     }.mkString(" + ")
-    val regs = toks
+    toks
       .withColumn("m8", expr("substr(md5(concat('h#', word)), 1, 8)"))
       .withColumn("h", expr(dec))
       .withColumn("bucket", expr(s"h % $m"))
@@ -1122,9 +1128,16 @@ object TextAnalysis {
       .withColumn("rho", expr(
         s"CASE WHEN w = 0 THEN ${remBits + 1} " +
           s"ELSE instr(lpad(bin(w), $remBits, '0'), '1') END"))
-      .groupBy("source", "bucket")
+      .groupBy((keys :+ "bucket").map(col): _*)
       .agg(max("rho").as("reg"))
-    val est = regs.groupBy("source")
+  }
+
+  /** The standard HLL estimator over a register table, per `keys` group
+    * (empty keys = one corpus-wide estimate): linear counting under the
+    * small-range correction, the 0.709·m² raw form otherwise. */
+  private def hllEstimateOf(regs: DataFrame, m: Int, keys: Seq[String]): DataFrame = {
+    val grouped = if (keys.isEmpty) regs.groupBy() else regs.groupBy(keys.map(col): _*)
+    grouped
       .agg(count(lit(1)).as("present"),
         sum(expr("1.0 / cast(shiftleft(cast(1 as bigint), reg) as double)"))
           .as("sumterm"))
@@ -1135,6 +1148,11 @@ object TextAnalysis {
         when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
           .otherwise(col("raw")), 2))
+  }
+
+  def hllDistinctOf(docs: DataFrame, m: Int = 64): DataFrame = {
+    val toks = hllTokens(docs)
+    val est = hllEstimateOf(hllRegistersOf(toks, m, Seq("source")), m, Seq("source"))
     val exact = toks.groupBy("source").agg(countDistinct("word").as("exact_ndv"))
     est.join(exact, Seq("source"))
       .select(col("source"), lit(m).as("m"),
@@ -1143,6 +1161,39 @@ object TextAnalysis {
         round((col("hll_ndv") - col("exact_ndv")) / col("exact_ndv"), 4)
           .as("rel_err"))
       .orderBy("source")
+  }
+
+  /** HLL MERGEABILITY (t35) — the property that makes sketches THE
+    * distributed cardinality primitive: per-source register tables merge
+    * by per-bucket MAX, and the merged sketch is BIT-IDENTICAL to the
+    * sketch computed over the whole corpus directly (max is associative
+    * and commutative — this is a theorem, and the query PROVES it on the
+    * data by counting register mismatches between the two derivations).
+    * At 100 TB this is why NDV never needs a global re-scan: each
+    * partition/source/day ships its m-row register table and the
+    * coordinator folds MAX — O(m) state per shard, one tiny shuffle,
+    * re-aggregatable to any grouping after the fact. */
+  def hllMergeReport(spark: SparkSession, dir: String, m: Int = 64): DataFrame = {
+    val toks = hllTokens(Tables.documents(spark, dir))
+    val perSource = hllRegistersOf(toks, m, Seq("source"))
+    val merged = perSource.groupBy("bucket").agg(max("reg").as("reg"))
+    val direct = hllRegistersOf(toks, m, Seq.empty)
+    val mismatches = merged.select(col("bucket"), col("reg").as("reg_m"))
+      .join(direct.select(col("bucket"), col("reg").as("reg_d")),
+        Seq("bucket"), "full_outer")
+      .filter(col("reg_m").isNull || col("reg_d").isNull ||
+        col("reg_m") =!= col("reg_d"))
+      .agg(count(lit(1)).as("register_mismatches"))
+    val estMerged = hllEstimateOf(merged, m, Seq.empty)
+      .select(col("hll_ndv").as("merged_ndv"))
+    val estDirect = hllEstimateOf(direct, m, Seq.empty)
+      .select(col("hll_ndv").as("direct_ndv"))
+    val exact = toks.agg(countDistinct("word").as("exact_ndv"))
+    estMerged.crossJoin(estDirect).crossJoin(mismatches).crossJoin(exact)
+      .select(lit(m).as("m"), col("merged_ndv"), col("direct_ndv"),
+        col("register_mismatches"), col("exact_ndv"),
+        round((col("merged_ndv") - col("exact_ndv")) / col("exact_ndv"), 4)
+          .as("rel_err"))
   }
 
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
