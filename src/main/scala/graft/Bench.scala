@@ -36,6 +36,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production posture (GraftExtensions): HOF dot/L2 folds run codegen'd
+    graft.functions.RewriteDotProduct.install(spark)
     // Warm the JVM + parquet footer caches once so per-query timings
     // measure the query, not first-touch JIT/class-loading noise. Benching
     // must degrade, not abort: a missing warm-up path still emits the JSON

@@ -17,6 +17,10 @@ object BenchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production posture (GraftExtensions): HOF dot/L2 folds run codegen'd
+    // (GRAFT_NO_REWRITE opts out for A/B diagnosis)
+    if (!sys.env.contains("GRAFT_NO_REWRITE"))
+      graft.functions.RewriteDotProduct.install(spark)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -20,6 +20,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production posture (GraftExtensions): HOF dot/L2 folds run codegen'd
+    graft.functions.RewriteDotProduct.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

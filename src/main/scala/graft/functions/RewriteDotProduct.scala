@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) }}}
   *
-  * into the codegen'd [[DotProduct]] expression. Higher-order functions
+  * into the codegen'd [[DotProduct]] expression, and the squared-L2 idiom
+  * `(x - c) * (x - c)` into [[L2Squared]]. Higher-order functions
   * evaluate interpreted (per-element lambda dispatch); the native form is a
   * primitive loop inside whole-stage codegen. Results are bitwise-identical
   * (same left-to-right double accumulation, same null semantics — see
@@ -43,6 +44,25 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
           aacc.exprId == macc.exprId && av.exprId == mv.exprId &&
           fin.exprId == ff.exprId =>
         DotProduct(a, b)
+      // the squared-L2 idiom: zip lambda (x - c) * (x - c) with both
+      // factors the SAME subtraction of the two lambda variables
+      case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(
+              Multiply(
+                Subtract(sx1: NamedLambdaVariable, sy1: NamedLambdaVariable, _),
+                Subtract(sx2: NamedLambdaVariable, sy2: NamedLambdaVariable, _), _),
+              Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
+          Literal(0.0, DoubleType),
+          LambdaFunction(Add(aacc: NamedLambdaVariable, av: NamedLambdaVariable, _),
+            Seq(macc: NamedLambdaVariable, mv: NamedLambdaVariable), _),
+          LambdaFunction(fin: NamedLambdaVariable, Seq(ff: NamedLambdaVariable), _))
+        if isDoubleArray(a) && isDoubleArray(b) &&
+          sx1.exprId == zx.exprId && sy1.exprId == zy.exprId &&
+          sx2.exprId == zx.exprId && sy2.exprId == zy.exprId &&
+          aacc.exprId == macc.exprId && av.exprId == mv.exprId &&
+          fin.exprId == ff.exprId =>
+        L2Squared(a, b)
     }
 
   /** Idempotently add this rule to the session's extra optimizations. */

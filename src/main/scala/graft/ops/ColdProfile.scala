@@ -16,6 +16,8 @@ object ColdProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production posture (GraftExtensions): HOF dot/L2 folds run codegen'd
+    graft.functions.RewriteDotProduct.install(spark)
     def t(name: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       val n = df.count()

@@ -36,6 +36,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
           case _ => false
         })
       assert(rewritten, "injected optimizer rule should fire")
+      // the squared-L2 idiom rewrites to the codegen'd L2Squared and the
+      // values are bitwise-identical to the plain Scala left-to-right fold
+      val l2 = e.orderBy("vec_id").limit(8)
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      val pairs = l2.as("a").crossJoin(l2.as("b"))
+        .selectExpr("a.vec_id as ia", "b.vec_id as ib", "a.v as va", "b.v as vb",
+          "aggregate(zip_with(a.v, b.v, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x) as d")
+      val l2Rewritten = pairs.queryExecution.optimizedPlan
+        .collect { case p => p.expressions }.flatten.exists(_.exists {
+          case _: graft.functions.L2Squared => true
+          case _ => false
+        })
+      assert(l2Rewritten, "L2 idiom should rewrite to L2Squared")
+      pairs.collect().foreach { r =>
+        val va = r.getSeq[Double](2); val vb = r.getSeq[Double](3)
+        var acc = 0.0; var i = 0
+        while (i < va.length) { val d0 = va(i) - vb(i); acc += d0 * d0; i += 1 }
+        assert(r.getDouble(4) === acc,
+          s"L2Squared(${r.getLong(0)}, ${r.getLong(1)}) differs from the Scala fold")
+      }
       // simhash64 resolves from plain SQL and returns the two 32-bit halves
       val sh = spark.sql("SELECT simhash64(array('alpha','beta')) AS sh")
         .collect()(0).getSeq[Long](0)
