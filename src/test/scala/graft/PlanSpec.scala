@@ -362,4 +362,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // groups x 64 register rows per task, constant in corpus size
     assert("partial_max".r.findAllIn(p).nonEmpty, p.take(2000))
   }
+
+  test("q53_purchase_latency: the segment dim broadcasts onto the gap rows " +
+       "— the orders projection shuffles once for the lag window") {
+    val p = plan("q53_purchase_latency")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val ordersScans = fileScans("q53_purchase_latency").count(_.contains("orders"))
+    assert(ordersScans === 1, s"expected one orders scan, got $ordersScans")
+  }
+
+  test("q54_revenue_concentration: spend pre-aggregates map-side before the " +
+       "exchange; the global ntile sorts only customer-grain rows") {
+    val p = plan("q54_revenue_concentration")
+    // partial sum per custkey: the shuffle carries customer aggregates,
+    // never raw order rows
+    assert("partial_sum".r.findAllIn(p).nonEmpty, p.take(2000))
+    val ordersScans = fileScans("q54_revenue_concentration").count(_.contains("orders"))
+    // orders feeds the spend aggregate once; the totals side reuses it
+    assert(ordersScans <= 2, s"orders scanned $ordersScans times")
+  }
+
+  test("s23_sq_ann: quantizer stats and the query side broadcast — the " +
+       "candidate corpus never shuffles before scoring") {
+    val p = plan("s23_sq_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    // the L2 rewrite applies when installed: the ADC fold must not demote
+    // the ranking to a SortAggregate
+    assert(!p.contains("SortAggregate"), p.take(2000))
+  }
 }
