@@ -187,6 +187,7 @@ object SparkEntry {
     "t34_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
     "t35_hll_merge"          ->
       ((s: SparkSession, d: String) => TextAnalysis.hllMergeReport(s, d)),
+    "t36_train_val_test"     -> (TextAnalysis.trainValTestSplit _),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "q54_revenue_concentration" -> (Relational.q54RevenueConcentration _),
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "f13_data_skipping"      -> (graft.sources.DataSkipping.skippingQuery _),
+    "f14_incremental_agg"    -> (graft.sources.IncrementalAgg.refreshedDailyView _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),
     "g03_triangle_count"     -> (graft.ops.GraphRank.triangleCount _),

@@ -1772,6 +1772,38 @@ object OpsOracles {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
+    // t36: stratified split report — the md5-nibble three-way split with
+    // per-source shares; pure integer counts and one rounded divide
+    "t36_train_val_test" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |           BETWEEN '0' AND 'b' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |           IN ('c', 'd') THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |c AS (SELECT source, split, count(*) AS docs FROM d GROUP BY 1, 2),
+        |t AS (SELECT source, count(*) AS src_total FROM d GROUP BY 1)
+        |SELECT c.source, c.split, c.docs,
+        |  round(CAST(c.docs AS DOUBLE) / t.src_total, 4) AS share
+        |FROM c JOIN t USING (source)
+        |ORDER BY source, split""".stripMargin,
+
+    // f14: incremental aggregate maintenance — history + delta merge
+    // must be BIT-IDENTICAL to the full recompute (counts and decimal
+    // sums are associative), so the oracle IS the full recompute.
+    "f14_incremental_agg" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
+        |  FROM events)
+        |SELECT event_type, day, count(*) AS events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS total_value
+        |FROM e
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     // w07: streaming upsert — latest event per (user, type) with update
     // count; the oracle recomputes the settled state from all events.
     "w07_stream_upsert" ->

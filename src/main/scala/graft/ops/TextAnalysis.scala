@@ -164,6 +164,31 @@ object TextAnalysis {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** STRATIFIED TRAIN/VAL/TEST SPLIT REPORT (t36) — [[hashSample]]'s
+    * hash-bucket discipline extended to the full three-way split a
+    * training pipeline ships: first md5 nibble 0-b → train (12/16),
+    * c-d → val (2/16), e-f → test (2/16). Deterministic per document
+    * (engine-, run-, and arrival-order-independent), so reprocessing at
+    * 100 TB never migrates a document across splits — the property that
+    * keeps eval sets uncontaminated as the corpus regrows. The report
+    * audits stratification: per (source, split) counts and each split's
+    * share within its source (hash uniformity makes shares track the
+    * 12/2/2 design without per-stratum bookkeeping). */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("h").between("0", "b"), "train")
+          .when(col("h").isin("c", "d"), "val")
+          .otherwise("test"))
+    val counts = d.groupBy("source", "split").agg(count(lit(1)).as("docs"))
+    val totals = d.groupBy("source").agg(count(lit(1)).as("src_total"))
+    counts.join(totals, Seq("source"))
+      .select(col("source"), col("split"), col("docs"),
+        round(col("docs") / col("src_total"), 4).as("share"))
+      .orderBy("source", "split")
+  }
+
   /** True ROLLING (polynomial) document fingerprint over the token stream:
     * fp = fold over tokens of `acc = (acc * 31 + h(tok)) mod (2^31 - 1)`,
     * with `h(tok)` = the first 8 md5 hex chars decoded to a 32-bit value.
