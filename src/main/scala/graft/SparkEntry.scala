@@ -213,6 +213,8 @@ object SparkEntry {
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),
     "m08_media_search"       -> (graft.ops.Multimodal.mediaSearch _),
+    "m09_media_sq_search"    ->
+      ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaSqSearch(s, d)),
     // S2 sink round trip — ref_-prefixed (reads the fixed-size reference
     // CSVs, ignores sfDir) so the bench suite stays sf-parameterized
     "ref_warehouse_roundtrip" ->

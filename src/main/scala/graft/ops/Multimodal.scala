@@ -204,6 +204,24 @@ object Multimodal {
       feats.filter(col("vec_id") >= 10), 3)
   }
 
+  /** SQ8-COMPRESSED MEDIA SEARCH (m09) — the compressed-index family
+    * crossed into the media modality: m05's deterministic feature vectors
+    * feed [[graft.ops.Similarity.sqAnnOf]], so the media corpus serves
+    * similarity queries from 1 byte/dim codes (stats trained on the
+    * candidate side) instead of raw feature floats — the exact
+    * architecture a petabyte media lake runs, with only the stubbed
+    * decode swapped for a real one. Squared-L2 ranking (media features
+    * are unnormalized counts, where cosine would collapse scale). */
+  def mediaSqSearch(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val feats = featureBatch(spark, dir).toDF()
+    Similarity.sqAnnOf(
+      feats.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("features").as("qv")),
+      feats.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("cand_id"), col("features").as("v")),
+      k)
+  }
+
   /** Per-format corpus summary over the decoded metadata. */
   def formatSummary(spark: SparkSession, dir: String): DataFrame =
     decodedMeta(spark, dir)

@@ -2823,6 +2823,50 @@ object OpsOracles {
 
     "m08_media_search" -> mediaSearchSql,
 
+    // m09: SQ8-compressed media search — m05's closed-form feature
+    // vectors pushed through the s23 SQ encode/decode/score pattern
+    // (stats trained on the candidate side, squared-L2 ranking)
+    "m09_media_sq_search" ->
+      """WITH b0 AS (SELECT doc_id, octet_length(encode(text)) AS bytes FROM documents),
+        |n AS (
+        |  SELECT doc_id AS vec_id,
+        |    [CAST(bytes AS DOUBLE), CAST(64 + bytes % 512 AS DOUBLE),
+        |     CAST(64 + (bytes * 7) % 512 AS DOUBLE), CAST(bytes % 3 AS DOUBLE),
+        |     CAST(bytes // 1024 + 1 AS DOUBLE), CAST(bytes % 997 AS DOUBLE),
+        |     CAST(bytes % 499 AS DOUBLE), CAST(bytes % 251 AS DOUBLE)] AS v
+        |  FROM b0),
+        |st AS (
+        |  SELECT CAST(t.d AS INT) AS dim, min(v[t.d + 1]) AS mn,
+        |    max(v[t.d + 1]) AS mx
+        |  FROM n, unnest(range(len(v))) AS t(d)
+        |  WHERE vec_id >= 10
+        |  GROUP BY 1),
+        |sa AS (
+        |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        |  FROM st),
+        |xh AS (
+        |  SELECT vec_id,
+        |    list_transform(range(len(v)), d ->
+        |      CASE WHEN mxs[d + 1] = mns[d + 1] THEN mns[d + 1]
+        |      ELSE mns[d + 1] + least(255, greatest(0,
+        |        floor((v[d + 1] - mns[d + 1]) * 255 / (mxs[d + 1] - mns[d + 1]) + 0.5)))
+        |        * (mxs[d + 1] - mns[d + 1]) / 255 END) AS xhat
+        |  FROM n CROSS JOIN sa
+        |  WHERE vec_id >= 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(len(q.v)),
+        |      i -> (q.v[i + 1] - x.xhat[i + 1]) * (q.v[i + 1] - x.xhat[i + 1]))), 6)
+        |      AS sqdist
+        |  FROM n q CROSS JOIN xh x
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, cand_id, sqdist, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sqdist ASC, cand_id ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     "t25_bpe_encode" -> bpeEncodeOracleSql,
 
     "t34_tokenizer_fertility" -> tokenizerFertilityOracleSql,

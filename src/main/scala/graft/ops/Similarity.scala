@@ -1068,14 +1068,25 @@ object Similarity {
       .select(col("dim").cast("int").as("dim"), col("mn"), col("mx"))
       .orderBy("dim")
 
-  /** The stats as ONE broadcastable row of (mns, mxs) arrays ordered by
+  /** [[sqStats]] for ANY (…, v: array<double>) frame — the library entry
+    * other modalities train through (m09 runs it on media features). */
+  private[ops] def sqStatsOfVecs(cands: DataFrame): DataFrame =
+    localized(cands
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min("x").as("mn"), max("x").as("mx")))
+
+  /** Stats as ONE broadcastable row of (mns, mxs) arrays ordered by
     * dimension — the form the encode/decode lambdas index into. */
-  private def sqStatsRow(spark: SparkSession, dir: String): DataFrame =
-    sqStats(spark, dir)
+  private def sqStatsRowOf(stats: DataFrame): DataFrame =
+    stats
       .groupBy()
       .agg(
         expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mns"),
         expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("mxs"))
+
+  private def sqStatsRow(spark: SparkSession, dir: String): DataFrame =
+    sqStatsRowOf(sqStats(spark, dir))
 
   /** SQ8 ANN (s23) — asymmetric search: the query keeps its exact
     * floats; every candidate is RECONSTRUCTED from its byte code by the
@@ -1089,9 +1100,12 @@ object Similarity {
     * before ranking with a cand_id tie-break ([[cosineTopK]]'s
     * discipline). Constant dimensions (mx = mn) reconstruct to mn
     * exactly. */
-  def sqAnn(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val xh = vectors(spark, dir).filter(col("vec_id") >= 10)
-      .crossJoin(broadcast(sqStatsRow(spark, dir)))
+  /** The search core: `queries` (query_id, qv) against `cands`
+    * (cand_id, v) reconstructed through the given broadcast stats row. */
+  private def sqSearch(queries: DataFrame, cands: DataFrame,
+                       statsRow: DataFrame, k: Int): DataFrame = {
+    val xh = cands
+      .crossJoin(broadcast(statsRow))
       .withColumn("xhat", expr(
         """transform(sequence(0, size(v) - 1), d ->
           |  CASE WHEN mxs[d] = mns[d] THEN mns[d]
@@ -1099,11 +1113,9 @@ object Similarity {
           |    floor((v[d] - mns[d]) * 255D / (mxs[d] - mns[d]) + 0.5D)))
           |    * (mxs[d] - mns[d]) / 255D END)
           |""".stripMargin.replaceAll("\n", " ")))
-      .select(col("vec_id").as("cand_id"), col("xhat"))
-    val q = vectors(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("cand_id"), col("xhat"))
     val w = Window.partitionBy("query_id").orderBy(col("sqdist").asc, col("cand_id").asc)
-    broadcast(q).crossJoin(xh)
+    broadcast(queries).crossJoin(xh)
       .withColumn("sqdist",
         round(expr("aggregate(zip_with(qv, xhat, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 6))
       .withColumn("rnk", row_number().over(w))
@@ -1111,4 +1123,17 @@ object Similarity {
       .select("query_id", "cand_id", "sqdist", "rnk")
       .orderBy("query_id", "rnk")
   }
+
+  def sqAnn(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    sqSearch(
+      vectors(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")),
+      vectors(spark, dir).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v")),
+      sqStatsRow(spark, dir), k)
+
+  /** SQ8 search over ANY query/candidate vector frames — stats train on
+    * the candidate side (the index side), exactly as [[sqAnn]]. */
+  def sqAnnOf(queries: DataFrame, cands: DataFrame, k: Int = 3): DataFrame =
+    sqSearch(queries, cands, sqStatsRowOf(sqStatsOfVecs(cands)), k)
 }
