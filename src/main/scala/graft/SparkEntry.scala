@@ -195,6 +195,7 @@ object SparkEntry {
     "q52_unpivot"            -> (Relational.q52Unpivot _),
     "q53_purchase_latency"   -> (Relational.q53PurchaseLatency _),
     "q54_revenue_concentration" -> (Relational.q54RevenueConcentration _),
+    "q55_deadline_funnel"    -> (Relational.q55DeadlineFunnel _),
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "f13_data_skipping"      -> (graft.sources.DataSkipping.skippingQuery _),
     "f14_incremental_agg"    -> (graft.sources.IncrementalAgg.refreshedDailyView _),

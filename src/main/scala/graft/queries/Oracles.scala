@@ -451,6 +451,38 @@ object RelationalOracles {
         |    (SELECT users FROM n WHERE step = '1_view'), 6) AS pct_of_first
         |FROM n ORDER BY step""".stripMargin,
 
+    // q55: deadline-bounded funnel — q39's gates with a 7-day step
+    // expiry; latencies are exact µs integer gaps, one divide per step
+    "q55_deadline_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(s1.t1) AS t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |    AND epoch_us(e.ts) >= s1.t1
+        |    AND epoch_us(e.ts) <= s1.t1 + 604800000000
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3, min(s2.t2) AS t2
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |    AND epoch_us(e.ts) >= s2.t2
+        |    AND epoch_us(e.ts) <= s2.t2 + 604800000000
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |n AS (
+        |  SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS users,
+        |    CAST(NULL AS DOUBLE) AS avg_gap_hours FROM s1
+        |  UNION ALL
+        |  SELECT '2_click', CAST(count(*) AS BIGINT),
+        |    round((CAST(sum(t2 - t1) AS DOUBLE) / count(*)) / 3600000000.0, 4)
+        |  FROM s2
+        |  UNION ALL
+        |  SELECT '3_purchase', CAST(count(*) AS BIGINT),
+        |    round((CAST(sum(t3 - t2) AS DOUBLE) / count(*)) / 3600000000.0, 4)
+        |  FROM s3)
+        |SELECT step, users,
+        |  round(CAST(users AS DOUBLE) /
+        |    (SELECT users FROM n WHERE step = '1_view'), 6) AS pct_of_first,
+        |  avg_gap_hours
+        |FROM n ORDER BY step""".stripMargin,
+
     // q40: pairwise co-purchase support — per-order distinct parts
     // self-joined under part1 < part2.
     "q40_copurchase" ->

@@ -778,6 +778,52 @@ object Relational {
       .orderBy("step")
   }
 
+  /** DEADLINE-BOUNDED FUNNEL (q55) — [[q39Funnel]]'s sequence gates with
+    * step EXPIRY: each step counts only if it lands within 7 days of the
+    * previous step's first touch (the form real conversion funnels take —
+    * an unbounded funnel credits a purchase years after the view). Same
+    * scale shape as q39: per-step user-grain first-touch aggregates
+    * chained by user-co-partitioned joins — uniform user_id exchanges,
+    * never an event-grain product. Step latencies are exact µs BIGINT
+    * differences aggregated exactly, one double divide per step at the
+    * projection. */
+  def q55DeadlineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val wk = 7L * 86400000000L
+    val ev = Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+      .persist()
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts_us") >= col("t1") && col("ts_us") <= col("t1") + wk)
+      .groupBy("user_id").agg(min("ts_us").as("t2"), min("t1").as("t1"))
+      .persist()
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2.select("user_id", "t2"), Seq("user_id"))
+      .filter(col("ts_us") >= col("t2") && col("ts_us") <= col("t2") + wk)
+      .groupBy("user_id").agg(min("ts_us").as("t3"), min("t2").as("t2"))
+    val nullHours = lit(null).cast("double")
+    val steps = Seq(
+      s1.agg(count(lit(1)).as("users"), nullHours.as("avg_gap_hours"))
+        .select(lit("1_view").as("step"), col("users"), col("avg_gap_hours")),
+      s2.agg(count(lit(1)).as("users"),
+          round((sum(col("t2") - col("t1")) / count(lit(1))) / 3600e6, 4)
+            .as("avg_gap_hours"))
+        .select(lit("2_click").as("step"), col("users"), col("avg_gap_hours")),
+      s3.agg(count(lit(1)).as("users"),
+          round((sum(col("t3") - col("t2")) / count(lit(1))) / 3600e6, 4)
+            .as("avg_gap_hours"))
+        .select(lit("3_purchase").as("step"), col("users"), col("avg_gap_hours"))
+    ).reduce(_ unionByName _)
+    val first = s1.agg(count(lit(1)).as("first_users"))
+    steps.crossJoin(broadcast(first))
+      .select(col("step"), col("users"),
+        round(col("users").cast("double") / col("first_users"), 6).as("pct_of_first"),
+        col("avg_gap_hours"))
+      .orderBy("step")
+  }
+
   /** CO-PURCHASE pair mining (q40) — pairwise frequent itemsets: the top
     * part pairs appearing together in an order, with support counts. The
     * bounded-blocks discipline of j03/d15: pairs generate from a
