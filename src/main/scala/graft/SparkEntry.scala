@@ -188,6 +188,7 @@ object SparkEntry {
     "t35_hll_merge"          ->
       ((s: SparkSession, d: String) => TextAnalysis.hllMergeReport(s, d)),
     "t36_train_val_test"     -> (TextAnalysis.trainValTestSplit _),
+    "t37_contamination_report" -> (TextAnalysis.contaminationReport _),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),

@@ -1586,6 +1586,32 @@ object OpsOracles {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // t37: graded contamination — per-doc shared-shingle fraction with
+    // bands on the ROUNDED fraction (both engines band the same value)
+    "t37_contamination_report" ->
+      s"""WITH $shingleCte,
+        |b AS (SELECT doc_id, shingle,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket FROM sh),
+        |ev AS (SELECT DISTINCT shingle FROM b WHERE bucket = 'f'),
+        |tr AS (SELECT doc_id, count(*) AS n_shingles
+        |  FROM b WHERE bucket != 'f' GROUP BY 1),
+        |sd AS (SELECT b.doc_id, count(*) AS shared
+        |  FROM b JOIN ev USING (shingle) WHERE bucket != 'f' GROUP BY 1),
+        |j AS (
+        |  SELECT tr.doc_id,
+        |    CAST(tr.n_shingles AS BIGINT) AS n_shingles,
+        |    CAST(COALESCE(sd.shared, 0) AS BIGINT) AS shared,
+        |    round(CAST(COALESCE(sd.shared, 0) AS DOUBLE) / tr.n_shingles, 6)
+        |      AS overlap_frac
+        |  FROM tr LEFT JOIN sd USING (doc_id))
+        |SELECT doc_id, n_shingles, shared, overlap_frac,
+        |  CASE WHEN shared = 0 THEN 'clean'
+        |       WHEN overlap_frac < 0.1 THEN 'touched'
+        |       WHEN overlap_frac < 0.5 THEN 'partial'
+        |       ELSE 'contaminated' END AS band
+        |FROM j
+        |ORDER BY doc_id""".stripMargin,
+
     // t28: bloom-prefiltered decontamination — the bloom is a pure
     // execution-side pruning device (false positives die in the exact
     // confirm join), so the oracle is t11's exact chain verbatim: hash

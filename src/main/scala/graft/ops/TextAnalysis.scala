@@ -253,6 +253,39 @@ object TextAnalysis {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateOf(Dedup.docShingles(spark, dir))
 
+  /** GRADED CONTAMINATION REPORT (t37) — the soft form of t11's
+    * drop-on-any-overlap rule: per training document, the FRACTION of its
+    * distinct shingles shared with the eval slice, banded
+    * (clean / touched <0.1 / partial <0.5 / contaminated). Real curation
+    * pipelines grade before they drop — a 2% incidental overlap and a
+    * 70% paraphrase are different decisions — and the banded report is
+    * what a data audit reviews. Same scale shape as t11: the eval
+    * shingle set broadcasts, the corpus side is one explode + hash join
+    * + per-doc count; zero-overlap documents survive via the left join
+    * (t11 only reports hits). */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Dedup.docShingles(spark, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+    val evalSh = ds.filter(col("bucket") === "f")
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val train = ds.filter(col("bucket") =!= "f" && col("n") > 0)
+    val shared = train
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+    train.select(col("doc_id"), col("n").cast("long").as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("shared"))
+      .withColumn("overlap_frac", round(col("shared") / col("n_shingles"), 6))
+      .withColumn("band",
+        when(col("shared") === 0, "clean")
+          .when(col("overlap_frac") < 0.1, "touched")
+          .when(col("overlap_frac") < 0.5, "partial")
+          .otherwise("contaminated"))
+      .select("doc_id", "n_shingles", "shared", "overlap_frac", "band")
+      .orderBy("doc_id")
+  }
+
   /** Spark's bloom-probe expression registered under a session-local
     * name ([[graft.functions.CosineSimilarity]]'s registry discipline) —
     * `might_contain` is the engine's own runtime-row-level-filter
