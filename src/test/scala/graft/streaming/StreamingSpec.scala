@@ -44,6 +44,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("checkpoint recovery: a restarted stream processes ONLY the new " +
+       "files and converges to the batch result") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_ckpt_spec").toString
+    val src = s"$base/events"; val ckpt = s"$base/checkpoint"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(src))
+    val all = spark.read.parquet(s"$dir/events.parquet")
+    // land the stream's input in two separate files (two "days" of feed)
+    all.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$src/chunk=a")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(all.schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+      val counts = stream
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("events"))
+      val q = counts.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // run 1: processes chunk a, commits offsets to the checkpoint
+    val afterA = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // second chunk arrives while the stream is DOWN
+    all.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$src/chunk=b")
+    runOnce() // run 2: restart from the checkpoint — only chunk b is new
+    val afterB = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchTruth = all.groupBy("event_type").agg(count(lit(1)).as("events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // run 1 saw exactly the even half; the restart converged to the whole
+    val evenTruth = all.filter(col("event_id") % 2 === 0)
+      .groupBy("event_type").agg(count(lit(1)).as("events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterA === evenTruth)
+    assert(afterB === batchTruth)
+    // the recovered run resumed from committed offsets: its state carried
+    // chunk a's counts rather than rescanning chunk a's file (afterB would
+    // still be correct under a rescan, so ALSO check the offset log shows
+    // two committed batches, not one restarted from scratch)
+    val commits = new java.io.File(s"$ckpt/commits").list()
+      .filterNot(_.endsWith(".tmp")).filterNot(_.startsWith("."))
+    assert(commits.toSet === Set("0", "1"),
+      s"expected exactly commits 0 and 1, got ${commits.mkString(",")}")
+  }
+
   test("AvailableNow dedup keeps one first-seen event per key, same key set as batch") {
     val streamed = EventStream.runDedupAvailableNow(spark, dir, "spec_dedup").collect()
     val streamedKeys = streamed
