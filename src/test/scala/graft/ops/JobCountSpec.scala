@@ -105,4 +105,29 @@ class JobCountSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("k-means training: one driver action per Lloyd iteration, none hidden") {
+    // each iteration's centroid table localizes (one collect); a
+    // regression to lazy nested-lineage centroids would re-execute prior
+    // iterations inside later jobs — cheap at test scale but the
+    // recursive-plan blowup that dominated the round-5 cold index builds
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cents = Similarity.kmeansCentroids(spark, "/root/testdata/sf0.001")
+      val built = settledJobCount(jobs)
+      // seed localize + 2 iteration localizes, each preceded by a file-
+      // listing job for its fresh parquet scan (3 collects + 3 listings);
+      // nested-lineage centroids re-executing prior iterations would blow
+      // past this
+      assert(built <= 6, s"k-means build spent $built driver actions")
+      assert(cents.count() > 0)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
