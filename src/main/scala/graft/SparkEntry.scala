@@ -178,6 +178,8 @@ object SparkEntry {
     "s22_sq_train"           -> (Similarity.sqTrain _),
     "s23_sq_ann"             ->
       ((s: SparkSession, d: String) => Similarity.sqAnn(s, d)),
+    "s24_ivfsq_ann"          ->
+      ((s: SparkSession, d: String) => Similarity.ivfSqAnn(s, d)),
     "t28_bloom_decontaminate" -> (TextAnalysis.bloomDecontaminate _),
     "t29_cms_topwords"       -> (TextAnalysis.cmsTopWords _),
     "t30_histogram_quantiles" -> (TextAnalysis.histogramQuantiles _),

@@ -1278,6 +1278,53 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s24: IVF-SQ — coarse cells (the trained-assignment replay) + SQ8
+    // stats on candidate residuals + probed search scored in RESIDUAL
+    // space (the pinned subtraction order; full-space agrees in math but
+    // not float order)
+    "s24_ivfsq_ann" ->
+      s"""WITH $ivfRankedCte,
+        |assigned AS (SELECT vec_id, cell, v FROM cellranked WHERE rk = 1),
+        |resid AS (
+        |  SELECT a.vec_id, a.cell,
+        |    list_transform(range(64), i -> a.v[i + 1] - c.cv[i + 1]) AS rv
+        |  FROM assigned a JOIN cent c USING (cell)),
+        |st AS (
+        |  SELECT CAST(t.d AS INT) AS dim, min(rv[t.d + 1]) AS mn,
+        |    max(rv[t.d + 1]) AS mx
+        |  FROM resid, unnest(range(len(rv))) AS t(d)
+        |  WHERE vec_id >= 10
+        |  GROUP BY 1),
+        |sa AS (
+        |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        |  FROM st),
+        |xh AS (
+        |  SELECT vec_id, cell,
+        |    list_transform(range(len(rv)), d ->
+        |      CASE WHEN mxs[d + 1] = mns[d + 1] THEN mns[d + 1]
+        |      ELSE mns[d + 1] + least(255, greatest(0,
+        |        floor((rv[d + 1] - mns[d + 1]) * 255 / (mxs[d + 1] - mns[d + 1]) + 0.5)))
+        |        * (mxs[d + 1] - mns[d + 1]) / 255 END) AS rhat
+        |  FROM resid CROSS JOIN sa
+        |  WHERE vec_id >= 10),
+        |qr AS (
+        |  SELECT cr.vec_id AS query_id, cr.cell,
+        |    list_transform(range(64), i -> cr.v[i + 1] - c.cv[i + 1]) AS qrv
+        |  FROM cellranked cr JOIN cent c USING (cell)
+        |  WHERE cr.vec_id < 10 AND cr.rk <= 2),
+        |scored AS (
+        |  SELECT qr.query_id, x.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(64),
+        |      i -> (qr.qrv[i + 1] - x.rhat[i + 1]) * (qr.qrv[i + 1] - x.rhat[i + 1]))), 6)
+        |      AS sqdist
+        |  FROM qr JOIN xh x USING (cell))
+        |SELECT query_id, cand_id, sqdist, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sqdist ASC, cand_id ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     // s21: hybrid search — IDF-overlap lexical ranking and brute cosine
     // ranking fused by integer reciprocal-rank fusion (1e6 // (60+rank));
     // ranks are exact, floor division is exact, the fusion cannot drift.

@@ -1100,19 +1100,24 @@ object Similarity {
     * before ranking with a cand_id tie-break ([[cosineTopK]]'s
     * discipline). Constant dimensions (mx = mn) reconstruct to mn
     * exactly. */
+  /** The fused SQ encode/decode of column `v` against broadcast
+    * (mns, mxs) arrays — shared by flat SQ8 (s23), media SQ (m09), and
+    * residual IVF-SQ (s24). */
+  private val sqDecodeExpr: String =
+    """transform(sequence(0, size(v) - 1), d ->
+      |  CASE WHEN mxs[d] = mns[d] THEN mns[d]
+      |  ELSE mns[d] + least(255D, greatest(0D,
+      |    floor((v[d] - mns[d]) * 255D / (mxs[d] - mns[d]) + 0.5D)))
+      |    * (mxs[d] - mns[d]) / 255D END)
+      |""".stripMargin.replaceAll("\n", " ")
+
   /** The search core: `queries` (query_id, qv) against `cands`
     * (cand_id, v) reconstructed through the given broadcast stats row. */
   private def sqSearch(queries: DataFrame, cands: DataFrame,
                        statsRow: DataFrame, k: Int): DataFrame = {
     val xh = cands
       .crossJoin(broadcast(statsRow))
-      .withColumn("xhat", expr(
-        """transform(sequence(0, size(v) - 1), d ->
-          |  CASE WHEN mxs[d] = mns[d] THEN mns[d]
-          |  ELSE mns[d] + least(255D, greatest(0D,
-          |    floor((v[d] - mns[d]) * 255D / (mxs[d] - mns[d]) + 0.5D)))
-          |    * (mxs[d] - mns[d]) / 255D END)
-          |""".stripMargin.replaceAll("\n", " ")))
+      .withColumn("xhat", expr(sqDecodeExpr))
       .select(col("cand_id"), col("xhat"))
     val w = Window.partitionBy("query_id").orderBy(col("sqdist").asc, col("cand_id").asc)
     broadcast(queries).crossJoin(xh)
@@ -1136,4 +1141,48 @@ object Similarity {
     * the candidate side (the index side), exactly as [[sqAnn]]. */
   def sqAnnOf(queries: DataFrame, cands: DataFrame, k: Int = 3): DataFrame =
     sqSearch(queries, cands, sqStatsRowOf(sqStatsOfVecs(cands)), k)
+
+  /** IVF-SQ ANN (s24) — the coarse-cells + scalar-quantized-residuals
+    * index (FAISS's IVFSQ8, the byte-budget sibling of IVF-PQ s13): the
+    * trained coarse quantizer partitions the corpus, SQ8 stats train on
+    * the COARSE RESIDUALS (residuals concentrate near 0, so the 256
+    * levels spend their precision where the data is), and a query probes
+    * its `nprobe` nearest cells scoring candidates by squared-L2 IN
+    * RESIDUAL SPACE — ||q−cent|| vs the reconstructed residual, the
+    * identical subtraction order on both engines (residual-space and
+    * full-space distances agree mathematically but not in float order,
+    * so ONE formulation is pinned).
+    *
+    * Scale shape: dims bytes/vector + one 2×dims stats row (vs PQ's m
+    * codebooks); the probe is a cell equi-join (never all-cells), the
+    * coarse artifacts are the SAME memoized trainedAssignment s06/s13/d13
+    * share, and the stats row is one [[localized]] table. */
+  def ivfSqAnn(spark: SparkSession, dir: String,
+               k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val cents = centroidVectors(spark, dir)
+    val resid = trainedAssignment(spark, dir)
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
+    val statsRow = sqStatsRowOf(memo(spark, dir, "ivfsq-stats") {
+      sqStatsOfVecs(resid.filter(col("vec_id") >= 10))
+    })
+    val xh = resid.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(statsRow))
+      .withColumn("rhat", expr(sqDecodeExpr))
+      .select(col("vec_id").as("cand_id"), col("cell"), col("rhat"))
+    // cellRanked already pairs each (vector, cell) with that cell's cv
+    val qr = cellRanked(spark, dir)
+      .filter(col("vec_id") < 10 && col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        expr("zip_with(v, cv, (x, c) -> x - c)").as("qrv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sqdist").asc, col("cand_id").asc)
+    broadcast(qr).join(xh, Seq("cell"))
+      .withColumn("sqdist",
+        round(expr("aggregate(zip_with(qrv, rhat, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "sqdist", "rnk")
+      .orderBy("query_id", "rnk")
+  }
 }
