@@ -213,6 +213,8 @@ object SparkEntry {
       graft.streaming.EventStream.runSessionWindowAvailableNow(s, d)),
     "w11_stream_enrich"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runEnrichAvailableNow(s, d)),
+    "w12_stream_index"       -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamBandIndex(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),

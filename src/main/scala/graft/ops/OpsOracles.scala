@@ -779,6 +779,16 @@ object OpsOracles {
         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
     },
 
+    // w12: streaming band-index maintenance — per-bucket MIN merges are
+    // associative, so the streamed index equals the batch build
+    "w12_stream_index" ->
+      s"""WITH $shingleCte,
+        |$sigBandsCte
+        |SELECT band, bkey, min(doc_id) AS bmin
+        |FROM bands
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     // w11: stream-static enrichment — the settled grid is arrival-order-
     // free (counts + exact-decimal sums), so the oracle is the batch
     // join/rollup of the same two tables.

@@ -450,6 +450,58 @@ object EventStream {
       .groupBy("band", "bkey").agg(min("doc_id").as("bmin"))
   }
 
+  /** (doc_id, band, bkey) LSH band keys of every shingled document —
+    * the per-row half of [[indexBandMins]], reusable over a streamed
+    * micro-batch frame. */
+  def bandKeysOf(arrivals: DataFrame): DataFrame =
+    graft.ops.Dedup.withShinglesOf(arrivals)
+      .filter(col("n") > 0)
+      .select(col("doc_id"), expr("minhash_sigs(shingles, 8)").as("sig"))
+      .selectExpr("doc_id",
+        """stack(4, 0, concat(sig[0], sig[1]), 1, concat(sig[2], sig[3]),
+          |         2, concat(sig[4], sig[5]), 3, concat(sig[6], sig[7])) as (band, bkey)
+          |""".stripMargin.replaceAll("\n", " "))
+
+  /** STREAMING INDEX MAINTENANCE (w12) — the UPDATER half of the ingest
+    * line that [[ingestDedupStream]]'s probe side (w08) assumes exists:
+    * each micro-batch of arriving documents computes its band keys,
+    * reduces to per-bucket minima, and MERGES into the previous index
+    * version by per-bucket MIN — associative and commutative (t35's
+    * sketch-merge discipline), so ANY batch split of the feed converges
+    * to the index a batch build would produce, which is exactly what the
+    * oracle computes. Versioned writes (w07's poor-man's-commit pattern):
+    * readers always see a complete index, and per-batch I/O is
+    * O(index ∪ delta), never a corpus rescan. */
+  def streamBandIndex(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashSigs.register(spark)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_index/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    graft.sources.StaleOutputs.sweep("graft_stream_index",
+      spark.sparkContext.applicationId)
+    @volatile var last: Option[String] = None
+    val q = readDocuments(spark, dir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        graft.functions.MinHashSigs.register(s)
+        val delta = bandKeysOf(batch.toDF())
+          .groupBy("band", "bkey").agg(min("doc_id").as("bmin"))
+        val merged = last
+          .map(p => s.read.parquet(p).unionByName(delta)
+            .groupBy("band", "bkey").agg(min("bmin").as("bmin")))
+          .getOrElse(delta)
+        val path = s"$base/v$id"
+        merged.write.mode("overwrite").parquet(path)
+        last = Some(path)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(last.getOrElse(sys.error("no index batch ran")))
+      .orderBy("band", "bkey")
+  }
+
   /** The in-flight dedup guard: each arriving document (md5 bucket 'f' —
     * the same arrival line as d19/d22) computes its MinHash band keys as
     * per-row expressions, and four stream-static hash joins probe the

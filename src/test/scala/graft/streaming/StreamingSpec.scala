@@ -177,6 +177,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming band index: any batch split converges to the batch build") {
+    import org.apache.spark.sql.functions._
+    graft.functions.MinHashSigs.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def mins(df: org.apache.spark.sql.DataFrame) =
+      EventStream.bandKeysOf(df).groupBy("band", "bkey").agg(min("doc_id").as("bmin"))
+    val single = mins(docs).orderBy("band", "bkey").collect()
+    val merged = mins(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(mins(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy("band", "bkey").agg(min("bmin").as("bmin"))
+      .orderBy("band", "bkey").collect()
+    assert(single.nonEmpty)
+    assert(merged.map(_.toString).toSeq === single.map(_.toString).toSeq)
+  }
+
   test("streaming ingest dedup: state-free, equals the batch guard row for row") {
     import org.apache.spark.sql.functions._
     graft.functions.MinHashSigs.register(spark)
