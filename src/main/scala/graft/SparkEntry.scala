@@ -191,6 +191,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.hllMergeReport(s, d)),
     "t36_train_val_test"     -> (TextAnalysis.trainValTestSplit _),
     "t37_contamination_report" -> (TextAnalysis.contaminationReport _),
+    "t38_ngram_novelty"      -> (TextAnalysis.ngramNovelty _),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),

@@ -1643,6 +1643,21 @@ object OpsOracles {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // t38: n-gram novelty — shingle-grain first-owner min-agg, doc-grain
+    // rollup; integer counts + one rounded divide
+    "t38_ngram_novelty" ->
+      s"""WITH $shingleCte,
+        |fo AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id,
+        |  count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS novel,
+        |  round(CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS novelty_rate
+        |FROM sh JOIN fo USING (shingle)
+        |GROUP BY sh.doc_id
+        |ORDER BY sh.doc_id""".stripMargin,
+
     // t37: graded contamination — per-doc shared-shingle fraction with
     // bands on the ROUNDED fraction (both engines band the same value)
     "t37_contamination_report" ->

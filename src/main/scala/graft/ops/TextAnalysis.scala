@@ -189,6 +189,31 @@ object TextAnalysis {
       .orderBy("source", "split")
   }
 
+  /** N-GRAM NOVELTY RATE (t38) — per document, the fraction of its
+    * distinct 3-gram shingles appearing for the FIRST time in the corpus
+    * (first = owned by the minimum doc_id, the deterministic arrival
+    * order). The freshness metric between t27's token-grain vocab growth
+    * and the pairwise dedup family: a feed whose novelty rate decays is
+    * re-crawling itself — the signal that gates further ingestion before
+    * any pairwise work runs. Scale shape: one shingle-grain min-aggregate
+    * (map-side combining, shuffles (shingle, min) pairs, never text) and
+    * one doc-grain rollup; no pairs anywhere. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.docShingles(spark, dir)
+      .filter(col("n") > 0)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val firstOwner = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    sh.join(firstOwner, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel"))
+      .withColumn("novelty_rate", round(col("novel") / col("n_shingles"), 6))
+      .select("doc_id", "n_shingles", "novel", "novelty_rate")
+      .orderBy("doc_id")
+  }
+
   /** True ROLLING (polynomial) document fingerprint over the token stream:
     * fp = fold over tokens of `acc = (acc * 31 + h(tok)) mod (2^31 - 1)`,
     * with `h(tok)` = the first 8 md5 hex chars decoded to a 32-bit value.
