@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.plans.GlobalOrder
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -463,23 +464,22 @@ object TextAnalysis {
     * window+divide (no first-fit scan state).
     *
     * Scale shape: the only GLOBAL ordering is over per-document token
-    * subtotals — #docs rows, aggregated before the window, the same
+    * subtotals — #docs rows, aggregated before the scan, the same
     * doc-grain spine q33 builds — never over chunks; each chunk's offset
     * is its document's broadcast base plus an intra-document running sum
     * (window partitioned by doc_id, bounded by one document's chunks).
-    * One uniform hash exchange on doc_id, one doc-grain sort, and the
-    * final seq_id aggregate. At 100 TB the doc-subtotal window runs over
-    * ~10⁹ aggregated rows — the same range-partition discipline as any
-    * global sort — while the corpus itself never globally sorts. */
+    * The doc-subtotal prefix sum is [[graft.plans.GlobalOrder]]'s
+    * two-phase scan — range-partition, per-partition partials,
+    * cluster-width offset window, broadcast add-back — NOT an
+    * unpartitioned window (which would drag all ~10⁹ doc rows through
+    * one task at 100 TB); the corpus itself never globally sorts. */
   def sequencePackOf(chunks: DataFrame, budget: Int = 128, window: Int = 32): DataFrame = {
     require(budget >= window, s"budget $budget must fit a $window-token chunk")
     val base = budget - window + 1
     val docTotals = chunks.groupBy("doc_id")
       .agg(sum(col("n_chunk_tokens")).as("doc_tokens"))
-    val docBase = docTotals.withColumn("doc_base",
-      coalesce(sum(col("doc_tokens")).over(
-        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+    val docBase = GlobalOrder.withPrefixSums(docTotals, Seq(col("doc_id")),
+      col("doc_id"), Seq((col("doc_tokens"), "doc_base")), inclusive = false)
     val intraDoc = Window.partitionBy("doc_id").orderBy("chunk_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     chunks.join(docBase.select("doc_id", "doc_base"), Seq("doc_id"))
@@ -726,8 +726,10 @@ object TextAnalysis {
     * Scale shape: first occurrences come from a token-type-grain
     * aggregate (min doc_id per type — uniform hash keys); everything
     * after runs on the doc-grain spine, where the only global ordering
-    * lives (same discipline as t23's subtotals: windows over ~#docs
-    * aggregated rows, never over tokens). */
+    * lives (same discipline as t23's subtotals — and the running totals
+    * use [[graft.plans.GlobalOrder]]'s two-phase distributed scan, not
+    * an unpartitioned window that would serialize the ~#docs spine
+    * through one task). */
   def vocabGrowthOf(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
@@ -735,12 +737,11 @@ object TextAnalysis {
       .groupBy(col("first_doc").as("doc_id"))
       .agg(count(lit(1)).as("new_types"))
     val spine = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-    val byDoc = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(firstSeen, Seq("doc_id"), "left")
+    val joined = spine.join(firstSeen, Seq("doc_id"), "left")
       .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
-      .withColumn("cum_types", sum("new_types").over(byDoc))
-      .withColumn("cum_tokens", sum("n_tokens").over(byDoc))
+    GlobalOrder.withPrefixSums(joined, Seq(col("doc_id")), col("doc_id"),
+      Seq((col("new_types"), "cum_types"), (col("n_tokens"), "cum_tokens")),
+      inclusive = true)
       .select("doc_id", "n_tokens", "new_types", "cum_types", "cum_tokens")
       .orderBy("doc_id")
   }
