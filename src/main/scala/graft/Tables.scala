@@ -33,7 +33,12 @@ object Tables {
     *
     * Any OTHER type throws loudly here — one probe site instead of a
     * silent 1000× unit corruption spread across every events consumer
-    * (the round-5 failure mode). */
+    * (the round-5 failure mode). Caveat: the LongType branch engages only
+    * for files whose `ts` is PLAIN int64; a parquet TIMESTAMP(NANOS)
+    * logical type fails earlier, at scan time ("Illegal Parquet type"),
+    * unless `spark.sql.legacy.parquet.nanosAsLong=true` is set on the
+    * session — re-enable that config if the driver ever regenerates the
+    * legacy nanos form. */
   def tsUs(df: DataFrame): Column = df.schema("ts").dataType match {
     case LongType => expr("ts div 1000") // int64 ns since epoch (legacy)
     case TimestampNTZType | TimestampType => unix_micros(col("ts").cast(TimestampType))

@@ -135,13 +135,18 @@ object Warehouse {
   object Enrichment {
 
     /** dim_promotions from promotion_reference.csv (legacy schema.sql:26-29
-      * declares it; canonical pipeline loads the CSV and drops it). */
+      * declares it; canonical pipeline loads the CSV and drops it).
+      * Duplicate promo codes dedup DETERMINISTICALLY (min discount_pct) —
+      * `dropDuplicates` keeps an arbitrary surviving row, which would make
+      * engine output nondeterministic (and diverge from the no-dedup
+      * DuckDB oracle) if the CSV ever carried a duplicated code. */
     def dimPromotions(promo: DataFrame): DataFrame =
       promo.select(
         col("promo_code"),
         col("discount_pct"))
         .na.fill("", Seq("promo_code"))
-        .dropDuplicates("promo_code")
+        .groupBy("promo_code")
+        .agg(min(col("discount_pct")).as("discount_pct"))
 
     /** dim_campaigns enriched with promo_code + run dates by joining
       * campaigns_details on the natural key (campaign_name). Derived

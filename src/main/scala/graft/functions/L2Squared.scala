@@ -50,6 +50,7 @@ case class L2Squared(left: Expression, right: Expression)
     val rightGen = right.genCode(ctx)
     val n = ctx.freshName("n"); val i = ctx.freshName("i")
     val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+    val hasNull = ctx.freshName("hasNull")
     ev.copy(code = code"""
       ${leftGen.code}
       ${rightGen.code}
@@ -58,16 +59,16 @@ case class L2Squared(left: Expression, right: Expression)
       if (!${leftGen.isNull} && !${rightGen.isNull}) {
         int $n = ${leftGen.value}.numElements();
         if ($n == ${rightGen.value}.numElements()) {
-          boolean hasNull = false;
+          boolean $hasNull = false;
           double $acc = 0.0;
           for (int $i = 0; $i < $n; $i++) {
             if (${leftGen.value}.isNullAt($i) || ${rightGen.value}.isNullAt($i)) {
-              hasNull = true; break;
+              $hasNull = true; break;
             }
             double $d = ${leftGen.value}.getDouble($i) - ${rightGen.value}.getDouble($i);
             $acc += $d * $d;
           }
-          if (!hasNull) { ${ev.isNull} = false; ${ev.value} = $acc; }
+          if (!$hasNull) { ${ev.isNull} = false; ${ev.value} = $acc; }
         }
       }
     """)

@@ -34,6 +34,13 @@ object StaleOutputs {
     (f.lastModified() +: children.map(latestMtime)).max
   }
 
+  /** Clear one output directory before a writer re-populates it from
+    * scratch — the idempotency guard for APPEND-mode sinks that are
+    * re-invoked within the SAME application (bench runs every query on
+    * 3+ interleaved passes; without the reset each pass would append a
+    * full duplicate generation to the still-live app-scoped dir). */
+  def reset(path: String): Unit = deleteRecursively(new java.io.File(path))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

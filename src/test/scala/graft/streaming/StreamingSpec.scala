@@ -192,6 +192,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged.map(_.toString).toSeq === single.map(_.toString).toSeq)
   }
 
+  test("band index delta log: appends are O(delta) bytes, compaction folds " +
+       "to the batch build") {
+    import org.apache.spark.sql.functions._
+    graft.functions.MinHashSigs.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def mins(df: org.apache.spark.sql.DataFrame) =
+      EventStream.bandKeysOf(df).groupBy("band", "bkey").agg(min("doc_id").as("bmin"))
+    val gen = java.nio.file.Files
+      .createTempDirectory("graft_band_gen_spec").toString + "/gen"
+    def bytesUnder(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else f.length()
+      walk(new java.io.File(p))
+    }
+    // full-index write size: what the r6 design paid EVERY batch
+    val fullDir = gen + "_full"
+    mins(docs).write.parquet(fullDir)
+    val fullBytes = bytesUnder(fullDir)
+    // four quarter-corpus deltas appended to the log; each append may
+    // write only ~its share, never a full-index rewrite
+    val perBatch = (0 until 4).map { q =>
+      val before = bytesUnder(gen)
+      EventStream.appendBandDelta(mins(docs.filter(col("doc_id") % 4 === q)), gen)
+      bytesUnder(gen) - before
+    }
+    assert(perBatch.forall(_ > 0))
+    assert(perBatch.forall(_ < fullBytes),
+      s"a delta append cost a full-index rewrite: $perBatch vs full $fullBytes")
+    // merge-on-read over the log equals the single-shot batch build
+    val viaLog = EventStream.readBandIndex(spark, gen)
+      .orderBy("band", "bkey").collect()
+    val direct = mins(docs).orderBy("band", "bkey").collect()
+    assert(viaLog.map(_.toString).toSeq === direct.map(_.toString).toSeq)
+    // compaction folds the 4-delta log into one generation, same answer,
+    // strictly fewer bytes than the accumulated log
+    val logBytes = bytesUnder(gen)
+    EventStream.compactBandIndex(spark, gen)
+    val compacted = EventStream.readBandIndex(spark, gen)
+      .orderBy("band", "bkey").collect()
+    assert(compacted.map(_.toString).toSeq === direct.map(_.toString).toSeq)
+    assert(bytesUnder(gen) < logBytes,
+      s"compaction did not shrink the log: ${bytesUnder(gen)} vs $logBytes")
+  }
+
   test("streaming ingest dedup: state-free, equals the batch guard row for row") {
     import org.apache.spark.sql.functions._
     graft.functions.MinHashSigs.register(spark)
