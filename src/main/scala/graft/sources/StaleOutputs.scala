@@ -34,6 +34,21 @@ object StaleOutputs {
     (f.lastModified() +: children.map(latestMtime)).max
   }
 
+  /** Age-based sweep for SHARED (non-applicationId-scoped) scratch
+    * parents — e.g. the cross-process ANN artifact store, whose entries
+    * are keyed by content fingerprint rather than by application: any
+    * subdirectory quiet for longer than [[SweepTtlMs]] is dead weight
+    * (its testdata generation is gone or its format version was bumped)
+    * and is removed; everything recent is presumed live, including
+    * entries other concurrent processes are reading. */
+  def sweepAged(parentPath: String): Unit = {
+    val now = System.currentTimeMillis()
+    val parent = new java.io.File(parentPath)
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && now - latestMtime(f) > SweepTtlMs)
+      .foreach(deleteRecursively)
+  }
+
   /** Clear one output directory before a writer re-populates it from
     * scratch — the idempotency guard for APPEND-mode sinks that are
     * re-invoked within the SAME application (bench runs every query on
