@@ -245,7 +245,7 @@ object Similarity {
   }
 
   private def centroidVectors(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "cents") {
+    diskMemo(spark, dir, "cents") {
       localized(labelCentroids(spark, dir)
         .groupBy(col("label").as("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
@@ -684,10 +684,10 @@ object Similarity {
     * and repeated bench reps share one training pass and one encode pass
     * instead of re-running Lloyd per call. */
   private[ops] def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "pq-books") { pqCodebooksOf(subvectors(spark, dir)) }
+    diskMemo(spark, dir, "pq-books") { pqCodebooksOf(subvectors(spark, dir)) }
 
   private[ops] def pqCandidateCodes(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "pq-codes") {
+    diskMemo(spark, dir, "pq-codes") {
       pqAssign(subvectors(spark, dir).filter(col("vec_id") >= 10),
                pqCodebooks(spark, dir))
         .select(col("vec_id").as("cand_id"), col("s"), col("cid").as("code"))
@@ -771,13 +771,13 @@ object Similarity {
     * (session, dir) and shared by s13's search and s14's recall report
     * (which previously re-trained the index it was measuring). */
   private[ops] def residCodebooks(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "ivfpq-books") { pqCodebooksOf(residSubvectors(spark, dir)) }
+    diskMemo(spark, dir, "ivfpq-books") { pqCodebooksOf(residSubvectors(spark, dir)) }
 
   /** The encoded IVF-PQ candidate index: 8 byte-codes + coarse cell per
     * candidate vector — the persisted artifact a query-time probe joins
     * against. */
   private[ops] def residCandidateCodes(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "ivfpq-codes") {
+    diskMemo(spark, dir, "ivfpq-codes") {
       pqAssign(residSubvectors(spark, dir).filter(col("vec_id") >= 10),
                residCodebooks(spark, dir))
         .select(col("vec_id").as("cand_id"), col("s"), col("cid").as("code"))
@@ -1121,7 +1121,7 @@ object Similarity {
     * dims rows). min/max of doubles is exact, so no rounding discipline
     * is needed for cross-engine parity. */
   private[ops] def sqStats(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "sq-stats") {
+    diskMemo(spark, dir, "sq-stats") {
       localized(vectors(spark, dir).filter(col("vec_id") >= 10)
         .select(posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("dim")
@@ -1230,7 +1230,7 @@ object Similarity {
       .join(broadcast(cents), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
-    val statsRow = sqStatsRowOf(memo(spark, dir, "ivfsq-stats") {
+    val statsRow = sqStatsRowOf(diskMemo(spark, dir, "ivfsq-stats") {
       sqStatsOfVecs(resid.filter(col("vec_id") >= 10))
     })
     val xh = resid.filter(col("vec_id") >= 10)

@@ -1364,24 +1364,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(new java.io.File(s"$base/$part").exists(), s"$part not persisted")
   }
 
-  test("PQ index memoized: repeat calls return the SAME persisted frames (no retrain)") {
-    // build-index/query-index split: the codebooks and code tables are
-    // trained once per (session, dir); a second call must get the
-    // identical cached DataFrame back (reference equality — the strongest
-    // possible "no second training pass" witness), and it must actually
-    // be persisted so consumers pay a cache read, not a recompute.
+  test("PQ index artifacts persist on disk: repeat calls read, never retrain") {
+    // build-index/query-index split, now CROSS-PROCESS (diskMemo): the
+    // first call trains and publishes a parquet artifact; every later
+    // call — this session or a fresh JVM — must read that artifact
+    // without rewriting it. Witness: the artifact tree's newest mtime is
+    // unchanged across a repeat call (a retrain would republish), and the
+    // repeat frame carries the same values.
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+          .map(newestMtime)).max
+      else f.lastModified()
+    val store = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_annartifacts")
     for (f <- Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
         Similarity.pqCodebooks, Similarity.pqCandidateCodes,
-        Similarity.residCodebooks, Similarity.residCandidateCodes,
-        Similarity.trainedAssignment)) {
-      val first = f(spark, dir)
-      assert(f(spark, dir) eq first, "memo returned a fresh frame")
-      assert(first.storageLevel.useMemory, "memoized frame is not persisted")
+        Similarity.residCodebooks, Similarity.residCandidateCodes)) {
+      val first = f(spark, dir).collect()
+      val stamp = newestMtime(store)
+      val again = f(spark, dir).collect()
+      assert(newestMtime(store) === stamp, "repeat call republished an artifact")
+      assert(again.map(_.toString).sorted.toSeq ===
+        first.map(_.toString).sorted.toSeq)
     }
-    // s14 measures the index s13 queries: both must read the SAME
-    // residual code table, never train a second one
-    assert(Similarity.residCandidateCodes(spark, dir) eq
-      Similarity.residCandidateCodes(spark, dir))
+    // the corpus-sized assignment stays an IN-SESSION memo (float vectors
+    // don't belong in the artifact store): reference equality + persisted
+    val first = Similarity.trainedAssignment(spark, dir)
+    assert(Similarity.trainedAssignment(spark, dir) eq first,
+      "memo returned a fresh frame")
+    assert(first.storageLevel.useMemory, "memoized frame is not persisted")
   }
 
   test("mixture report: docs and shares account for the whole corpus") {
