@@ -197,7 +197,7 @@ object Similarity {
   /** Format version of the on-disk ANN artifacts ([[diskMemo]]): bump
     * whenever a trainer's SEMANTICS change so a fresh build can never
     * consume an artifact an older code version wrote. */
-  private val ArtifactVersion = "r7a"
+  private val ArtifactVersion = "r7b"
 
   /** Source-table fingerprint (size + mtime of embeddings.parquet):
     * regeneration of the testdata invalidates every artifact keyed on it
@@ -252,43 +252,46 @@ object Similarity {
           .as("cv")))
     }
 
-  /** The assignment ordering key, as ONE exact BIGINT: the 6dp-rounded
-    * distance in micro-units (exact via DECIMAL(18,6) — no double×1e6
-    * ulp risk) times 1024, plus the cell id in the low bits. Ranking on
-    * the ROUNDED distance with an id tie-break is the same cross-engine
-    * discipline as [[cosineTopK]]'s rounded-cosine ranking; packing both
-    * into one primitive keeps the argmin a pure-primitive `min_by`, which
-    * Spark plans as a partial-aggregating HashAggregate. (A struct
-    * ordering — min_by(_, struct(dist, cell)) — demotes the whole
-    * aggregate to SortAggregate: struct buffers aren't UnsafeRow-mutable,
-    * measured on 4.1.2.) The key is unique per (row, cell), so ties
-    * cannot exist and the argmin is deterministic.
+  /** NEAREST-CENTROID ASSIGNMENT AS A NARROW PASS — no corpus shuffle.
     *
-    * Packing invariants, GUARDED (not assumed): cell ids must stay below
-    * 1024 (the low-bits field width; every trainer here caps k ≤ 256) and
-    * round(dist,6) below DECIMAL(18,6)'s ~1e12 ceiling (squared L2 of
-    * unit-norm 64-dim data is ≤ 4·64). Violations used to yield a NULL
-    * packed key under non-ANSI overflow, which min_by would silently
-    * mis-rank; now they raise at the first offending row. */
-  private def assignKey(cellCol: String): org.apache.spark.sql.Column = {
-    def packed =
-      expr("cast(cast(round(dist, 6) as decimal(18,6)) * 1000000 as bigint) * 1024")
-    // Guard shape matters: the r5 two-branch `when(..., raise_error)`
-    // chain re-evaluated `packed` and threaded string-concat branches
-    // through every row of the hot min_by aggregate. coalesce()
-    // short-circuits — the raise_error branch is only ever EVALUATED on
-    // an actually-violating row (NULL packed = decimal overflow, or a
-    // cell id escaping the 10-bit field), so the hot path is the pure
-    // primitive arithmetic and the invariant still fails loudly, not
-    // silently mis-ranking through a NULL key.
-    val cell = col(cellCol).cast("long")
-    val guarded = when(cell >= 0L && cell < 1024L, packed + cell)
-    coalesce(guarded,
-      when(col("dist").isNull, lit(null).cast("bigint"))
-        .otherwise(raise_error(concat(
-          lit("assignKey: packing invariant violated (cell="),
-          col(cellCol).cast("string"), lit(", dist="),
-          col("dist").cast("string"), lit(")")))))
+    * The r6 form joined every row against the broadcast centroid table
+    * (corpus×k rows) and argmin'd with a `min_by` HashAggregate whose
+    * group keys included the VECTOR itself — one full exchange of
+    * corpus×k rows per assignment pass, and three such passes per index
+    * build (two Lloyd iterations + the encode). At 10⁹ vectors those
+    * exchanges dominate the build. Here the codebook collapses to ONE
+    * broadcastable LUT row per key group (`cb_entries`: all codewords as
+    * a cid-sorted struct array), and the argmin folds over that array
+    * inside a single projection — the corpus never widens, never
+    * shuffles, and the whole pass pipelines inside one stage.
+    *
+    * Ordering semantics are bit-identical to the old packed-key
+    * `min_by`: per-codeword distances round to 6dp (rounding to a fixed
+    * decimal grid is order-preserving in double), `array_min` takes the
+    * smallest, and `array_position` returns the FIRST index holding it —
+    * the lowest cid among ties, because entries sort by cid. The DuckDB
+    * oracle's (round(dist,6), cid) ORDER BY sees exactly the same
+    * winner, so the gate hashes are unchanged.
+    *
+    * `keys` co-keys the LUT (e.g. PQ's subspace `s` — an 8-row
+    * broadcast hash join); empty keys mean one global codebook row
+    * (a 1-row broadcast, planned as BroadcastNestedLoopJoin degenerating
+    * to a free row-append). */
+  private def nearestCell(rows: DataFrame, cents: DataFrame, keys: Seq[String],
+                          cidCol: String, vecCol: String, outCol: String): DataFrame = {
+    val lut = cents.groupBy(keys.map(col): _*)
+      .agg(expr(s"array_sort(collect_list(named_struct('cid', $cidCol, 'cv', cv)))")
+        .as("cb_entries"))
+    val joined =
+      if (keys.isEmpty) rows.crossJoin(broadcast(lut))
+      else rows.join(broadcast(lut), keys)
+    joined
+      .withColumn("cb_ds", expr(
+        s"transform(cb_entries, e -> round(aggregate(zip_with($vecCol, e.cv, " +
+          "(x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x), 6))"))
+      .withColumn(outCol,
+        expr("element_at(cb_entries, cast(array_position(cb_ds, array_min(cb_ds)) as int)).cid"))
+      .drop("cb_entries", "cb_ds")
   }
 
   /** Distances of every vector in `df` to every centroid — the narrow
@@ -302,7 +305,7 @@ object Similarity {
   /** QUERY-SIDE cell ranking (rk ≤ nprobe probe expansion): a window is
     * fine here because callers filter to the broadcast-sized query set
     * before ranking; the corpus-side assignment never goes through this —
-    * it uses the min_by hash-agg in [[trainedAssignment]]. Ordering is
+    * it uses [[nearestCell]]'s narrow argmin projection. Ordering is
     * the same (round(dist,6), cell) key as the assignment, so a query's
     * rk=1 probe cell is always its assigned cell. */
   private def cellRanked(spark: SparkSession, dir: String): DataFrame = {
@@ -319,12 +322,10 @@ object Similarity {
     * re-train and re-assign. Stopped sessions' entries purge on access. */
   def trainedAssignment(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "assign") {
-      // argmin over the packed (round(dist,6), cell) key — one
-      // partial-aggregating HashAggregate over the corpus, no sort, no
-      // window: the per-vector constants (v, norm) ride as group keys.
-      cellScored(spark, dir)
-        .groupBy("vec_id", "v", "norm")
-        .agg(min_by(col("cell"), assignKey("cell")).as("cell"))
+      // [[nearestCell]]: the corpus→cell argmin is one narrow projection
+      // over a broadcast LUT row — no exchange anywhere in the pass
+      nearestCell(vectors(spark, dir), centroidVectors(spark, dir),
+          Seq.empty, "cell", "v", "cell")
         .select(col("vec_id"), col("cell"), col("v"), col("norm"))
     }
 
@@ -398,17 +399,17 @@ object Similarity {
     * table, the exact shape [[annIvfTrained]]-style search consumes.
     *
     * Scale shape per iteration: the centroid table (k×dims,
-    * corpus-independent) broadcasts; assignment is a narrow per-row pass
-    * (k distances per vector) folded by the packed-key min_by hash-agg —
-    * no sort exchange; the mean recomputation is one (cid, dim)-keyed
-    * exchange with map-side combine — O(k×dims) rows out. Total cost:
-    * iters × one corpus pass, no iteration-to-iteration state beyond the
-    * k×dims table.
+    * corpus-independent) broadcasts as [[nearestCell]]'s one-row LUT;
+    * assignment is a narrow shuffle-free projection (k distances per
+    * vector); the mean recomputation is one (cid, dim)-keyed exchange
+    * with map-side combine — O(k×dims) rows out. Total cost: iters × one
+    * corpus pass, no iteration-to-iteration state beyond the k×dims
+    * table.
     *
     * Cross-engine determinism: centroids round to 6dp after EVERY
     * iteration, so each iteration's distance inputs are identical on
     * both engines (same discipline as s05/s06); assignment argmins the
-    * packed (round(dist,6), cid) key ([[assignKey]]), mirrored in the
+    * (round(dist,6), cid) order ([[nearestCell]]), mirrored in the
     * oracle's ORDER BY. A cluster that loses all members simply drops
     * out (both engines mirror the same convention). */
   def kmeansCentroids(spark: SparkSession, dir: String,
@@ -429,14 +430,10 @@ object Similarity {
     var cents = localized(vs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv")))
     for (_ <- 1 to iters) {
-      // per-iteration assignment is the same packed-key min_by hash-agg
-      // as trainedAssignment — a row_number window here would pay one
-      // sort exchange of corpus×k rows PER Lloyd iteration
-      val assigned = vs.crossJoin(broadcast(cents))
-        .withColumn("dist",
-          expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
-        .groupBy("vec_id", "v")
-        .agg(min_by(col("cid"), assignKey("cid")).as("cid"))
+      // per-iteration assignment is [[nearestCell]]'s shuffle-free
+      // projection — the only exchange per Lloyd iteration is the
+      // O(k×dims)-row mean recomputation below
+      val assigned = nearestCell(vs, cents, Seq.empty, "cid", "v", "cid")
         .select("vec_id", "cid", "v")
       cents = localized(assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
@@ -461,12 +458,8 @@ object Similarity {
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
         .as("cv"))
-    val assigned = vectors(spark, dir)
-      .crossJoin(broadcast(cents))
-      .withColumn("dist",
-        expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
-      .groupBy("vec_id", "v", "norm")
-      .agg(min_by(col("cid"), assignKey("cid")).as("cell"))
+    val assigned = nearestCell(vectors(spark, dir), cents,
+        Seq.empty, "cid", "v", "cell")
       .select(col("vec_id"), col("cell"), col("v"), col("norm"))
       .persist()
     val q = assigned.filter(col("vec_id") < 10)
@@ -636,22 +629,13 @@ object Similarity {
   private def subvectors(spark: SparkSession, dir: String): DataFrame =
     subvectorsOf(vectors(spark, dir).select(col("vec_id"), col("v")))
 
-  private val pqDistExpr =
-    "aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"
-
   /** Nearest-codeword assignment of every (id…, s) subvector against a
-    * (s, cid, cv) codebook table: L2 fold, (round(dist,6), cid) argmin via
-    * the packed-BIGINT `min_by` — the same sort-free HashAggregate shape
-    * as [[trainedAssignment]] (the subvector `sv` rides as a group key).
-    * The codebook is m×k rows — broadcast at any corpus size. */
-  private def pqAssign(sub: DataFrame, cents: DataFrame,
-                       idCols: Seq[String] = Seq("vec_id")): DataFrame = {
-    val keys = (idCols ++ Seq("s", "sv")).map(col)
-    sub.join(broadcast(cents), Seq("s"))
-      .withColumn("dist", expr(pqDistExpr))
-      .groupBy(keys: _*)
-      .agg(min_by(col("cid"), assignKey("cid")).as("cid"))
-  }
+    * (s, cid, cv) codebook table: [[nearestCell]] keyed on the subspace
+    * `s` — an 8-row broadcast LUT join plus a narrow argmin projection,
+    * no exchange of the subvector frame. Output carries every input
+    * column plus the winning `cid`; callers project what they need. */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
+    nearestCell(sub, cents, Seq("s"), "cid", "sv", "cid")
 
   /** Per-subspace k-means codebooks (k=16, 2 Lloyd iterations, seeds =
     * the first k vectors' subvectors, centroids rounded to 6dp each
@@ -807,7 +791,9 @@ object Similarity {
     val qres = probes.join(broadcast(cents), Seq("cell"))
       .select(col("query_id"), col("cell"), expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
     val lut = subvectorsOf(qres).join(broadcast(books), Seq("s"))
-      .withColumn("d", round(expr(pqDistExpr), 6).cast("decimal(18,6)"))
+      .withColumn("d", round(expr(
+          "aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"),
+        6).cast("decimal(18,6)"))
       .select(col("query_id"), col("cell"), col("s"), col("cid").as("code"), col("d"))
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id").asc)
     codes.join(broadcast(lut), Seq("cell", "s", "code"))
@@ -1052,19 +1038,16 @@ object Similarity {
           .as("cv")))
     }
     // every candidate (index at build time, delta on arrival) assigns to
-    // the frozen cells — the packed-key min_by hash-agg, no sort; memoized
-    // so the codebook build and the code table share ONE evaluation (at
-    // 1e9 vectors a second full assignment pass is the dominant avoidable
-    // build cost)
+    // the frozen cells — [[nearestCell]]'s shuffle-free projection;
+    // memoized so the codebook build and the code table share ONE
+    // evaluation (at 1e9 vectors a second full assignment pass is the
+    // dominant avoidable build cost)
     // lazy: the assignment pass is a BUILD-time input only — when the
     // three disk artifacts already exist, a consuming process must not
     // pay a corpus pass (memo evaluates eagerly, so laziness gates it)
     lazy val assigned = memo(spark, dir, "incr-assign") {
-      cand.crossJoin(broadcast(cents))
-        .withColumn("dist",
-          expr("aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"))
-        .groupBy("vec_id", "v", "norm")
-        .agg(min_by(col("cell"), assignKey("cell")).as("cell"))
+      nearestCell(cand, cents, Seq.empty, "cell", "v", "cell")
+        .select("vec_id", "v", "norm", "cell")
     }
     def rsubAll = subvectorsOf(
       assigned.join(broadcast(cents), Seq("cell"))

@@ -243,22 +243,60 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("s06_ivf_trained: assignment is a sort-free min_by HashAggregate") {
-    // the corpus→cell argmin must stay a partial-aggregating
-    // HashAggregate on the packed (round(dist,6), cell) BIGINT key — a
-    // struct ordering (or a row_number window) demotes it to a
-    // SortAggregate / sort exchange, one full sort of corpus×cells rows
+  test("s06_ivf_trained: assignment is a narrow LUT argmin — the corpus " +
+       "never aggregates or shuffles on the way to its cell") {
+    // nearestCell: one broadcast codebook row + a transform/array_position
+    // projection. A regression back to the corpus×k join + min_by agg
+    // (an exchange of corpus×k rows per pass) shows up as an aggregate
+    // over the assignment frame.
     val p = plan("s06_ivf_trained")
-    assert(p.contains("min_by"), s"min_by assignment missing:\n${p.take(2000)}")
+    assert(p.contains("array_position"),
+      s"narrow LUT argmin missing:\n${p.take(2000)}")
+    assert(!p.contains("min_by"),
+      s"assignment regressed to the corpus-shuffling min_by agg:\n${p.take(2000)}")
     assert(!p.contains("SortAggregate"),
       s"assignment fell back to SortAggregate:\n${p.take(2000)}")
   }
 
-  test("s11_pq_codes: codeword assignment aggregates without any SortAggregate") {
+  test("s11_pq_codes: codeword assignment never aggregates the corpus — " +
+       "every aggregate in the plan reads codebook-sized inputs only") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val p = plan("s11_pq_codes")
-    assert(p.contains("min_by"), s"min_by assignment missing:\n${p.take(2000)}")
-    assert(!p.contains("SortAggregate"),
-      s"PQ assignment fell back to SortAggregate:\n${p.take(2000)}")
+    assert(p.contains("array_position"),
+      s"narrow LUT argmin missing:\n${p.take(2000)}")
+    assert(!p.contains("min_by") && !p.contains("SortAggregate"), p.take(2000))
+    // structural form of the same invariant: no aggregate node may sit
+    // above the embeddings corpus scan (the LUT build aggregates only the
+    // 128-row codebook artifact)
+    def scansUnder(q: SparkPlan): Seq[String] = {
+      val self = q match {
+        case f: FileSourceScanExec => Seq(f.relation.location.rootPaths.mkString(","))
+        case _ => Nil
+      }
+      val kids = q match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _ => q.children
+      }
+      self ++ kids.flatMap(scansUnder) ++ q.subqueries.flatMap(scansUnder)
+    }
+    def aggsOverCorpus(q: SparkPlan): Seq[SparkPlan] = {
+      val self = q match {
+        case a: BaseAggregateExec if scansUnder(a).exists(_.contains("embeddings")) => Seq(a)
+        case _ => Nil
+      }
+      val kids = q match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _ => q.children
+      }
+      self ++ kids.flatMap(aggsOverCorpus) ++ q.subqueries.flatMap(aggsOverCorpus)
+    }
+    val exec = SparkEntry.queries("s11_pq_codes")(spark, dir).queryExecution.executedPlan
+    val bad = aggsOverCorpus(exec)
+    assert(bad.isEmpty,
+      s"PQ encode aggregates the corpus:\n${bad.map(_.nodeName).mkString(", ")}")
   }
 
   test("w04_stream_join: event_type predicates pushed into the parquet scans") {
