@@ -499,9 +499,10 @@ object EventStream {
 
   /** STREAMING INDEX MAINTENANCE (w12) — the UPDATER half of the ingest
     * line that [[ingestDedupStream]]'s probe side (w08) assumes exists:
-    * each micro-batch of arriving documents computes its band keys,
-    * reduces to per-bucket minima, and APPENDS that delta to the index's
-    * delta log; readers aggregate per-bucket MIN across delta files
+    * each micro-batch of arriving documents computes its band keys and
+    * APPENDS them raw to the index's delta log — the per-trigger plan is
+    * fully narrow (no exchange); readers aggregate per-bucket MIN across
+    * delta files
     * ([[readBandIndex]]), and every [[IndexCompactEvery]] batches the log
     * folds to one file set ([[compactBandIndex]]).
     *
@@ -532,8 +533,15 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         graft.functions.MinHashSigs.register(s)
+        // RAW band keys, no per-batch groupBy: the min-merge happens at
+        // read (and at compaction) anyway, so pre-aggregating the delta
+        // only bought a shuffle inside the trigger. Raw append keeps the
+        // whole per-trigger plan narrow (shingle → sig → stack → write,
+        // zero exchanges) — ingest runs at line rate; delta size is
+        // still O(batch) (4 rows/doc), and compaction every
+        // [[IndexCompactEvery]] batches bounds the read fan-in.
         val delta = bandKeysOf(batch.toDF())
-          .groupBy("band", "bkey").agg(min("doc_id").as("bmin"))
+          .select(col("band"), col("bkey"), col("doc_id").as("bmin"))
         appendBandDelta(delta, gen)
         batches += 1
         if (batches % IndexCompactEvery == 0) compactBandIndex(s, gen)
