@@ -192,6 +192,8 @@ object SparkEntry {
     "t36_train_val_test"     -> (TextAnalysis.trainValTestSplit _),
     "t37_contamination_report" -> (TextAnalysis.contaminationReport _),
     "t38_ngram_novelty"      -> (TextAnalysis.ngramNovelty _),
+    "t39_zipf_fit"           -> (TextAnalysis.zipfFit _),
+    "t40_perplexity_buckets" -> (TextAnalysis.perplexityBuckets _),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),
@@ -208,6 +210,8 @@ object SparkEntry {
     "g03_triangle_count"     -> (graft.ops.GraphRank.triangleCount _),
     "g04_node_similarity"    -> (graft.ops.GraphRank.nodeSimilarity _),
     "g05_bfs_hops"           -> (graft.ops.GraphRank.bfsHops _),
+    "g06_component_sizes"    -> ((s: SparkSession, d: String) =>
+      graft.ops.GraphRank.componentSizes(s, d)),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),
     "w10_session_window"     -> ((s: SparkSession, d: String) =>

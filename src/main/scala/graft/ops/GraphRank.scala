@@ -380,4 +380,45 @@ object GraphRank {
       .select("p1", "p2")
     bfsHopsOf(edges)
   }
+
+  /** BOUNDED-ROUND CONNECTED COMPONENTS (g06) — HashMin label
+    * propagation (the simple O(diameter)-round variant of Rastogi et
+    * al. 2013, "Finding Connected Components in Map-Reduce in
+    * Logarithmic Rounds") over the co-purchase graph, run for a FIXED
+    * `rounds` budget: each superstep every node takes the minimum of its
+    * own label and its neighbors', so after k rounds a node's label is
+    * the smallest node id within k hops, and once k reaches a
+    * component's diameter its labels are exact. The fixed budget (not a
+    * convergence probe) keeps the whole computation ONE declarative DAG
+    * — no per-round driver action, unlike d16's fixpoint loop — and the
+    * DuckDB oracle unrolls exactly the same k steps, so the surface
+    * verifies bit-for-bit regardless of convergence state.
+    *
+    * Scale shape: per superstep one shuffle-hash join of the node-grain
+    * label vector against the src-partitioned cached adjacency plus one
+    * dst-keyed min aggregate — the same exchange budget as a PageRank
+    * superstep (g01); the closing size histogram is two label-keyed
+    * aggregates whose output is histogram-small. */
+  /** Library form over any undirected (src, dst) edge frame (both
+    * directions present, like [[purchaseEdges]]). */
+  def componentSizesOf(und: DataFrame, rounds: Int): DataFrame = {
+    var labels = und.select(col("src")).distinct()
+      .select(col("src").as("node"), col("src").as("l"))
+    for (_ <- 1 to rounds) {
+      val nb = und
+        .join(labels.hint("shuffle_hash"), und("src") === labels("node"))
+        .select(und("dst").as("node"), col("l"))
+        .groupBy("node").agg(min("l").as("nl"))
+      labels = labels.join(nb.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+    }
+    labels.groupBy("l").agg(count(lit(1)).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("components"), sum("size").as("nodes"))
+      .orderBy("size")
+  }
+
+  def componentSizes(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+    componentSizesOf(adjFor(spark, dir).select("src", "dst"), rounds)
 }

@@ -220,6 +220,29 @@ object OpsOracles {
        |$rankSteps
        |$rankOutput""".stripMargin
 
+  /** g06: HashMin bounded-round connected components — the same 6
+    * min-label supersteps as GraphRank.componentSizes, unrolled (each
+    * step: every node takes the min of its own and its neighbors'
+    * labels), then the component-size histogram. */
+  private def componentSizesOracleSql: String = {
+    def step(k: Int): String = {
+      val prev = s"l${k - 1}"
+      s"""l$k AS (
+         |  SELECT v.node, least(v.l, coalesce(min(w.l), v.l)) AS l
+         |  FROM $prev v
+         |  LEFT JOIN (SELECT e.dst AS node, r.l FROM e JOIN $prev r
+         |    ON e.src = r.node) w ON w.node = v.node
+         |  GROUP BY v.node, v.l)""".stripMargin
+    }
+    s"""WITH $rankEdgesCte,
+       |l0 AS (SELECT src AS node, src AS l FROM deg),
+       |${(1 to 6).map(step).mkString(",\n")},
+       |sizes AS (SELECT l, CAST(count(*) AS BIGINT) AS size FROM l6 GROUP BY l)
+       |SELECT size, CAST(count(*) AS BIGINT) AS components,
+       |  CAST(sum(size) AS BIGINT) AS nodes
+       |FROM sizes GROUP BY size ORDER BY size""".stripMargin
+  }
+
   /** MinHash signatures → 4 band keys per doc (mirrors
     * Dedup.minhashLshOf's signature/band construction; shared by the
     * full-corpus LSH CTEs and the d22 incremental split). */
@@ -3011,5 +3034,60 @@ object OpsOracles {
     "g01_graph_rank" -> graphRankOracleSql,
 
     "g02_personalized_rank" -> personalizedRankOracleSql,
+
+    "g06_component_sizes" -> componentSizesOracleSql,
+
+    // t39: Zipf fit — ln-micro integer regression: 6dp-rounded lns as
+    // BIGINT micro-units, exact integer sums/cross-products (HUGEINT
+    // here, DECIMAL(38,0) engine-side), one double division per
+    // coefficient; the micro scaling cancels in the slope, the
+    // intercept divides its extra 1e6 out in double identically.
+    "t39_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS occ FROM tok GROUP BY tok),
+        |top AS (SELECT tok, occ FROM freq ORDER BY occ DESC, tok LIMIT 1000),
+        |xy AS (SELECT
+        |  CAST(CAST(round(ln(CAST(row_number() OVER (ORDER BY occ DESC, tok)
+        |    AS DOUBLE)), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6,
+        |  CAST(CAST(round(ln(CAST(occ AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |    * 1000000 AS BIGINT) AS y6
+        |  FROM top),
+        |s AS (SELECT
+        |  CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x6) AS HUGEINT) AS sx, CAST(sum(y6) AS HUGEINT) AS sy,
+        |  CAST(sum(x6 * y6) AS HUGEINT) AS sxy,
+        |  CAST(sum(x6 * x6) AS HUGEINT) AS sxx
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_words,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        |  round(CAST(sxx * sy - sx * sxy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 6) AS zipf_intercept
+        |FROM s""".stripMargin,
+
+    // t40: CCNet-style perplexity quartiles — t19's scoring chain, the
+    // SQL-standard ntile mirrored by GlobalOrder.withNtile, bucket means
+    // over exact decimal sums of the 4dp-rounded per-doc scores.
+    "t40_perplexity_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS occ FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(sum(occ) AS BIGINT) AS total FROM freq),
+        |lp AS (
+        |  SELECT tok, CAST(round(ln(occ / CAST(total AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS lp
+        |  FROM freq CROSS JOIN tot),
+        |doc AS (SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+        |  FROM tok JOIN lp USING (tok) GROUP BY doc_id),
+        |b AS (SELECT doc_id, n_tokens, avg_logprob,
+        |  ntile(4) OVER (ORDER BY avg_logprob DESC, doc_id) AS bucket FROM doc)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  round(CAST(sum(CAST(avg_logprob AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 4) AS mean_logprob
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

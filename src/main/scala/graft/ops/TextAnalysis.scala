@@ -1376,4 +1376,96 @@ object TextAnalysis {
         round(avg(size(col("toks"))), 4).as("avg_tokens"),
         countDistinct("source").as("sources"))
       .orderBy("lang")
+
+  /** ZIPF FIT (t39) — the corpus-health check behind every token-
+    * frequency plot: least-squares slope and intercept of ln(freq) on
+    * ln(rank) over the `topN` most frequent words. Natural text tracks
+    * slope ≈ −1 (Zipf's law); a much flatter slope flags synthetic or
+    * template-flooded data, a much steeper one a collapsed vocabulary —
+    * both are ingest red flags worth one cheap aggregate per corpus
+    * snapshot.
+    *
+    * Scale shape: the frequency table aggregates with map-side combine;
+    * the top-`topN` cut is orderBy+limit (TakeOrderedAndProject — each
+    * task keeps its local top-N, no global sort); ranking and the
+    * regression run over the BOUNDED `topN`-row survivor frame, so the
+    * unpartitioned window is guard-allowed.
+    *
+    * Determinism: each ln rounds to 6dp via DECIMAL(18,6) and converts
+    * to an exact BIGINT of MICRO-UNITS (t19's rounding discipline, then
+    * integer domain); every regression sum and cross-product is integer
+    * arithmetic — BIGINT per row (|x6·y6| ≤ 4e14, no overflow), widened
+    * to 38-digit exact integers (DECIMAL(38,0) here, HUGEINT in the
+    * oracle) for the n·Σ products — so slope and intercept are each ONE
+    * double division of exact integers, rounded at the projection.
+    * The micro-unit scaling cancels in the slope ratio; the intercept's
+    * numerator carries one extra 1e6 factor, divided out in double by
+    * both engines identically. */
+  def zipfFitOf(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    val freq = withToks(docs).select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("occ"))
+    val top = freq.orderBy(col("occ").desc, col("tok").asc).limit(topN)
+    val w = Window.orderBy(col("occ").desc, col("tok").asc)
+    def lnMicros(c: org.apache.spark.sql.Column) =
+      (round(log(c.cast("double")), 6).cast("decimal(18,6)") * lit(1000000))
+        .cast("long")
+    val xy = top.withColumn("rnk", row_number().over(w))
+      .withColumn("x6", lnMicros(col("rnk")))
+      .withColumn("y6", lnMicros(col("occ")))
+    val big = "decimal(38,0)"
+    xy.agg(
+        count(lit(1)).as("n_words"),
+        sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+        sum(expr("x6 * y6")).as("sxy"), sum(expr("x6 * x6")).as("sxx"))
+      .select(
+        col("n_words"),
+        round(
+          (col("n_words").cast(big) * col("sxy").cast(big) -
+            col("sx").cast(big) * col("sy").cast(big)).cast("double") /
+          (col("n_words").cast(big) * col("sxx").cast(big) -
+            col("sx").cast(big) * col("sx").cast(big)).cast("double"), 6)
+          .as("zipf_slope"),
+        round(
+          (col("sxx").cast(big) * col("sy").cast(big) -
+            col("sx").cast(big) * col("sxy").cast(big)).cast("double") /
+          (col("n_words").cast(big) * col("sxx").cast(big) -
+            col("sx").cast(big) * col("sx").cast(big)).cast("double") / 1000000.0, 6)
+          .as("zipf_intercept"))
+  }
+
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFitOf(Tables.documents(spark, dir))
+
+  /** PERPLEXITY BUCKETS (t40) — the CCNet-style LM-quality partition
+    * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): documents scored by the corpus
+    * unigram model ([[unigramLogprobOf]]) and cut into quartiles of
+    * average log-probability; real pipelines keep/downsample/drop by
+    * bucket rather than by a hard threshold. The report is each bucket's
+    * document count, token mass, and mean score — the table a data-mix
+    * owner reads before choosing cut points.
+    *
+    * Scale shape: scoring is t19's broadcast-model pass; the quartile
+    * assignment is DOC-GRAIN and therefore runs as
+    * [[graft.plans.GlobalOrder.withNtile]]'s distributed two-phase rank
+    * — never an unpartitioned ntile window (the q49/q54 discipline); the
+    * closing aggregate is 4 groups. Mean scores sum the 4dp-rounded
+    * per-doc doubles as exact decimals and divide once at the
+    * projection, so bucket means are engine-identical. */
+  def perplexityBucketsOf(docs: DataFrame): DataFrame = {
+    val scored = unigramLogprobOf(docs)
+    GlobalOrder.withNtile(scored, 4,
+        Seq(col("avg_logprob").desc, col("doc_id").asc),
+        negate(col("avg_logprob")), "bucket")
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("tokens"),
+        round(sum(col("avg_logprob").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 4).as("mean_logprob"))
+      .orderBy("bucket")
+  }
+
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityBucketsOf(Tables.documents(spark, dir))
 }

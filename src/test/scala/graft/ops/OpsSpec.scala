@@ -1040,6 +1040,70 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.agg(sum("word_count")).first().getLong(0) === words)
   }
 
+  test("component sizes: HashMin rounds resolve known components; " +
+       "histogram accounts for every node") {
+    val s = spark; import s.implicits._
+    // two components: a path a-b-c-d (diameter 3) and an edge x-y
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("src", "dst")
+    val und = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val hist = GraphRank.componentSizesOf(und, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 3 rounds ≥ both diameters → exact components: one of size 4, one of 2
+    assert(hist === Set((2L, 1L, 2L), (4L, 1L, 4L)))
+    // an UNDER-budgeted run is still deterministic, just unconverged:
+    // after 1 round node d holds label 'c' (min within 1 hop), so the
+    // path splits — total node mass is conserved regardless
+    val one = GraphRank.componentSizesOf(und, rounds = 1).collect()
+    assert(one.map(_.getLong(2)).sum === 6L)
+    // driver surface runs on the purchase graph and conserves its nodes
+    val nodes = GraphRank.componentSizes(spark, dir)
+      .agg(sum("nodes")).first().getLong(0)
+    val expected = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("n"))
+      .union(graft.Tables.orders(spark, dir)
+        .join(graft.Tables.lineitem(spark, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("n")))
+      .distinct().count()
+    assert(nodes === expected)
+  }
+
+  test("zipf fit: slope recovers a planted power law; n_words caps at topN") {
+    val s = spark; import s.implicits._
+    // synthetic corpus with freq(word_r) = floor(1000 / r): exact Zipf
+    // (slope −1) up to floor jitter — the fit must land near −1
+    val docs = (1 to 50).flatMap { r =>
+      Seq.fill(1000 / r)(s"w${"%02d".format(r)}")
+    }.grouped(500).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFitOf(docs, topN = 50).collect()(0)
+    assert(row.getAs[Long]("n_words") === 50L)
+    val slope = row.getAs[Double]("zipf_slope")
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope not ~ -1")
+    // real corpus: negative slope, bounded word count
+    val corpus = TextAnalysis.zipfFit(spark, dir).collect()(0)
+    assert(corpus.getAs[Double]("zipf_slope") < 0)
+    assert(corpus.getAs[Long]("n_words") <= 1000L)
+  }
+
+  test("perplexity buckets: quartiles partition the corpus evenly and " +
+       "bucket means are monotone non-increasing") {
+    val out = TextAnalysis.perplexityBuckets(spark, dir).collect()
+    assert(out.map(_.getAs[Int]("bucket")).toSeq === Seq(1, 2, 3, 4))
+    val total = graft.Tables.documents(spark, dir).count()
+    val sizes = out.map(_.getAs[Long]("docs"))
+    assert(sizes.sum === total)
+    assert(sizes.max - sizes.min <= 1, s"ntile imbalance: ${sizes.toSeq}")
+    // bucket 1 holds the highest (least negative) scores
+    val means = out.map(_.getAs[Double]("mean_logprob"))
+    assert(means.zip(means.tail).forall { case (a, b) => a >= b },
+      s"bucket means not monotone: ${means.toSeq}")
+  }
+
   test("graph rank: hand-walked supersteps, teleport floor, node accounting") {
     val s = spark; import s.implicits._
     // c1—{s1,s2}, c2—{s2}: degrees c1=2, c2=1, s1=1, s2=2, n=4. Three
