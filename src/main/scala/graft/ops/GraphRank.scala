@@ -400,19 +400,26 @@ object GraphRank {
     * superstep (g01); the closing size histogram is two label-keyed
     * aggregates whose output is histogram-small. */
   /** Library form over any undirected (src, dst) edge frame (both
-    * directions present, like [[purchaseEdges]]). */
+    * directions present, like [[purchaseEdges]]).
+    *
+    * The min-with-own-label step folds into the edge set as SELF-LOOPS:
+    * min over (neighbors ∪ {v}) ≡ least(own, min neighbors), so each
+    * round is ONE join + ONE aggregate referencing the previous labels
+    * exactly once. Referencing them twice (a neighbor-message join plus
+    * an own-label join) doubles the unmaterialized lineage every round —
+    * 2^rounds subtree replay, measured as a 90 s sf0.1 run where the
+    * linear form takes ~2 s. */
   def componentSizesOf(und: DataFrame, rounds: Int): DataFrame = {
+    val withSelf = und.select("src", "dst").union(
+      und.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
     var labels = und.select(col("src")).distinct()
       .select(col("src").as("node"), col("src").as("l"))
-    for (_ <- 1 to rounds) {
-      val nb = und
-        .join(labels.hint("shuffle_hash"), und("src") === labels("node"))
-        .select(und("dst").as("node"), col("l"))
-        .groupBy("node").agg(min("l").as("nl"))
-      labels = labels.join(nb.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"),
-          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-    }
+    for (_ <- 1 to rounds)
+      labels = withSelf
+        .join(labels.hint("shuffle_hash"), withSelf("src") === labels("node"))
+        .select(withSelf("dst").as("node"), col("l"))
+        .groupBy("node").agg(min("l").as("l"))
     labels.groupBy("l").agg(count(lit(1)).as("size"))
       .groupBy("size")
       .agg(count(lit(1)).as("components"), sum("size").as("nodes"))
@@ -420,5 +427,7 @@ object GraphRank {
   }
 
   def componentSizes(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame =
-    componentSizesOf(adjFor(spark, dir).select("src", "dst"), rounds)
+    componentSizesOf(memo(spark, dir, "graph-und") {
+      adjFor(spark, dir).select("src", "dst")
+    }, rounds)
 }

@@ -1452,8 +1452,13 @@ object TextAnalysis {
     * closing aggregate is 4 groups. Mean scores sum the 4dp-rounded
     * per-doc doubles as exact decimals and divide once at the
     * projection, so bucket means are engine-identical. */
-  def perplexityBucketsOf(docs: DataFrame): DataFrame = {
-    val scored = unigramLogprobOf(docs)
+  /** Bucket assignment + rollup over an already-scored (doc_id,
+    * n_tokens, avg_logprob) frame. The ntile scan reads its input four
+    * times (stats, bucketing, offsets, add-back), so callers must hand
+    * in a CHEAP frame — materialized or trivially recomputable — never a
+    * raw scoring pipeline (the driver adapter memoizes the t19 chain;
+    * 4× re-scoring measured 8 s cold where the memoized form is ~2 s). */
+  def perplexityBucketsOfScored(scored: DataFrame): DataFrame =
     GlobalOrder.withNtile(scored, 4,
         Seq(col("avg_logprob").desc, col("doc_id").asc),
         negate(col("avg_logprob")), "bucket")
@@ -1464,8 +1469,9 @@ object TextAnalysis {
         round(sum(col("avg_logprob").cast("decimal(18,6)")).cast("double") /
           count(lit(1)), 4).as("mean_logprob"))
       .orderBy("bucket")
-  }
 
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
-    perplexityBucketsOf(Tables.documents(spark, dir))
+    perplexityBucketsOfScored(graft.SessionMemo(spark, dir, "t40-scored") {
+      unigramLogprobOf(Tables.documents(spark, dir))
+    })
 }
