@@ -212,6 +212,7 @@ object SparkEntry {
     "g05_bfs_hops"           -> (graft.ops.GraphRank.bfsHops _),
     "g06_component_sizes"    -> ((s: SparkSession, d: String) =>
       graft.ops.GraphRank.componentSizes(s, d)),
+    "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),
     "w10_session_window"     -> ((s: SparkSession, d: String) =>

@@ -222,6 +222,60 @@ object Multimodal {
       k)
   }
 
+  /** PERCEPTUAL-HASH NEAR-DUP (m10) — aHash, the classical perceptual
+    * fingerprint (threshold the image's cells against their AVERAGE,
+    * read the bits as a code; identical codes ⇒ perceptually identical,
+    * small hamming ⇒ near-identical). Here each of m05's 8 feature
+    * dimensions binarizes against its CORPUS mean — data-dependent
+    * binarization, vs m06's fixed SRP hyperplanes — giving an 8-bit
+    * perceptual code per media item; items whose codes differ by ≤ 1
+    * bit surface as near-dup pairs.
+    *
+    * Banding: the code's two 4-bit nibbles. A 1-bit difference leaves
+    * at least one nibble intact (pigeonhole), so the nibble equi-join
+    * has EXACT recall at the hamming-1 radius — d08's band guarantee at
+    * byte scale. Within a bucket, members pair against the bucket
+    * MINIMUM only (d04's bucket-min rule): O(n) candidate pairs, never
+    * bucket-quadratic. At real scale the code widens with the feature
+    * dimensionality (64-bit pHash over an 8×8 DCT grid — same plan, two
+    * more nibble bands); the 8-bit form is exactly what the 8-dim stub
+    * features support.
+    *
+    * Determinism: features are integer-exact; each threshold is ONE
+    * IEEE division of an exact decimal sum by an exact count —
+    * identical in both engines — and everything after the comparison is
+    * integer. */
+  def mediaPerceptualNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 0 until 8
+    val feats = featureBatch(spark, dir).toDF()
+    val means = feats.agg(
+      count(lit(1)).as("n"),
+      dims.map(i => sum(col("features")(i).cast("decimal(18,6)")).as(s"s$i")): _*)
+    val coded = feats.crossJoin(broadcast(means))
+      .withColumn("code", dims.map(i =>
+          when(col("features")(i) > col(s"s$i").cast("double") / col("n"),
+            lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _))
+      .select(col("doc_id"), col("code"))
+    val bands = coded.select(col("doc_id"), col("code"),
+        explode(array(
+          struct(lit(0).as("band"), (col("code") % 16).as("bkey")),
+          struct(lit(1).as("band"), expr("code div 16").as("bkey")))).as("x"))
+      .select(col("doc_id"), col("code"), col("x.band").as("band"),
+        col("x.bkey").as("bkey"))
+    val mins = bands.groupBy("band", "bkey")
+      .agg(min(struct(col("doc_id"), col("code"))).as("m"))
+      .select(col("band"), col("bkey"),
+        col("m.doc_id").as("v1"), col("m.code").as("c1"))
+    bands.join(mins, Seq("band", "bkey"))
+      .filter(col("doc_id") > col("v1"))
+      .withColumn("hamming", expr("bit_count(c1 ^ code)").cast("int"))
+      .filter(col("hamming") <= 1)
+      .select(col("v1"), col("doc_id").as("v2"), col("hamming"))
+      .distinct()
+      .orderBy("v1", "v2")
+  }
+
   /** Per-format corpus summary over the decoded metadata. */
   def formatSummary(spark: SparkSession, dir: String): DataFrame =
     decodedMeta(spark, dir)

@@ -2640,6 +2640,50 @@ object OpsOracles {
         |FROM b
         |ORDER BY doc_id""".stripMargin,
 
+    // m10: aHash perceptual near-dup — per-dim mean-threshold bits → one
+    // 8-bit code, 2×4-bit nibble bands with bucket-min pairing, exact
+    // hamming ≤ 1 verify via bit_count(xor); thresholds are one IEEE
+    // divide of an exact decimal sum by an exact count.
+    "m10_media_phash" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS bytes FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(bytes AS DOUBLE) AS f0,
+        |  CAST(64 + bytes % 512 AS DOUBLE) AS f1,
+        |  CAST(64 + (bytes * 7) % 512 AS DOUBLE) AS f2,
+        |  CAST(bytes % 3 AS DOUBLE) AS f3,
+        |  CAST(bytes // 1024 + 1 AS DOUBLE) AS f4,
+        |  CAST(bytes % 997 AS DOUBLE) AS f5,
+        |  CAST(bytes % 499 AS DOUBLE) AS f6,
+        |  CAST(bytes % 251 AS DOUBLE) AS f7
+        |  FROM b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(f0 AS DECIMAL(18,6))) AS s0, sum(CAST(f1 AS DECIMAL(18,6))) AS s1,
+        |  sum(CAST(f2 AS DECIMAL(18,6))) AS s2, sum(CAST(f3 AS DECIMAL(18,6))) AS s3,
+        |  sum(CAST(f4 AS DECIMAL(18,6))) AS s4, sum(CAST(f5 AS DECIMAL(18,6))) AS s5,
+        |  sum(CAST(f6 AS DECIMAL(18,6))) AS s6, sum(CAST(f7 AS DECIMAL(18,6))) AS s7
+        |  FROM f),
+        |coded AS (SELECT doc_id,
+        |    (CASE WHEN f0 > CAST(s0 AS DOUBLE) / n THEN 1 ELSE 0 END)
+        |  + (CASE WHEN f1 > CAST(s1 AS DOUBLE) / n THEN 2 ELSE 0 END)
+        |  + (CASE WHEN f2 > CAST(s2 AS DOUBLE) / n THEN 4 ELSE 0 END)
+        |  + (CASE WHEN f3 > CAST(s3 AS DOUBLE) / n THEN 8 ELSE 0 END)
+        |  + (CASE WHEN f4 > CAST(s4 AS DOUBLE) / n THEN 16 ELSE 0 END)
+        |  + (CASE WHEN f5 > CAST(s5 AS DOUBLE) / n THEN 32 ELSE 0 END)
+        |  + (CASE WHEN f6 > CAST(s6 AS DOUBLE) / n THEN 64 ELSE 0 END)
+        |  + (CASE WHEN f7 > CAST(s7 AS DOUBLE) / n THEN 128 ELSE 0 END) AS code
+        |  FROM f CROSS JOIN m),
+        |bands AS (SELECT doc_id, code, 0 AS band, code % 16 AS bkey FROM coded
+        |  UNION ALL SELECT doc_id, code, 1, code // 16 FROM coded),
+        |mins AS (SELECT band, bkey, min(doc_id) AS v1 FROM bands GROUP BY 1, 2),
+        |c1 AS (SELECT mins.band, mins.bkey, mins.v1, b2.code AS c1
+        |  FROM mins JOIN bands b2 ON b2.band = mins.band AND b2.bkey = mins.bkey
+        |    AND b2.doc_id = mins.v1)
+        |SELECT DISTINCT c1.v1, b.doc_id AS v2,
+        |  CAST(bit_count(xor(c1.c1, b.code)) AS INT) AS hamming
+        |FROM bands b JOIN c1 ON b.band = c1.band AND b.bkey = c1.bkey
+        |WHERE b.doc_id > c1.v1 AND bit_count(xor(c1.c1, b.code)) <= 1
+        |ORDER BY v1, v2""".stripMargin,
+
     // m06/m07: media near-dup over the m05 feature vectors via SRP-LSH
     // (d18's construction at dim=8; weights regenerated from md5 so both
     // engines derive the same hyperplanes).

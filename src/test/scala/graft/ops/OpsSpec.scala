@@ -882,6 +882,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === all -- losers)
   }
 
+  test("media phash: engine pairs equal a driver-side brute-force " +
+       "aHash + nibble-band + bucket-min reconstruction") {
+    val rows = Multimodal.featureBatch(spark, dir).collect()
+    val n = rows.length
+    // identical threshold arithmetic: exact decimal sum → one double divide
+    val means = (0 until 8).map { i =>
+      rows.map(r => BigDecimal(r.features(i))).sum.toDouble / n
+    }
+    val code = rows.map { r =>
+      r.doc_id -> (0 until 8).map(i =>
+        if (r.features(i) > means(i)) 1 << i else 0).sum
+    }.toMap
+    val expected = (for {
+      band <- Seq(0, 1)
+      (bkey, members) <- code.toSeq
+        .groupBy { case (_, c) => if (band == 0) c % 16 else c / 16 }
+      v1 = members.map(_._1).min
+      (v2, c2) <- members if v2 > v1
+      h = Integer.bitCount(code(v1) ^ c2) if h <= 1
+    } yield (v1, v2, h)).toSet
+    val got = Multimodal.mediaPerceptualNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "no perceptual pairs at sf0.001 — fixture drifted?")
+  }
+
   test("incremental near-dup: (index ∪ delta) losers ≡ full-corpus LSH losers ∩ delta") {
     // the contract that makes nightly incremental runs trustworthy: the
     // docs an incremental pass drops from the delta are EXACTLY the docs
