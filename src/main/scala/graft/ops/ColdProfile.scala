@@ -32,6 +32,13 @@ object ColdProfile {
         t("assign")(Similarity.trainedAssignment(spark, dir))
         t("ivfpq-books")(Similarity.residCodebooks(spark, dir))
         t("ivfpq-codes")(Similarity.residCandidateCodes(spark, dir))
+      case "g06" =>
+        val df = GraphRank.componentSizes(spark, dir)
+        val p = df.queryExecution.executedPlan.toString
+        println("Exchange nodes: " + "Exchange".r.findAllIn(p).length)
+        println("ShuffledHashJoin: " + "ShuffledHashJoin".r.findAllIn(p).length)
+        println("SortMergeJoin: " + "SortMergeJoin".r.findAllIn(p).length)
+        t("g06")(df)
     }
     spark.stop()
   }

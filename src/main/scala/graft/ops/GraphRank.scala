@@ -409,11 +409,23 @@ object GraphRank {
     * an own-label join) doubles the unmaterialized lineage every round —
     * 2^rounds subtree replay, measured as a 90 s sf0.1 run where the
     * linear form takes ~2 s. */
-  def componentSizesOf(und: DataFrame, rounds: Int): DataFrame = {
-    val withSelf = und.select("src", "dst").union(
+  def componentSizesOf(und: DataFrame, rounds: Int): DataFrame =
+    componentSizesOverSelf(withSelfLoops(und), rounds)
+
+  private def withSelfLoops(und: DataFrame): DataFrame =
+    und.select("src", "dst").union(
       und.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))
-    var labels = und.select(col("src")).distinct()
+
+  /** The superstep loop over a PREPARED self-loop edge frame. The caller
+    * should hand in a frame materialized HASH-PARTITIONED ON src (the
+    * driver entry memoizes exactly that): a union recomputed per round
+    * has unknown partitioning, so every superstep would re-exchange the
+    * EDGE-grain side — the partitioned cache limits each round's
+    * movement to the node-grain label vector, the g01 adjacency
+    * discipline. */
+  private def componentSizesOverSelf(withSelf: DataFrame, rounds: Int): DataFrame = {
+    var labels = withSelf.select(col("src")).distinct()
       .select(col("src").as("node"), col("src").as("l"))
     for (_ <- 1 to rounds)
       labels = withSelf
@@ -427,7 +439,8 @@ object GraphRank {
   }
 
   def componentSizes(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame =
-    componentSizesOf(memo(spark, dir, "graph-und") {
-      adjFor(spark, dir).select("src", "dst")
+    componentSizesOverSelf(memo(spark, dir, "graph-und-self") {
+      withSelfLoops(adjFor(spark, dir).select("src", "dst"))
+        .repartition(col("src"))
     }, rounds)
 }
