@@ -194,6 +194,7 @@ object SparkEntry {
     "t38_ngram_novelty"      -> (TextAnalysis.ngramNovelty _),
     "t39_zipf_fit"           -> (TextAnalysis.zipfFit _),
     "t40_perplexity_buckets" -> (TextAnalysis.perplexityBuckets _),
+    "t41_split_leakage"      -> (TextAnalysis.splitLeakage _),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),

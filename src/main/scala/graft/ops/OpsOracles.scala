@@ -3110,6 +3110,42 @@ object OpsOracles {
         |    / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 6) AS zipf_intercept
         |FROM s""".stripMargin,
 
+    // t41: cross-split leakage — d04's LSH pair list classified by the
+    // t36 md5-nibble split of each endpoint, canonicalized by
+    // least/greatest; pairs = half the exploded doc rows (exact — every
+    // pair contributes two), leaked_docs = distinct docs per class.
+    "t41_split_leakage" ->
+      s"""WITH $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |sp AS (SELECT d1, d2,
+        |  CASE WHEN substring(md5(CAST(d1 AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(d1 AS VARCHAR)), 1, 1) IN ('c', 'd')
+        |         THEN 'val' ELSE 'test' END AS s1,
+        |  CASE WHEN substring(md5(CAST(d2 AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(d2 AS VARCHAR)), 1, 1) IN ('c', 'd')
+        |         THEN 'val' ELSE 'test' END AS s2
+        |  FROM pairs),
+        |ex AS (SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b,
+        |  unnest([d1, d2]) AS doc FROM sp)
+        |SELECT split_a, split_b,
+        |  CAST(count(*) // 2 AS BIGINT) AS pairs,
+        |  CAST(count(DISTINCT doc) AS BIGINT) AS leaked_docs
+        |FROM ex GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     // t40: CCNet-style perplexity quartiles — t19's scoring chain, the
     // SQL-standard ntile mirrored by GlobalOrder.withNtile, bucket means
     // over exact decimal sums of the 4dp-rounded per-doc scores.

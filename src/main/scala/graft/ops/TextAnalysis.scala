@@ -1474,4 +1474,40 @@ object TextAnalysis {
     perplexityBucketsOfScored(graft.SessionMemo(spark, dir, "t40-scored") {
       unigramLogprobOf(Tables.documents(spark, dir))
     })
+
+  /** CROSS-SPLIT LEAKAGE REPORT (t41) — the train/test-contamination
+    * audit (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", found test↔train near-dup leakage in every public
+    * corpus they checked): the production near-dup detector's pairs
+    * (d04's MinHash-LSH, jaccard ≥ 0.5) classified by the t36 split
+    * assignment of each endpoint. A (test, train) row is direct
+    * evaluation contamination — the benchmark answer sits in the
+    * training set near-verbatim; within-split rows are ordinary
+    * duplication context. `leaked_docs` counts the distinct documents
+    * touching each split-pair class.
+    *
+    * Scale shape: everything rides the LSH pair list (corpus-linear,
+    * never all-pairs); the split label is a per-row md5 nibble; the
+    * rollup is a ≤6-row aggregate. Canonicalizing (split_a, split_b) by
+    * least/greatest makes the pair class order-free, so both engines
+    * group identically. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val h = substring(md5(c.cast("string")), 1, 1)
+      when(h.between("0", "b"), "train")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("test")
+    }
+    Dedup.minhashLsh(spark, dir)
+      .select(col("d1"), col("d2"),
+        least(splitOf(col("d1")), splitOf(col("d2"))).as("split_a"),
+        greatest(splitOf(col("d1")), splitOf(col("d2"))).as("split_b"))
+      .select(col("split_a"), col("split_b"),
+        explode(array(col("d1"), col("d2"))).as("doc"))
+      .groupBy("split_a", "split_b")
+      .agg(
+        expr("count(1) div 2").as("pairs"),
+        countDistinct("doc").as("leaked_docs"))
+      .orderBy("split_a", "split_b")
+  }
 }

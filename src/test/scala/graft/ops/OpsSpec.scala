@@ -908,6 +908,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "no perceptual pairs at sf0.001 — fixture drifted?")
   }
 
+  test("split leakage: classes match a driver-side reconstruction from " +
+       "the LSH pairs and the t36 split rule") {
+    def splitOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+      if (h >= '0' && h <= 'b') "train"
+      else if (h == 'c' || h == 'd') "val" else "test"
+    }
+    val pairs = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (splitOf(a), splitOf(b))
+        ((if (sa <= sb) (sa, sb) else (sb, sa)), (a, b))
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        (k._1, k._2, vs.length.toLong,
+          vs.flatMap { case (_, (a, b)) => Seq(a, b) }.distinct.length.toLong)
+      }.toSet
+    val got = TextAnalysis.splitLeakage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "no LSH pairs at sf0.001 — fixture drifted?")
+  }
+
   test("incremental near-dup: (index ∪ delta) losers ≡ full-corpus LSH losers ∩ delta") {
     // the contract that makes nightly incremental runs trustworthy: the
     // docs an incremental pass drops from the delta are EXACTLY the docs
