@@ -16,19 +16,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * materialized frame, which is also exactly what an interleaved bench
   * should measure. Entries of stopped sessions purge on access.
   *
-  * Same discipline as the (private) memos in [[graft.ops.Similarity]] and
-  * [[graft.ops.GraphRank]]; this is the shared form for query builders. */
+  * The key also carries a fingerprint of the source dir (per-file
+  * name+size+mtime — the disk-memo discipline of
+  * [[graft.ops.Similarity]]): regenerating testdata under a live session
+  * evicts (and unpersists) the stale entry instead of serving it. Builds
+  * are guarded by a per-key holder so concurrent first access runs the
+  * builder exactly once — a losing racer never persists an orphan frame.
+  *
+  * Same discipline as the (private) memo in [[graft.ops.Similarity]];
+  * this is the shared form for query builders. */
 object SessionMemo {
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  /** One-shot build cell: the per-holder lock means at most one caller
+    * runs `build` (and persists); `drop` unpersists only if built. */
+  private final class Holder(build: () => DataFrame) {
+    private var built: Option[DataFrame] = None
+    def df: DataFrame = synchronized {
+      built.getOrElse {
+        val d = build()
+        d.persist()
+        d.count()
+        built = Some(d)
+        d
+      }
+    }
+    def drop(stopped: Boolean): Unit = synchronized {
+      if (!stopped) built.foreach(_.unpersist())
+      built = None
+    }
+  }
+
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, String), Holder]
+
+  private def dirFingerprint(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    files.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+      .mkString("|").hashCode.toHexString
+  }
 
   def apply(spark: SparkSession, dir: String, tag: String)
            (build: => DataFrame): DataFrame = {
-    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-    cache.getOrElseUpdate((spark, dir, tag), {
-      val df = build.persist()
-      df.count()
-      df
-    })
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
+      cache.remove(k).foreach(_.drop(stopped = true))
+    }
+    val fp = dirFingerprint(dir)
+    // a stale fingerprint for the same (session, dir, tag) means the
+    // source files changed under a live session: unpersist + rebuild
+    cache.keys
+      .filter(k => (k._1 eq spark) && k._2 == dir && k._3 == tag && k._4 != fp)
+      .foreach(k => cache.remove(k).foreach(_.drop(stopped = false)))
+    val h = new Holder(() => build)
+    cache.putIfAbsent((spark, dir, tag, fp), h).getOrElse(h).df
   }
 }

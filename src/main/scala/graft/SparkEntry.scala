@@ -213,6 +213,7 @@ object SparkEntry {
     "g05_bfs_hops"           -> (graft.ops.GraphRank.bfsHops _),
     "g06_component_sizes"    -> ((s: SparkSession, d: String) =>
       graft.ops.GraphRank.componentSizes(s, d)),
+    "g07_components_converged" -> (graft.ops.GraphRank.componentSizesConverged _),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),

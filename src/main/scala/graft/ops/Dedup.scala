@@ -60,42 +60,14 @@ object Dedup {
 
   /** Shingle construction runs interpreted (higher-order functions have no
     * codegen) and every downstream query references it from 3+ plan
-    * branches — so it is materialized ONCE per (session, dir) and shared.
-    * This is the in-memory stand-in for what a 100 TB pipeline would
-    * write once as an intermediate table: shingling is compute-once,
-    * query-many.
-    *
-    * Staleness contract: an entry reflects the parquet under `dir` at
-    * first-use time; callers that rewrite the data must [[invalidate]]
-    * (or [[clearShingleCache]]) first. Entries for stopped sessions are
-    * purged on every access, so cached blocks never outlive their session. */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  /** Drop (and unpersist) the cached shingle table for one (session, dir). */
-  def invalidate(spark: SparkSession, dir: String): Unit =
-    shingleCache.remove((spark, dir)).foreach(_.unpersist())
-
-  /** Drop every cached shingle table (unpersists live sessions' blocks). */
-  def clearShingleCache(): Unit = {
-    shingleCache.keys.foreach { k =>
-      shingleCache.remove(k).foreach { df =>
-        if (!k._1.sparkContext.isStopped) df.unpersist()
-      }
-    }
-  }
-
-  def docShingles(spark: SparkSession, dir: String): DataFrame = {
-    // purge entries whose session is gone — their cached blocks are already
-    // freed with the session; this just stops the map itself from leaking
-    shingleCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(shingleCache.remove)
-    shingleCache.getOrElseUpdate((spark, dir), {
-      val df = docShinglesPlan(spark, dir).persist()
-      df.count() // materialize eagerly so every branch reads the cache
-      df
-    })
-  }
+    * branches — so it is materialized ONCE per (session, dir) via
+    * [[graft.SessionMemo]] and shared. This is the in-memory stand-in for
+    * what a 100 TB pipeline would write once as an intermediate table:
+    * shingling is compute-once, query-many. Staleness is handled by the
+    * memo's source-dir fingerprint; stopped sessions' entries purge on
+    * access. */
+  def docShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo(spark, dir, "doc-shingles")(docShinglesPlan(spark, dir))
 
   /** Exact dedup summary: hash-groupBy on raw text. DataFrame-first
     * core; the (spark, dir) form is the driver-contract adapter. */
@@ -177,13 +149,18 @@ object Dedup {
     // the HOF form re-scans the array interpreted once per permutation.
     val sig = ds.filter(col("n") > 0)
       .select(col("doc_id"), expr("minhash_sigs(shingles, 8)").as("sig"))
-    // Persisted: the band table feeds two branches (bucket minima + the
-    // pairing join); without the persist the 8×md5-per-shingle signature
-    // computation would execute once per branch.
+    // Materialized once (eager localCheckpoint): the band table feeds two
+    // branches (bucket minima + the pairing join); without it the
+    // 8×md5-per-shingle signature computation would execute once per
+    // branch. localCheckpoint, not persist: a bare persist inside a
+    // builder leaks one CacheManager entry per invocation (no safe
+    // unpersist point before the lazy caller consumes), while checkpoint
+    // blocks are GC-scoped — freed by the ContextCleaner when the frame
+    // goes unreachable.
     val bands = sig.selectExpr("doc_id",
       """stack(4, 0, concat(sig[0], sig[1]), 1, concat(sig[2], sig[3]),
         |         2, concat(sig[4], sig[5]), 3, concat(sig[6], sig[7])) as (band, bkey)
-        |""".stripMargin.replaceAll("\n", " ")).persist()
+        |""".stripMargin.replaceAll("\n", " ")).localCheckpoint()
     // Bucket-min pairing, not an all-pairs self-join within buckets: each
     // doc pairs only with its bucket's minimum doc_id, so a hot bucket of
     // m docs (a large duplicate cluster) emits m-1 candidates instead of
@@ -277,7 +254,9 @@ object Dedup {
     * version paid a second join-and-count per round; JobCountSpec pins
     * the ≤1-action shape). */
   def dedupClustersOf(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("d1"), col("d2")).persist()
+    // eager localCheckpoint (GC-scoped blocks, no per-invocation
+    // CacheManager leak): every round's join reads this frame
+    val edges = pairs.select(col("d1"), col("d2")).localCheckpoint()
     var labels = edges
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
@@ -569,10 +548,12 @@ object Dedup {
         |""".stripMargin.replaceAll("\n", " "))
     // the persisted signature index (band table of everything already
     // ingested) and the delta's own band table — each feeds two branches
+    // both band tables feed two branches each — eager localCheckpoint
+    // (GC-scoped, no per-invocation CacheManager leak)
     val indexBands = bands.filter(col("bucket") =!= "f")
-      .select(col("doc_id"), col("band"), col("bkey")).persist()
+      .select(col("doc_id"), col("band"), col("bkey")).localCheckpoint()
     val deltaBands = bands.filter(col("bucket") === "f")
-      .select(col("doc_id"), col("band"), col("bkey")).persist()
+      .select(col("doc_id"), col("band"), col("bkey")).localCheckpoint()
     // delta-vs-index: probe the index with the DELTA's band keys only;
     // keep (older index doc, delta doc) — the only orientation that can
     // drop a delta row
@@ -833,9 +814,10 @@ object Dedup {
     * precision, the pigeonhole/shadow invariant, and a recall floor). */
   def simhash64NearDupOf(docs: DataFrame, maxHamming: Int = 8,
                          anchors: Int = 2): DataFrame = {
-    // persisted: the code computation feeds the band table AND both sides
-    // of the verification join; one materialization, three cache reads
-    val codes = simhash64Of(docs).persist()
+    // materialized once (eager localCheckpoint — GC-scoped, no
+    // per-invocation CacheManager leak): the code computation feeds the
+    // band table AND both sides of the verification join
+    val codes = simhash64Of(docs).localCheckpoint()
     val banded = codes.selectExpr("doc_id",
       """stack(4, 0, code_lo % 65536, 1, code_lo div 65536,
         |         2, code_hi % 65536, 3, code_hi div 65536) as (band, bkey)
@@ -878,9 +860,11 @@ object Dedup {
     dropNearDuplicatesBy((s, d) => simhash64NearDup(s, d))(spark, dir)
 
   def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    // persisted: the self-join references the code table twice; without it
-    // the explode+vote aggregation would execute once per side
-    val codes = simhash(spark, dir).persist()
+    // materialized once (eager localCheckpoint — GC-scoped, no
+    // per-invocation CacheManager leak): the self-join references the
+    // code table twice; without it the explode+vote aggregation would
+    // execute once per side
+    val codes = simhash(spark, dir).localCheckpoint()
     val banded = codes.selectExpr("doc_id", "simhash",
       "stack(2, 0, simhash & 255, 1, shiftright(simhash, 8)) as (band, bkey)")
     val cand = banded

@@ -52,7 +52,7 @@ object GraphRank {
         concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
-      .persist()
+      .localCheckpoint() // GC-scoped, no per-invocation CacheManager leak
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -83,9 +83,10 @@ object GraphRank {
   private def runLoop(adj: DataFrame, deg: DataFrame, iterations: Int)(
       mkInitAndGrants: (DataFrame) => (DataFrame, DataFrame)): DataFrame = {
     // grants is referenced by every superstep of the final lineage —
-    // uncached, the deg→(seeds→)nodes chain replays once per iteration
+    // unmaterialized, the deg→(seeds→)nodes chain replays once per
+    // iteration (eager localCheckpoint: GC-scoped, leak-free)
     val (init, grants0) = mkInitAndGrants(deg)
-    val grants = grants0.persist()
+    val grants = grants0.localCheckpoint()
     var ranks = init
     for (_ <- 1 to iterations) ranks = superstep(adj, ranks, grants)
     ranks
@@ -101,8 +102,7 @@ object GraphRank {
       mkInitAndGrants: (DataFrame) => (DataFrame, DataFrame)): DataFrame = {
     val edges = purchaseEdges(orders, lineitem)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, Seq("src")).repartition(col("src")).persist()
-    adj.count()
+    val adj = edges.join(deg, Seq("src")).repartition(col("src")).localCheckpoint()
     runLoop(adj, deg, iterations)(mkInitAndGrants)
   }
 
@@ -112,19 +112,9 @@ object GraphRank {
     * fact join + distinct + degree aggregate run once per session, not
     * once per query. At 100 TB the adjacency is the write-once
     * intermediate table both rank jobs read. */
-  private val memoCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-
   private def memo(spark: SparkSession, dir: String, tag: String)
-                  (build: => DataFrame): DataFrame = {
-    memoCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(memoCache.remove)
-    memoCache.getOrElseUpdate((spark, dir, tag), {
-      val df = build.persist()
-      df.count()
-      df
-    })
-  }
+                  (build: => DataFrame): DataFrame =
+    graft.SessionMemo(spark, dir, s"graphrank-$tag")(build)
 
   private def edgesFor(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "graph-edges") {
@@ -234,7 +224,7 @@ object GraphRank {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select("p1", "p2")
-      .persist()
+      .localCheckpoint() // GC-scoped, no per-invocation CacheManager leak
     val deg = edges.select(col("p1").as("pk"))
       .union(edges.select(col("p2").as("pk")))
       .groupBy("pk").agg(count(lit(1)).as("d"))
@@ -246,7 +236,7 @@ object GraphRank {
         when(col("ka.k") < col("kb.k"), col("p1")).otherwise(col("p2")).as("src"),
         when(col("ka.k") < col("kb.k"), col("p2")).otherwise(col("p1")).as("dst"),
         when(col("ka.k") < col("kb.k"), col("kb.k")).otherwise(col("ka.k")).as("dstk"))
-      .persist()
+      .localCheckpoint() // feeds both wedge sides + the closing join
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dstk") < col("e2.dstk"))
@@ -282,7 +272,8 @@ object GraphRank {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select("p1", "p2")
-      .persist() // feeds the degree aggregate and both wedge sides
+      // feeds the degree aggregate and both wedge sides (GC-scoped)
+      .localCheckpoint()
     val und = edges
       .union(edges.select(col("p2").as("p1"), col("p1").as("p2")))
     val deg = und.groupBy(col("p1").as("pk")).agg(count(lit(1)).as("deg"))
@@ -334,10 +325,10 @@ object GraphRank {
     val spark = edges.sparkSession
     val und = edges
       .union(edges.select(col("p2").as("p1"), col("p1").as("p2")))
-      .persist()
+      .localCheckpoint(eager = false)
     // the source: minimum node id in the edge set — deterministic, and a
     // 1-row driver scalar (the loop needs it as a literal frontier seed);
-    // this one action also materializes the adjacency cache
+    // this one action also materializes the (lazy) adjacency checkpoint
     val seed = und.agg(min("p1")).first().getLong(0)
     import spark.implicits._
     var frontier = Seq(seed).toDF("pk")
@@ -359,8 +350,8 @@ object GraphRank {
       }
     }
     // every dist leaf is a materialized localCheckpoint — the final
-    // aggregate's lineage no longer reads the adjacency, so release it
-    und.unpersist()
+    // aggregate's lineage no longer reads the adjacency; its checkpoint
+    // blocks free via ContextCleaner once `und` goes unreachable
     dist.groupBy("hop")
       .agg(count(lit(1)).as("nodes"), min("pk").as("min_pk"), max("pk").as("max_pk"))
       .select(col("hop").cast("int").as("hop"), col("nodes"),
@@ -447,9 +438,74 @@ object GraphRank {
       .orderBy("size")
   }
 
-  def componentSizes(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame =
-    componentSizesOverSelf(memo(spark, dir, "graph-und-self") {
+  /** g06's round budget — shared with the oracle's unroll
+    * (OpsOracles.componentSizesOracleSql) so engine and oracle can never
+    * silently desync (ADVICE r7). */
+  val ComponentRounds = 6
+
+  def componentSizes(spark: SparkSession, dir: String, rounds: Int = ComponentRounds): DataFrame =
+    componentSizesOverSelf(selfLoopEdges(spark, dir), rounds)
+
+  private def selfLoopEdges(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "graph-und-self") {
       withSelfLoops(adjFor(spark, dir).select("src", "dst"))
         .repartition(col("src"))
-    }, rounds)
+    }
+
+  /** CONVERGED CONNECTED COMPONENTS (g07) — [[componentSizes]]'s HashMin
+    * propagation run to the FIXPOINT instead of a fixed round budget:
+    * the loop stops when no label drops, so the histogram is the TRUE
+    * component-size histogram regardless of graph diameter (g06's
+    * bounded budget is exact only once rounds ≥ diameter).
+    *
+    * Driver-action discipline (d16/g05): the per-node `chg` flag (did
+    * this label drop?) rides INSIDE the round's frame, the frame is
+    * marked for LAZY local checkpoint, and the single convergence
+    * aggregate both materializes the round and reads the loop signal —
+    * exactly ONE driver action per round (JobCountSpec pins it). Because
+    * the chg computation references the previous labels a second time
+    * (join-back to compare), every round checkpoints — the previous
+    * frame is always materialized, so the double reference reads blocks,
+    * never replays lineage (the 2^rounds trap g06's docstring measures).
+    *
+    * Scale shape per round: the same one shuffle-hash join against the
+    * src-partitioned memoized self-loop adjacency + one node-grain min
+    * aggregate as g06, plus a node-grain join-back — O(E + V) per round,
+    * O(diameter) rounds, ≥1 driver round-trips each (the price of
+    * convergence detection; g06 is the fixed-budget zero-probe form). */
+  def componentSizesConverged(spark: SparkSession, dir: String): DataFrame =
+    convergedOverSelf(selfLoopEdges(spark, dir))
+
+  /** Library form over any undirected (src, dst) edge frame (both
+    * directions present, [[componentSizesOf]]'s contract) — materializes
+    * its own self-loop adjacency (JobCountSpec drives a hand-built chain
+    * through this to pin the ≤1-action-per-round shape). */
+  def componentSizesConvergedOf(und: DataFrame): DataFrame =
+    convergedOverSelf(
+      withSelfLoops(und).repartition(col("src")).localCheckpoint())
+
+  private def convergedOverSelf(withSelf: DataFrame): DataFrame = {
+    var labels = withSelf.select(col("src")).distinct()
+      .select(col("src").as("node"), col("src").as("l"))
+      .localCheckpoint(eager = false)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = withSelf
+        .join(labels.hint("shuffle_hash"), withSelf("src") === labels("node"))
+        .select(withSelf("dst").as("node"), col("l").as("cand"))
+        .groupBy("node").agg(min("cand").as("cand"))
+      // self-loops guarantee every node appears in prop (cand ≤ own
+      // label), so the join-back is inner and total
+      val next = labels.join(prop, Seq("node"))
+        .select(col("node"), col("cand").as("l"),
+          (col("cand") < col("l")).cast("long").as("chg"))
+        .localCheckpoint(eager = false)
+      changed = next.agg(sum("chg")).first().getLong(0) // the ONE action
+      labels = next.select("node", "l")
+    }
+    labels.groupBy("l").agg(count(lit(1)).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("components"), sum("size").as("nodes"))
+      .orderBy("size")
+  }
 }

@@ -21,12 +21,15 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, media: Array[Byte], n_chars: Long)
   final case class DecodedMeta(doc_id: Long, bytes: Long, width: Long,
-                               height: Long, format: String)
+                               height: Long, format: String, px_sum: Long)
 
-  /** STUB decoder: in production this would call an image codec per batch
-    * (partition-wise, codec initialized once per partition — the shape a
-    * real libjpeg/ffmpeg binding needs). Deterministic fake: dimensions
-    * derived from payload size. */
+  /** STUB decoder for the codec-dependent formats (jpeg/png/webp need
+    * libraries this container doesn't ship): in production this would
+    * call an image codec per batch (partition-wise, codec initialized
+    * once per partition — the shape a real libjpeg/ffmpeg binding
+    * needs). Deterministic fake: dimensions derived from payload size;
+    * px_sum 0 (nothing decoded). BMP payloads take the REAL
+    * [[BmpCodec]] path instead. */
   object DecodeStub {
     def decode(r: MediaRow): DecodedMeta = {
       val bytes = r.media.length.toLong
@@ -37,21 +40,139 @@ object Multimodal {
         height = 64L + (bytes * 7L) % 512L,
         format = (bytes % 3L) match {
           case 0L => "jpeg"; case 1L => "png"; case _ => "webp"
-        })
+        },
+        px_sum = 0L)
     }
   }
 
-  /** documents.text re-typed as an opaque binary media column. */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+  /** REAL decode path for one self-describing format (VERDICT r7 item 5):
+    * 24-bit uncompressed BMP — BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * 4-byte-padded bottom-up pixel rows, fully parseable with pure JVM
+    * byte arithmetic (no codec dependency). [[decode]] genuinely READS
+    * the payload: magic check, little-endian header fields (pixel
+    * offset, width, height, bpp), then a stride-aware walk of every
+    * pixel row that sums the 3·w pixel bytes and SKIPS the row padding —
+    * a decoder that ignored the stride or padding returns a different
+    * px_sum and fails the oracle.
+    *
+    * [[synthesize]] builds the corpus's BMP payloads deterministically
+    * from the document's byte length (dims `4 + L%5 × 4 + L%3`, pixel
+    * byte j%16 within each row, padding 0xFF, trailing filler to EXACTLY
+    * the original length) — same-length payloads keep every
+    * length-derived stub value downstream (m03/m04/m05 features)
+    * bit-identical, so the real decode path cascades into no other
+    * oracle, and the DuckDB oracle recomputes width/height/px_sum in
+    * closed form from octet_length. */
+  object BmpCodec {
+    /** Smallest payload that fits the worst-case synthesized BMP
+      * (54-byte header + rowSize(8)·6 = 198 bytes). */
+    val MinBmpBytes = 200
+
+    /** Which corpus rows carry a BMP payload (mirrored in the oracle as
+      * `doc_id % 3 = 0 AND L >= 200`). */
+    def eligible(docId: Long, len: Int): Boolean =
+      docId % 3 == 0 && len >= MinBmpBytes
+
+    def dims(len: Int): (Int, Int) = (4 + len % 5, 4 + len % 3)
+    def rowSize(w: Int): Int = (3 * w + 3) / 4 * 4
+
+    private def putInt(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = v.toByte; a(off + 1) = (v >> 8).toByte
+      a(off + 2) = (v >> 16).toByte; a(off + 3) = (v >> 24).toByte
+    }
+    private def putShort(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = v.toByte; a(off + 1) = (v >> 8).toByte
+    }
+    private def getInt(a: Array[Byte], off: Int): Int =
+      (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8) |
+        ((a(off + 2) & 0xFF) << 16) | ((a(off + 3) & 0xFF) << 24)
+    private def getShort(a: Array[Byte], off: Int): Int =
+      (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8)
+
+    /** A REAL BMP of exactly `len` total bytes (len ≥ [[MinBmpBytes]]). */
+    def synthesize(len: Int): Array[Byte] = {
+      require(len >= MinBmpBytes, s"payload too small for a BMP: $len")
+      val (w, h) = dims(len)
+      val rs = rowSize(w)
+      val out = new Array[Byte](len)
+      out(0) = 'B'; out(1) = 'M'
+      putInt(out, 2, len)      // file size
+      putInt(out, 10, 54)      // pixel array offset
+      putInt(out, 14, 40)      // BITMAPINFOHEADER size
+      putInt(out, 18, w)
+      putInt(out, 22, h)
+      putShort(out, 26, 1)     // planes
+      putShort(out, 28, 24)    // bpp
+      putInt(out, 34, rs * h)  // image size
+      var r = 0
+      while (r < h) {
+        var j = 0
+        while (j < rs) {
+          out(54 + r * rs + j) =
+            if (j < 3 * w) (j % 16).toByte else 0xFF.toByte
+          j += 1
+        }
+        r += 1
+      }
+      out // trailing filler beyond the pixel array stays 0
+    }
+
+    /** Genuine header parse + padded pixel walk. None = not a (24bpp)
+      * BMP — the caller falls back to [[DecodeStub]]. */
+    def decode(media: Array[Byte]): Option[(Long, Long, Long)] = {
+      if (media.length < 54 || media(0) != 'B' || media(1) != 'M') return None
+      val off = getInt(media, 10)
+      val w = getInt(media, 18)
+      val h = getInt(media, 22)
+      if (getShort(media, 28) != 24 || w <= 0 || h <= 0 || off < 54) return None
+      val rs = rowSize(w)
+      if (off.toLong + rs.toLong * h > media.length) return None
+      var sum = 0L
+      var r = 0
+      while (r < h) {
+        var j = 0
+        while (j < 3 * w) { sum += media(off + r * rs + j) & 0xFF; j += 1 }
+        r += 1
+      }
+      Some((w.toLong, h.toLong, sum))
+    }
+  }
+
+  /** Per-row decode dispatch: real BMP parse when the payload is one,
+    * the deterministic stub otherwise. */
+  def decodeRow(r: MediaRow): DecodedMeta =
+    BmpCodec.decode(r.media) match {
+      case Some((w, h, px)) =>
+        DecodedMeta(r.doc_id, r.media.length.toLong, w, h, "bmp", px)
+      case None => DecodeStub.decode(r)
+    }
+
+  /** documents re-typed as an opaque binary media column; eligible rows
+    * (doc_id % 3 = 0, length ≥ [[BmpCodec.MinBmpBytes]]) carry a REAL
+    * synthesized BMP of the SAME byte length, the rest the raw text
+    * bytes. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("media"), col("n_chars"))
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, n) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val media =
+          if (BmpCodec.eligible(id, raw.length)) BmpCodec.synthesize(raw.length)
+          else raw
+        MediaRow(id, media, n)
+      })
+      .toDF()
+  }
 
   /** Partition-wise batch decode through the typed Dataset API —
-    * mapPartitions so a real codec would amortize per-partition init. */
+    * mapPartitions so a real codec would amortize per-partition init.
+    * BMP rows decode genuinely ([[BmpCodec]]); the rest take the stub. */
   def decodeBatch(spark: SparkSession, dir: String): Dataset[DecodedMeta] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRow]
-      .mapPartitions(_.map(DecodeStub.decode))
+      .mapPartitions(_.map(decodeRow))
   }
 
   /** Decoded-metadata rows, deterministic order (oracle-checkable because
@@ -228,8 +349,11 @@ object Multimodal {
     * small hamming ⇒ near-identical). Here each of m05's 8 feature
     * dimensions binarizes against its CORPUS mean — data-dependent
     * binarization, vs m06's fixed SRP hyperplanes — giving an 8-bit
-    * perceptual code per media item; items whose codes differ by ≤ 1
-    * bit surface as near-dup pairs.
+    * perceptual code per media item; candidate generation has EXACT
+    * recall at hamming ≤ 1 (the nibble equi-join below), and pairing is
+    * then restricted to each bucket's MINIMUM member (d04's rule), so a
+    * hamming-1 pair of two non-minimum bucket members reports through
+    * the shared minimum rather than as a direct pair.
     *
     * Banding: the code's two 4-bit nibbles. A 1-bit difference leaves
     * at least one nibble intact (pigeonhole), so the nibble equi-join

@@ -220,24 +220,60 @@ object OpsOracles {
        |$rankSteps
        |$rankOutput""".stripMargin
 
-  /** g06: HashMin bounded-round connected components — the same 6
-    * min-label supersteps as GraphRank.componentSizes, unrolled (each
-    * step: every node takes the min of its own and its neighbors'
-    * labels), then the component-size histogram. */
+  /** g06: HashMin bounded-round connected components — the same
+    * [[GraphRank.ComponentRounds]] min-label supersteps as
+    * GraphRank.componentSizes, unrolled (each step: every node takes the
+    * min of its own and its neighbors' labels), then the component-size
+    * histogram. The shared constant keeps engine and oracle in lockstep. */
+  private def hashMinStep(k: Int): String = {
+    val prev = s"l${k - 1}"
+    s"""l$k AS (
+       |  SELECT v.node, least(v.l, coalesce(min(w.l), v.l)) AS l
+       |  FROM $prev v
+       |  LEFT JOIN (SELECT e.dst AS node, r.l FROM e JOIN $prev r
+       |    ON e.src = r.node) w ON w.node = v.node
+       |  GROUP BY v.node, v.l)""".stripMargin
+  }
+
+  private def hashMinUnrollCtes(rounds: Int): String =
+    s"""l0 AS (SELECT src AS node, src AS l FROM deg),
+       |${(1 to rounds).map(hashMinStep).mkString(",\n")}""".stripMargin
+
   private def componentSizesOracleSql: String = {
-    def step(k: Int): String = {
-      val prev = s"l${k - 1}"
-      s"""l$k AS (
-         |  SELECT v.node, least(v.l, coalesce(min(w.l), v.l)) AS l
-         |  FROM $prev v
-         |  LEFT JOIN (SELECT e.dst AS node, r.l FROM e JOIN $prev r
-         |    ON e.src = r.node) w ON w.node = v.node
-         |  GROUP BY v.node, v.l)""".stripMargin
-    }
+    val rounds = GraphRank.ComponentRounds
     s"""WITH $rankEdgesCte,
-       |l0 AS (SELECT src AS node, src AS l FROM deg),
-       |${(1 to 6).map(step).mkString(",\n")},
-       |sizes AS (SELECT l, CAST(count(*) AS BIGINT) AS size FROM l6 GROUP BY l)
+       |${hashMinUnrollCtes(rounds)},
+       |sizes AS (SELECT l, CAST(count(*) AS BIGINT) AS size FROM l$rounds GROUP BY l)
+       |SELECT size, CAST(count(*) AS BIGINT) AS components,
+       |  CAST(sum(size) AS BIGINT) AS nodes
+       |FROM sizes GROUP BY size ORDER BY size""".stripMargin
+  }
+
+  /** g07: EXACT components (mirrors GraphRank.componentSizesConverged's
+    * fixpoint). A naive recursive reachability walk is quadratic in
+    * component size — the purchase graph's giant component would make
+    * the oracle itself the bottleneck — so the graph is first CONTRACTED
+    * by the same k unrolled HashMin rounds as g06 (each label class lies
+    * within one component, so contraction preserves the component
+    * partition exactly), and the recursive walk runs over the tiny
+    * label-graph only. Exact for any data, any diameter. */
+  private def componentsConvergedOracleSql: String = {
+    val rounds = GraphRank.ComponentRounds
+    s"""WITH RECURSIVE $rankEdgesCte,
+       |${hashMinUnrollCtes(rounds)},
+       |ce AS (
+       |  SELECT DISTINCT a.l AS src, b.l AS dst FROM e
+       |  JOIN l$rounds a ON e.src = a.node
+       |  JOIN l$rounds b ON e.dst = b.node),
+       |walk(node, reach) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM ce)
+       |  UNION
+       |  SELECT w.node, ce.dst FROM walk w JOIN ce ON w.reach = ce.src),
+       |flabel AS (SELECT node, min(reach) AS fl FROM walk GROUP BY node),
+       |final AS (SELECT n.node, f.fl FROM l$rounds n
+       |  JOIN flabel f ON n.l = f.node),
+       |sizes AS (SELECT fl, CAST(count(*) AS BIGINT) AS size
+       |  FROM final GROUP BY fl)
        |SELECT size, CAST(count(*) AS BIGINT) AS components,
        |  CAST(sum(size) AS BIGINT) AS nodes
        |FROM sizes GROUP BY size ORDER BY size""".stripMargin
@@ -273,8 +309,10 @@ object OpsOracles {
     * Similarity.cellScored + trainedAssignment/cellRanked): per-cell mean
     * centroids seeded from labels, then every vector distance-ranked
     * against every centroid — rk = 1 is the nearest-centroid assignment.
-    * Ordering is (round(dist,6), cell) — exactly the packed BIGINT argmin
-    * key the Spark side min_by-aggregates on (Similarity.assignKey). */
+    * Ordering is (round(dist,6), cell) — exactly the tie order of
+    * Similarity.nearestCell's LUT argmin (the broadcast codebook row is
+    * sorted by cell id, and array_position takes the FIRST index
+    * achieving the rounded minimum distance). */
   private val ivfRankedCte =
     """cent0 AS (
       |  SELECT label AS cell, i AS dim,
@@ -2704,15 +2742,32 @@ object OpsOracles {
         |WHERE doc_id NOT IN (SELECT v2 FROM losers)
         |ORDER BY doc_id""".stripMargin,
 
+    // m01: BMP rows (doc_id%3=0, L≥200) carry REAL synthesized BMPs —
+    // the engine genuinely parses the header and walks the padded pixel
+    // rows; this oracle recomputes the dims and the pixel-byte sum in
+    // closed form (per-row pixel byte j is j%16, so a row of 3w bytes
+    // sums to (3w//16)*120 + rem*(rem-1)/2). Other rows keep the
+    // documented stub arithmetic (px_sum 0).
     "m01_decoded_meta" ->
-      """SELECT doc_id,
-        |  octet_length(encode(text)) AS bytes,
-        |  64 + octet_length(encode(text)) % 512 AS width,
-        |  64 + (octet_length(encode(text)) * 7) % 512 AS height,
-        |  CASE octet_length(encode(text)) % 3
-        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L,
+        |    (doc_id % 3 = 0 AND octet_length(encode(text)) >= 200) AS is_bmp
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, L AS bytes,
+        |    CASE WHEN is_bmp THEN 4 + L % 5 ELSE 64 + L % 512 END AS width,
+        |    CASE WHEN is_bmp THEN 4 + L % 3 ELSE 64 + (L * 7) % 512 END AS height,
+        |    CASE WHEN is_bmp THEN 'bmp'
+        |      ELSE CASE L % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |           ELSE 'webp' END END AS format,
+        |    CASE WHEN is_bmp THEN
+        |      CAST(4 + L % 3 AS BIGINT) *
+        |        ((3 * (4 + L % 5)) // 16 * 120 +
+        |         ((3 * (4 + L % 5)) % 16) * ((3 * (4 + L % 5)) % 16 - 1) // 2)
+        |    ELSE 0 END AS px_sum
+        |  FROM b)
+        |SELECT doc_id, bytes, width, height, format, CAST(px_sum AS BIGINT) AS px_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "j02_range_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
@@ -2968,14 +3023,20 @@ object OpsOracles {
         |FROM k
         |ORDER BY doc_id""".stripMargin,
 
+    // m02: same BMP/stub split as m01 (bmp is a real format class now).
     "m02_format_summary" ->
-      """WITH m AS (
-        |  SELECT octet_length(encode(text)) AS bytes,
-        |    64 + octet_length(encode(text)) % 512 AS width,
-        |    64 + (octet_length(encode(text)) * 7) % 512 AS height,
-        |    CASE octet_length(encode(text)) % 3
-        |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-        |  FROM documents)
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L,
+        |    (doc_id % 3 = 0 AND octet_length(encode(text)) >= 200) AS is_bmp
+        |  FROM documents),
+        |m AS (
+        |  SELECT L AS bytes,
+        |    CASE WHEN is_bmp THEN 4 + L % 5 ELSE 64 + L % 512 END AS width,
+        |    CASE WHEN is_bmp THEN 4 + L % 3 ELSE 64 + (L * 7) % 512 END AS height,
+        |    CASE WHEN is_bmp THEN 'bmp'
+        |      ELSE CASE L % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |           ELSE 'webp' END END AS format
+        |  FROM b)
         |SELECT format, count(*) AS images,
         |  round(avg(bytes), 4) AS avg_bytes,
         |  round(avg(width), 4) AS avg_width,
@@ -3080,6 +3141,7 @@ object OpsOracles {
     "g02_personalized_rank" -> personalizedRankOracleSql,
 
     "g06_component_sizes" -> componentSizesOracleSql,
+    "g07_components_converged" -> componentsConvergedOracleSql,
 
     // t39: Zipf fit — ln-micro integer regression: 6dp-rounded lns as
     // BIGINT micro-units, exact integer sums/cross-products (HUGEINT

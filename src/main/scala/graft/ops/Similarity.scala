@@ -576,13 +576,15 @@ object Similarity {
     * bands (code equality), so exact-duplicate recall is 1; near-pairs
     * follow the SRP curve (bit-agreement prob 1 - angle/π per bit). */
   def srpNearDupOf(embs: DataFrame, k: Int = 20, dim: Int = 64): DataFrame = {
-    // persisted: codes feed the band table and both verify sides
+    // materialized once (eager localCheckpoint — GC-scoped, no
+    // per-invocation CacheManager leak): codes feed the band table and
+    // both verify sides
     val n = embs
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
       .withColumn("code", srpCode(dim))
-      .persist()
+      .localCheckpoint()
     val bands = n.selectExpr("vec_id",
       "stack(2, 0, code % 256, 1, code div 256) as (band, bkey)")
     val bmin = bands.groupBy("band", "bkey").agg(min("vec_id").as("v1"))

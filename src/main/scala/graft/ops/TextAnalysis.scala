@@ -117,7 +117,9 @@ object TextAnalysis {
     val docs = withToks(Tables.documents(spark, dir))
     val n = docs.select(count(lit(1)).as("n_docs"))
     // tf feeds two branches (the df aggregate and the scoring join) —
-    // persisted so the explode+agg runs once. df is computed BY AGGREGATION
+    // materialized once via eager localCheckpoint so the explode+agg runs
+    // once (GC-scoped blocks; a bare persist here would leak one
+    // CacheManager entry per invocation). df is computed BY AGGREGATION
     // from tf and broadcast-joined back: a `count over (partition by
     // token)` window would put every tf row of a hot token ("the") into
     // one task — O(corpus docs) for stopwords at 100 TB. The df table is
@@ -126,7 +128,7 @@ object TextAnalysis {
     val tf = docs.select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-      .persist()
+      .localCheckpoint()
     val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
     val scored = tf
       .join(broadcast(df), Seq("token"))
@@ -540,9 +542,12 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word").asc)
       .limit(maxVocab)
+      // eager localCheckpoint: each round's pair scan reads the current
+      // vocab; blocks are GC-scoped (the superseded round's frame becomes
+      // unreachable when `vocab` is reassigned), so the loop holds at
+      // most one live generation with no manual unpersist bookkeeping
       .withColumn("repr", concat_ws("|", split(col("word"), "")))
-      .persist()
-    vocab.count()
+      .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, String)]
     var step = 1
     var exhausted = false
@@ -561,14 +566,10 @@ object TextAnalysis {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((step.toLong, a, b, cnt, a + b))
-        val next = vocab.withColumn("repr", expr(applyMergeSql(a, b))).persist()
-        next.count()
-        vocab.unpersist()
-        vocab = next
+        vocab = vocab.withColumn("repr", expr(applyMergeSql(a, b))).localCheckpoint()
         step += 1
       }
     }
-    vocab.unpersist()
     import spark.implicits._
     out.toSeq.toDF("step", "lhs", "rhs", "pair_count", "merged").orderBy("step")
   }

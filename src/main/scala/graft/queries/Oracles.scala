@@ -715,14 +715,23 @@ object RelationalOracles {
 
     // q43: association rules — every score is one double divide over
     // exact BIGINT counts; ranking on the rounded scores + id tie-breaks.
+    // The per-basket top-40-by-support cap mirrors
+    // Relational.MaxBasketItems (inert on TPC-H's ≤7-item baskets; it
+    // bounds the pair join at real scale) — supports stay uncapped.
     "q43_assoc_rules" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
         |deg AS (SELECT pk, count(*) AS sup FROM items GROUP BY 1),
+        |capped AS (
+        |  SELECT ok, pk FROM (
+        |    SELECT i.ok, i.pk, row_number() OVER (
+        |      PARTITION BY i.ok ORDER BY d.sup DESC, i.pk ASC) AS rk
+        |    FROM items i JOIN deg d ON i.pk = d.pk)
+        |  WHERE rk <= 40),
         |pairs AS (
         |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS sup_ab
-        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |rules AS (
         |  SELECT p1 AS ante, p2 AS cons, sup_ab FROM pairs

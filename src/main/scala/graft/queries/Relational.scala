@@ -210,13 +210,14 @@ object Relational {
     val dec = "decimal(18,6)"
     // perPart feeds TWO plan branches (the global averages and the quadrant
     // rows). Spark re-executes a subtree per DataFrame reference — without
-    // the persist the physical plan holds two full lineitem scan+agg
-    // pipelines. Persisting the part-grained aggregate (≪ lineitem: one row
-    // per part) leaves exactly one lineitem scan; the cache is
-    // MEMORY_AND_DISK and LRU-evicted, sized to the part dimension.
+    // materializing, the physical plan holds two full lineitem scan+agg
+    // pipelines. Eagerly localCheckpoint-ing the part-grained aggregate
+    // (≪ lineitem: one row per part) leaves exactly one lineitem scan;
+    // the blocks are GC-scoped (ContextCleaner), unlike a bare persist
+    // whose CacheManager entry leaks once per invocation.
     val perPart = li.groupBy("l_partkey")
       .agg(sum(rev.cast(dec)).as("revenue"), sum(col("l_quantity").cast(dec)).as("qty"))
-      .persist()
+      .localCheckpoint()
     val avgs = perPart.agg(
       avg(col("revenue").cast("double")).as("avg_revenue"),
       avg(col("qty").cast("double")).as("avg_qty"))
@@ -262,13 +263,14 @@ object Relational {
   /** §2.7 set operations: UNION / INTERSECT / EXCEPT over key sets.
     * Not in the reference surface (SURVEY §2.7) — engine completeness. */
   def q14SetOps(spark: SparkSession, dir: String): DataFrame = {
-    // Both key sets feed three branches (union/intersect/except) — persist
-    // so each base table is scanned once, not three times.
+    // Both key sets feed three branches (union/intersect/except) —
+    // materialize (eager localCheckpoint, GC-scoped) so each base table
+    // is scanned once, not three times.
     val building = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
-      .persist()
+      .localCheckpoint()
     val active = Tables.orders(spark, dir).select(col("o_custkey").as("k")).distinct()
-      .persist()
+      .localCheckpoint()
     val u = building.union(active).distinct().agg(count(lit(1)).as("union_count"))
     val i = building.intersect(active).agg(count(lit(1)).as("intersect_count"))
     val e = building.except(active).agg(count(lit(1)).as("except_count"))
@@ -277,10 +279,11 @@ object Relational {
 
   /** §2.3 semi/anti joins (free Spark capability noted in SURVEY §2.3). */
   def q15SemiAnti(spark: SparkSession, dir: String): DataFrame = {
-    // Both inputs feed the semi AND the anti branch — persist the projected
-    // key columns so each table is scanned once.
-    val c = Tables.customer(spark, dir).select("c_custkey").persist()
-    val o = Tables.orders(spark, dir).select("o_custkey").persist()
+    // Both inputs feed the semi AND the anti branch — materialize the
+    // projected key columns (eager localCheckpoint, GC-scoped) so each
+    // table is scanned once.
+    val c = Tables.customer(spark, dir).select("c_custkey").localCheckpoint()
+    val o = Tables.orders(spark, dir).select("o_custkey").localCheckpoint()
     val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .agg(count(lit(1)).as("with_orders"))
     val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
@@ -948,10 +951,14 @@ object Relational {
     * — conversions explode to 8 candidate day-buckets, the join is equi
     * on (user, bucket), the exact µs range filter runs after. `pack` is
     * ts_µs·4 + channel-index: one BIGINT that orders touches totally
-    * (HashAggregate max/min and array_sort both key on it). Persisted —
-    * both consumers and the direct anti-join read it; identical plans
-    * dedupe through the CacheManager across queries. */
-  private def convTouchPairs(spark: SparkSession, dir: String): DataFrame = {
+    * (HashAggregate max/min and array_sort both key on it).
+    * SessionMemo'd — it is a cross-query shared intermediate (q42 AND
+    * q46 read it), so one persisted entry per (session, dir), never one
+    * per invocation. */
+  private def convTouchPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo(spark, dir, "conv-touch-pairs")(convTouchPairsPlan(spark, dir))
+
+  private def convTouchPairsPlan(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     val lookUs = 7 * dayUs
     val touch = Tables.eventsUs(spark, dir)
@@ -968,7 +975,6 @@ object Relational {
       .filter(col("t_us") < col("c_us") && col("t_us") >= col("c_us") - lookUs)
       .select(col("conv_id"), col("value"), col("channel"),
         (col("t_us") * 4 + col("idx")).as("pack"))
-      .persist()
   }
 
   def q42Attribution(spark: SparkSession, dir: String): DataFrame = {
@@ -1052,16 +1058,44 @@ object Relational {
     * are exact BIGINT counts — nothing accumulates in float, so round(,6)
     * is engine-identical. The pair table is q40's self-join of the
     * order-item set (bounded by basket width, never |parts|²); the degree
-    * table is item-catalog-sized and broadcasts to both rule directions. */
+    * table is item-catalog-sized and broadcasts to both rule directions.
+    *
+    * Basket fan-out cap (d15's verified-cap discipline): the self-join is
+    * order-QUADRATIC per basket, so a power-user basket of m items emits
+    * m²/2 pair fragments. Baskets are capped to their
+    * [[Relational.MaxBasketItems]] highest-support items (global item
+    * support, pk tie-break) BEFORE the pair join, bounding it at
+    * #orders × cap² while dropping only pairs involving a basket's
+    * rarest overflow items. The DuckDB oracle applies the same cap, so
+    * the trade-off is verified semantics, not a hidden approximation
+    * (TPC-H baskets hold ≤ 7 items, so the cap is inert on the test
+    * corpus — it exists for the 100 TB shape). Rule supports (deg,
+    * n_orders) stay UNCAPPED — the cap bounds pair mining, not the
+    * ground-truth frequencies. */
+  val MaxBasketItems = 40
+
   def q43AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    // feeds deg, the order count, and the capped basket build (eager
+    // localCheckpoint — GC-scoped, no per-invocation CacheManager leak)
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .persist() // feeds deg, the order count, and both sides of the pair join
+      .localCheckpoint()
     val nOrders = items.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
-    val deg = items.groupBy("pk").agg(count(lit(1)).as("sup"))
-    val pairs = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+    val deg = items.groupBy("pk").agg(count(lit(1)).as("sup")).localCheckpoint()
+    // per-basket cap: rank window partitions by ok — basket-sized state,
+    // and its exchange on ok is the same clustering the pair self-join
+    // needs; feeds both join sides (eager localCheckpoint)
+    val rankW = Window.partitionBy("ok")
+      .orderBy(col("sup").desc, col("pk").asc)
+    val capped = items
+      .join(broadcast(deg), Seq("pk"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= MaxBasketItems)
+      .select("ok", "pk")
+      .localCheckpoint()
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("sup_ab"))
       .filter(col("sup_ab") >= 2)

@@ -54,9 +54,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q11_quadrant: one lineitem scan (part-grained aggregate cached, not recomputed)") {
     val p = plan("q11_quadrant")
-    // the heavy scan+agg lives once inside the cached relation; BOTH
-    // consumer branches read the cache instead of re-scanning the fact
-    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    // the heavy scan+agg materializes once (r8: eager localCheckpoint —
+    // GC-scoped blocks surface as `Scan ExistingRDD`, the leak-free
+    // sibling of InMemoryTableScan); BOTH consumer branches read the
+    // materialized frame instead of re-scanning the fact
+    assert(p.contains("ExistingRDD"), p.take(2000))
     val lineitemScans = fileScans("q11_quadrant").count(_.contains("lineitem"))
     assert(lineitemScans === 0, s"lineitem scanned outside the cache $lineitemScans times")
   }
@@ -98,7 +100,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("bkey"), "banded join key missing from the plan")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"quadratic pairing reappeared:\n${p.take(2000)}")
-    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    // the code table materializes once (r8: eager localCheckpoint →
+    // `Scan ExistingRDD`, GC-scoped instead of CacheManager-leaked)
+    assert(p.contains("ExistingRDD"), p.take(2000))
     val docScans = fileScans("d11_simhash64_neardup").count(_.contains("documents"))
     assert(docScans === 0, s"documents scanned outside the code cache $docScans times")
   }

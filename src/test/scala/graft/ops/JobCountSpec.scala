@@ -106,6 +106,37 @@ class JobCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g07 converged-CC loop: one Spark action per propagation round") {
+    val s = spark; import s.implicits._
+    // a 6-node chain (both directions, componentSizesOf's contract): the
+    // min label travels one hop per round — 5 propagation rounds + 1
+    // no-change round, the per-node worst case, so the budget is tight
+    val und = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+      .union((0L until 5L).map(i => (i + 1, i)).toDF("src", "dst"))
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val hist = GraphRank.componentSizesConvergedOf(und) // loop runs here
+      val loopJobs = settledJobCount(jobs)
+      // 1 eager adjacency checkpoint + 6 rounds × 1 convergence aggregate
+      // (the chg flag rides the round's frame; a separate did-it-change
+      // probe would spend 13) — budget fails the two-action shape
+      assert(loopJobs <= 9, s"converged-CC loop spent $loopJobs jobs for 6 rounds")
+      // one component of 6 nodes
+      val rows = hist.collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[Long]("size") === 6L)
+      assert(rows(0).getAs[Long]("components") === 1L)
+      assert(rows(0).getAs[Long]("nodes") === 6L)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("k-means training: one driver action per Lloyd iteration, none hidden") {
     // each iteration's centroid table localizes (one collect); a
     // regression to lazy nested-lineage centroids would re-execute prior

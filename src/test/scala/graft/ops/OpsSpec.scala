@@ -330,14 +330,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
-  test("multimodal decode stub: deterministic meta matches arithmetic") {
+  test("multimodal decode: BMP rows carry genuinely parsed dims, the rest " +
+       "match the stub arithmetic") {
     val rows = Multimodal.decodedMeta(spark, dir).collect()
     assert(rows.length === graft.Tables.documents(spark, dir).count())
+    var bmps = 0
     rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
       val b = r.getAs[Long]("bytes")
-      assert(r.getAs[Long]("width") === 64 + b % 512)
-      assert(r.getAs[Long]("height") === 64 + (b * 7) % 512)
+      if (Multimodal.BmpCodec.eligible(id, b.toInt)) {
+        bmps += 1
+        assert(r.getAs[String]("format") === "bmp")
+        val (w, h) = Multimodal.BmpCodec.dims(b.toInt)
+        assert(r.getAs[Long]("width") === w.toLong)
+        assert(r.getAs[Long]("height") === h.toLong)
+        // per-row pixel byte j is j%16 — the decoder's padded walk must
+        // land exactly on the closed form
+        val lr = 3 * w; val rem = lr % 16
+        assert(r.getAs[Long]("px_sum") ===
+          h.toLong * (lr / 16 * 120 + rem * (rem - 1) / 2))
+      } else {
+        assert(r.getAs[Long]("width") === 64 + b % 512)
+        assert(r.getAs[Long]("height") === 64 + (b * 7) % 512)
+        assert(r.getAs[Long]("px_sum") === 0L)
+      }
     }
+    assert(bmps > 0, "corpus should contain BMP-eligible rows")
   }
 
   test("RewriteDotProduct rule: HOF fold rewrites to native DotProduct, same values") {
