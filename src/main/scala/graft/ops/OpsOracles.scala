@@ -225,9 +225,16 @@ object OpsOracles {
     * GraphRank.componentSizes, unrolled (each step: every node takes the
     * min of its own and its neighbors' labels), then the component-size
     * histogram. The shared constant keeps engine and oracle in lockstep. */
+  /** Each step references the previous round TWICE (own label + the
+    * neighbor join) — `AS MATERIALIZED` is load-bearing: DuckDB
+    * auto-materializes multiply-referenced CTEs under a plain WITH, but
+    * inside a `WITH RECURSIVE` clause list that heuristic is off and the
+    * inlined chain re-evaluates 2^rounds times (measured: the g07 oracle
+    * at sf0.1 spilled 36 GB before the hint; sub-second after — the same
+    * doubled-lineage trap g06's Spark loop engineers out). */
   private def hashMinStep(k: Int): String = {
     val prev = s"l${k - 1}"
-    s"""l$k AS (
+    s"""l$k AS MATERIALIZED (
        |  SELECT v.node, least(v.l, coalesce(min(w.l), v.l)) AS l
        |  FROM $prev v
        |  LEFT JOIN (SELECT e.dst AS node, r.l FROM e JOIN $prev r
@@ -261,7 +268,7 @@ object OpsOracles {
     val rounds = GraphRank.ComponentRounds
     s"""WITH RECURSIVE $rankEdgesCte,
        |${hashMinUnrollCtes(rounds)},
-       |ce AS (
+       |ce AS MATERIALIZED (
        |  SELECT DISTINCT a.l AS src, b.l AS dst FROM e
        |  JOIN l$rounds a ON e.src = a.node
        |  JOIN l$rounds b ON e.dst = b.node),
