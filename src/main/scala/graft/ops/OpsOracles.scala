@@ -392,13 +392,13 @@ object OpsOracles {
        |  GROUP BY s, cid, i),
        |$c AS (SELECT s, cid, list(c ORDER BY dim) AS cv FROM $m GROUP BY s, cid)""".stripMargin
 
-  /** Product-quantization training replay (seeds = first 16 ids' subvectors,
+  /** Product-quantization training replay (seeds = the first PqK ids' subvectors,
     * 2 Lloyd iterations, 6dp-rounded means — Similarity.pqCodebooksOf
     * exactly). Expects a `sub`(vec_id, s, sv) CTE already in scope, so the
     * same training runs on raw subvectors (s10-s12) or coarse-residual
     * subvectors (s13). */
   private val pqTrainCtes =
-    s"""c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+    s"""c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM sub WHERE vec_id < ${Similarity.PqK}),
        |${pqAssignCte("c0", "a1")},
        |${pqMeansCte("a1", "m1", "c1")},
        |${pqAssignCte("c1", "a2")},

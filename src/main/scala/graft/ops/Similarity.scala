@@ -197,7 +197,7 @@ object Similarity {
   /** Format version of the on-disk ANN artifacts ([[diskMemo]]): bump
     * whenever a trainer's SEMANTICS change so a fresh build can never
     * consume an artifact an older code version wrote. */
-  private val ArtifactVersion = "r7b"
+  private val ArtifactVersion = "r8a" // r8: PqK 16 -> 64 (trainer semantics)
 
   /** Source-table fingerprint (size + mtime of embeddings.parquet):
     * regeneration of the testdata invalidates every artifact keyed on it
@@ -617,7 +617,22 @@ object Similarity {
 
   private val PqM = 8    // subspaces
   private val PqSub = 8  // dims per subspace
-  private val PqK = 16   // codewords per subspace
+  /** Codewords per subspace — 64 (6-bit codes), up from r7's 16: the
+    * standard production geometry at unchanged scan cost (candidates
+    * still carry one small int per subspace; the per-query LUT grows to
+    * m×k = 512 entries, still broadcast-trivial). Measured recall@3 vs
+    * exact-L2 truth is ~0.2 at BOTH k=16 and k=64 on this corpus —
+    * data-limited, not codebook-limited: the synthetic embeddings are
+    * near-isotropic noise (nearest-neighbor margins of a few percent of
+    * the median distance, neighbors not even label-aligned), which is
+    * exactly the regime where 8-dims→1-code quantization noise swamps
+    * the margin while scalar 8-bit/dim (s23, recall ≈ 0.93+) still
+    * resolves it. The production answer at such margins is the refine
+    * stage (s20: ADC shortlist → exact re-rank), not a bigger codebook;
+    * OpsSpec pins recall floors so a machinery regression (broken LUT
+    * join ⇒ recall ≈ random ≈ 0.006) goes red. Shared with the oracle's
+    * seed filter so engine and replay can never desync. */
+  private[ops] val PqK = 64
 
   /** (…id cols…, s, sv): the 8-dim subvector of each row's `v` in each
     * of the 8 subspaces — a narrow ×8 explode, no shuffle. Every column
@@ -642,7 +657,7 @@ object Similarity {
   private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
     nearestCell(sub, cents, Seq("s"), "cid", "sv", "cid")
 
-  /** Per-subspace k-means codebooks (k=16, 2 Lloyd iterations, seeds =
+  /** Per-subspace k-means codebooks (k=PqK, 2 Lloyd iterations, seeds =
     * the first k vectors' subvectors, centroids rounded to 6dp each
     * iteration — [[kmeansCentroids]]'s determinism discipline, so the
     * DuckDB oracle replays training exactly). The subspace is DATA, not
@@ -699,7 +714,7 @@ object Similarity {
       .orderBy("vec_id", "subspace")
 
   /** PQ ANN via ASYMMETRIC DISTANCE (ADC): per query, a lookup table of
-    * exact-subvector→codeword distances (m×k = 128 entries/query, tiny →
+    * exact-subvector→codeword distances (m×k = 512 entries/query, tiny →
     * broadcast); candidates contribute ONLY their codes, and the distance
     * is the sum of 8 LUT hits. At 100 TB this is the whole point of PQ —
     * the scan side touches 8 bytes per vector, never the floats, and the
