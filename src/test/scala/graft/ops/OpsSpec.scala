@@ -368,6 +368,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("s13_ivfpq_ann", recall(pairs(Similarity.ivfPqAnn(spark, d)), truth), 0.12),
         ("s23_sq_ann", recall(pairs(Similarity.sqAnn(spark, d)), truth), 0.80),
         ("s24_ivfsq_ann", recall(pairs(Similarity.ivfSqAnn(spark, d)), truth), 0.35),
+        // refine lifts raw ADC (~0.2 -> ~0.3+) but stays capped by the
+        // nprobe=2 cell confinement of its shortlist — the IVF trade
+        ("s20_refined_ann", recall(pairs(Similarity.refinedAnn(spark, d)), truth), 0.20),
         ("m09_media_sq_search",
           recall(pairs(Multimodal.mediaSqSearch(spark, d)), mediaTruth), 0.80))
       floors.foreach { case (name, r, floor) =>
