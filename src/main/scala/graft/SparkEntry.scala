@@ -214,6 +214,8 @@ object SparkEntry {
     "g06_component_sizes"    -> ((s: SparkSession, d: String) =>
       graft.ops.GraphRank.componentSizes(s, d)),
     "g07_components_converged" -> (graft.ops.GraphRank.componentSizesConverged _),
+    "s25_truncated_ann"      -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.truncatedAnn(s, d)),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),

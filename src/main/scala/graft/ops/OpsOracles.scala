@@ -2590,6 +2590,37 @@ object OpsOracles {
 
     "s01_knn_brute" -> knnBruteSql,
 
+    // s25: truncated-prefix (Matryoshka-style) two-stage search — stage 1
+    // ranks by L2 over the first 16 dims (rounded 6dp + cand_id
+    // tie-break, so the shortlist-50 cut is engine-identical), stage 2
+    // exact-reranks the shortlist over all 64 dims. Mirrors
+    // Similarity.truncatedAnn's defaults.
+    "s25_truncated_ann" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pre AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(16),
+        |      i -> (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1]))), 6) AS pdist
+        |  FROM n q CROSS JOIN n c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |short AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY pdist ASC, cand_id ASC) AS prk
+        |    FROM pre) WHERE prk <= 50),
+        |rer AS (
+        |  SELECT s.query_id, s.cand_id,
+        |    round(list_sum(list_transform(range(64),
+        |      i -> (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1]))), 6) AS dist
+        |  FROM short s
+        |  JOIN n q ON s.query_id = q.vec_id
+        |  JOIN n c ON s.cand_id = c.vec_id)
+        |SELECT query_id, cand_id, dist, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist ASC, cand_id ASC) AS rnk
+        |  FROM rer) WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     // f02: the DSv2 generator connector's scan query — the oracle
     // regenerates identical rows from pure range() arithmetic (token j of
     // doc i = first 5 md5 hex chars of "i_j"), mirroring

@@ -910,6 +910,53 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** TRUNCATED-PREFIX ANN (s25) — Matryoshka-style two-stage search
+    * (Kusupati et al. 2022: MRL-trained embeddings concentrate
+    * information mass in the prefix dims, so production deployments rank
+    * on a 4-16× truncation and rerank the shortlist exactly): stage 1
+    * scores every candidate by L2 over the FIRST `pdim` dims only —
+    * with the prefix materialized as its own column table, the corpus
+    * scan reads pdim/64 of the float bytes — and stage 2 fetches ONLY
+    * the shortlist's full vectors by uniform-key join for the exact
+    * rerank (s20's refine economics, but the cheap stage needs no
+    * training pass at all: the "index" is a projection). On generic
+    * (non-MRL) embeddings the prefix is still an unbiased low-dim
+    * sketch; the 50-row shortlist is the standard ~16x-k oversample and
+    * OpsSpec floors the measured recall. Both stages rank on
+    * 6dp-rounded distances with the cand_id tie-break, so the shortlist
+    * cut and the final order are engine-identical. */
+  def truncatedAnn(spark: SparkSession, dir: String,
+                   k: Int = 3, pdim: Int = 16, shortlist: Int = 50): DataFrame = {
+    val vs = vectors(spark, dir)
+    val q = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        expr(s"slice(v, 1, $pdim)").as("qp"))
+    val cPrefix = vs.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"),
+        expr(s"slice(v, 1, $pdim)").as("cp"))
+    val w1 = Window.partitionBy("query_id").orderBy(col("pdist").asc, col("cand_id").asc)
+    val short = broadcast(q).crossJoin(cPrefix)
+      .withColumn("pdist", round(
+        expr("aggregate(zip_with(qp, cp, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 6))
+      .withColumn("prk", row_number().over(w1))
+      .filter(col("prk") <= shortlist)
+      .select("query_id", "cand_id")
+    val qv = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cv = vs.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
+    short
+      .join(cv, Seq("cand_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("dist", round(
+        expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 6))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("dist"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** The lexical half of [[hybridSearch]]: candidates ranked per query by
     * summed IDF of shared distinct tokens (rare shared terms dominate —
     * BM25's core signal without the length normalization). Per-token

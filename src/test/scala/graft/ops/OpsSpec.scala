@@ -371,6 +371,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         // refine lifts raw ADC (~0.2 -> ~0.3+) but stays capped by the
         // nprobe=2 cell confinement of its shortlist — the IVF trade
         ("s20_refined_ann", recall(pairs(Similarity.refinedAnn(spark, d)), truth), 0.20),
+        // prefix-16 sketch + 50-row exact rerank: ~0.3-0.5 measured; the
+        // prefix carries 1/4 of the distance signal on isotropic data
+        ("s25_truncated_ann", recall(pairs(Similarity.truncatedAnn(spark, d)), truth), 0.25),
         ("m09_media_sq_search",
           recall(pairs(Multimodal.mediaSqSearch(spark, d)), mediaTruth), 0.80))
       floors.foreach { case (name, r, floor) =>
