@@ -225,6 +225,8 @@ object SparkEntry {
       graft.streaming.EventStream.runEnrichAvailableNow(s, d)),
     "w12_stream_index"       -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamBandIndex(s, d)),
+    "w13_asof_enrich"        -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.runAsOfEnrichAvailableNow(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),

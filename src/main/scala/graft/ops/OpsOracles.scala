@@ -860,6 +860,42 @@ object OpsOracles {
     // w11: stream-static enrichment — the settled grid is arrival-order-
     // free (counts + exact-decimal sums), so the oracle is the batch
     // join/rollup of the same two tables.
+    // w13: arrivals (md5 bucket 'f') probe the history-side SCD2 dim for
+    // the state valid at each event's own timestamp; left join keeps
+    // pre-history arrivals with null state. Mirrors q34's interval CTE
+    // chain over the history buckets only.
+    "w13_asof_enrich" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = 'f' AS is_arrival
+        |  FROM events),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w != event_type
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM (SELECT * FROM e WHERE NOT is_arrival)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM r),
+        |i AS (
+        |  SELECT user_id, run, min(event_type) AS state,
+        |    min(ts_us) AS valid_from_us
+        |  FROM s GROUP BY user_id, run),
+        |dim AS (
+        |  SELECT user_id, state, valid_from_us,
+        |    lead(valid_from_us) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from_us, run) AS valid_to_us
+        |  FROM i)
+        |SELECT a.event_id, a.user_id, a.event_type,
+        |  d.state AS state_at, d.valid_from_us AS state_since_us
+        |FROM (SELECT * FROM e WHERE is_arrival) a
+        |LEFT JOIN dim d ON a.user_id = d.user_id
+        |  AND d.valid_from_us <= a.ts_us
+        |  AND (d.valid_to_us IS NULL OR a.ts_us < d.valid_to_us)
+        |ORDER BY a.event_id""".stripMargin,
+
     "w11_stream_enrich" ->
       """SELECT c.c_mktsegment AS segment, e.event_type,
         |  count(*) AS events,

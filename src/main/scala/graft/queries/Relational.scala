@@ -593,7 +593,13 @@ object Relational {
     * no second exchange (PlanSpec asserts exactly one). Per-user state
     * is bounded by that user's event count — no global sort anywhere but
     * the output contract. */
-  def q34Scd2(spark: SparkSession, dir: String): DataFrame = {
+  def q34Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.eventsUs(spark, dir))
+
+  /** [[q34Scd2]]'s interval assembly over ANY (event_id, user_id,
+    * event_type, ts_us) frame — the streaming as-of enrichment (w13)
+    * builds its history-side dim through this. */
+  def scd2Of(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts_us").asc, col("event_id").asc)
     val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -602,7 +608,7 @@ object Relational {
     // microsecond would leave (user_id, valid_from_us) non-total
     val byStart = Window.partitionBy("user_id")
       .orderBy(col("valid_from_us").asc, col("run").asc)
-    Tables.eventsUs(spark, dir)
+    events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
       .withColumn("prev", lag(col("event_type"), 1).over(byUser))
       .withColumn("chg",

@@ -686,6 +686,58 @@ object EventStream {
     spark.table(queryName).orderBy("segment", "event_type")
   }
 
+  /** STREAM AS-OF SCD2 ENRICHMENT (w13) — the "dimension correctness at
+    * event time" production join: arriving events (md5 bucket 'f', the
+    * same arrival line as d19/d22/w08) probe the NIGHTLY-BUILT SCD2
+    * dimension (q34's interval assembly over the history buckets) for
+    * the state valid AT the event's own timestamp — `valid_from ≤ ts <
+    * valid_to` — not the current state, which is how late or replayed
+    * events get enriched correctly. LEFT join: an arrival before its
+    * user's first history interval (or for a user history never saw)
+    * passes through with a null state rather than being dropped.
+    *
+    * Scale shape: ZERO streaming state — the as-of decision is a pure
+    * per-row probe of the static dim (w08's discipline), so the guard
+    * runs at line rate on an unbounded feed; the dim broadcasts here and
+    * falls back to a user_id-bucketed shuffled stream-static join when
+    * it outgrows the threshold (w11's knob). The per-user intervals
+    * partition time, so each arrival matches at most one dim row — the
+    * join can't fan out. */
+  def asOfEnrichStream(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.queries.Relational.scd2Of(
+        graft.Tables.eventsUs(spark, dir)
+          .filter(substring(md5(col("event_id").cast("string")), 1, 1) =!= "f"))
+      .select(col("user_id").as("d_user"), col("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    val arrivals = readEvents(spark, dir)
+      .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "f")
+      .withColumn("ts_us", unix_micros(col("event_time")))
+    arrivals.join(broadcast(dim),
+        arrivals("user_id") === col("d_user") &&
+          col("valid_from_us") <= col("ts_us") &&
+          (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")),
+        "left")
+      .select(col("event_id"), arrivals("user_id"), col("event_type"),
+        col("state").as("state_at"), col("valid_from_us").as("state_since_us"))
+  }
+
+  /** Run [[asOfEnrichStream]] with AvailableNow into a memory sink.
+    * Append mode, arrival-order-free (the probe is a pure per-row
+    * function of the static dim), so the driver oracle hash-matches the
+    * sink directly. */
+  def runAsOfEnrichAvailableNow(spark: SparkSession, dir: String,
+                                queryName: String = "graft_asof_enrich"): DataFrame = {
+    val q = asOfEnrichStream(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("event_id")
+  }
+
   /** NATIVE SESSION WINDOWS (w10) — the DECLARATIVE form of [[sessionize]]:
     * Spark's built-in `session_window` aggregate (dynamic-gap merging
     * windows) instead of hand-rolled flatMapGroupsWithState. Same
