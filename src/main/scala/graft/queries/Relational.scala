@@ -1080,6 +1080,32 @@ object Relational {
     * ground-truth frequencies. */
   val MaxBasketItems = 40
 
+  /** The capped basket frame: each basket keeps its `cap`
+    * highest-support items (global support from `deg`, pk tie-break).
+    * Factored out so the spec can drive a synthetic power-user basket
+    * through the cap and pin the drop accounting. */
+  def cappedBaskets(items: DataFrame, deg: DataFrame,
+                    cap: Int = MaxBasketItems): DataFrame = {
+    // per-basket cap: rank window partitions by ok — basket-sized state,
+    // and its exchange on ok is the same clustering the pair self-join
+    // needs
+    val rankW = Window.partitionBy("ok")
+      .orderBy(col("sup").desc, col("pk").asc)
+    items
+      .join(broadcast(deg), Seq("pk"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= cap)
+      .select("ok", "pk")
+  }
+
+  /** Co-occurrence pair supports over a (ok, pk) basket frame. */
+  def basketPairs(baskets: DataFrame, minSupport: Int = 2): DataFrame =
+    baskets.as("a")
+      .join(baskets.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= minSupport)
+
   def q43AssocRules(spark: SparkSession, dir: String): DataFrame = {
     // feeds deg, the order count, and the capped basket build (eager
     // localCheckpoint — GC-scoped, no per-invocation CacheManager leak)
@@ -1089,22 +1115,9 @@ object Relational {
       .localCheckpoint()
     val nOrders = items.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
     val deg = items.groupBy("pk").agg(count(lit(1)).as("sup")).localCheckpoint()
-    // per-basket cap: rank window partitions by ok — basket-sized state,
-    // and its exchange on ok is the same clustering the pair self-join
-    // needs; feeds both join sides (eager localCheckpoint)
-    val rankW = Window.partitionBy("ok")
-      .orderBy(col("sup").desc, col("pk").asc)
-    val capped = items
-      .join(broadcast(deg), Seq("pk"))
-      .withColumn("rk", row_number().over(rankW))
-      .filter(col("rk") <= MaxBasketItems)
-      .select("ok", "pk")
-      .localCheckpoint()
-    val pairs = capped.as("a")
-      .join(capped.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(count(lit(1)).as("sup_ab"))
-      .filter(col("sup_ab") >= 2)
+    // capped feeds both pair-join sides (eager localCheckpoint)
+    val capped = cappedBaskets(items, deg).localCheckpoint()
+    val pairs = basketPairs(capped)
     val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"), col("sup_ab"))
       .unionByName(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("sup_ab")))
     val rw = Window.orderBy(col("lift").desc, col("confidence").desc,

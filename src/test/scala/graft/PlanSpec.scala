@@ -107,6 +107,80 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docScans === 0, s"documents scanned outside the code cache $docScans times")
   }
 
+  /** All WindowExec nodes in a query's executed tree (through AQE). */
+  private def windowNodes(name: String) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _ => p.children
+      }
+      p +: (kids.flatMap(walk) ++ p.subqueries.flatMap(walk))
+    }
+    walk(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+  }
+
+  test("s25_truncated_ann: the query side broadcasts, every rank window " +
+       "partitions per query") {
+    val p = plan("s25_truncated_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    // both stages' rank windows partition by query_id — an unpartitioned
+    // window over the candidate corpus would be the s-family anti-pattern
+    val ws = windowNodes("s25_truncated_ann")
+    assert(ws.nonEmpty)
+    assert(ws.forall(_.partitionSpec.nonEmpty), p.take(2000))
+  }
+
+  test("w13_asof_enrich: the SCD2 dim broadcasts against the arrival probe") {
+    import org.apache.spark.sql.functions._
+    // batch twin of the streamed plan (identical join shape)
+    val dim = graft.queries.Relational.scd2Of(
+        Tables.eventsUs(spark, dir)
+          .filter(substring(md5(col("event_id").cast("string")), 1, 1) =!= "f"))
+      .select(col("user_id").as("d_user"), col("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    val arr = Tables.eventsUs(spark, dir)
+      .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "f")
+    val joined = arr.join(broadcast(dim),
+      arr("user_id") === col("d_user") &&
+        col("valid_from_us") <= col("ts_us") &&
+        (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")), "left")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q43_assoc_rules: the basket cap's rank window partitions by order key") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the registered query materializes the capped frame eagerly, so the
+    // cap window lives in the BUILD plan — assert on cappedBaskets itself:
+    // it must cluster on ok (basket-sized state, the same exchange the
+    // pair self-join needs), never plan as a global window
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val deg = items.groupBy("pk").agg(count(lit(1)).as("sup"))
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val ws = walk(graft.queries.Relational.cappedBaskets(items, deg)
+        .queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, "cap window missing from the cappedBaskets plan")
+    assert(ws.forall(_.partitionSpec.exists(_.references.exists(_.name == "ok"))),
+      "cap window must partition by ok")
+  }
+
   test("d09_embedding_apply: loser set broadcast, corpus anti-join without shuffle") {
     val p = plan("d09_embedding_apply")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))

@@ -106,4 +106,32 @@ class AnalyticsInvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+
+  test("q43 basket cap: a power-user basket is capped to its top-support " +
+       "items with exact drop accounting, pairs bounded by the cap") {
+    val s2 = spark; import s2.implicits._
+    import org.apache.spark.sql.functions._
+    // one hot basket of 100 items (ids 0..99) + 50 normal baskets that
+    // make higher item ids more frequent (support of pk = pk % 50 spread)
+    val hot = (0L until 100L).map(pk => (1000L, pk))
+    val normal = for { o <- 0L until 50L; pk <- Seq(o, o + 50L) } yield (o, pk)
+    val items = (hot ++ normal).toDF("ok", "pk")
+    val deg = items.groupBy("pk").agg(count(lit(1)).as("sup"))
+    val cap = 40
+    val capped = Relational.cappedBaskets(items, deg, cap)
+    val hotKept = capped.filter(col("ok") === 1000L).collect().map(_.getLong(1)).toSet
+    // drop accounting: exactly cap of 100 survive, 60 dropped
+    assert(hotKept.size === cap)
+    // the keepers are the HIGHEST-support items (sup 2 beats sup 1;
+    // pk tie-break ascending): all 100 hot-basket items have sup 2
+    // (one hot + one normal occurrence), so the cap keeps pk 0..39
+    assert(hotKept === (0L until cap.toLong).toSet)
+    // normal baskets are untouched (width 2 << cap)
+    assert(capped.filter(col("ok") < 1000L).count() === normal.size.toLong)
+    // and the pair join is bounded by cap*(cap-1)/2 for the hot basket,
+    // never 100*99/2
+    val hotPairs = Relational.basketPairs(capped.filter(col("ok") === 1000L), 1)
+      .count()
+    assert(hotPairs === cap.toLong * (cap - 1) / 2)
+  }
 }
