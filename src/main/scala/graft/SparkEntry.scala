@@ -195,6 +195,8 @@ object SparkEntry {
     "t39_zipf_fit"           -> (TextAnalysis.zipfFit _),
     "t40_perplexity_buckets" -> (TextAnalysis.perplexityBuckets _),
     "t41_split_leakage"      -> (TextAnalysis.splitLeakage _),
+    "t42_bm25"               -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bm25(s, d)),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),

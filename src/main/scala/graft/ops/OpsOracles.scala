@@ -3282,6 +3282,49 @@ object OpsOracles {
         |FROM ex GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    // t42: Okapi BM25 (k1=1.2, b=0.75, Lucene idf variant). Constants are
+    // CAST literals so DuckDB doesn't fold them as DECIMAL (BIGINT*DECIMAL
+    // arithmetic would diverge from Spark's all-double chain); the idf ln
+    // rounds to 6dp, the per-term product rounds to 6dp → DECIMAL(18,6),
+    // sums exactly, and the double re-cast happens only at the final
+    // projection — the t19 discipline.
+    "t42_bm25" ->
+      """WITH dd AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM dd),
+        |tfc AS (SELECT doc_id, dl, token, count(*) AS tf
+        |  FROM tok GROUP BY 1, 2, 3),
+        |dfc AS (SELECT token, count(*) AS doc_freq FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |  FROM dd),
+        |scored AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+        |    CAST(round(
+        |      round(ln((n_docs - doc_freq + CAST(0.5 AS DOUBLE))
+        |                 / (doc_freq + CAST(0.5 AS DOUBLE))
+        |               + CAST(1.0 AS DOUBLE)), 6)
+        |      * ((c.tf * CAST(2.2 AS DOUBLE))
+        |         / (c.tf + CAST(1.2 AS DOUBLE)
+        |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |               * (c.dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+        |    , 6) AS DECIMAL(18,6)) AS term_w
+        |  FROM tfc q
+        |  JOIN tfc c ON q.token = c.token AND q.doc_id < 10 AND c.doc_id >= 10
+        |  JOIN dfc ON q.token = dfc.token
+        |  CROSS JOIN stats),
+        |agg AS (SELECT query_id, cand_id, sum(term_w) AS score
+        |  FROM scored GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, cand_id, score,
+        |  row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rnk
+        |  FROM agg)
+        |SELECT query_id, cand_id, round(CAST(score AS DOUBLE), 6) AS bm25,
+        |  CAST(rnk AS INT) AS rnk
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     // t40: CCNet-style perplexity quartiles — t19's scoring chain, the
     // SQL-standard ntile mirrored by GlobalOrder.withNtile, bucket means
     // over exact decimal sums of the 4dp-rounded per-doc scores.

@@ -1511,4 +1511,68 @@ object TextAnalysis {
         countDistinct("doc").as("leaked_docs"))
       .orderBy("split_a", "split_b")
   }
+
+  /** BM25 RETRIEVAL (t42) — the full Okapi ranking function (Robertson &
+    * Zaragoza 2009): s21's lexical half upgraded from a bare IDF sum to
+    * tf saturation (k1) and document-length normalization (b), the
+    * scoring that actually ships in lexical retrieval stacks (Lucene,
+    * Tantivy) and in RAG hybrid search. Query docs (doc_id < 10)
+    * retrieve from the candidate corpus (doc_id ≥ 10) by their distinct
+    * tokens; top-k per query.
+    *
+    * Determinism across engines: the idf term
+    * ln((N - df + 0.5)/(df + 0.5) + 1) (the Lucene variant — strictly
+    * positive, so stopword-heavy matches can't flip sign) is rounded to
+    * 6dp; the tf factor is a pure +,*,/ chain over doubles written with
+    * the identical association in the oracle (IEEE-deterministic); the
+    * per-term product rounds to 6dp and sums as DECIMAL (exact,
+    * order-free — t19's discipline). avgdl is ONE double division of
+    * two exact integers.
+    *
+    * Scale shape: tf is computed once (eager localCheckpoint — two
+    * consumers) with map-side combine; df aggregates FROM tf
+    * (vocab-sized) and broadcasts; corpus stats are one scalar row. The
+    * pair join is bounded by shared-token postings of a 10-doc query
+    * set, never corpus×corpus; the per-query window is partitioned. At
+    * 100 TB the postings join is the standard impact-ordered shape —
+    * nothing here is corpus-quadratic. */
+  def bm25(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // k1 = 1.2, b = 0.75 (the standard Okapi defaults). Every derived
+    // constant (k1+1 = 2.2, 1-b = 0.25) is written as a LITERAL, not
+    // computed: `lit(1.2 + 1.0)` rounds the double SUM (which need not
+    // equal the parsed literal 2.2 at the last ulp), while both engines
+    // parse the string "2.2" to the identical double.
+    val docs = withToks(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("bigint").as("dl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val qtok = tf.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val cand = tf.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("cand_id"), col("dl"), col("token"), col("tf"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = round(log(
+      (col("n_docs") - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5))
+        + lit(1.0)), 6)
+    val tff = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    qtok.join(cand, Seq("token"))
+      .join(broadcast(dfq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_w", round(idf * tff, 6).cast("decimal(18,6)"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("term_w").as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("score").cast("double"), 6).as("bm25"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
 }

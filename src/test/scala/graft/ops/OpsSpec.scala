@@ -1787,4 +1787,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Double]("r2") === r6(r2))
     }
   }
+
+  test("bm25: matches a driver-side Okapi reconstruction, ranks descend") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val nDocs = docs.size.toLong
+    val sumDl = docs.values.map(_.size.toLong).sum
+    val avgdl = sumDl.toDouble / nDocs
+    val dfMap = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    def score(q: Long, c: Long): BigDecimal = {
+      val qToks = docs(q).distinct
+      val cTf = docs(c).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val dl = docs(c).size.toLong
+      qToks.filter(cTf.contains).map { t =>
+        val df = dfMap(t)
+        val idf = r6(math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0))
+        val tf = cTf(t).toDouble
+        val tff = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        BigDecimal(r6(idf * tff)).setScale(6)
+      }.sum
+    }
+    val got = TextAnalysis.bm25(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rnk"))
+      // scores non-increasing down the ranked list
+      val scores = byRank.map(_.getAs[Double]("bm25"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // each reported score equals the hand-computed Okapi sum
+      byRank.foreach { r =>
+        val c = r.getAs[Long]("cand_id")
+        assert(r.getAs[Double]("bm25") === r6(score(q, c).toDouble),
+          s"query $q cand $c")
+      }
+      // rank-1 is the true argmax over the whole candidate corpus
+      val best = docs.keys.filter(_ >= 10).maxBy(c => (score(q, c), -c))
+      assert(byRank.head.getAs[Long]("cand_id") === best)
+    }
+  }
 }
