@@ -219,6 +219,7 @@ object SparkEntry {
     "s25_truncated_ann"      -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.truncatedAnn(s, d)),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
+    "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),
     "w10_session_window"     -> ((s: SparkSession, d: String) =>

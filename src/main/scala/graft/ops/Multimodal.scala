@@ -138,6 +138,112 @@ object Multimodal {
     }
   }
 
+  /** REAL decode path for the AUDIO modality (the BMP discipline crossed
+    * into a second self-describing format): RIFF/WAVE with 16-bit PCM —
+    * 12-byte RIFF header + chunk list ("fmt " then "data"), fully
+    * parseable with pure JVM byte arithmetic. [[decode]] genuinely READS
+    * the payload: RIFF/WAVE magic, a chunk WALK (4CC + little-endian
+    * size, even-padded advance — a parser that assumed fixed offsets
+    * instead of walking chunks would break on any extra chunk), fmt
+    * validation (PCM, 16-bit), then a signed little-endian decode of
+    * every 16-bit sample in the data chunk summing |amplitude| — byte
+    * order or sign handled wrong changes amp_sum and fails the oracle.
+    *
+    * [[synthesize]] builds WAV payloads deterministically from the
+    * document's byte length (rate 8000+L%4000, channels 1+L%2, sample j
+    * = (j%200)-100), trailing filler to EXACTLY the original length —
+    * the same-length rule that keeps every length-derived stub value
+    * downstream untouched. The |amplitude| pattern telescopes (10000 per
+    * 200-sample period + a piecewise remainder), so the DuckDB oracle
+    * recomputes amp_sum in CLOSED FORM from octet_length — no
+    * per-sample unnest at any scale. */
+  object WavCodec {
+    /** 44-byte canonical header + at least a few samples. */
+    val MinWavBytes = 64
+
+    /** Which corpus rows carry a WAV payload — the residue class after
+      * BMP's (doc_id % 3 = 0): mirrored in the oracle as
+      * `doc_id % 3 = 1 AND L >= 64`. */
+    def eligible(docId: Long, len: Int): Boolean =
+      docId % 3 == 1 && len >= MinWavBytes
+
+    private def putInt(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = v.toByte; a(off + 1) = (v >> 8).toByte
+      a(off + 2) = (v >> 16).toByte; a(off + 3) = (v >> 24).toByte
+    }
+    private def putShort(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = v.toByte; a(off + 1) = (v >> 8).toByte
+    }
+    private def getInt(a: Array[Byte], off: Int): Int =
+      (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8) |
+        ((a(off + 2) & 0xFF) << 16) | ((a(off + 3) & 0xFF) << 24)
+    private def getShort(a: Array[Byte], off: Int): Int =
+      (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8)
+    private def tag(a: Array[Byte], off: Int, s: String): Boolean =
+      s.indices.forall(i => a(off + i) == s.charAt(i).toByte)
+
+    /** A REAL PCM16 WAV of exactly `len` total bytes (len ≥ [[MinWavBytes]]). */
+    def synthesize(len: Int): Array[Byte] = {
+      require(len >= MinWavBytes, s"payload too small for a WAV: $len")
+      val channels = 1 + len % 2
+      val rate = 8000 + len % 4000
+      val dataSize = (len - 44) / 2 * 2
+      val out = new Array[Byte](len)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      putInt(out, 4, len - 8)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      putInt(out, 16, 16)              // fmt chunk size
+      putShort(out, 20, 1)             // PCM
+      putShort(out, 22, channels)
+      putInt(out, 24, rate)
+      putInt(out, 28, rate * channels * 2) // byte rate
+      putShort(out, 32, channels * 2)      // block align
+      putShort(out, 34, 16)                // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      putInt(out, 40, dataSize)
+      var j = 0
+      while (j < dataSize / 2) {
+        putShort(out, 44 + 2 * j, (j % 200) - 100)
+        j += 1
+      }
+      out // trailing odd filler byte (if any) stays 0
+    }
+
+    /** Genuine RIFF chunk walk + PCM16 sample decode. None = not a
+      * 16-bit PCM WAV. Returns (rate, channels, n_samples, amp_sum). */
+    def decode(media: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+      if (media.length < 44 || !tag(media, 0, "RIFF") || !tag(media, 8, "WAVE"))
+        return None
+      var off = 12
+      var rate = -1; var channels = -1
+      var dataStart = -1; var dataSize = -1
+      while (off + 8 <= media.length && (rate < 0 || dataStart < 0)) {
+        val size = getInt(media, off + 4)
+        if (size < 0 || off + 8 + size > media.length) return None
+        if (tag(media, off, "fmt ")) {
+          if (size < 16 || getShort(media, off + 8) != 1 ||
+              getShort(media, off + 22) != 16) return None
+          channels = getShort(media, off + 10)
+          rate = getInt(media, off + 12)
+        } else if (tag(media, off, "data")) {
+          dataStart = off + 8; dataSize = size
+        }
+        off += 8 + size + size % 2 // RIFF chunks are even-padded
+      }
+      if (rate < 0 || channels <= 0 || dataStart < 0) return None
+      val n = dataSize / 2
+      var sum = 0L
+      var j = 0
+      while (j < n) {
+        val s = getShort(media, dataStart + 2 * j).toShort.toInt
+        sum += math.abs(s)
+        j += 1
+      }
+      Some((rate.toLong, channels.toLong, n.toLong, sum))
+    }
+  }
+
   /** Per-row decode dispatch: real BMP parse when the payload is one,
     * the deterministic stub otherwise. */
   def decodeRow(r: MediaRow): DecodedMeta =
@@ -147,10 +253,12 @@ object Multimodal {
       case None => DecodeStub.decode(r)
     }
 
-  /** documents re-typed as an opaque binary media column; eligible rows
-    * (doc_id % 3 = 0, length ≥ [[BmpCodec.MinBmpBytes]]) carry a REAL
-    * synthesized BMP of the SAME byte length, the rest the raw text
-    * bytes. */
+  /** documents re-typed as an opaque binary media column — a MIXED-
+    * modality corpus: doc_id % 3 = 0 rows (length ≥
+    * [[BmpCodec.MinBmpBytes]]) carry a REAL synthesized BMP, doc_id % 3
+    * = 1 rows (length ≥ [[WavCodec.MinWavBytes]]) a REAL PCM16 WAV —
+    * each of the SAME byte length as the raw text — and the rest the
+    * raw text bytes. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -160,6 +268,7 @@ object Multimodal {
         val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val media =
           if (BmpCodec.eligible(id, raw.length)) BmpCodec.synthesize(raw.length)
+          else if (WavCodec.eligible(id, raw.length)) WavCodec.synthesize(raw.length)
           else raw
         MediaRow(id, media, n)
       })
@@ -398,6 +507,34 @@ object Multimodal {
       .select(col("v1"), col("doc_id").as("v2"), col("hamming"))
       .distinct()
       .orderBy("v1", "v2")
+  }
+
+  final case class AudioMeta(doc_id: Long, bytes: Long, sample_rate: Long,
+                             channels: Long, n_samples: Long, amp_sum: Long)
+
+  /** AUDIO DECODE (m11) — the audio rows of the mixed-modality corpus
+    * genuinely decoded: [[WavCodec.decode]]'s RIFF chunk walk + PCM16
+    * sample pass per partition (mapPartitions — the shape a real
+    * libsndfile binding needs, init once per partition). Rows whose
+    * payload is not a PCM16 WAV are dropped by the decoder itself
+    * (flatMap over the parse Option), NOT by a predicate on doc_id — the
+    * plan trusts the bytes, the oracle recomputes the eligible set and
+    * every field in closed form from octet_length, so a dispatch or
+    * parse bug surfaces as a row-count or amp_sum mismatch.
+    *
+    * Scale shape: per-row narrow decode, no shuffle anywhere — the sink
+    * order-by is presentation-only. At 100 TB the payload bytes dominate
+    * and stream through the scan exactly once. */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        WavCodec.decode(r.media).map { case (rate, ch, n, amp) =>
+          AudioMeta(r.doc_id, r.media.length.toLong, rate, ch, n, amp)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
   }
 
   /** Per-format corpus summary over the decoded metadata. */

@@ -2843,6 +2843,29 @@ object OpsOracles {
         |SELECT doc_id, bytes, width, height, format, CAST(px_sum AS BIGINT) AS px_sum
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // m11: WAV decode — the Spark side genuinely parses RIFF chunks and
+    // sums |PCM16 sample|; the oracle recomputes the synthesized corpus's
+    // fields in closed form from octet_length (sample pattern (j%200)-100
+    // telescopes: 10000 per 200-sample period + piecewise remainder).
+    "m11_audio_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+        |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 64),
+        |d AS (
+        |  SELECT doc_id, L AS bytes,
+        |    CAST(8000 + L % 4000 AS BIGINT) AS sample_rate,
+        |    CAST(1 + L % 2 AS BIGINT) AS channels,
+        |    (L - 44) // 2 AS n
+        |  FROM b)
+        |SELECT doc_id, bytes, sample_rate, channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST((n // 200) * 10000 +
+        |    CASE WHEN n % 200 <= 100
+        |      THEN 100 * (n % 200) - (n % 200) * (n % 200 - 1) // 2
+        |      ELSE 5050 + (n % 200 - 101) * (n % 200 - 100) // 2
+        |    END AS BIGINT) AS amp_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "j02_range_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  count(*) AS clicks_within_1h

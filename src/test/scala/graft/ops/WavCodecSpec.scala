@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The audio half of the real-decode plumbing: [[Multimodal.WavCodec]]
+  * must genuinely WALK RIFF chunks and decode signed little-endian PCM16
+  * samples — not recompute the closed form the m11 oracle uses. These
+  * tests prove that by feeding it chunk layouts and sample bytes the
+  * closed form knows nothing about. */
+class WavCodecSpec extends AnyFunSuite {
+  import Multimodal.WavCodec
+
+  private def put32(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = v.toByte; a(off + 1) = (v >> 8).toByte
+    a(off + 2) = (v >> 16).toByte; a(off + 3) = (v >> 24).toByte
+  }
+  private def put16(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = v.toByte; a(off + 1) = (v >> 8).toByte
+  }
+  private def tag(a: Array[Byte], off: Int, s: String): Unit =
+    s.indices.foreach(i => a(off + i) = s.charAt(i).toByte)
+
+  test("a hand-built WAV with an EXTRA chunk before data decodes by " +
+       "walking chunks, summing |signed LE samples|") {
+    // RIFF | fmt (16) | LIST junk chunk (5 bytes, odd → even-padded) |
+    // data with 3 samples: 1000, -2000, -32768. A parser that assumed
+    // data at offset 36 (or unsigned/big-endian samples) fails this.
+    val junk = 5
+    val len = 12 + 24 + 8 + junk + 1 + 8 + 6
+    val buf = new Array[Byte](len)
+    tag(buf, 0, "RIFF"); put32(buf, 4, len - 8); tag(buf, 8, "WAVE")
+    tag(buf, 12, "fmt "); put32(buf, 16, 16)
+    put16(buf, 20, 1); put16(buf, 22, 2); put32(buf, 24, 44100)
+    put32(buf, 28, 44100 * 4); put16(buf, 32, 4); put16(buf, 34, 16)
+    tag(buf, 36, "LIST"); put32(buf, 40, junk)
+    val dataOff = 36 + 8 + junk + 1 // odd junk chunk is even-padded
+    tag(buf, dataOff, "data"); put32(buf, dataOff + 4, 6)
+    put16(buf, dataOff + 8, 1000)
+    put16(buf, dataOff + 10, -2000 & 0xFFFF)
+    put16(buf, dataOff + 12, -32768 & 0xFFFF)
+    val Some((rate, ch, n, amp)) = WavCodec.decode(buf)
+    assert(rate === 44100L && ch === 2L && n === 3L)
+    assert(amp === 1000L + 2000L + 32768L)
+  }
+
+  test("a tampered data-chunk size changes the decode (parser reads bytes)") {
+    val payload = WavCodec.synthesize(300)
+    val Some((_, _, n0, s0)) = WavCodec.decode(payload)
+    val tampered = payload.clone()
+    put32(tampered, 40, (n0.toInt - 2) * 2) // declare 2 fewer samples
+    val Some((_, _, n1, s1)) = WavCodec.decode(tampered)
+    assert(n1 === n0 - 2)
+    assert(s1 !== s0)
+  }
+
+  test("synthesized payloads keep the exact requested length and decode " +
+       "to the closed-form amplitude sum") {
+    for (len <- Seq(64, 65, 244, 445, 1001, 4489)) {
+      val payload = WavCodec.synthesize(len)
+      assert(payload.length === len)
+      val Some((rate, ch, n, amp)) = WavCodec.decode(payload)
+      assert(rate === 8000L + len % 4000)
+      assert(ch === 1L + len % 2)
+      assert(n === (len - 44) / 2)
+      // brute-force reconstruction of the sample pattern, independent of
+      // the oracle's telescoped form
+      val brute = (0L until n).map(j => math.abs((j % 200) - 100)).sum
+      assert(amp === brute)
+      // and the oracle's closed form agrees with the brute sum
+      val rem = n % 200
+      val partial =
+        if (rem <= 100) 100 * rem - rem * (rem - 1) / 2
+        else 5050 + (rem - 101) * (rem - 100) / 2
+      assert(amp === (n / 200) * 10000 + partial)
+    }
+  }
+
+  test("non-WAV and non-PCM16 payloads are rejected") {
+    assert(WavCodec.decode("RIFFxxxxWAVE but then garbage".getBytes("UTF-8")).isEmpty)
+    assert(WavCodec.decode("plain text, no RIFF header here at all ok"
+      .getBytes("UTF-8")).isEmpty)
+    val f32 = WavCodec.synthesize(200).clone()
+    put16(f32, 20, 3) // IEEE-float format code
+    assert(WavCodec.decode(f32).isEmpty)
+    val trunc = WavCodec.synthesize(200).take(40)
+    assert(WavCodec.decode(trunc).isEmpty)
+  }
+
+  test("eligibility mirrors the oracle predicate and never overlaps BMP") {
+    assert(WavCodec.eligible(1L, 64))
+    assert(!WavCodec.eligible(0L, 500))  // doc_id % 3 != 1 (BMP class)
+    assert(!WavCodec.eligible(1L, 63))   // too small to hold a WAV
+    for (id <- 0L to 12L; len <- Seq(64, 200, 500))
+      assert(!(WavCodec.eligible(id, len) && Multimodal.BmpCodec.eligible(id, len)))
+  }
+
+  test("mediaTable payload length always equals the raw text byte length") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      val bad = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+        .join(graft.Tables.documents(spark, "/root/testdata/sf0.001"), Seq("doc_id"))
+        .filter(length(col("media")) =!= octet_length(col("text")))
+        .count()
+      assert(bad === 0L)
+    } finally spark.stop()
+  }
+}
