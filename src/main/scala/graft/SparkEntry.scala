@@ -216,6 +216,7 @@ object SparkEntry {
     "g06_component_sizes"    -> ((s: SparkSession, d: String) =>
       graft.ops.GraphRank.componentSizes(s, d)),
     "g07_components_converged" -> (graft.ops.GraphRank.componentSizesConverged _),
+    "g08_kcore"              -> (graft.ops.GraphRank.kcore _),
     "s25_truncated_ann"      -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.truncatedAnn(s, d)),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),

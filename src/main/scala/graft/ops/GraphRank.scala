@@ -508,4 +508,58 @@ object GraphRank {
       .agg(count(lit(1)).as("components"), sum("size").as("nodes"))
       .orderBy("size")
   }
+
+  /** g08's peel budget and threshold — shared with the oracle's unroll so
+    * engine and oracle can never silently desync (the g06/ADVICE-r7
+    * constant discipline). */
+  val KCoreK = 3
+  val KCoreRounds = 4
+
+  /** K-CORE PEELING (g08) — the classical graph-curation operator
+    * (Seidman 1983; used in pipeline practice to strip weakly-connected
+    * spam/bot fringes before graph features are trusted): repeatedly
+    * delete nodes of degree < k; what survives `rounds` peels is
+    * (approaching) the k-core. A FIXED round budget keeps the whole
+    * computation one declarative DAG with zero driver probes (g06's
+    * stance), and the oracle unrolls the same `rounds` peels, so the
+    * surface verifies bit-for-bit regardless of convergence. The output
+    * is the surviving degree histogram per node kind ('c'ustomer /
+    * 's'upplier) — it pins the peeling trajectory (a single wrong
+    * deletion shifts some surviving node's degree), not just the core
+    * size.
+    *
+    * Scale shape per peel: one degree aggregate (map-side combined) +
+    * two hash semi-joins of the edge frame against the node-grain
+    * survivor set. The dst-side semi-join re-exchanges the edge frame —
+    * O(E) movement per round, the honest price of filtering BOTH
+    * endpoints (at production scale the survivor set is the broadcast
+    * side long before the edge frame fits anywhere). Each round's edge
+    * frame feeds three consumers next round (degree + both semi-joins),
+    * so it is lazily localCheckpoint'ed — blocks materialize inside the
+    * one final action and the triple reference reads blocks, never
+    * replays the peel chain (the 2^rounds trap g06's docstring
+    * measures). */
+  def kcoreOf(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = und.select("src", "dst")
+    for (_ <- 1 to rounds) {
+      val alive = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("alive_n"))
+      val aliveSrc = alive.hint("shuffle_hash")
+      val aliveDst = alive.select(col("alive_n").as("alive_m")).hint("shuffle_hash")
+      edges = edges
+        .join(aliveSrc, edges("src") === aliveSrc("alive_n"), "left_semi")
+      edges = edges
+        .join(aliveDst, edges("dst") === aliveDst("alive_m"), "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(substring(col("src"), 1, 1).as("kind"), col("deg"))
+      .groupBy("kind", "deg")
+      .agg(count(lit(1)).as("nodes"))
+      .orderBy("kind", "deg")
+  }
+
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(edgesFor(spark, dir), KCoreK, KCoreRounds)
 }

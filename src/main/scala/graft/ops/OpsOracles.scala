@@ -286,6 +286,32 @@ object OpsOracles {
        |FROM sizes GROUP BY size ORDER BY size""".stripMargin
   }
 
+  /** g08: k-core peeling (mirrors GraphRank.kcoreOf) — KCoreRounds
+    * unrolled peels, each CTE referenced by the next round's degree
+    * filter AND both endpoint joins (plain WITH: DuckDB materializes
+    * multiply-referenced CTEs here; only WITH RECURSIVE clause lists
+    * need the explicit MATERIALIZED). */
+  private def kcoreOracleSql: String = {
+    val k = GraphRank.KCoreK
+    val peels = (1 to GraphRank.KCoreRounds).map { r =>
+      s"""a$r AS (SELECT src FROM u${r - 1} GROUP BY src HAVING count(*) >= $k),
+         |u$r AS (SELECT u.src, u.dst FROM u${r - 1} u
+         |  JOIN a$r x ON u.src = x.src JOIN a$r y ON u.dst = y.src)"""
+        .stripMargin
+    }.mkString(",\n")
+    val last = s"u${GraphRank.KCoreRounds}"
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |u0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |$peels,
+       |fd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |  FROM $last GROUP BY src)
+       |SELECT substring(src, 1, 1) AS kind, deg,
+       |  CAST(count(*) AS BIGINT) AS nodes
+       |FROM fd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** MinHash signatures → 4 band keys per doc (mirrors
     * Dedup.minhashLshOf's signature/band construction; shared by the
     * full-corpus LSH CTEs and the d22 incremental split). */
@@ -3238,6 +3264,7 @@ object OpsOracles {
     "g02_personalized_rank" -> personalizedRankOracleSql,
 
     "g06_component_sizes" -> componentSizesOracleSql,
+    "g08_kcore" -> kcoreOracleSql,
     "g07_components_converged" -> componentsConvergedOracleSql,
 
     // t39: Zipf fit — ln-micro integer regression: 6dp-rounded lns as

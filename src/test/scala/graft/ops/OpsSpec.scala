@@ -1788,6 +1788,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kcore: matches a driver-side peel reconstruction") {
+    import graft.Tables
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("s"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // doubled undirected edge list, peeled KCoreRounds times at KCoreK
+    var edges: Set[(String, String)] =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    for (_ <- 1 to GraphRank.KCoreRounds) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val alive = deg.filter(_._2 >= GraphRank.KCoreK).keySet
+      edges = edges.filter(e => alive(e._1) && alive(e._2))
+    }
+    val expect = edges.groupBy(_._1).toSeq
+      .map { case (n, es) => (n.take(1), es.size) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val got = GraphRank.kcore(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("deg").toInt) -> r.getAs[Long]("nodes"))
+      .toMap
+    assert(got === expect)
+  }
+
+  test("kcore: a planted chain fringe peels away, the clique survives") {
+    val sp = spark
+    import sp.implicits._
+    // K4 clique + a fringe x wired to a, b, y (deg 3) with pendant y
+    // (deg 1). Peel 1 drops only y; peel 2 drops x (now deg 2); peel 3
+    // is a fixpoint: the cascade needs two rounds, the clique is the
+    // exact 3-core.
+    val clique = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a != b
+    } yield (a, b)
+    val chain = Seq(("a", "x"), ("x", "a"), ("b", "x"), ("x", "b"),
+      ("x", "y"), ("y", "x"))
+    val und = (clique ++ chain).toDF("src", "dst")
+    val rows = GraphRank.kcoreOf(und, k = 3, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("deg"), r.getAs[Long]("nodes")))
+    // survivors: exactly the 4 clique nodes, every one at degree 3...
+    assert(rows.toSet === Set(("a", 3L, 1L), ("b", 3L, 1L),
+      ("c", 3L, 1L), ("d", 3L, 1L)))
+    // ...and with a 2-round budget the cascade is caught mid-flight:
+    // y is gone, x (deg 2 after losing y) survives round 2's filter
+    // computed on round-1 degrees — the fixed-budget semantics
+    val partial = GraphRank.kcoreOf(und, k = 3, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("deg"))).toMap
+    assert(!partial.contains("y") && partial.contains("x"))
+  }
+
   test("bm25: matches a driver-side Okapi reconstruction, ranks descend") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val docs = graft.Tables.documents(spark, dir)
