@@ -516,4 +516,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the ranking to a SortAggregate
     assert(!p.contains("SortAggregate"), p.take(2000))
   }
+
+  test("t42_bm25: df and corpus stats broadcast onto the postings join; " +
+       "tf materializes once, never a per-token window") {
+    val p = plan("t42_bm25")
+    // the vocab-sized df table and the 1-row stats both broadcast — a
+    // `count over (partition by token)` df would put every posting of a
+    // hot token in one task (the t07 stopword trap)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000)) // 1-row stats
+    // tf is an eager localCheckpoint (GC-scoped blocks): its two
+    // consumers (df aggregate, scoring join) read `Scan ExistingRDD`,
+    // so the token explode runs once per invocation
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    // (the per-query rank window's partitioning is proven by
+    // WindowGuardSpec's walk over every registered plan)
+  }
+
+  test("m11_audio_meta: the decode is a narrow map over the corpus scan — " +
+       "no exchange anywhere before the presentation sort") {
+    val p = plan("m11_audio_meta")
+    // one documents scan, one Exchange total (the final orderBy's range
+    // partitioning); a shuffle before the decode would mean payload bytes
+    // moved over the network
+    val scans = fileScans("m11_audio_meta").count(_.contains("documents"))
+    assert(scans === 1, s"expected one documents scan, got $scans")
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+  }
 }

@@ -137,6 +137,36 @@ class JobCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g08 k-core peel: zero per-round driver actions — one DAG, one job") {
+    val s = spark; import s.implicits._
+    // K4 + pendant chain (the OpsSpec planted graph): 4 peel rounds run
+    // as ONE declarative DAG — the lazy per-round checkpoints materialize
+    // inside the single final action, never as their own jobs (the
+    // fixed-budget stance g06 documents, vs g07's one-action-per-round
+    // convergence price)
+    val clique = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a != b
+    } yield (a, b)
+    val chain = Seq(("a", "x"), ("x", "a"), ("b", "x"), ("x", "b"),
+      ("x", "y"), ("y", "x"))
+    val und = (clique ++ chain).toDF("src", "dst")
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = GraphRank.kcoreOf(und, k = 3, rounds = 4).collect()
+      val spent = settledJobCount(jobs)
+      assert(spent <= 2, s"fixed-budget k-core spent $spent jobs; " +
+        "a per-round probe or eager checkpoint has crept in")
+      assert(rows.map(_.getString(0)).toSet === Set("a", "b", "c", "d"))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("k-means training: one driver action per Lloyd iteration, none hidden") {
     // each iteration's centroid table localizes (one collect); a
     // regression to lazy nested-lineage centroids would re-execute prior
