@@ -75,6 +75,29 @@ class WavCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("property: synthesize∘decode round-trips the closed form for " +
+       "generated lengths across the parity/period boundaries") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val generated = Gen.listOfN(200, Gen.choose(64, 6000))
+      .apply(Gen.Parameters.default, Seed(11L)).get
+    val cases = generated ++
+      Seq(64, 65, 443, 444, 4043, 4044) // 200-sample period + parity edges
+    cases.foreach { len =>
+      val p = WavCodec.synthesize(len)
+      assert(p.length === len)
+      val Some((rate, ch, n, amp)) = WavCodec.decode(p)
+      assert(rate === 8000L + len % 4000, s"len=$len")
+      assert(ch === 1L + len % 2, s"len=$len")
+      assert(n === (len - 44) / 2, s"len=$len")
+      val rem = n % 200
+      val partial =
+        if (rem <= 100) 100 * rem - rem * (rem - 1) / 2
+        else 5050 + (rem - 101) * (rem - 100) / 2
+      assert(amp === (n / 200) * 10000 + partial, s"len=$len")
+    }
+  }
+
   test("non-WAV and non-PCM16 payloads are rejected") {
     assert(WavCodec.decode("RIFFxxxxWAVE but then garbage".getBytes("UTF-8")).isEmpty)
     assert(WavCodec.decode("plain text, no RIFF header here at all ok"
