@@ -212,19 +212,31 @@ object GraphRank {
     *
     * Three exchanges beyond the pair mining: the degree aggregate, the
     * wedge self-join on src, and the closing-edge join on (v, w). */
+  /** The support-≥2 CO-PURCHASE edge frame (p1 < p2) — the shared graph
+    * artifact g03 (triangles), g04 (node similarity), and g05 (BFS) all
+    * analyze. SessionMemo'd like the g01/g02 adjacency and the q42/q46
+    * touch pairs: the basket self-join + support aggregate is the
+    * expensive pair-mining pass, and at 100 TB it is the write-once
+    * intermediate table every downstream graph job reads (a bare persist
+    * here — the pre-r8 form — gave the same reuse by CacheManager
+    * accident, one leaked entry per invocation). */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "copurchase-edges") {
+      val items = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      items.as("a")
+        .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("p1", "p2")
+    }
+
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
     // edges feeds the degree aggregate, the orientation join, and the
-    // closing join — compute the pair mining once
-    val edges = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select("p1", "p2")
-      .localCheckpoint() // GC-scoped, no per-invocation CacheManager leak
+    // closing join — the pair mining is memoized once per (session, dir)
+    val edges = copurchaseEdges(spark, dir)
     val deg = edges.select(col("p1").as("pk"))
       .union(edges.select(col("p2").as("pk")))
       .groupBy("pk").agg(count(lit(1)).as("d"))
@@ -263,17 +275,9 @@ object GraphRank {
     * here by basket width, so no cap needed). Jaccard is ONE double
     * divide of exact BIGINT counts; both degree lookups broadcast. */
   def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select("p1", "p2")
-      // feeds the degree aggregate and both wedge sides (GC-scoped)
-      .localCheckpoint()
+    // feeds the degree aggregate and both wedge sides — memoized shared
+    // artifact, same frame g03/g05 read
+    val edges = copurchaseEdges(spark, dir)
     val und = edges
       .union(edges.select(col("p2").as("p1"), col("p1").as("p2")))
     val deg = und.groupBy(col("p1").as("pk")).agg(count(lit(1)).as("deg"))
@@ -359,18 +363,8 @@ object GraphRank {
       .orderBy("hop")
   }
 
-  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select("p1", "p2")
-    bfsHopsOf(edges)
-  }
+  def bfsHops(spark: SparkSession, dir: String): DataFrame =
+    bfsHopsOf(copurchaseEdges(spark, dir))
 
   /** BOUNDED-ROUND CONNECTED COMPONENTS (g06) — HashMin label
     * propagation (the simple O(diameter)-round variant of Rastogi et
