@@ -220,8 +220,10 @@ object GraphRank {
     * intermediate table every downstream graph job reads (a bare persist
     * here — the pre-r8 form — gave the same reuse by CacheManager
     * accident, one leaked entry per invocation). */
-  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "copurchase-edges") {
+  /** The full (p1, p2, support) pair table — q40's co-purchase report
+    * reads it directly; the graph surfaces take the support-≥2 cut. */
+  def copurchaseSupport(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "copurchase-support") {
       val items = Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -229,9 +231,12 @@ object GraphRank {
         .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
         .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("p1", "p2")
     }
+
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    copurchaseSupport(spark, dir)
+      .filter(col("support") >= 2)
+      .select("p1", "p2")
 
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     // edges feeds the degree aggregate, the orientation join, and the

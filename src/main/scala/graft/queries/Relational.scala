@@ -850,18 +850,13 @@ object Relational {
     * by basket size, so the pair stream stays linear in orders at 100 TB
     * (never a parts×parts join). Top-k lands via TakeOrderedAndProject
     * with full tie-breaks. */
-  def q40Copurchase(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("part1"), col("b.pk").as("part2"))
-    pairs.groupBy("part1", "part2")
-      .agg(count(lit(1)).as("support"))
+  def q40Copurchase(spark: SparkSession, dir: String): DataFrame =
+    // the (p1, p2, support) pair table is the co-purchase family's shared
+    // memoized artifact (g03/g04/g05 take its support-≥2 cut)
+    graft.ops.GraphRank.copurchaseSupport(spark, dir)
+      .select(col("p1").as("part1"), col("p2").as("part2"), col("support"))
       .orderBy(col("support").desc, col("part1").asc, col("part2").asc)
       .limit(25)
-  }
 
   /** SWEEP-LINE interval stacking (q41) — peak session concurrency per
     * day, the capacity question ("how many users at once") every ops
