@@ -231,6 +231,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamBandIndex(s, d)),
     "w13_asof_enrich"        -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runAsOfEnrichAvailableNow(s, d)),
+    "w14_stream_observed"    -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.runObservedIngest(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),

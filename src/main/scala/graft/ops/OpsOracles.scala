@@ -3049,6 +3049,20 @@ object OpsOracles {
     // could round differently at a 4dp boundary at larger scale factors.
     "w01_event_windows" -> eventWindowsSql,
 
+    // w14: the observe()-based ingest SLO row. Every observed metric is a
+    // commutative monoid (count/sum/min/max) folded across micro-batches,
+    // so the oracle is the direct whole-feed aggregate; the value sum
+    // follows the w01 exact-decimal discipline.
+    "w14_stream_observed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_values,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS value_sum,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |FROM events""".stripMargin,
+
     // w05 is the same aggregation run AS A STREAM in APPEND mode and
     // round-tripped through a foreachBatch parquet sink — a hash match
     // verifies the whole stream→sink→scan path. Append + 0s watermark

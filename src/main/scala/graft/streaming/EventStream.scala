@@ -779,4 +779,54 @@ object EventStream {
     q.awaitTermination()
     spark.table(queryName).orderBy("user_id", "start_us")
   }
+
+  /** STREAM OBSERVABILITY (w14) — ingest SLO metrics via
+    * `Dataset.observe` + `StreamingQueryProgress.observedMetrics`, the
+    * production pattern for data-quality counters on an unbounded feed:
+    * the metrics piggyback on the stream's own pass (observe plants an
+    * accumulator-backed aggregate INSIDE the plan), so row counts, null
+    * counts, exact value sums, and timestamp bounds cost ZERO extra
+    * scans — where a naive quality job would re-read the feed, at 100 TB
+    * a second pass is the difference between monitoring and not having
+    * it.
+    *
+    * Determinism across batch splits: every observed metric is a
+    * commutative monoid fold (count/sum/min/max), and the cross-batch
+    * combine below folds the same monoids — so HOW AvailableNow slices
+    * the backlog into micro-batches cannot change the answer. The value
+    * sum follows the exact-decimal discipline (per-row DECIMAL(18,6),
+    * rounded once at the final projection).
+    *
+    * The per-batch rows land in each progress event; a live pipeline
+    * ships them to its metrics bus from a StreamingQueryListener — here
+    * the AvailableNow run folds `recentProgress` after termination. */
+  def runObservedIngest(spark: SparkSession, dir: String,
+                        queryName: String = "graft_observed"): DataFrame = {
+    val observed = readEvents(spark, dir).observe("ingest_slo",
+      count(lit(1)).as("n_rows"),
+      count(when(col("value").isNull, 1)).as("null_values"),
+      sum(col("value").cast("decimal(18,6)")).as("value_sum"),
+      min(unix_micros(col("event_time"))).as("min_ts_us"),
+      max(unix_micros(col("event_time"))).as("max_ts_us"))
+    val q = observed.writeStream
+      .format("noop")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest_slo")))
+      .filter(_.getAs[Long]("n_rows") > 0L)
+    val rows = batches.map(_.getAs[Long]("n_rows")).sum
+    val nulls = batches.map(_.getAs[Long]("null_values")).sum
+    val vsum = batches.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("value_sum")))
+      .foldLeft(BigDecimal(0))(_ + _)
+    val minTs = batches.map(_.getAs[Long]("min_ts_us")).min
+    val maxTs = batches.map(_.getAs[Long]("max_ts_us")).max
+    import spark.implicits._
+    Seq((rows, nulls,
+        vsum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        minTs, maxTs))
+      .toDF("n_rows", "null_values", "value_sum", "min_ts_us", "max_ts_us")
+  }
 }

@@ -401,4 +401,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u1(0).start_ms === 0L && u1(0).end_ms === 10 * 60000L)
     assert(sessions.count(_.user_id == 2) === 0) // still open, in state
   }
+
+  test("observed ingest SLO: the piggybacked metrics equal the direct " +
+       "batch aggregates — no second pass needed to get them right") {
+    val metrics = EventStream.runObservedIngest(spark, dir).collect()
+    assert(metrics.length === 1)
+    val m = metrics(0)
+    val direct = graft.Tables.eventsUs(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("value").isNull, 1)).as("null_values"),
+        round(sum(col("value").cast("decimal(18,6)")), 4)
+          .cast("double").as("value_sum"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"))
+      .collect()(0)
+    assert(m.getAs[Long]("n_rows") === direct.getAs[Long]("n_rows"))
+    assert(m.getAs[Long]("n_rows") > 0L)
+    assert(m.getAs[Long]("null_values") === direct.getAs[Long]("null_values"))
+    assert(m.getAs[Double]("value_sum") === direct.getAs[Double]("value_sum"))
+    assert(m.getAs[Long]("min_ts_us") === direct.getAs[Long]("min_ts_us"))
+    assert(m.getAs[Long]("max_ts_us") === direct.getAs[Long]("max_ts_us"))
+  }
 }
