@@ -234,6 +234,7 @@ object SparkEntry {
     "w14_stream_observed"    -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runObservedIngest(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
+    "j04_nearest_join"       -> (graft.operators.AsOfJoin.purchaseNearestClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),
     "m08_media_search"       -> (graft.ops.Multimodal.mediaSearch _),

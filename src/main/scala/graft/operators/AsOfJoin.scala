@@ -86,6 +86,78 @@ object AsOfJoin {
       .orderBy("purchase_id")
   }
 
+  /** Nearest-event join: for each left row, the right row with equal key
+    * minimizing |rightTs − leftTs| in EITHER direction — the
+    * sensor/log-alignment semantics as-of can't express (as-of only looks
+    * backward). Ties: equal distance across directions → the PAST row wins
+    * (an observed event beats a future one); equal ts among right rows →
+    * the largest `rightTie` wins in both directions (mirrored by the
+    * oracle's per-(key, ts) max pre-aggregation).
+    *
+    * Implementation composes two carry windows over ONE union + ONE
+    * exchange on the key: a backward pass (as-of: last right row at or
+    * before, ordered ts/tag asc so equal-ts rights are inclusive) and a
+    * forward pass (first right row at or after, ordered tag DESC so
+    * equal-ts rights land inside the currentRow..following frame), then a
+    * per-row pick of the nearer side. The second window re-sorts in place
+    * but reuses the first's hash partitioning — plan cost is one shuffle
+    * total, same as a plain equi-join, never a per-row range probe. */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+              rightCols: Seq[String], rightTs: String,
+              rightTie: String): DataFrame = {
+    require(rightCols.contains(rightTs))
+    val leftTagged = left.withColumn("__tag", lit(1))
+    val rightTagged = right.withColumn("__tag", lit(0))
+    val leftCols = left.columns.filterNot(c => c == key || c == "ts")
+    val l2 = rightCols.foldLeft(leftTagged)((df, c) => df.withColumn(c, lit(null)))
+    val r2 = leftCols.foldLeft(rightTagged)((df, c) => df.withColumn(c, lit(null)))
+    val tieType = right.schema(rightTie).dataType
+    val l3 = l2.withColumn("__tie", lit(null).cast(tieType))
+    val r3 = r2.withColumn("__tie", col(rightTie))
+    val cols = key +: "ts" +: "__tag" +: "__tie" +: (leftCols ++ rightCols)
+    val all = l3.select(cols.map(col): _*).unionByName(r3.select(cols.map(col): _*))
+    val wB = Window.partitionBy(key)
+      .orderBy(col("ts").asc, col("__tag").asc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(key)
+      .orderBy(col("ts").asc, col("__tag").desc, col("__tie").desc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withBF = rightCols.foldLeft(all) { (df, c) =>
+      df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB))
+        .withColumn(s"__f_$c", first(col(c), ignoreNulls = true).over(wF))
+    }
+    val bTs = col(s"__b_$rightTs"); val fTs = col(s"__f_$rightTs")
+    val useB = fTs.isNull ||
+      (bTs.isNotNull && (col("ts") - bTs) <= (fTs - col("ts")))
+    val picked = rightCols.foldLeft(withBF) { (df, c) =>
+      df.withColumn(c, when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")))
+    }
+    val scratch = Seq("__tag", "__tie") ++
+      rightCols.flatMap(c => Seq(s"__b_$c", s"__f_$c"))
+    picked.filter(col("__tag") === 1).drop(scratch: _*)
+  }
+
+  /** Driver-contract query (j04): each `purchase` matched to the user's
+    * nearest `click` in time, past or future; `gap_us` is SIGNED
+    * (click ts − purchase ts, ≤ 0 when the past side won), null when the
+    * user never clicked. */
+  def purchaseNearestClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("ts_us").as("ts"),
+        col("user_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    nearest(purchases, clicks, "user_id",
+        Seq("click_id", "click_ts"), rightTs = "click_ts",
+        rightTie = "click_id")
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (col("click_ts") - col("ts")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   /** Driver-contract query: each `purchase` event matched as-of to the
     * user's most recent `click` at or before it. */
   def purchaseAsOfClick(spark: SparkSession, dir: String): DataFrame = {

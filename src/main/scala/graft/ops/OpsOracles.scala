@@ -3044,6 +3044,30 @@ object OpsOracles {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
 
+    // j04: nearest in EITHER direction. Clicks pre-agg to one row per
+    // (user, µs ts) with max event_id — the operator's equal-ts tie rule
+    // in both directions — then rank by absolute gap with past-beats-
+    // future on cross-direction ties (AsOfJoin.nearest's pick order
+    // exactly). After the pre-agg, two candidates can only tie on abs gap
+    // from OPPOSITE directions, so the two-term ordering is total.
+    "j04_nearest_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+        |ranked AS (
+        |  SELECT p.purchase_id, p.user_id, c.click_id,
+        |    c.c_us - p.p_us AS gap_us,
+        |    row_number() OVER (PARTITION BY p.purchase_id ORDER BY
+        |      abs(c.c_us - p.p_us) ASC,
+        |      CASE WHEN c.c_us <= p.p_us THEN 0 ELSE 1 END ASC) AS rk
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id)
+        |SELECT purchase_id, user_id, click_id, CAST(gap_us AS BIGINT) AS gap_us
+        |FROM ranked WHERE rk = 1
+        |ORDER BY purchase_id""".stripMargin,
+
     // decimal-sum discipline on BOTH sides: the Spark side sums per-row
     // DECIMAL(18,6) casts (exact, order-independent); a double sum here
     // could round differently at a 4dp boundary at larger scale factors.

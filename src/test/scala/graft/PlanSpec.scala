@@ -245,6 +245,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashExchanges("q34_scd2") === 1, plan("q34_scd2").take(2000))
   }
 
+  test("j04_nearest_join: ONE hash exchange — the forward window re-sorts " +
+       "in place, reusing the backward window's user_id partitioning") {
+    assert(hashExchanges("j04_nearest_join") === 1,
+      plan("j04_nearest_join").take(2000))
+  }
+
   test("q38_cohort_retention: one orders scan — the (customer, month) grain " +
        "is cached, cohort and matrix both read the cache") {
     val ordersScans = fileScans("q38_cohort_retention").count(_.contains("orders"))

@@ -43,4 +43,37 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("p4") === None)        // keys never bleed across partitions
     assert(out.size === 4)            // exactly one output row per left row
   }
+
+  test("nearest picks the closer side, past wins distance ties, and " +
+       "equal-ts rights resolve to the largest tie id in both directions") {
+    val s = spark; import s.implicits._
+    val left = Seq(
+      (1L, 100L, "p1"), // rights at 90 and 120: past gap 10 < future 20 → r90
+      (1L, 115L, "p2"), // past gap 25 vs future gap 5 → r120
+      (1L, 105L, "p3"), // gap 15 BOTH ways → past wins → r90
+      (1L, 40L, "p4"),  // before every right → forward-only → r90
+      (1L, 200L, "p5"), // after every right → backward-only → r120
+      (2L, 100L, "p6"), // key 2: only an equal-ts tie pair → largest id
+      (3L, 100L, "p7")  // key 3 has no rights → null
+    ).toDF("k", "ts", "left_id")
+    val right = Seq(
+      (1L, 90L, 1L, "r90"),
+      (1L, 120L, 2L, "r120"),
+      (2L, 100L, 3L, "rA"),
+      (2L, 100L, 4L, "rB")  // same ts, larger id → must win both directions
+    ).toDF("k", "ts", "rid", "right_id")
+      .withColumn("rts", org.apache.spark.sql.functions.col("ts"))
+    val out = AsOfJoin.nearest(left, right, "k",
+        Seq("right_id", "rts"), rightTs = "rts", rightTie = "rid")
+      .select("left_id", "right_id")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("p1") === Some("r90"))
+    assert(out("p2") === Some("r120"))
+    assert(out("p3") === Some("r90"))  // tie → past
+    assert(out("p4") === Some("r90"))  // forward-only edge
+    assert(out("p5") === Some("r120")) // backward-only edge
+    assert(out("p6") === Some("rB"))   // equal-ts tie → largest rid
+    assert(out("p7") === None)
+    assert(out.size === 7)
+  }
 }
