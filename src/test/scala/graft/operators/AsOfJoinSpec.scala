@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -75,5 +77,52 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("p6") === Some("rB"))   // equal-ts tie → largest rid
     assert(out("p7") === None)
     assert(out.size === 7)
+  }
+
+  test("property: nearest ≡ brute force on tie-heavy random data — " +
+       "nearer side, past-on-tie, largest-id-on-equal-ts, per-key isolation") {
+    val s = spark; import s.implicits._
+    // Tiny key/ts domains force dense collisions: many equal-ts right
+    // rows, many exact-distance ties, keys with rights on only one side.
+    val pairGen = for {
+      k <- Gen.choose(1L, 4L); ts <- Gen.choose(0L, 15L)
+    } yield (k, ts)
+    val dataGen = for {
+      ls <- Gen.listOfN(80, pairGen)
+      rs <- Gen.listOfN(40, pairGen)
+    } yield (ls, rs)
+    (1 to 3).foreach { round =>
+      val (ls, rs) = dataGen(Gen.Parameters.default, Seed(round * 7919L)).get
+      val leftRows = ls.zipWithIndex.map { case ((k, ts), i) => (k, ts, s"p$i") }
+      val rightRows = rs.zipWithIndex.map { case ((k, ts), i) =>
+        (k, ts, i.toLong, s"r$i") }
+      // brute-force reference implementing the documented tie rules
+      val expected = leftRows.map { case (k, ts, lid) =>
+        val cand = rightRows.filter(_._1 == k)
+        val bwd = cand.filter(_._2 <= ts)
+          .sortBy(r => (r._2, r._3)).lastOption // max (ts, rid)
+        val fwd = cand.filter(_._2 >= ts) match {
+          case Nil => None
+          case xs =>
+            val minTs = xs.map(_._2).min // min ts, then max rid
+            Some(xs.filter(_._2 == minTs).maxBy(_._3))
+        }
+        val pick = (bwd, fwd) match {
+          case (b, None) => b
+          case (None, f) => f
+          case (Some(b), Some(f)) =>
+            if (ts - b._2 <= f._2 - ts) Some(b) else Some(f)
+        }
+        lid -> pick.map(_._4)
+      }.toMap
+      val out = AsOfJoin.nearest(
+          leftRows.toDF("k", "ts", "left_id"),
+          rightRows.toDF("k", "ts", "rid", "right_id")
+            .withColumn("rts", org.apache.spark.sql.functions.col("ts")),
+          "k", Seq("right_id", "rts"), rightTs = "rts", rightTie = "rid")
+        .select("left_id", "right_id")
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(out === expected, s"round $round diverged from brute force")
+    }
   }
 }
