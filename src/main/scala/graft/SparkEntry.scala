@@ -197,6 +197,7 @@ object SparkEntry {
     "t41_split_leakage"      -> (TextAnalysis.splitLeakage _),
     "t42_bm25"               -> ((s: SparkSession, d: String) =>
       TextAnalysis.bm25(s, d)),
+    "t43_repetition"         -> (TextAnalysis.repetitionReport _),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),
@@ -217,8 +218,11 @@ object SparkEntry {
       graft.ops.GraphRank.componentSizes(s, d)),
     "g07_components_converged" -> (graft.ops.GraphRank.componentSizesConverged _),
     "g08_kcore"              -> (graft.ops.GraphRank.kcore _),
+    "g09_lpa_communities"    -> (graft.ops.GraphRank.lpaCommunities _),
     "s25_truncated_ann"      -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.truncatedAnn(s, d)),
+    "s26_range_search"       -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.rangeSearch(s, d)),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
@@ -236,6 +240,7 @@ object SparkEntry {
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j04_nearest_join"       -> (graft.operators.AsOfJoin.purchaseNearestClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
+    "j05_interval_join"      -> (graft.operators.IntervalJoin.sessionErrorOverlap _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),
     "m08_media_search"       -> (graft.ops.Multimodal.mediaSearch _),
     "m09_media_sq_search"    ->

@@ -561,4 +561,78 @@ object GraphRank {
 
   def kcore(spark: SparkSession, dir: String): DataFrame =
     kcoreOf(edgesFor(spark, dir), KCoreK, KCoreRounds)
+
+  /** g09's round budget — shared with the oracle's unroll so engine and
+    * oracle can never silently desync (the g06 constant discipline). */
+  val LpaRounds = 4
+
+  /** g09's edge-support floor: a (customer, supplier) pair becomes an
+    * edge only with ≥ this many lineitems. LPA on the RAW purchase graph
+    * degenerates — the graph is dense enough that every node collapses
+    * into one giant community by round 4 (measured: a single
+    * 1600-node label at sf0.01) — so the community surface runs on the
+    * repeat-purchase backbone, where the algorithm has real structure to
+    * find (68 communities at sf0.01). The same move real pipelines make
+    * (strength-threshold before community detection); d15's hot-shingle
+    * cap is the same documented-constant discipline. */
+  val LpaMinSupport = 3
+
+  /** Support-thresholded undirected purchase graph with self-loops,
+    * memoized src-partitioned (the selfLoopEdges discipline; separate
+    * memo tag because the edge set differs from the raw graph). */
+  private def lpaSelfEdges(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "graph-lpa-self") {
+      val e0 = Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= LpaMinSupport)
+        .select("src", "dst")
+      withSelfLoops(e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+        .repartition(col("src"))
+    }
+
+  /** LABEL PROPAGATION COMMUNITIES (g09) — synchronous LPA (Raghavan,
+    * Albert & Kumara 2007) made DETERMINISTIC: each round every node
+    * adopts the most frequent label among its neighbors-plus-self (the
+    * self-loop vote doubles as the anchor for weakly-connected nodes),
+    * ties broken by the LEXICALLY SMALLEST label. Classic async LPA is
+    * run-order-dependent — useless for a verifiable pipeline; the
+    * synchronous fixed-budget form verifies bit-for-bit against the
+    * unrolled oracle, the same stance as g06's bounded HashMin.
+    *
+    * The argmax-with-tiebreak is ONE struct-ordered aggregate —
+    * min over (−count, label) — chained after the (node, label) count,
+    * never a per-node window sort.
+    *
+    * Scale shape per round: one shuffle-hash join against the
+    * src-partitioned memoized self-loop adjacency (only the node-grain
+    * label vector moves — the g01 routing-table discipline), one
+    * (node, label)-grain count with map-side combine, one node-grain
+    * struct-min. Labels are referenced once per round (linear lineage,
+    * g06's lazy checkpoint every 3 rounds) — O(E + V) per round, no
+    * 2^rounds replay, no single-partition stage. */
+  def lpaCommunitiesOf(withSelf: DataFrame, rounds: Int): DataFrame = {
+    var labels = withSelf.select(col("src")).distinct()
+      .select(col("src").as("node"), col("src").as("lbl"))
+    for (r <- 1 to rounds) {
+      labels = withSelf
+        .join(labels.hint("shuffle_hash"), withSelf("src") === labels("node"))
+        .select(withSelf("dst").as("node"), col("lbl"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("top"))
+        .select(col("node"), col("top.l").as("lbl"))
+      if (r % 3 == 0 && r < rounds) labels = labels.localCheckpoint(eager = false)
+    }
+    labels.groupBy("lbl").agg(count(lit(1)).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("communities"), sum("size").as("nodes"))
+      .orderBy("size")
+  }
+
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame =
+    lpaCommunitiesOf(lpaSelfEdges(spark, dir), LpaRounds)
 }

@@ -312,6 +312,46 @@ object OpsOracles {
        |FROM fd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** g09: synchronous label propagation (mirrors
+    * GraphRank.lpaCommunities) — LpaRounds unrolled votes over the
+    * self-loop purchase graph; the per-node argmax-with-min-label
+    * tiebreak is a row_number over (count DESC, label ASC), exactly the
+    * struct-min order of the Spark loop. Each count CTE is referenced
+    * once by its round's pick and the edge CTE is multiply-referenced
+    * under a plain WITH (auto-materialized — only WITH RECURSIVE clause
+    * lists need the explicit hint, see hashMinStep). */
+  private def lpaStep(k: Int): String = {
+    val prev = s"p${k - 1}"
+    s"""c$k AS (
+       |  SELECT es.dst AS node, r.lbl, count(*) AS c
+       |  FROM es JOIN $prev r ON es.src = r.node
+       |  GROUP BY 1, 2),
+       |p$k AS (
+       |  SELECT node, lbl FROM (
+       |    SELECT node, lbl, row_number() OVER (
+       |      PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+       |    FROM c$k) WHERE rn = 1)""".stripMargin
+  }
+
+  private def lpaOracleSql: String = {
+    val rounds = GraphRank.LpaRounds
+    s"""WITH e0 AS (
+       |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= ${GraphRank.LpaMinSupport}),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (SELECT DISTINCT src FROM e),
+       |es AS (SELECT src, dst FROM e
+       |  UNION ALL SELECT src, src FROM nodes),
+       |p0 AS (SELECT src AS node, src AS lbl FROM nodes),
+       |${(1 to rounds).map(lpaStep).mkString(",\n")},
+       |sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS size
+       |  FROM p$rounds GROUP BY lbl)
+       |SELECT size, CAST(count(*) AS BIGINT) AS communities,
+       |  CAST(sum(size) AS BIGINT) AS nodes
+       |FROM sizes GROUP BY size ORDER BY size""".stripMargin
+  }
+
   /** MinHash signatures → 4 band keys per doc (mirrors
     * Dedup.minhashLshOf's signature/band construction; shared by the
     * full-corpus LSH CTEs and the d22 incremental split). */
@@ -2652,6 +2692,24 @@ object OpsOracles {
 
     "s01_knn_brute" -> knnBruteSql,
 
+    // s26: radius search — knnBruteSql's scoring with a threshold filter
+    // instead of the rank window (τ = 0.25, exactly binary-representable,
+    // compared on the 6dp-rounded score in both engines).
+    "s26_range_search" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS cosine
+        |  FROM n q CROSS JOIN n c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |SELECT query_id, cand_id, cosine FROM scored
+        |WHERE cosine >= 0.25
+        |ORDER BY query_id, cand_id""".stripMargin,
+
     // s25: truncated-prefix (Matryoshka-style) two-stage search — stage 1
     // ranks by L2 over the first 16 dims (rounded 6dp + cand_id
     // tie-break, so the shortlist-50 cut is engine-identical), stage 2
@@ -2902,6 +2960,39 @@ object OpsOracles {
         | AND epoch_us(c.ts) <= epoch_us(p.ts) + 3600000000
         |GROUP BY 1, 2
         |ORDER BY purchase_id""".stripMargin,
+
+    // j05: interval-overlap join — w06's 30-min-gap sessions against
+    // ±5-min incident windows around error events, direct overlap theta
+    // join (the oracle may be quadratic; the engine's bucketed form may
+    // not). All µs arithmetic exact-integer; sid sum cast BIGINT to match
+    // Spark's long running sum.
+    "j05_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        |  FROM events),
+        |s0 AS (SELECT user_id, ts_us, event_id,
+        |  lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    AS prev
+        |  FROM ev),
+        |s1 AS (SELECT user_id, ts_us, event_id,
+        |  CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS brk FROM s0),
+        |s2 AS (SELECT user_id, ts_us,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM s1),
+        |sess AS (SELECT user_id, sid, min(ts_us) AS s_start,
+        |  max(ts_us) AS s_end, count(*) AS n_events
+        |  FROM s2 GROUP BY 1, 2),
+        |errs AS (SELECT event_id AS err_id, ts_us - 300000000 AS w_start,
+        |  ts_us + 300000000 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT user_id, sid AS session_id, s_start AS s_start_us,
+        |  s_end AS s_end_us, n_events,
+        |  CAST(count(DISTINCT err_id) AS BIGINT) AS overlapping_errors
+        |FROM sess JOIN errs ON s_start <= w_end AND w_start <= s_end
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY user_id, session_id""".stripMargin,
 
     // corpus merge with precedence: packed-BIGINT min (pri*2^40 + doc_id)
     // mirrors Dedup.mergeWithPrecedenceOf; count(*) cast to Spark's BIGINT
@@ -3303,6 +3394,7 @@ object OpsOracles {
 
     "g06_component_sizes" -> componentSizesOracleSql,
     "g08_kcore" -> kcoreOracleSql,
+    "g09_lpa_communities" -> lpaOracleSql,
     "g07_components_converged" -> componentsConvergedOracleSql,
 
     // t39: Zipf fit — ln-micro integer regression: 6dp-rounded lns as
@@ -3412,6 +3504,38 @@ object OpsOracles {
         |  CAST(rnk AS INT) AS rnk
         |FROM ranked WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // t43: Gopher-style repetition gate. Per-doc fractions are one
+    // int/int double division rounded to 6dp → DECIMAL(18,6) (exact
+    // threshold compares and exact per-language sums); bigrams via the
+    // t21 list_transform positional walk (1-based DuckDB lists mirror
+    // Spark's 0-based toks[i-1]/toks[i]).
+    "t43_repetition" ->
+      """WITH dd AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+        |uni AS (SELECT doc_id, lang, len(l) AS n, len(list_distinct(l)) AS nd
+        |  FROM dd),
+        |big AS (SELECT doc_id,
+        |  unnest(CASE WHEN len(l) < 2 THEN []
+        |         ELSE list_transform(range(len(l) - 1),
+        |                             i -> l[i+1] || ' ' || l[i+2]) END) AS bg
+        |  FROM dd),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, max(c) AS mc FROM bc GROUP BY 1),
+        |per AS (
+        |  SELECT u.lang,
+        |    CAST(round((n - nd) / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS duf,
+        |    CAST(CASE WHEN n < 2 THEN 0
+        |         ELSE round(coalesce(mc, 0) / CAST(n - 1 AS DOUBLE), 6) END
+        |      AS DECIMAL(18,6)) AS tbf
+        |  FROM uni u LEFT JOIN bm USING (doc_id))
+        |SELECT lang, count(*) AS docs,
+        |  CAST(count(*) FILTER (WHERE duf > 0.5 OR tbf > 0.06) AS BIGINT)
+        |    AS flagged_docs,
+        |  round(CAST(sum(duf) AS DOUBLE) / count(*), 4) AS avg_dup_unigram,
+        |  round(CAST(sum(tbf) AS DOUBLE) / count(*), 4) AS avg_top_bigram,
+        |  CAST(max(tbf) AS DOUBLE) AS max_top_bigram
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
 
     // t40: CCNet-style perplexity quartiles — t19's scoring chain, the
     // SQL-standard ntile mirrored by GlobalOrder.withNtile, bucket means

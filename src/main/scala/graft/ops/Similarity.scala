@@ -117,6 +117,37 @@ object Similarity {
     knnBrute(spark, dir)
   }
 
+  /** RANGE (RADIUS) SEARCH (s26) — the threshold dual of top-k: every
+    * candidate with cosine ≥ τ of a query (the operator behind "find ALL
+    * near-matches": retrieval with a score cutoff, semantic-dedup sweeps
+    * — anywhere k is unknowable a priori). τ = 0.25 sits in the
+    * synthetic corpus's upper tail (~2% of query-candidate pairs
+    * qualify), so both keep and drop paths carry real rows; 0.25 is
+    * exactly representable in binary, so the ≥ compare on the
+    * 6dp-rounded score is engine-identical with no boundary risk.
+    *
+    * Scale shape: STRICTLY SIMPLER than top-k — score + filter is a
+    * fully narrow pass over the candidate corpus (query side broadcast),
+    * with NO window, NO sort, NO shuffle: the output orderBy is the only
+    * exchange, and at production scale the sink takes the rows
+    * unordered. Radius search is the one ANN serving path whose EXACT
+    * form already scales linearly; celled variants only cut the scan
+    * constant, never the shape. */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.25): DataFrame = {
+    val vs = vectors(spark, dir)
+    val q = vs.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val c = vs.filter(col("vec_id") >= 10).select(
+      col("vec_id").as("cand_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    broadcast(q).crossJoin(c)
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("qnorm") * col("cnorm")), 6))
+      .filter(col("cosine") >= tau)
+      .select("query_id", "cand_id", "cosine")
+      .orderBy("query_id", "cand_id")
+  }
+
   /** Coarse-cell centroids — the "train" step an IVF index needs: the mean
     * vector per cell, as (label, dim, value) rows. posexplode keeps the
     * shuffle key (label, dim) — 64 rows per vector, map-side combined, so

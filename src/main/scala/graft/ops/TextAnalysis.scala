@@ -1575,4 +1575,63 @@ object TextAnalysis {
         col("rnk").cast("int").as("rnk"))
       .orderBy("query_id", "rnk")
   }
+
+  /** GOPHER-STYLE REPETITION GATE (t43) — the repetition half of the
+    * Gopher quality rules (Rae et al. 2021 §A1.1): per document the
+    * duplicate-unigram fraction ((n − distinct)/n) and the top-bigram
+    * fraction (the most frequent 2-gram's share of all 2-grams), rolled
+    * up into the per-language moderation report a filtering run reads:
+    * docs, flagged docs (dup-unigram > 0.5 OR top-bigram > 0.06 — both
+    * thresholds sit between the corpus median and tail, so each rule
+    * fires on real rows), and the rounded means/max. Complements t06's
+    * adjacent-repeat ratio: a doc can have zero adjacent repeats and
+    * still be one phrase looped (top-bigram catches it).
+    *
+    * Determinism: each per-doc fraction is ONE int/int double division
+    * rounded to 6dp and cast DECIMAL(18,6); language means are exact
+    * decimal sums divided by the doc count, rounded to 4dp (t19
+    * discipline). Threshold compares hit 6dp-exact decimals, identical
+    * in both engines.
+    *
+    * Scale shape: the unigram stats are fully NARROW — `size` +
+    * `array_distinct` per row, no explode, no shuffle. Only the
+    * top-bigram mode aggregates, keyed on (doc_id, bigram) with
+    * map-side combine — high-cardinality skew-free keys, corpus-linear.
+    * The doc-grain join is co-partitioned on doc_id and the final
+    * rollup is |langs| groups. Nothing here is corpus-quadratic or
+    * single-partition. */
+  def repetitionReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    val uni = docs.select(
+      col("doc_id"), col("lang"),
+      size(col("toks")).as("n"),
+      size(array_distinct(col("toks"))).as("nd"))
+    val big = docs
+      .select(col("doc_id"), explode(expr(
+        """case when size(toks) < 2 then array()
+          |else transform(sequence(1, size(toks) - 1),
+          |               i -> concat(toks[i-1], ' ', toks[i])) end
+          |""".stripMargin.replaceAll("\n", " "))).as("bg"))
+    val bmax = big.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("mc"))
+    val perDoc = uni.join(bmax, Seq("doc_id"), "left")
+      .withColumn("duf",
+        round((col("n") - col("nd")).cast("double") / col("n"), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("tbf",
+        when(col("n") < 2, lit(0d))
+          .otherwise(round(coalesce(col("mc"), lit(0L)).cast("double")
+            / (col("n") - 1), 6))
+          .cast("decimal(18,6)"))
+    perDoc.groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("duf") > 0.5 || col("tbf") > 0.06, 1L).otherwise(0L))
+          .as("flagged_docs"),
+        round(sum("duf").cast("double") / count(lit(1)), 4).as("avg_dup_unigram"),
+        round(sum("tbf").cast("double") / count(lit(1)), 4).as("avg_top_bigram"),
+        max("tbf").cast("double").as("max_top_bigram"))
+      .orderBy("lang")
+  }
 }

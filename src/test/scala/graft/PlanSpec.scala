@@ -251,6 +251,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan("j04_nearest_join").take(2000))
   }
 
+  test("s26_range_search: fully narrow serving path — no window, no rank; " +
+       "the query side broadcasts") {
+    val p = plan("s26_range_search")
+    assert(!p.contains("Window"), s"radius search grew a window:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("j05_interval_join: bucket decomposition keeps the overlap an " +
+       "equi-join — no cartesian product, no nested-loop theta join") {
+    val p = plan("j05_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"interval join fell back to a pair-quadratic plan:\n${p.take(2000)}")
+  }
+
+  test("t43_repetition: every documents scan prunes to ⊆ (doc_id, lang, text)") {
+    val scans = scanDetails("t43_repetition").filter(_._1.contains("documents"))
+    assert(scans.nonEmpty)
+    scans.foreach { case (_, cols, _) =>
+      assert(cols.toSet.subsetOf(Set("doc_id", "lang", "text")),
+        s"scan reads ${cols.mkString(",")} — column pruning regressed")
+    }
+  }
+
   test("q38_cohort_retention: one orders scan — the (customer, month) grain " +
        "is cached, cohort and matrix both read the cache") {
     val ordersScans = fileScans("q38_cohort_retention").count(_.contains("orders"))

@@ -1840,6 +1840,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!partial.contains("y") && partial.contains("x"))
   }
 
+  /** Driver-side synchronous LPA: one vote per (src → dst) edge of
+    * `edges` (self-loops included by the caller), new label = most
+    * frequent voted label, ties to the lexically smallest. */
+  private def lpaReference(edges: Seq[(String, String)], rounds: Int)
+      : Map[Long, Long] = {
+    val nodes = edges.map(_._1).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lbl = edges.groupBy(_._2).map { case (node, es) =>
+        val votes = es.groupBy(e => lbl(e._1)).map { case (l, v) => l -> v.size }
+        node -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl.values.groupBy(identity).map(_._2.size)
+      .groupBy(identity).map { case (sz, xs) => sz.toLong -> xs.size.toLong }
+  }
+
+  test("lpa: matches a driver-side synchronous-vote reconstruction") {
+    import graft.Tables
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("s"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= GraphRank.LpaMinSupport)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val und = pairs ++ pairs.map(p => (p._2, p._1))
+    val withSelf = und ++ und.map(_._1).distinct.map(n => (n, n))
+    val expect = lpaReference(withSelf, GraphRank.LpaRounds)
+    val got = GraphRank.lpaCommunities(spark, dir).collect()
+      .map(r => r.getAs[Long]("size") -> r.getAs[Long]("communities")).toMap
+    assert(got === expect)
+  }
+
+  test("lpa: a bridged pair of cliques resolves into exactly two communities") {
+    val sp = spark
+    import sp.implicits._
+    // two K4s (a*, b*) joined by ONE bridge a1-b1: the bridge vote is
+    // always outnumbered by the 3 intra-clique votes + self, so each
+    // clique keeps its own (min-label) community
+    def k4(p: String) = for {
+      x <- 1 to 4; y <- 1 to 4 if x != y
+    } yield (s"$p$x", s"$p$y")
+    val und = k4("a") ++ k4("b") ++ Seq(("a1", "b1"), ("b1", "a1"))
+    val nodes = und.map(_._1).distinct
+    val withSelf = (und ++ nodes.map(n => (n, n))).toDF("src", "dst")
+    val hist = GraphRank.lpaCommunitiesOf(withSelf, GraphRank.LpaRounds)
+      .collect().map(r => (r.getAs[Long]("size"),
+        r.getAs[Long]("communities"), r.getAs[Long]("nodes")))
+    assert(hist.toSet === Set((4L, 2L, 8L)))
+  }
+
   test("bm25: matches a driver-side Okapi reconstruction, ranks descend") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val docs = graft.Tables.documents(spark, dir)
