@@ -198,6 +198,7 @@ object SparkEntry {
     "t42_bm25"               -> ((s: SparkSession, d: String) =>
       TextAnalysis.bm25(s, d)),
     "t43_repetition"         -> (TextAnalysis.repetitionReport _),
+    "t44_cdc_chunks"         -> (TextAnalysis.cdcChunkStats _),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),
@@ -237,6 +238,8 @@ object SparkEntry {
       graft.streaming.EventStream.runAsOfEnrichAvailableNow(s, d)),
     "w14_stream_observed"    -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runObservedIngest(s, d)),
+    "w15_stream_quarantine"  -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamQuarantine(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j04_nearest_join"       -> (graft.operators.AsOfJoin.purchaseNearestClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),

@@ -3184,6 +3184,22 @@ object OpsOracles {
     // emits exactly the windows whose end the final watermark (max
     // event time) has passed (w10 discipline), so the oracle applies
     // the same cut: drop the stream-trailing open window.
+    // w15: dead-letter quarantine — the routing CASE mirrors
+    // EventStream.quarantineVerdict (first match wins); sums follow the
+    // exact-decimal discipline.
+    "w15_stream_quarantine" ->
+      """WITH v AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN value > 300.0 THEN 'value_outlier'
+        |         WHEN user_id % 97 = 0 THEN 'blocked_user'
+        |         ELSE 'ok' END AS reason
+        |  FROM events)
+        |SELECT reason, event_type, count(*) AS n_rows,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS value_sum
+        |FROM v GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "w05_stream_sink" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS ts_us, date_trunc('hour', ts) AS h,
@@ -3504,6 +3520,41 @@ object OpsOracles {
         |  CAST(rnk AS INT) AS rnk
         |FROM ranked WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // t44: content-defined chunk dedup — t10's md5-prefix token decode,
+    // gear-style boundary mask h % 16 = 0, chunk ids as prefix sums of
+    // the cut mask (DuckDB 1-based list slices mirror Spark's 0-based
+    // slice/aggregate), ratios as one int/int division rounded 4dp.
+    "t44_cdc_chunks" -> {
+      val decode = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', m[${i + 1}]) - 1) * CAST($mult AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH dd AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |hs AS (SELECT doc_id, lang, toks, len(toks) AS n,
+        |  list_transform(list_transform(toks, t -> md5(t)), m -> $decode) AS hl
+        |  FROM dd),
+        |cu AS (SELECT *, list_transform(hl,
+        |    h -> CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) AS cut FROM hs),
+        |ci AS (SELECT *, list_transform(range(n),
+        |    i -> CAST(coalesce(list_sum(cut[1:i]), 0) AS BIGINT)) AS cid
+        |  FROM cu),
+        |ch AS (SELECT doc_id, lang,
+        |  list_transform(range(CAST(cid[n] + 1 AS BIGINT)), c ->
+        |    array_to_string(list_transform(
+        |      list_filter(range(n), i -> cid[i+1] = c), i -> toks[i+1]), ' '))
+        |    AS chunks
+        |  FROM ci),
+        |ex AS (SELECT doc_id, lang, unnest(chunks) AS chunk FROM ch)
+        |SELECT lang, count(*) AS chunks,
+        |  CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS distinct_chunks,
+        |  round((count(*) - count(DISTINCT md5(chunk)))
+        |        / CAST(count(*) AS DOUBLE), 4) AS dup_share,
+        |  round(sum(len(string_split(chunk, ' ')))
+        |        / CAST(count(*) AS DOUBLE), 4) AS avg_chunk_toks
+        |FROM ex GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     // t43: Gopher-style repetition gate. Per-doc fractions are one
     // int/int double division rounded to 6dp → DECIMAL(18,6) (exact

@@ -780,6 +780,61 @@ object EventStream {
     spark.table(queryName).orderBy("user_id", "start_us")
   }
 
+  /** Dead-letter routing rule shared by the w15 stream and its oracle:
+    * first matching rule wins. `value_outlier` models a bounds check,
+    * `blocked_user` a broadcast blocklist probe (expressed arithmetically
+    * so the oracle needs no side table). */
+  def quarantineVerdict(events: DataFrame): DataFrame =
+    events.withColumn("reason",
+      when(col("value") > 300.0, lit("value_outlier"))
+        .when(col("user_id") % 97 === 0, lit("blocked_user"))
+        .otherwise(lit("ok")))
+
+  /** STREAM QUARANTINE (w15) — validated ingest with a DEAD-LETTER
+    * split, the multi-sink pattern every production feed runs: each
+    * micro-batch is routed by [[quarantineVerdict]], clean rows append
+    * to the main table and rejects append to a quarantine table WITH
+    * their reason — rejects are preserved for replay/debugging, never
+    * dropped. foreachBatch + an eagerly materialized batch gives the
+    * two sinks one scan of the micro-batch (GC-scoped localCheckpoint,
+    * not a leaked persist); per-trigger I/O is O(batch).
+    *
+    * The returned report re-reads BOTH sinks and aggregates per
+    * (reason, event_type) — rows and the exact-decimal value sum — so
+    * the oracle verifies the whole route→sink→scan path, and total rows
+    * across verdicts must equal the feed (nothing lost, nothing
+    * duplicated). Counts and decimal sums are commutative monoids, so
+    * AvailableNow's batch slicing cannot change the answer (w14's
+    * determinism stance). */
+  def streamQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_quarantine/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    graft.sources.StaleOutputs.sweep("graft_quarantine",
+      spark.sparkContext.applicationId)
+    graft.sources.StaleOutputs.reset(base)
+    val good = s"$base/good"
+    val dead = s"$base/dead"
+    val q = quarantineVerdict(readEvents(spark, dir))
+      .select("event_id", "user_id", "event_type", "value", "reason")
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().localCheckpoint() // eager: one scan, two sinks
+        b.filter(col("reason") === "ok").write.mode("append").parquet(good)
+        b.filter(col("reason") =!= "ok").write.mode("append").parquet(dead)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(good).unionByName(spark.read.parquet(dead))
+      .groupBy("reason", "event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("value").cast("decimal(18,6)")), 4)
+          .cast("double").as("value_sum"))
+      .orderBy("reason", "event_type")
+  }
+
   /** STREAM OBSERVABILITY (w14) — ingest SLO metrics via
     * `Dataset.observe` + `StreamingQueryProgress.observedMetrics`, the
     * production pattern for data-quality counters on an unbounded feed:
