@@ -34,26 +34,35 @@ object AsOfJoin {
     * among left rows are harmless (each reads the carry independently). */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            rightCols: Seq[String], rightTie: Option[String] = None): DataFrame = {
+    require(left.columns.contains("ts") && right.columns.contains("ts"),
+      "asOf: both inputs must carry a comparable 'ts' column")
     val leftTagged = left.withColumn("__tag", lit(1))
     val rightTagged = right.withColumn("__tag", lit(0))
-    // align schemas: left gets null right-cols, right gets null left-cols
     val leftCols = left.columns.filterNot(c => c == key || c == "ts")
-    val l2 = rightCols.foldLeft(leftTagged)((df, c) => df.withColumn(c, lit(null)))
+    // The right payload rides the window as ONE struct: `last(struct)`
+    // keeps the matched row's columns ATOMIC — a right column that is
+    // genuinely NULL on the matched row stays NULL, where per-column
+    // last(_, ignoreNulls) would silently backfill it from an older row,
+    // stitching a row that belongs to no input (ADVICE r8).
+    val rStruct = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
+    val l2 = leftTagged.withColumn("__r", lit(null).cast(rStruct))
     val r2 = leftCols.foldLeft(rightTagged)((df, c) => df.withColumn(c, lit(null)))
+      .withColumn("__r", struct(rightCols.map(col): _*))
     val tieType = rightTie.map(c => right.schema(c).dataType)
-    val l3 = rightTie.zip(tieType).foldLeft(l2) { case (df, (_, t)) =>
-      df.withColumn("__tie", lit(null).cast(t)) }
+    val l3 = tieType.foldLeft(l2)((df, t) =>
+      df.withColumn("__tie", lit(null).cast(t)))
     val r3 = rightTie.foldLeft(r2)((df, c) => df.withColumn("__tie", col(c)))
-    val cols = key +: "ts" +: "__tag" +: (leftCols ++ rightCols ++ rightTie.map(_ => "__tie").toSeq)
+    val cols = key +: "ts" +: "__tag" +: "__r" +:
+      (leftCols ++ rightTie.map(_ => "__tie").toSeq)
     val all = l3.select(cols.map(col): _*).unionByName(r3.select(cols.map(col): _*))
     val order = Seq(col("ts").asc, col("__tag").asc) ++
       rightTie.map(_ => col("__tie").asc_nulls_first)
     val w = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(all) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__tag", "__tie")
+    val carried = all.withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(carried)((df, c) => df.withColumn(c, col(s"__c.$c")))
+      .filter(col("__tag") === 1).drop("__tag", "__tie", "__r", "__c")
   }
 
   /** Range (interval) join, bucketed: count clicks within one hour AFTER
@@ -105,16 +114,26 @@ object AsOfJoin {
   def nearest(left: DataFrame, right: DataFrame, key: String,
               rightCols: Seq[String], rightTs: String,
               rightTie: String): DataFrame = {
-    require(rightCols.contains(rightTs))
+    require(rightCols.contains(rightTs),
+      "nearest: rightCols must include the right timestamp column")
+    require(left.columns.contains("ts") && right.columns.contains("ts"),
+      "nearest: both inputs must carry a comparable 'ts' column")
     val leftTagged = left.withColumn("__tag", lit(1))
     val rightTagged = right.withColumn("__tag", lit(0))
     val leftCols = left.columns.filterNot(c => c == key || c == "ts")
-    val l2 = rightCols.foldLeft(leftTagged)((df, c) => df.withColumn(c, lit(null)))
+    // One struct per right row through BOTH carry windows — last/first of
+    // a struct keeps the matched row atomic, so a NULL field on the
+    // nearest row is carried as NULL rather than backfilled from a
+    // farther row (ADVICE r8); it also halves the window scratch columns.
+    val rStruct = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
+    val l2 = leftTagged.withColumn("__r", lit(null).cast(rStruct))
     val r2 = leftCols.foldLeft(rightTagged)((df, c) => df.withColumn(c, lit(null)))
+      .withColumn("__r", struct(rightCols.map(col): _*))
     val tieType = right.schema(rightTie).dataType
     val l3 = l2.withColumn("__tie", lit(null).cast(tieType))
     val r3 = r2.withColumn("__tie", col(rightTie))
-    val cols = key +: "ts" +: "__tag" +: "__tie" +: (leftCols ++ rightCols)
+    val cols = key +: "ts" +: "__tag" +: "__tie" +: "__r" +: leftCols
     val all = l3.select(cols.map(col): _*).unionByName(r3.select(cols.map(col): _*))
     val wB = Window.partitionBy(key)
       .orderBy(col("ts").asc, col("__tag").asc, col("__tie").asc_nulls_first)
@@ -122,19 +141,17 @@ object AsOfJoin {
     val wF = Window.partitionBy(key)
       .orderBy(col("ts").asc, col("__tag").desc, col("__tie").desc_nulls_last)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val withBF = rightCols.foldLeft(all) { (df, c) =>
-      df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB))
-        .withColumn(s"__f_$c", first(col(c), ignoreNulls = true).over(wF))
-    }
-    val bTs = col(s"__b_$rightTs"); val fTs = col(s"__f_$rightTs")
+    val withBF = all
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__r"), ignoreNulls = true).over(wF))
+    val bTs = col(s"__b.$rightTs"); val fTs = col(s"__f.$rightTs")
     val useB = fTs.isNull ||
       (bTs.isNotNull && (col("ts") - bTs) <= (fTs - col("ts")))
-    val picked = rightCols.foldLeft(withBF) { (df, c) =>
-      df.withColumn(c, when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")))
-    }
-    val scratch = Seq("__tag", "__tie") ++
-      rightCols.flatMap(c => Seq(s"__b_$c", s"__f_$c"))
-    picked.filter(col("__tag") === 1).drop(scratch: _*)
+    val picked = withBF.withColumn("__p",
+      when(useB, col("__b")).otherwise(col("__f")))
+    rightCols.foldLeft(picked)((df, c) => df.withColumn(c, col(s"__p.$c")))
+      .filter(col("__tag") === 1)
+      .drop("__tag", "__tie", "__r", "__b", "__f", "__p")
   }
 
   /** Driver-contract query (j04): each `purchase` matched to the user's

@@ -40,7 +40,16 @@ object IntervalJoin {
 
   /** Library form: overlap-join two interval frames (`start`/`end` long
     * columns, inclusive) and return left rows paired with each
-    * overlapping right row — deduplicated, exact. */
+    * overlapping right row — deduplicated, exact.
+    *
+    * Dedup is a PER-ROW PREDICATE, not an exchange: a pair that overlaps
+    * meets in every bucket both sides cover, and its FIRST common bucket
+    * is `max(l_start, r_start) div W` (trunc-div by positive W is
+    * monotone, so that bucket lies in both contiguous bucket ranges).
+    * Keeping only the join row whose bucket equals it emits each pair
+    * exactly once — the pre-r9 full-row `distinct()` shuffled the whole
+    * payload a second time just to drop the duplicates (VERDICT r8
+    * item 7); this form's only exchange is the bucket join itself. */
   def overlapJoin(left: DataFrame, right: DataFrame,
                   bucketUs: Long = BucketUs): DataFrame = {
     val lb = left.withColumn("__bucket",
@@ -49,8 +58,9 @@ object IntervalJoin {
       explode(expr(s"sequence(r_start div $bucketUs, r_end div $bucketUs)")))
     lb.join(rb, Seq("__bucket"))
       .filter(col("l_start") <= col("r_end") && col("r_start") <= col("l_end"))
+      .filter(col("__bucket") ===
+        greatest(expr(s"l_start div $bucketUs"), expr(s"r_start div $bucketUs")))
       .drop("__bucket")
-      .distinct()
   }
 
   /** Driver surface: per-user 30-min-gap sessions (the w06 definition,

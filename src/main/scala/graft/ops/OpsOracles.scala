@@ -2900,28 +2900,39 @@ object OpsOracles {
         |WHERE doc_id NOT IN (SELECT v2 FROM losers)
         |ORDER BY doc_id""".stripMargin,
 
-    // m01: BMP rows (doc_id%3=0, L≥200) carry REAL synthesized BMPs —
-    // the engine genuinely parses the header and walks the padded pixel
-    // rows; this oracle recomputes the dims and the pixel-byte sum in
-    // closed form (per-row pixel byte j is j%16, so a row of 3w bytes
-    // sums to (3w//16)*120 + rem*(rem-1)/2). Other rows keep the
-    // documented stub arithmetic (px_sum 0).
+    // m01: BMP rows (doc_id%3=0, L≥200) carry REAL synthesized BMPs and
+    // PNG rows (doc_id%3=2, L≥280) REAL deflate-compressed PNGs — the
+    // engine genuinely parses/inflates them; this oracle recomputes the
+    // dims and the pixel sums in closed form (pixel byte j is j%16 in
+    // both formats, so a row of 3w bytes sums to (3w//16)*120 +
+    // rem*(rem-1)/2; BMP dims 4+L%5 × 4+L%3, PNG dims 4+L%6 × 4+L%4).
+    // Other rows keep the documented stub arithmetic (px_sum 0).
     "m01_decoded_meta" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS L,
-        |    (doc_id % 3 = 0 AND octet_length(encode(text)) >= 200) AS is_bmp
+        |    (doc_id % 3 = 0 AND octet_length(encode(text)) >= 200) AS is_bmp,
+        |    (doc_id % 3 = 2 AND octet_length(encode(text)) >= 280) AS is_png
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, L AS bytes,
-        |    CASE WHEN is_bmp THEN 4 + L % 5 ELSE 64 + L % 512 END AS width,
-        |    CASE WHEN is_bmp THEN 4 + L % 3 ELSE 64 + (L * 7) % 512 END AS height,
+        |    CASE WHEN is_bmp THEN 4 + L % 5
+        |         WHEN is_png THEN 4 + L % 6
+        |         ELSE 64 + L % 512 END AS width,
+        |    CASE WHEN is_bmp THEN 4 + L % 3
+        |         WHEN is_png THEN 4 + L % 4
+        |         ELSE 64 + (L * 7) % 512 END AS height,
         |    CASE WHEN is_bmp THEN 'bmp'
+        |      WHEN is_png THEN 'png'
         |      ELSE CASE L % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
         |           ELSE 'webp' END END AS format,
         |    CASE WHEN is_bmp THEN
         |      CAST(4 + L % 3 AS BIGINT) *
         |        ((3 * (4 + L % 5)) // 16 * 120 +
         |         ((3 * (4 + L % 5)) % 16) * ((3 * (4 + L % 5)) % 16 - 1) // 2)
+        |    WHEN is_png THEN
+        |      CAST(4 + L % 4 AS BIGINT) *
+        |        ((3 * (4 + L % 6)) // 16 * 120 +
+        |         ((3 * (4 + L % 6)) % 16) * ((3 * (4 + L % 6)) % 16 - 1) // 2)
         |    ELSE 0 END AS px_sum
         |  FROM b)
         |SELECT doc_id, bytes, width, height, format, CAST(px_sum AS BIGINT) AS px_sum
@@ -3291,17 +3302,25 @@ object OpsOracles {
         |FROM k
         |ORDER BY doc_id""".stripMargin,
 
-    // m02: same BMP/stub split as m01 (bmp is a real format class now).
+    // m02: same BMP/PNG/stub split as m01 (bmp is a real format class,
+    // and the 'png' class now pools real PNG rows with the stub rows
+    // whose length-derived format label is 'png').
     "m02_format_summary" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS L,
-        |    (doc_id % 3 = 0 AND octet_length(encode(text)) >= 200) AS is_bmp
+        |    (doc_id % 3 = 0 AND octet_length(encode(text)) >= 200) AS is_bmp,
+        |    (doc_id % 3 = 2 AND octet_length(encode(text)) >= 280) AS is_png
         |  FROM documents),
         |m AS (
         |  SELECT L AS bytes,
-        |    CASE WHEN is_bmp THEN 4 + L % 5 ELSE 64 + L % 512 END AS width,
-        |    CASE WHEN is_bmp THEN 4 + L % 3 ELSE 64 + (L * 7) % 512 END AS height,
+        |    CASE WHEN is_bmp THEN 4 + L % 5
+        |         WHEN is_png THEN 4 + L % 6
+        |         ELSE 64 + L % 512 END AS width,
+        |    CASE WHEN is_bmp THEN 4 + L % 3
+        |         WHEN is_png THEN 4 + L % 4
+        |         ELSE 64 + (L * 7) % 512 END AS height,
         |    CASE WHEN is_bmp THEN 'bmp'
+        |      WHEN is_png THEN 'png'
         |      ELSE CASE L % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
         |           ELSE 'webp' END END AS format
         |  FROM b)

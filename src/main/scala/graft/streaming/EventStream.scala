@@ -814,8 +814,18 @@ object EventStream {
     graft.sources.StaleOutputs.reset(base)
     val good = s"$base/good"
     val dead = s"$base/dead"
-    val q = quarantineVerdict(readEvents(spark, dir))
+    val routed = quarantineVerdict(readEvents(spark, dir))
       .select("event_id", "user_id", "event_type", "value", "reason")
+    // Seed BOTH sinks with an explicit empty write of the routed schema:
+    // a feed that yields zero micro-batches (or routes every row one way)
+    // would otherwise leave a missing/schema-less directory and the
+    // read-back below would throw AnalysisException (ADVICE r8). The
+    // seed is one empty parquet file per sink — O(1), append-safe.
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), routed.schema)
+    empty.write.mode("append").parquet(good)
+    empty.write.mode("append").parquet(dead)
+    val q = routed
       .writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -852,32 +862,65 @@ object EventStream {
     * sum follows the exact-decimal discipline (per-row DECIMAL(18,6),
     * rounded once at the final projection).
     *
-    * The per-batch rows land in each progress event; a live pipeline
-    * ships them to its metrics bus from a StreamingQueryListener — here
-    * the AvailableNow run folds `recentProgress` after termination. */
+    * The per-batch rows are collected by a [[StreamingQueryListener]]
+    * registered for the run — the production metrics-bus shape, and the
+    * only LOSSLESS one: `recentProgress` is a ring buffer capped at
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100), so an
+    * AvailableNow backlog sliced into >100 micro-batches would silently
+    * drop the oldest batches' metrics and undercount with no error
+    * (ADVICE r8, medium). The listener bus delivers events per listener
+    * IN ORDER, so once the run's QueryTerminatedEvent arrives every
+    * progress event is already folded; batches are keyed by batchId so a
+    * replayed progress event can't double-count. */
   def runObservedIngest(spark: SparkSession, dir: String,
                         queryName: String = "graft_observed"): DataFrame = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener.{
+      QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
     val observed = readEvents(spark, dir).observe("ingest_slo",
       count(lit(1)).as("n_rows"),
       count(when(col("value").isNull, 1)).as("null_values"),
       sum(col("value").cast("decimal(18,6)")).as("value_sum"),
       min(unix_micros(col("event_time"))).as("min_ts_us"),
       max(unix_micros(col("event_time"))).as("max_ts_us"))
-    val q = observed.writeStream
-      .format("noop")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val batches = q.recentProgress.toSeq
-      .flatMap(p => Option(p.observedMetrics.get("ingest_slo")))
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, org.apache.spark.sql.Row]()
+    val terminated = new java.util.concurrent.CountDownLatch(1)
+    @volatile var runId: java.util.UUID = null
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == queryName)
+          Option(e.progress.observedMetrics.get("ingest_slo"))
+            .foreach(r => byBatch.put(e.progress.batchId, r))
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (runId != null && e.runId == runId) terminated.countDown()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = observed.writeStream
+        .format("noop")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      runId = q.runId
+      q.awaitTermination()
+      // the terminated event is posted after every progress event of the
+      // run; waiting for it closes the async listener-bus window
+      terminated.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    } finally spark.streams.removeListener(listener)
+    import scala.jdk.CollectionConverters._
+    val batches = byBatch.values.asScala.toSeq
       .filter(_.getAs[Long]("n_rows") > 0L)
     val rows = batches.map(_.getAs[Long]("n_rows")).sum
     val nulls = batches.map(_.getAs[Long]("null_values")).sum
     val vsum = batches.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("value_sum")))
       .foldLeft(BigDecimal(0))(_ + _)
-    val minTs = batches.map(_.getAs[Long]("min_ts_us")).min
-    val maxTs = batches.map(_.getAs[Long]("max_ts_us")).max
+    // empty feed ⇒ zero-row SLO report with NULL bounds, not a crash
+    val minTs = if (batches.isEmpty) None
+                else Some(batches.map(_.getAs[Long]("min_ts_us")).min)
+    val maxTs = if (batches.isEmpty) None
+                else Some(batches.map(_.getAs[Long]("max_ts_us")).max)
     import spark.implicits._
     Seq((rows, nulls,
         vsum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,

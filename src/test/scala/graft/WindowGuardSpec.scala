@@ -100,16 +100,20 @@ class WindowGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     *    over data-sized inputs.
     *  - Expand (rollup/cube/grouping-sets) multiplies rows by a plan
     *    constant — pass-through.
-    *  - Base fact: a CSV scan is the reference's fixed corpus — the
-    *    engine's ONLY CSV inputs are the reference workload's own
-    *    non-sf-scaled files (10k sales rows, 19/48-row dims; parquet is
-    *    the scaled path), declared ONCE here instead of 14 per-query
-    *    allow-list counts. */
+    *  - Base fact: a CSV scan OF THE REFERENCE CORPUS is the workload's
+    *    fixed input (10k sales rows, 19/48-row dims; parquet is the
+    *    scaled path), declared ONCE here instead of 14 per-query
+    *    allow-list counts. The exemption is bound to the reference data
+    *    path, not the file format (ADVICE r8): a future sf-scaled or
+    *    user CSV source must prove its own boundedness rather than
+    *    silently exempting its whole plan subtree. */
   private def provablyBounded(p: SparkPlan): Boolean = p match {
     case _: TakeOrderedAndProjectExec | _: GlobalLimitExec | _: LocalLimitExec =>
       true
     case s: FileSourceScanExec =>
-      s.relation.fileFormat.isInstanceOf[CSVFileFormat]
+      s.relation.fileFormat.isInstanceOf[CSVFileFormat] &&
+        s.relation.location.rootPaths.forall(
+          _.toString.contains("/reference/"))
     case h: HashAggregateExec =>
       h.groupingExpressions.exists(_.name == "__go_bkt") ||
         provablyBounded(h.child)
