@@ -382,6 +382,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ/IVF-PQ recall@3 >= 0.6 on a CLUSTERED corpus — quantization " +
+       "must preserve real neighborhoods (the flat-noise floors above " +
+       "are the degenerate case)") {
+    // VERDICT r8 item 4: the testdata embeddings are near-isotropic
+    // noise, so the s12/s13 floors there (0.12) prove the machinery
+    // runs, not that quantization preserves neighborhoods. This corpus
+    // (mixture of 10 separated centers, noise ≪ separation) is the
+    // regime PQ is FOR: a broken codebook/LUT/residual path scores near
+    // random (~0.006) while a healthy one must clear 0.6.
+    import org.apache.spark.sql.DataFrame
+    val d = graft.sources.gen.ClusteredEmbeddings.ensure(spark)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
+    val truth = pairs(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv")))
+      .withColumn("dist",
+        expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3))
+    def recall(approx: Set[(Long, Long)]): Double =
+      approx.intersect(truth).size.toDouble / truth.size
+    val rPq = recall(pairs(Similarity.pqAnn(spark, d)))
+    val rIvfPq = recall(pairs(Similarity.ivfPqAnn(spark, d)))
+    info(f"clustered recall@3: s12 pq=$rPq%.3f s13 ivfpq=$rIvfPq%.3f")
+    assert(rPq >= 0.6, f"s12 PQ recall@3 on clustered data: $rPq%.3f < 0.6")
+    assert(rIvfPq >= 0.6, f"s13 IVF-PQ recall@3 on clustered data: $rIvfPq%.3f < 0.6")
+  }
+
   test("multimodal decode: BMP rows carry genuinely parsed dims, the rest " +
        "match the stub arithmetic") {
     val rows = Multimodal.decodedMeta(spark, dir).collect()
