@@ -199,6 +199,7 @@ object SparkEntry {
       TextAnalysis.bm25(s, d)),
     "t43_repetition"         -> (TextAnalysis.repetitionReport _),
     "t44_cdc_chunks"         -> (TextAnalysis.cdcChunkStats _),
+    "t45_data_card"          -> (TextAnalysis.dataCard _),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),
@@ -220,12 +221,14 @@ object SparkEntry {
     "g07_components_converged" -> (graft.ops.GraphRank.componentSizesConverged _),
     "g08_kcore"              -> (graft.ops.GraphRank.kcore _),
     "g09_lpa_communities"    -> (graft.ops.GraphRank.lpaCommunities _),
+    "g10_local_clustering"   -> (graft.ops.GraphRank.localClustering _),
     "s25_truncated_ann"      -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.truncatedAnn(s, d)),
     "s26_range_search"       -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.rangeSearch(s, d)),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
+    "m12_image_stats"        -> (graft.ops.Multimodal.imageStats _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),
     "w10_session_window"     -> ((s: SparkSession, d: String) =>
@@ -244,6 +247,8 @@ object SparkEntry {
     "j04_nearest_join"       -> (graft.operators.AsOfJoin.purchaseNearestClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),
     "j05_interval_join"      -> (graft.operators.IntervalJoin.sessionErrorOverlap _),
+    "j06_knn_time_join"      -> ((s: SparkSession, d: String) =>
+      graft.operators.AsOfJoin.purchaseKNearestClicks(s, d)),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),
     "m08_media_search"       -> (graft.ops.Multimodal.mediaSearch _),
     "m09_media_sq_search"    ->

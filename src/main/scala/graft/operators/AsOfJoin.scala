@@ -154,6 +154,81 @@ object AsOfJoin {
       .drop("__tag", "__tie", "__r", "__b", "__f", "__p")
   }
 
+  /** K-NEAREST-IN-TIME JOIN (j06) — j04 generalized from 1 to k: for
+    * each purchase, the user's k temporally closest clicks in EITHER
+    * direction, ranked by distance. The sensor-alignment / attribution
+    * shape ("the two touchpoints around each conversion") that neither
+    * as-of (backward only) nor nearest (k=1) expresses.
+    *
+    * Implementation is the RANK-POSITION BUCKET composition: (1) index
+    * each user's clicks by time (one row_number exchange), (2) find each
+    * purchase's backward insertion position with the j01 union +
+    * carry-window pass (the last click index at or before it — equal-ts
+    * clicks sort before the purchase, j04's past-inclusive stance),
+    * (3) explode each purchase to its 2k candidate positions
+    * [pos−k+1 … pos+k] and equi-join back on (user, index) — the k
+    * nearest in each direction are by construction inside that window —
+    * then (4) rank the ≤2k candidates by (|gap|, past-beats-future) and
+    * keep k.
+    *
+    * Equal-ts clicks collapse to their LARGEST click_id before indexing
+    * (j04's documented tie stance, and load-bearing here: a within-ts
+    * group bigger than k on the forward side would otherwise straddle
+    * the candidate window in id-ascending index order while the rank
+    * wants id-descending — collapsing makes "k nearest" mean k nearest
+    * DISTINCT CLICK TIMES, each represented by its max id, and the
+    * position order then agrees with the rank order in both
+    * directions). The oracle mirrors with the same per-(user, ts) max
+    * pre-aggregation.
+    *
+    * Scale shape: three key-partitioned exchanges (index, carry union,
+    * candidate join), every one O(rows) or O(rows·2k) — never a per-row
+    * range scan, never a per-user cross join; k bounds the fan-out as a
+    * plan constant. */
+  def purchaseKNearestClicks(spark: SparkSession, dir: String,
+                             k: Int = 2): DataFrame = {
+    val ev = Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
+    val idxW = Window.partitionBy("user_id").orderBy(col("c_us").asc)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_us"), col("event_id"))
+      .groupBy("user_id", "c_us")
+      .agg(max(col("event_id")).as("click_id"))
+      .withColumn("idx", row_number().over(idxW))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_us"),
+        col("event_id").as("purchase_id"))
+    val unioned = clicks
+      .select(col("user_id"), col("c_us").as("ts"), lit(0).as("tag"),
+        col("idx"), lit(null).cast("long").as("purchase_id"),
+        lit(null).cast("long").as("p_us"))
+      .unionByName(purchases
+        .select(col("user_id"), col("p_us").as("ts"), lit(1).as("tag"),
+          lit(null).cast("int").as("idx"), col("purchase_id"), col("p_us")))
+    val carryW = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("tag").asc, col("idx").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val positioned = unioned
+      .withColumn("pos", last(col("idx"), ignoreNulls = true).over(carryW))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("purchase_id"), col("p_us"),
+        coalesce(col("pos"), lit(0)).as("pos"))
+    val cand = positioned
+      .withColumn("cidx",
+        explode(expr(s"sequence(pos - ${k - 1}, pos + $k)")))
+      .filter(col("cidx") >= 1)
+      .join(clicks.withColumnRenamed("idx", "cidx"), Seq("user_id", "cidx"))
+    val rankW = Window.partitionBy("purchase_id")
+      .orderBy(abs(col("c_us") - col("p_us")).asc,
+        (col("c_us") <= col("p_us")).desc, col("click_id").desc)
+    cand
+      .withColumn("rank", row_number().over(rankW).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("purchase_id"), col("user_id"), col("rank"),
+        col("click_id"), (col("c_us") - col("p_us")).as("gap_us"))
+      .orderBy("purchase_id", "rank")
+  }
+
   /** Driver-contract query (j04): each `purchase` matched to the user's
     * nearest `click` in time, past or future; `gap_us` is SIGNED
     * (click ts − purchase ts, ≤ 0 when the past side won), null when the

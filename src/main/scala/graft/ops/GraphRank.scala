@@ -340,6 +340,46 @@ object GraphRank {
       .orderBy("rank")
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT (g10) — per-node triangle counts over
+    * the co-purchase graph, reported as c(v) = 2·tri(v)/(d(v)·(d(v)−1)):
+    * the "how clique-like is this node's neighborhood" primitive behind
+    * community seeding and spam/bot detection (dense link farms sit at
+    * c ≈ 1 where organic hubs sit low). Reads the SAME memoized oriented
+    * frame and degree table as g03 (SURVEY §2.12): each triangle is
+    * enumerated ONCE as an oriented wedge + closing edge, then exploded
+    * to its three member nodes and aggregated — wedge volume stays the
+    * O(m^1.5) of the degree orientation, and the per-node pass adds one
+    * aggregate over 3× the triangle count.
+    *
+    * Top-20 via orderBy+limit (TakeOrderedAndProject, g04's discipline —
+    * never a global rank window over the node table); the coefficient is
+    * one IEEE divide of exact BIGINTs rounded 6dp, and the (coeff,
+    * triangles, node) ordering is total because node ids are unique. */
+  def localClustering(spark: SparkSession, dir: String): DataFrame = {
+    val deg = copurchaseDegrees(spark, dir)
+    val oriented = orientedEdgesFor(spark, dir)
+    val tris = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dstk") < col("e2.dstk"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+      .join(oriented.as("o"), col("v") === col("o.src") && col("w") === col("o.dst"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("triangles"))
+    val rw = Window.orderBy(col("coeff").desc, col("triangles").desc, col("pk").asc)
+    deg.filter(col("d") >= 2)
+      .join(tris, Seq("pk"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .withColumn("coeff",
+        round((col("triangles") * lit(2L)) /
+          (col("d") * (col("d") - lit(1L))).cast("double"), 6))
+      .orderBy(col("coeff").desc, col("triangles").desc, col("pk").asc)
+      .limit(20)
+      .withColumn("rank", row_number().over(rw).cast("int"))
+      .select(col("rank"), col("pk").as("node"), col("d").as("degree"),
+        col("triangles"), col("coeff"))
+      .orderBy("rank")
+  }
+
   /** BFS HOP PROFILE (g05) — single-source shortest-path (unweighted)
     * over the co-purchase graph, reported as the hop histogram from the
     * minimum node id: the reachability/eccentricity probe behind "how

@@ -674,6 +674,37 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class ImageStats(doc_id: Long, format: String, width: Long,
+                              height: Long, px_sum: Long)
+
+  /** REAL-DECODE image statistics (m12) — the rows whose payloads
+    * genuinely parse as images, reported from the DECODED PIXELS only:
+    * BMP via [[BmpCodec]]'s header+stride walk, PNG via [[PngCodec]]'s
+    * ImageIO inflate+defilter. Dispatch trusts the BYTES (flatMap over
+    * the parse Options — m11's discipline), never the doc_id residue;
+    * the oracle independently recomputes the eligible set and every
+    * field in closed form from octet_length, so a dispatch, synthesis,
+    * or decode bug surfaces as a row-count or pixel-sum mismatch.
+    * `px_mean` is the per-pixel-channel mean — ONE IEEE divide of two
+    * exact integers, identical in both engines before the 6dp round.
+    *
+    * Scale shape: per-row narrow decode, zero shuffles (the order-by is
+    * presentation-only); payload bytes stream through the scan once. */
+  def imageStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        BmpCodec.decode(r.media)
+          .map { case (w, h, px) => ImageStats(r.doc_id, "bmp", w, h, px) }
+          .orElse(PngCodec.decode(r.media)
+            .map { case (w, h, px) => ImageStats(r.doc_id, "png", w, h, px) })
+      })
+      .toDF()
+      .withColumn("px_mean",
+        round(col("px_sum") / (col("width") * col("height") * lit(3L)), 6))
+      .orderBy("doc_id")
+  }
+
   /** Per-format corpus summary over the decoded metadata. */
   def formatSummary(spark: SparkSession, dir: String): DataFrame =
     decodedMeta(spark, dir)

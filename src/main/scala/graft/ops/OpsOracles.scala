@@ -1029,6 +1029,55 @@ object OpsOracles {
         |  CAST((SELECT count(*) FROM edges) AS BIGINT) AS edges
         |FROM tri""".stripMargin,
 
+    // g10: local clustering coefficient — g03's oriented triangle
+    // enumeration exploded to member nodes; coeff is one double divide
+    // of exact BIGINTs (g04's jaccard pattern), ordering total via the
+    // unique node id.
+    "g10_local_clustering" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |deg AS (
+        |  SELECT pk, count(*) AS d FROM (
+        |    SELECT p1 AS pk FROM edges UNION ALL SELECT p2 AS pk FROM edges)
+        |  GROUP BY 1),
+        |okey AS (SELECT pk, d * 2147483648 + pk AS k FROM deg),
+        |oriented AS (
+        |  SELECT CASE WHEN ka.k < kb.k THEN e.p1 ELSE e.p2 END AS src,
+        |         CASE WHEN ka.k < kb.k THEN e.p2 ELSE e.p1 END AS dst,
+        |         CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS dstk
+        |  FROM edges e
+        |  JOIN okey ka ON e.p1 = ka.pk
+        |  JOIN okey kb ON e.p2 = kb.pk),
+        |tri AS (
+        |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        |  FROM oriented e1
+        |  JOIN oriented e2 ON e1.src = e2.src AND e1.dstk < e2.dstk
+        |  JOIN oriented o ON e1.dst = o.src AND e2.dst = o.dst),
+        |pernode AS (
+        |  SELECT pk, count(*) AS triangles FROM (
+        |    SELECT u AS pk FROM tri
+        |    UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri)
+        |  GROUP BY 1),
+        |sc AS (
+        |  SELECT deg.pk, deg.d, coalesce(pernode.triangles, 0) AS triangles,
+        |    round(coalesce(pernode.triangles, 0) * 2
+        |      / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS coeff
+        |  FROM deg LEFT JOIN pernode ON deg.pk = pernode.pk
+        |  WHERE deg.d >= 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY coeff DESC, triangles DESC, pk ASC) AS rank
+        |  FROM sc)
+        |SELECT CAST(rank AS INT) AS rank, pk AS node, d AS degree,
+        |  CAST(triangles AS BIGINT) AS triangles, coeff
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     // g04: common-neighbor similarity — wedge enumeration over the
     // undirected support-thresholded co-purchase graph; Jaccard is one
     // double divide of exact BIGINT counts, ranking on the rounded score
@@ -2961,6 +3010,30 @@ object OpsOracles {
         |    END AS BIGINT) AS amp_sum
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // m12: real-decode image stats — BMP (doc_id%3=0, L≥200) and PNG
+    // (doc_id%3=2, L≥280) rows only; dims and pixel sum in closed form
+    // (pixel byte j ≡ j%16 in both formats); px_mean is one IEEE divide
+    // of exact integers before the 6dp round.
+    "m12_image_stats" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+        |d AS (
+        |  SELECT doc_id, 'bmp' AS format,
+        |    CAST(4 + L % 5 AS BIGINT) AS width, CAST(4 + L % 3 AS BIGINT) AS height
+        |  FROM b WHERE doc_id % 3 = 0 AND L >= 200
+        |  UNION ALL
+        |  SELECT doc_id, 'png',
+        |    CAST(4 + L % 6 AS BIGINT), CAST(4 + L % 4 AS BIGINT)
+        |  FROM b WHERE doc_id % 3 = 2 AND L >= 280),
+        |e AS (
+        |  SELECT doc_id, format, width, height,
+        |    height * ((3 * width) // 16 * 120 +
+        |      ((3 * width) % 16) * ((3 * width) % 16 - 1) // 2) AS px_sum
+        |  FROM d)
+        |SELECT doc_id, format, width, height,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  round(CAST(px_sum AS DOUBLE) / (width * height * 3), 6) AS px_mean
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     "j02_range_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  count(*) AS clicks_within_1h
@@ -3169,6 +3242,29 @@ object OpsOracles {
         |SELECT purchase_id, user_id, click_id, CAST(gap_us AS BIGINT) AS gap_us
         |FROM ranked WHERE rk = 1
         |ORDER BY purchase_id""".stripMargin,
+
+    // j06: k-nearest-in-time join (k=2) — j04's tie stances exactly
+    // (equal-ts clicks pre-collapsed to max id; past beats future on
+    // |gap| ties); the oracle brute-forces the per-user candidate space
+    // the engine reaches via the rank-position bucket composition.
+    "j06_knn_time_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+        |ranked AS (
+        |  SELECT p.purchase_id, p.user_id, c.click_id,
+        |    c.c_us - p.p_us AS gap_us,
+        |    row_number() OVER (PARTITION BY p.purchase_id ORDER BY
+        |      abs(c.c_us - p.p_us) ASC,
+        |      CASE WHEN c.c_us <= p.p_us THEN 0 ELSE 1 END ASC) AS rk
+        |  FROM p JOIN c ON p.user_id = c.user_id)
+        |SELECT purchase_id, user_id, CAST(rk AS INT) AS rank, click_id,
+        |  CAST(gap_us AS BIGINT) AS gap_us
+        |FROM ranked WHERE rk <= 2
+        |ORDER BY purchase_id, rank""".stripMargin,
 
     // decimal-sum discipline on BOTH sides: the Spark side sums per-row
     // DECIMAL(18,6) casts (exact, order-independent); a double sum here
@@ -3544,6 +3640,24 @@ object OpsOracles {
     // gear-style boundary mask h % 16 = 0, chunk ids as prefix sums of
     // the cut mask (DuckDB 1-based list slices mirror Spark's 0-based
     // slice/aggregate), ratios as one int/int division rounded 4dp.
+    // t45: per-(source, lang) data card — exact integer aggregates with
+    // single IEEE divides mirrored operand-for-operand.
+    "t45_data_card" ->
+      """WITH per AS (
+        |  SELECT source, lang,
+        |    CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |    round(CAST(sum(length(text)) AS BIGINT)
+        |      / CAST(count(*) AS DOUBLE), 4) AS avg_chars,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS corpus_docs FROM documents)
+        |SELECT source, lang, docs, total_tokens, avg_chars, distinct_texts,
+        |  round(1.0 - distinct_texts / CAST(docs AS DOUBLE), 6) AS dup_rate,
+        |  round(docs * 100.0 / CAST(corpus_docs AS DOUBLE), 4) AS share_pct
+        |FROM per CROSS JOIN tot
+        |ORDER BY source, lang""".stripMargin,
+
     "t44_cdc_chunks" -> {
       val decode = (0 until 8).map { i =>
         val mult = 1L << (4 * (7 - i))

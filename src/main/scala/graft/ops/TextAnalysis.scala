@@ -1693,4 +1693,39 @@ object TextAnalysis {
         max("tbf").cast("double").as("max_top_bigram"))
       .orderBy("lang")
   }
+
+  /** CORPUS DATA CARD (t45) — the per-(source, lang) slice summary every
+    * dataset release ships (datasheet/data-card reporting): document and
+    * token volumes, average length, exact-duplicate rate, and corpus
+    * share. One grouped aggregate over the corpus plus a broadcast of
+    * the 1-row total — no second corpus pass.
+    *
+    * `distinct_texts` is an EXACT per-slice distinct (one shuffle of
+    * (slice, text-hash) groups); at 100 TB the drop-in replacement is
+    * the t31 HLL sketch — the card's schema is the contract, exact vs
+    * approximate distinct is a per-deployment accuracy choice.
+    * Divisions are single IEEE divides of exact integer aggregates,
+    * mirrored operand-for-operand by the oracle. */
+  def dataCardOf(docs: DataFrame): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("corpus_docs"))
+    docs
+      .withColumn("n_toks", size(split(col("text"), " ")))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_toks").cast("long")).as("total_tokens"),
+        round(sum(length(col("text")).cast("long")) /
+          count(lit(1)).cast("double"), 4).as("avg_chars"),
+        countDistinct(col("text")).as("distinct_texts"))
+      .crossJoin(broadcast(total))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("distinct_texts") / col("docs").cast("double"), 6))
+      .withColumn("share_pct",
+        round(col("docs") * lit(100.0) / col("corpus_docs").cast("double"), 4))
+      .drop("corpus_docs")
+      .orderBy("source", "lang")
+  }
+
+  def dataCard(spark: SparkSession, dir: String): DataFrame =
+    dataCardOf(Tables.documents(spark, dir))
 }
