@@ -599,32 +599,54 @@ object GraphRank {
     * deletion shifts some surviving node's degree), not just the core
     * size.
     *
-    * Scale shape per peel: one degree aggregate (map-side combined) +
-    * two hash semi-joins of the edge frame against the node-grain
-    * survivor set. The dst-side semi-join re-exchanges the edge frame —
-    * O(E) movement per round, the honest price of filtering BOTH
-    * endpoints (at production scale the survivor set is the broadcast
-    * side long before the edge frame fits anywhere). Each round's edge
-    * frame feeds three consumers next round (degree + both semi-joins),
-    * so it is lazily localCheckpoint'ed — blocks materialize inside the
-    * one final action and the triple reference reads blocks, never
-    * replays the peel chain (the 2^rounds trap g06's docstring
-    * measures). */
+    * Scale shape — the INCREMENTAL peel on the NODE GRAIN ONLY (r9; the
+    * shape real k-core implementations use, where total peel work is
+    * O(E) once plus the touched fringe, not O(E·rounds)): degrees
+    * aggregate ONCE up front, and from then on THE EDGE FRAME IS NEVER
+    * REWRITTEN. Each round (1) takes the node-grain DEAD set (deg < k)
+    * — it shrinks round over round and broadcasts; (2) computes the
+    * degree DECREMENTS with one broadcast semi-join of the ORIGINAL
+    * memoized edge frame against the dead set (sound because a node
+    * dies exactly once: an edge contributes a decrement in precisely
+    * the round its far endpoint dies, and edges between two
+    * previously-dead nodes can never resurface — their deg rows are
+    * already gone); (3) maintains the node-grain degree table by
+    * anti-join + decrement. The maintained table IS the peeled graph's
+    * degree function, so the final histogram reads it directly
+    * (filtering deg ≥ 1: a survivor whose whole neighborhood died has
+    * no edges and no histogram row, exactly as an edge recount would
+    * report).
+    *
+    * History, measured on the 10× scale-step replica: the r8 form
+    * re-aggregated full degrees and semi-joined survivors every round —
+    * 3 O(E) exchanges × rounds, ~25 s. An intermediate r9 form peeled
+    * the edge frame with broadcast anti-joins but still
+    * localCheckpoint'ed a fresh ~12M-row edge copy per round — ~30 s,
+    * the materialization was the cost, not the exchanges. This form
+    * touches the edge frame with narrow cached-block scans only: one
+    * up-front aggregate + one semi-join scan per round. Only the
+    * node-grain degree table (two references per round) rides lazy
+    * localCheckpoints — tiny blocks, no 2^rounds replay (the g06
+    * trap). At a scale where a first-round dead set outgrows
+    * broadcast, the fallback is the survivor semi-join form. */
   def kcoreOf(und: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var edges = und.select("src", "dst")
+    val edges = und.select("src", "dst")
+    var deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
-      val alive = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("src").as("alive_n"))
-      val aliveSrc = alive.hint("shuffle_hash")
-      val aliveDst = alive.select(col("alive_n").as("alive_m")).hint("shuffle_hash")
-      edges = edges
-        .join(aliveSrc, edges("src") === aliveSrc("alive_n"), "left_semi")
-      edges = edges
-        .join(aliveDst, edges("dst") === aliveDst("alive_m"), "left_semi")
+      val dead = deg.filter(col("deg") < k).select(col("src").as("dead_n"))
+      val lost = edges
+        .join(broadcast(dead.select(col("dead_n").as("dead_m"))),
+          edges("dst") === col("dead_m"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("lost"))
+      deg = deg
+        .join(broadcast(dead), deg("src") === col("dead_n"), "left_anti")
+        .join(lost, Seq("src"), "left")
+        .select(col("src"),
+          (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
         .localCheckpoint(eager = false)
     }
-    edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 1)
       .select(substring(col("src"), 1, 1).as("kind"), col("deg"))
       .groupBy("kind", "deg")
       .agg(count(lit(1)).as("nodes"))
