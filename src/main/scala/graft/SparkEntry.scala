@@ -249,6 +249,7 @@ object SparkEntry {
     "j05_interval_join"      -> (graft.operators.IntervalJoin.sessionErrorOverlap _),
     "j06_knn_time_join"      -> ((s: SparkSession, d: String) =>
       graft.operators.AsOfJoin.purchaseKNearestClicks(s, d)),
+    "j07_interval_anti_join" -> (graft.operators.IntervalJoin.sessionErrorClean _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),
     "m08_media_search"       -> (graft.ops.Multimodal.mediaSearch _),
     "m09_media_sq_search"    ->

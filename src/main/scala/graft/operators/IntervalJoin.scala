@@ -63,16 +63,15 @@ object IntervalJoin {
       .drop("__bucket")
   }
 
-  /** Driver surface: per-user 30-min-gap sessions (the w06 definition,
-    * deterministically ordered by (ts, event_id)) overlap-joined against
-    * ±5-minute incident windows around every error event; emits each
-    * session that overlaps ≥1 incident window with its distinct-incident
-    * count. All arithmetic is exact integer µs. */
-  def sessionErrorOverlap(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-user 30-min-gap session table (w06's definition,
+    * deterministically ordered by (ts, event_id)) with interval bounds —
+    * shared by the overlap (j05) and anti-overlap (j07) surfaces. */
+  private def sessionIntervals(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsUs(spark, dir)
       .select("event_id", "ts_us", "user_id", "event_type")
-    val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
-    val sess = ev
+    val wOrd = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    ev
       .withColumn("prev", lag("ts_us", 1).over(wOrd))
       .withColumn("brk",
         when(col("prev").isNull || col("ts_us") - col("prev") > SessionGapUs, 1L)
@@ -82,16 +81,50 @@ object IntervalJoin {
       .groupBy("user_id", "sid")
       .agg(min("ts_us").as("l_start"), max("ts_us").as("l_end"),
         count(lit(1)).as("n_events"))
-    val incidents = ev.filter(col("event_type") === "error")
+  }
+
+  /** The ±5-minute incident windows around every error event — j05/j07's
+    * shared right side. */
+  private def incidentIntervals(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsUs(spark, dir)
+      .filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"),
         (col("ts_us") - ErrorHalfUs).as("r_start"),
         (col("ts_us") + ErrorHalfUs).as("r_end"))
-    overlapJoin(sess, incidents)
+
+  /** Driver surface: per-user 30-min-gap sessions (the w06 definition,
+    * deterministically ordered by (ts, event_id)) overlap-joined against
+    * ±5-minute incident windows around every error event; emits each
+    * session that overlaps ≥1 incident window with its distinct-incident
+    * count. All arithmetic is exact integer µs. */
+  def sessionErrorOverlap(spark: SparkSession, dir: String): DataFrame =
+    overlapJoin(sessionIntervals(spark, dir), incidentIntervals(spark, dir))
       .groupBy("user_id", "sid", "l_start", "l_end", "n_events")
       .agg(countDistinct("err_id").as("overlapping_errors"))
       .select(col("user_id"), col("sid").as("session_id"),
         col("l_start").as("s_start_us"), col("l_end").as("s_end_us"),
         col("n_events"), col("overlapping_errors"))
+      .orderBy("user_id", "session_id")
+
+  /** INTERVAL ANTI-JOIN (j07) — the complement of j05: every session
+    * that overlaps NO incident window, the "clean traffic" cut an
+    * attribution or incident-impact pipeline subtracts before computing
+    * healthy baselines. Same bucket decomposition as [[overlapJoin]],
+    * inverted at the LAST step: the overlapping left keys (a
+    * session-grain set, deduped by the first-common-bucket predicate
+    * before the key projection) come back through one aggregate, and
+    * the session table anti-joins them on its composite key — the only
+    * exchanges are the bucket join and the key-grain dedup, never an
+    * all-pairs or per-row scan. */
+  def sessionErrorClean(spark: SparkSession, dir: String): DataFrame = {
+    val hit = overlapJoin(sessionIntervals(spark, dir),
+        incidentIntervals(spark, dir))
+      .select("user_id", "sid").distinct()
+    sessionIntervals(spark, dir)
+      .join(hit, Seq("user_id", "sid"), "left_anti")
+      .select(col("user_id"), col("sid").as("session_id"),
+        col("l_start").as("s_start_us"), col("l_end").as("s_end_us"),
+        col("n_events"))
       .orderBy("user_id", "session_id")
   }
 }

@@ -3078,6 +3078,37 @@ object OpsOracles {
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY user_id, session_id""".stripMargin,
 
+    // j07: interval ANTI-join — j05's session/incident tables, sessions
+    // overlapping NO incident window (NOT EXISTS is the brute-force
+    // complement of the engine's bucket-decomposed anti form).
+    "j07_interval_anti_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        |  FROM events),
+        |s0 AS (SELECT user_id, ts_us, event_id,
+        |  lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    AS prev
+        |  FROM ev),
+        |s1 AS (SELECT user_id, ts_us, event_id,
+        |  CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS brk FROM s0),
+        |s2 AS (SELECT user_id, ts_us,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM s1),
+        |sess AS (SELECT user_id, sid, min(ts_us) AS s_start,
+        |  max(ts_us) AS s_end, count(*) AS n_events
+        |  FROM s2 GROUP BY 1, 2),
+        |errs AS (SELECT ts_us - 300000000 AS w_start,
+        |  ts_us + 300000000 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT user_id, sid AS session_id, s_start AS s_start_us,
+        |  s_end AS s_end_us, n_events
+        |FROM sess
+        |WHERE NOT EXISTS (SELECT 1 FROM errs
+        |  WHERE sess.s_start <= errs.w_end AND errs.w_start <= sess.s_end)
+        |ORDER BY user_id, session_id""".stripMargin,
+
     // corpus merge with precedence: packed-BIGINT min (pri*2^40 + doc_id)
     // mirrors Dedup.mergeWithPrecedenceOf; count(*) cast to Spark's BIGINT
     "d24_corpus_merge" ->

@@ -52,13 +52,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     walk(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
   }
 
-  test("q11_quadrant: one lineitem scan (part-grained aggregate cached, not recomputed)") {
+  test("q11_quadrant: one lineitem scan (part-grained aggregate memoized, not recomputed)") {
     val p = plan("q11_quadrant")
-    // the heavy scan+agg materializes once (r8: eager localCheckpoint —
-    // GC-scoped blocks surface as `Scan ExistingRDD`, the leak-free
-    // sibling of InMemoryTableScan); BOTH consumer branches read the
-    // materialized frame instead of re-scanning the fact
-    assert(p.contains("ExistingRDD"), p.take(2000))
+    // the heavy scan+agg materializes once — r9: as a DECLARED
+    // SessionMemo artifact (VERDICT r8 item 2; SURVEY §2.12 `q11-perpart`),
+    // whose persisted frame surfaces as InMemoryTableScan. BOTH consumer
+    // branches read the materialized frame instead of re-scanning the
+    // fact, and repeat invocations reuse it instead of re-paying the
+    // lineitem aggregate (the r8 per-invocation localCheckpoint did not)
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
     val lineitemScans = fileScans("q11_quadrant").count(_.contains("lineitem"))
     assert(lineitemScans === 0, s"lineitem scanned outside the cache $lineitemScans times")
   }

@@ -137,13 +137,19 @@ class JobCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("g08 k-core peel: zero per-round driver actions — one DAG, one job") {
+  test("g08 k-core peel: per-round jobs are NODE-GRAIN broadcast builds " +
+       "only — bounded by the round budget, never an edge-frame action") {
     val s = spark; import s.implicits._
-    // K4 + pendant chain (the OpsSpec planted graph): 4 peel rounds run
-    // as ONE declarative DAG — the lazy per-round checkpoints materialize
-    // inside the single final action, never as their own jobs (the
-    // fixed-budget stance g06 documents, vs g07's one-action-per-round
-    // convergence price)
+    // K4 + pendant chain (the OpsSpec planted graph). The r9 incremental
+    // peel trades the old single-DAG form (which re-aggregated the FULL
+    // edge frame 3× per round inside one job) for per-round broadcasts
+    // of the node-grain dead set — each broadcast build is its own small
+    // job, so the job count is 2-3 per round plus the final action, but
+    // every one of them collects a NODE-grain frame; the edge frame is
+    // scanned narrowly and never rewritten (the property that took the
+    // 10× scale-step from ~25 s to ~2.5 s). The bound below fails if a
+    // per-round EDGE materialization (eager checkpoint) or a driver
+    // probe loop creeps back in on top of the budgeted broadcasts.
     val clique = for {
       a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a != b
     } yield (a, b)
@@ -157,10 +163,12 @@ class JobCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val rows = GraphRank.kcoreOf(und, k = 3, rounds = 4).collect()
+      val rounds = 4
+      val rows = GraphRank.kcoreOf(und, k = 3, rounds = rounds).collect()
       val spent = settledJobCount(jobs)
-      assert(spent <= 2, s"fixed-budget k-core spent $spent jobs; " +
-        "a per-round probe or eager checkpoint has crept in")
+      assert(spent <= 2 + 3 * rounds, s"k-core spent $spent jobs; " +
+        "more than the budgeted node-grain broadcast builds per round — " +
+        "an edge materialization or driver probe has crept in")
       assert(rows.map(_.getString(0)).toSet === Set("a", "b", "c", "d"))
     } finally {
       spark.sparkContext.removeSparkListener(listener)

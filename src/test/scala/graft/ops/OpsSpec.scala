@@ -418,11 +418,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rIvfPq >= 0.6, f"s13 IVF-PQ recall@3 on clustered data: $rIvfPq%.3f < 0.6")
   }
 
-  test("multimodal decode: BMP rows carry genuinely parsed dims, the rest " +
-       "match the stub arithmetic") {
+  test("multimodal decode: BMP and PNG rows carry genuinely parsed dims, " +
+       "the rest match the stub arithmetic") {
     val rows = Multimodal.decodedMeta(spark, dir).collect()
     assert(rows.length === graft.Tables.documents(spark, dir).count())
-    var bmps = 0
+    // per-row pixel byte j is j%16 in BOTH real formats — the decoders'
+    // padded walk (BMP) / inflate+defilter (PNG) must land exactly on
+    // the closed form
+    def rowSum(w: Int, h: Int): Long = {
+      val lr = 3 * w; val rem = lr % 16
+      h.toLong * (lr / 16 * 120 + rem * (rem - 1) / 2)
+    }
+    var bmps = 0; var pngs = 0
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       val b = r.getAs[Long]("bytes")
@@ -432,11 +439,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         val (w, h) = Multimodal.BmpCodec.dims(b.toInt)
         assert(r.getAs[Long]("width") === w.toLong)
         assert(r.getAs[Long]("height") === h.toLong)
-        // per-row pixel byte j is j%16 — the decoder's padded walk must
-        // land exactly on the closed form
-        val lr = 3 * w; val rem = lr % 16
-        assert(r.getAs[Long]("px_sum") ===
-          h.toLong * (lr / 16 * 120 + rem * (rem - 1) / 2))
+        assert(r.getAs[Long]("px_sum") === rowSum(w, h))
+      } else if (Multimodal.PngCodec.eligible(id, b.toInt)) {
+        pngs += 1
+        assert(r.getAs[String]("format") === "png")
+        val (w, h) = Multimodal.PngCodec.dims(b.toInt)
+        assert(r.getAs[Long]("width") === w.toLong)
+        assert(r.getAs[Long]("height") === h.toLong)
+        assert(r.getAs[Long]("px_sum") === rowSum(w, h))
       } else {
         assert(r.getAs[Long]("width") === 64 + b % 512)
         assert(r.getAs[Long]("height") === 64 + (b * 7) % 512)
@@ -444,6 +454,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(bmps > 0, "corpus should contain BMP-eligible rows")
+    assert(pngs > 0, "corpus should contain PNG-eligible rows")
   }
 
   test("RewriteDotProduct rule: HOF fold rewrites to native DotProduct, same values") {
