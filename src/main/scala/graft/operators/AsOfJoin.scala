@@ -189,15 +189,28 @@ object AsOfJoin {
                              k: Int = 2): DataFrame = {
     val ev = Tables.eventsUs(spark, dir)
       .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
+    kNearestClicksOf(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_us"),
+          col("event_id").as("purchase_id")),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_us"),
+          col("event_id")),
+      k)
+  }
+
+  /** Library core of j06 over (user_id, p_us, purchase_id) and
+    * (user_id, c_us, event_id) frames — split out so the spec can
+    * property-test the composition against brute force on tie-heavy
+    * synthetic data (the j04 discipline). */
+  private[operators] def kNearestClicksOf(purchases: DataFrame,
+                                          rawClicks: DataFrame,
+                                          k: Int): DataFrame = {
     val idxW = Window.partitionBy("user_id").orderBy(col("c_us").asc)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us").as("c_us"), col("event_id"))
+    val clicks = rawClicks
       .groupBy("user_id", "c_us")
       .agg(max(col("event_id")).as("click_id"))
       .withColumn("idx", row_number().over(idxW))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us").as("p_us"),
-        col("event_id").as("purchase_id"))
     val unioned = clicks
       .select(col("user_id"), col("c_us").as("ts"), lit(0).as("tag"),
         col("idx"), lit(null).cast("long").as("purchase_id"),

@@ -125,4 +125,44 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out === expected, s"round $round diverged from brute force")
     }
   }
+
+  test("property: k-nearest ≡ brute force on tie-heavy random data — " +
+       "equal-ts collapse to max id, |gap| order, past-on-tie, k cutoff") {
+    val s = spark; import s.implicits._
+    val k = 2
+    val pairGen = for {
+      u <- Gen.choose(1L, 4L); ts <- Gen.choose(0L, 15L)
+    } yield (u, ts)
+    val dataGen = for {
+      ps <- Gen.listOfN(40, pairGen)
+      cs <- Gen.listOfN(60, pairGen)
+    } yield (ps, cs)
+    (1 to 3).foreach { round =>
+      val (ps, cs) = dataGen(Gen.Parameters.default, Seed(round * 104729L)).get
+      val purchases = ps.zipWithIndex.map { case ((u, ts), i) =>
+        (u, ts, 1000L + i) }
+      val clicks = cs.zipWithIndex.map { case ((u, ts), i) =>
+        (u, ts, 2000L + i) }
+      // brute force over the documented semantics: equal-ts clicks
+      // collapse to their max id first, then rank by (|gap|, past-first)
+      // — total because collapsed times are distinct per direction
+      val collapsed = clicks.groupBy(c => (c._1, c._2))
+        .map { case ((u, ts), xs) => (u, ts, xs.map(_._3).max) }.toSeq
+      val expected = purchases.flatMap { case (u, pts, pid) =>
+        collapsed.filter(_._1 == u)
+          .sortBy { case (_, cts, _) =>
+            (math.abs(cts - pts), if (cts <= pts) 0 else 1) }
+          .take(k).zipWithIndex
+          .map { case ((_, cts, cid), r) => (pid, r + 1, cid, cts - pts) }
+      }.toSet
+      val out = AsOfJoin.kNearestClicksOf(
+          purchases.toDF("user_id", "p_us", "purchase_id"),
+          clicks.toDF("user_id", "c_us", "event_id"), k)
+        .select("purchase_id", "rank", "click_id", "gap_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(out === expected, s"round $round diverged from brute force")
+    }
+  }
 }
