@@ -200,6 +200,7 @@ object SparkEntry {
     "t43_repetition"         -> (TextAnalysis.repetitionReport _),
     "t44_cdc_chunks"         -> (TextAnalysis.cdcChunkStats _),
     "t45_data_card"          -> (TextAnalysis.dataCard _),
+    "t46_training_order"     -> (TextAnalysis.trainingOrder _),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),
@@ -226,6 +227,7 @@ object SparkEntry {
       graft.ops.Similarity.truncatedAnn(s, d)),
     "s26_range_search"       -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.rangeSearch(s, d)),
+    "s27_mmr_rerank"         -> (graft.ops.Similarity.mmrRerank _),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "m12_image_stats"        -> (graft.ops.Multimodal.imageStats _),
@@ -250,6 +252,7 @@ object SparkEntry {
     "j06_knn_time_join"      -> ((s: SparkSession, d: String) =>
       graft.operators.AsOfJoin.purchaseKNearestClicks(s, d)),
     "j07_interval_anti_join" -> (graft.operators.IntervalJoin.sessionErrorClean _),
+    "j08_interp_join"        -> (graft.operators.AsOfJoin.purchaseInterpClickValue _),
     "j03_fuzzy_join"         -> (graft.operators.FuzzyJoin.docNearMatches _),
     "m08_media_search"       -> (graft.ops.Multimodal.mediaSearch _),
     "m09_media_sq_search"    ->

@@ -263,6 +263,94 @@ object AsOfJoin {
       .orderBy("purchase_id")
   }
 
+  /** TEMPORAL INTERPOLATION JOIN (j08) — for each left row, the right
+    * series' value LINEARLY INTERPOLATED at the left timestamp: the
+    * gap-filling / sensor-alignment semantics none of j01/j04 express
+    * (as-of snaps backward, nearest snaps to one row; interpolation
+    * SYNTHESIZES the value between the two straddling rows — what a
+    * telemetry pipeline does before joining irregular series).
+    *
+    * Semantics per left row at time t over the (key-matched, per-ts
+    * collapsed) right series:
+    *  - both neighbours exist, t_prev < t_next:
+    *      v = v_prev + (v_next − v_prev) · ((t − t_prev) / (t_next − t_prev))
+    *  - exact hit (a right row AT t): that row's value (both carries see
+    *    it, t_prev = t_next short-circuits the division);
+    *  - only one side exists: clamp to it (no extrapolation);
+    *  - no right rows for the key: null.
+    * Float determinism: operand-for-operand the same IEEE tree as the
+    * oracle (bigint−bigint, /, ×, +, each a single double op), rounded
+    * only at the final projection (house rule).
+    *
+    * Implementation is j04's machinery verbatim: the right (ts, value)
+    * rides the union as ONE struct through a backward carry (`last` over
+    * ts asc, tag asc — equal-ts rights sort before the left row) and a
+    * forward carry (`first` over currentRow..following, tag desc — equal-
+    * ts rights land inside the frame), then per-row arithmetic. ONE key
+    * exchange total; the forward window re-sorts in place on the backward
+    * window's partitioning. Right rows must be per-(key, ts) unique —
+    * collapse ties (house stance: max-id row wins) BEFORE calling, as
+    * [[purchaseInterpClickValue]] does. */
+  def interpolate(left: DataFrame, right: DataFrame, key: String,
+                  rightVal: String): DataFrame = {
+    require(left.columns.contains("ts") && right.columns.contains("ts"),
+      "interpolate: both inputs must carry a comparable 'ts' column")
+    val leftTagged = left.withColumn("__tag", lit(1))
+    val rightTagged = right.withColumn("__tag", lit(0))
+    val leftCols = left.columns.filterNot(c => c == key || c == "ts")
+    val rStruct = org.apache.spark.sql.types.StructType(Seq(
+      right.schema("ts"), right.schema(rightVal)))
+    val l2 = leftTagged.withColumn("__r", lit(null).cast(rStruct))
+    val r2 = leftCols.foldLeft(rightTagged)((df, c) => df.withColumn(c, lit(null)))
+      .withColumn("__r", struct(col("ts"), col(rightVal)))
+    val cols = key +: "ts" +: "__tag" +: "__r" +: leftCols
+    val all = l2.select(cols.map(col): _*).unionByName(r2.select(cols.map(col): _*))
+    val wB = Window.partitionBy(key)
+      .orderBy(col("ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(key)
+      .orderBy(col("ts").asc, col("__tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withBF = all
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__r"), ignoreNulls = true).over(wF))
+    val tPrev = col("__b.ts"); val vPrev = col(s"__b.$rightVal")
+    val tNext = col("__f.ts"); val vNext = col(s"__f.$rightVal")
+    withBF
+      .withColumn("t_prev", tPrev).withColumn("v_prev", vPrev)
+      .withColumn("t_next", tNext).withColumn("v_next", vNext)
+      .withColumn("interp",
+        when(tPrev.isNull && tNext.isNull, lit(null).cast("double"))
+          .when(tPrev.isNull, vNext)
+          .when(tNext.isNull, vPrev)
+          .when(tNext === tPrev, vPrev)
+          .otherwise(vPrev + (vNext - vPrev) *
+            ((col("ts") - tPrev) / (tNext - tPrev))))
+      .filter(col("__tag") === 1)
+      .drop("__tag", "__r", "__b", "__f")
+  }
+
+  /** Driver-contract query (j08): each purchase annotated with the user's
+    * click `value` series interpolated at the purchase instant. Equal-ts
+    * clicks collapse to the max event_id's value first (j04/j06's
+    * documented tie stance; event ids are unique so `max_by` is total). */
+  def purchaseInterpClickValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("ts"),
+        col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us").as("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    interpolate(purchases, clicks, "user_id", "v")
+      .select(col("purchase_id"), col("user_id"),
+        col("t_prev").as("t_prev_us"), col("t_next").as("t_next_us"),
+        round(col("interp"), 6).as("interp_value"))
+      .orderBy("purchase_id")
+  }
+
   /** Driver-contract query: each `purchase` event matched as-of to the
     * user's most recent `click` at or before it. */
   def purchaseAsOfClick(spark: SparkSession, dir: String): DataFrame = {

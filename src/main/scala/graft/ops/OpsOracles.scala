@@ -2759,6 +2759,82 @@ object OpsOracles {
         |WHERE cosine >= 0.25
         |ORDER BY query_id, cand_id""".stripMargin,
 
+    // s27: MMR diversified rerank — the 3 greedy steps unrolled as CTEs
+    // over the SAME 6dp-rounded rel/sim inputs the engine selects on
+    // (λ=0.7, μ=0.3 as literals on both engines; score ties → cand_id
+    // asc). sel1 is pool rnk=1 because 0.7·rel is monotone in rel with
+    // the identical tie-break.
+    "s27_mmr_rerank" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS rel
+        |  FROM n q CROSS JOIN n c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |pool AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS rnk
+        |    FROM scored)
+        |  WHERE rnk <= 10),
+        |pv AS (
+        |  SELECT p.query_id, p.cand_id, p.rel, n.v, n.norm
+        |  FROM pool p JOIN n ON n.vec_id = p.cand_id),
+        |sim AS (
+        |  SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+        |    round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+        |          / (a.norm * b.norm), 6) AS sim
+        |  FROM pv a JOIN pv b
+        |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+        |sel1 AS (
+        |  SELECT query_id, cand_id, rel,
+        |    0.7 * CAST(rel AS DECIMAL(10,6)) -
+        |    0.3 * CAST(0 AS DECIMAL(10,6)) AS score
+        |  FROM pool WHERE rnk = 1),
+        |cand2 AS (
+        |  SELECT p.query_id, p.cand_id, p.rel,
+        |    0.7 * CAST(p.rel AS DECIMAL(10,6)) -
+        |    0.3 * CAST(s.sim AS DECIMAL(10,6)) AS score
+        |  FROM pool p
+        |  JOIN sel1 ON sel1.query_id = p.query_id
+        |  JOIN sim s ON s.query_id = p.query_id
+        |    AND s.a_id = p.cand_id AND s.b_id = sel1.cand_id
+        |  WHERE p.cand_id <> sel1.cand_id),
+        |sel2 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rk
+        |    FROM cand2) WHERE rk = 1),
+        |cand3 AS (
+        |  SELECT p.query_id, p.cand_id, p.rel,
+        |    0.7 * CAST(p.rel AS DECIMAL(10,6)) -
+        |    0.3 * greatest(CAST(s1.sim AS DECIMAL(10,6)),
+        |                   CAST(s2.sim AS DECIMAL(10,6))) AS score
+        |  FROM pool p
+        |  JOIN sel1 ON sel1.query_id = p.query_id
+        |  JOIN sel2 ON sel2.query_id = p.query_id
+        |  JOIN sim s1 ON s1.query_id = p.query_id
+        |    AND s1.a_id = p.cand_id AND s1.b_id = sel1.cand_id
+        |  JOIN sim s2 ON s2.query_id = p.query_id
+        |    AND s2.a_id = p.cand_id AND s2.b_id = sel2.cand_id
+        |  WHERE p.cand_id <> sel1.cand_id AND p.cand_id <> sel2.cand_id),
+        |sel3 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rk
+        |    FROM cand3) WHERE rk = 1)
+        |SELECT query_id, CAST(1 AS INT) AS "rank", cand_id,
+        |  CAST(round(score, 6) AS DOUBLE) AS score FROM sel1
+        |UNION ALL SELECT query_id, CAST(2 AS INT), cand_id,
+        |  CAST(round(score, 6) AS DOUBLE) FROM sel2
+        |UNION ALL SELECT query_id, CAST(3 AS INT), cand_id,
+        |  CAST(round(score, 6) AS DOUBLE) FROM sel3
+        |ORDER BY query_id, "rank"""".stripMargin,
+
     // s25: truncated-prefix (Matryoshka-style) two-stage search — stage 1
     // ranks by L2 over the first 16 dims (rounded 6dp + cand_id
     // tie-break, so the shortlist-50 cut is engine-identical), stage 2
@@ -3274,6 +3350,44 @@ object OpsOracles {
         |FROM ranked WHERE rk = 1
         |ORDER BY purchase_id""".stripMargin,
 
+    // j08: temporal interpolation join — straddling click neighbours per
+    // purchase (prev/next may be quadratic here; the engine's form is the
+    // one-exchange carry-window pair). Equal-ts clicks collapse to the
+    // max event_id's value (j04's stance); the interpolation arithmetic
+    // mirrors the engine operand-for-operand (BIGINT−BIGINT, /, ×, + —
+    // each one IEEE double op), rounded only at the final projection.
+    "j08_interp_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us, max_by(value, event_id) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+        |prev AS (
+        |  SELECT p.purchase_id, max(c.c_us) AS t_prev,
+        |    max_by(c.v, c.c_us) AS v_prev
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us
+        |  GROUP BY 1),
+        |nxt AS (
+        |  SELECT p.purchase_id, min(c.c_us) AS t_next,
+        |    min_by(c.v, c.c_us) AS v_next
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.c_us >= p.p_us
+        |  GROUP BY 1)
+        |SELECT p.purchase_id, p.user_id,
+        |  t_prev AS t_prev_us, t_next AS t_next_us,
+        |  round(CASE
+        |    WHEN t_prev IS NULL AND t_next IS NULL THEN NULL
+        |    WHEN t_prev IS NULL THEN v_next
+        |    WHEN t_next IS NULL THEN v_prev
+        |    WHEN t_next = t_prev THEN v_prev
+        |    ELSE v_prev + (v_next - v_prev) *
+        |      ((p.p_us - t_prev) / (t_next - t_prev))
+        |  END, 6) AS interp_value
+        |FROM p
+        |LEFT JOIN prev USING (purchase_id)
+        |LEFT JOIN nxt USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin,
+
     // j06: k-nearest-in-time join (k=2) — j04's tie stances exactly
     // (equal-ts clicks pre-collapsed to max id; past beats future on
     // |gap| ties); the oracle brute-forces the per-user candidate space
@@ -3688,6 +3802,32 @@ object OpsOracles {
         |  round(docs * 100.0 / CAST(corpus_docs AS DOUBLE), 4) AS share_pct
         |FROM per CROSS JOIN tot
         |ORDER BY source, lang""".stripMargin,
+
+    // t46: global training order — md5("order|"++doc_id) permutation,
+    // hash-sharded (first two key nibbles mod 8), within-shard
+    // row_number, manifest with the order-sensitive Σ position·residue
+    // fingerprint. All exact integer/string ops; HUGEINT sums cast back
+    // to BIGINT.
+    "t46_training_order" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    md5('order|' || CAST(doc_id AS VARCHAR)) AS okey
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_chars, okey,
+        |    CAST(((strpos('0123456789abcdef', okey[1]) - 1) * 16 +
+        |          (strpos('0123456789abcdef', okey[2]) - 1)) % 8 AS INT) AS shard
+        |  FROM k),
+        |p AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY okey, doc_id) AS BIGINT) AS position
+        |  FROM s)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min_by(doc_id, okey) AS first_doc,
+        |  max_by(doc_id, okey) AS last_doc,
+        |  CAST(sum(position * (doc_id % 1000003)) AS BIGINT) AS perm_fp
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     "t44_cdc_chunks" -> {
       val decode = (0 until 8).map { i =>

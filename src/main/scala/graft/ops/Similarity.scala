@@ -1332,4 +1332,85 @@ object Similarity {
       .select("query_id", "cand_id", "sqdist", "rnk")
       .orderBy("query_id", "rnk")
   }
+
+  /** MMR DIVERSIFIED RERANK (s27) — Maximal Marginal Relevance over the
+    * brute-force pool: retrieval that pays for NOVELTY, the dedup-aware
+    * sibling of top-k (a RAG/eval pipeline that feeds a model three
+    * near-identical passages wastes two context slots; MMR is the
+    * standard fix). Greedy: pick argmax λ·rel(q,c) − μ·max_{s∈S} sim(c,s)
+    * k times (λ=0.7, μ=0.3 as literal constants on BOTH engines — never
+    * 1−λ, whose double value is 0.30000000000000004).
+    *
+    * Determinism: rel and every pairwise sim are 6-dp-rounded BEFORE the
+    * greedy (the s01/s25 shortlist discipline), so both engines select
+    * over identical doubles; score ties break on cand_id asc. The oracle
+    * unrolls the k greedy steps as SQL CTEs over the same rounded inputs.
+    *
+    * Scale shape: relevance is the one corpus-sized pass (s01's broadcast
+    * scan, or any s02+ index in its place); everything after runs on
+    * per-query pools of m = `poolK` rows — the pairwise m² and the greedy
+    * k·m² are PLAN CONSTANTS fanned out by query via cogroup, never a
+    * corpus-sized join. At 100 TB the cost is the retrieval pass;
+    * diversification is free. */
+  def mmrRerankOf(pool: DataFrame, poolVecs: DataFrame,
+                  k: Int, lambda: Double, mu: Double): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val a = poolVecs.select(col("query_id"), col("cand_id").as("a_id"),
+      col("v").as("av"), col("norm").as("an"))
+    val b = poolVecs.select(col("query_id"), col("cand_id").as("b_id"),
+      col("v").as("bv"), col("norm").as("bn"))
+    val pairs = a.join(b, Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("sim", round(col("dot") / (col("an") * col("bn")), 6))
+      .select(col("query_id"), col("a_id"), col("b_id"), col("sim"))
+      .as[(Long, Long, Long, Double)]
+    val rels = pool.select(col("query_id"), col("cand_id"), col("cosine"))
+      .as[(Long, Long, Double)]
+    // The greedy runs in EXACT DECIMAL: λ·rel − μ·maxsim over 6-dp inputs
+    // is a 7-decimal-digit value, so ~1 in 10 scores sits EXACTLY on a
+    // 6-dp rounding half-boundary — where rounding the binary double
+    // (DuckDB) and rounding its shortest decimal string (JVM) disagree.
+    // BigDecimal here ↔ DECIMAL casts in the oracle: both engines select
+    // and emit over the identical exact values. (The 6-dp inputs convert
+    // exactly: a 6-dp decimal IS the shortest string of its nearest
+    // double at these magnitudes.)
+    val lambdaDec = java.math.BigDecimal.valueOf(lambda)
+    val muDec = java.math.BigDecimal.valueOf(mu)
+    def dec6(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(6)
+    rels.groupByKey(_._1).cogroup(pairs.groupByKey(_._1)) { (qid, rIt, pIt) =>
+      val rs = rIt.map(r => r._2 -> r._3).toVector
+      val sim = pIt.map(p => (p._2, p._3) -> dec6(p._4)).toMap
+      var remaining = rs.sortBy(_._1)
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val zero = java.math.BigDecimal.ZERO.setScale(6)
+      (1 to math.min(k, rs.size)).iterator.map { rank =>
+        val (bestId, bestScore) = remaining.map { case (id, rel) =>
+          val maxsim =
+            if (chosen.isEmpty) zero
+            else chosen.map(s => sim((id, s))).max(Ordering.ordered[java.math.BigDecimal])
+          id -> lambdaDec.multiply(dec6(rel)).subtract(muDec.multiply(maxsim))
+        }.minBy { case (id, score) => (BigDecimal(score.negate()), id) }
+        chosen += bestId
+        remaining = remaining.filterNot(_._1 == bestId)
+        (qid, rank, bestId,
+          bestScore.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+    }.toDF("query_id", "rank", "cand_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    val q = vs.filter(col("vec_id") < 10)
+    val c = vs.filter(col("vec_id") >= 10)
+    val pool = cosineTopK(q, c, Seq.empty, 10)
+    val poolVecs = broadcast(pool.select("query_id", "cand_id"))
+      .join(c.select(col("vec_id").as("cand_id"), col("v"), col("norm")),
+        Seq("cand_id"))
+    mmrRerankOf(pool, poolVecs, k = 3, lambda = 0.7, mu = 0.3)
+  }
 }

@@ -1728,4 +1728,55 @@ object TextAnalysis {
 
   def dataCard(spark: SparkSession, dir: String): DataFrame =
     dataCardOf(Tables.documents(spark, dir))
+
+  /** GLOBAL TRAINING ORDER + SHARD MANIFEST (t46) — the layout step a
+    * training pipeline runs LAST: give every document a deterministic
+    * pseudo-random position, materialize the corpus as `nShards` shard
+    * files in that order, and emit a manifest a trainer (or a resumed
+    * re-run) can trust. "Shuffle the corpus" done naively is a global
+    * sort by rand() — non-reproducible AND a sort-the-world plan. This is
+    * the scalable, reproducible form:
+    *
+    *  - order key = md5("order|" ++ doc_id): engine-portable, uniform,
+    *    and a pure function of the row — reprocessing at 100 TB
+    *    reproduces the exact permutation (t09/t36's hash discipline,
+    *    extended from membership to ORDER).
+    *  - shard = first two key nibbles mod nShards: HASH sharding, so
+    *    shard assignment needs no global coordination — one hash
+    *    exchange, no range-boundary sampling, no driver state.
+    *  - within-shard position = row_number over a PARTITIONED window
+    *    (shard-local sort of ~1/nShards of the data each) — the global
+    *    permutation is (shard, position) lexicographic, and no task ever
+    *    sees more than one shard.
+    *
+    * The manifest pins the permutation, not just the partition: per
+    * shard, the count/char mass, the first/last doc (min_by/max_by on
+    * the order key), and `perm_fp` = Σ position·(doc_id mod 1000003) —
+    * an order-sensitive exact-integer fingerprint (any transposition of
+    * two docs with distinct residues changes it), so the oracle verifies
+    * the ENTIRE within-shard ordering, not merely shard membership.
+    * Exact at corpora to ~10M docs/shard (Σ pos·res < 2^63); beyond
+    * that, widen the residue modulus down or fingerprint per sub-range. */
+  def trainingOrderOf(docs: DataFrame, nShards: Int): DataFrame = {
+    val keyed = docs
+      .withColumn("okey", md5(concat(lit("order|"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substring(okey, 1, 1)) - 1") * 16 +
+          expr("instr('0123456789abcdef', substring(okey, 2, 1)) - 1"))
+          % nShards).cast("int"))
+    val posW = Window.partitionBy("shard").orderBy(col("okey").asc, col("doc_id").asc)
+    keyed
+      .withColumn("position", row_number().over(posW).cast("long"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min_by(col("doc_id"), col("okey")).as("first_doc"),
+        max_by(col("doc_id"), col("okey")).as("last_doc"),
+        sum(col("position") * (col("doc_id") % 1000003)).as("perm_fp"))
+      .orderBy("shard")
+  }
+
+  def trainingOrder(spark: SparkSession, dir: String): DataFrame =
+    trainingOrderOf(Tables.documents(spark, dir), 8)
 }

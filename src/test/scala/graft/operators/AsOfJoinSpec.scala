@@ -126,6 +126,74 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("interpolate: linear between neighbours, exact hit, clamp, null") {
+    val s = spark; import s.implicits._
+    val left = Seq(
+      (1L, 100L, "p1"), // between (50, 10.0) and (150, 30.0) → 20.0
+      (1L, 50L, "p2"),  // exact hit on the right row at 50 → 10.0
+      (1L, 25L, "p3"),  // before the first right row → clamp to 10.0
+      (1L, 175L, "p4"), // after the last right row → clamp to 30.0
+      (1L, 75L, "p5"),  // quarter point: 10 + 20·(25/100) = 15.0
+      (2L, 100L, "p6")  // key 2 has no right rows → null
+    ).toDF("k", "ts", "left_id")
+    val right = Seq(
+      (1L, 50L, 10.0),
+      (1L, 150L, 30.0)
+    ).toDF("k", "ts", "v")
+    val out = AsOfJoin.interpolate(left, right, "k", "v")
+      .select("left_id", "interp")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("p1") === Some(20.0))
+    assert(out("p2") === Some(10.0))
+    assert(out("p3") === Some(10.0))
+    assert(out("p4") === Some(30.0))
+    assert(out("p5") === Some(15.0))
+    assert(out("p6") === None)
+    assert(out.size === 6)
+  }
+
+  test("property: interpolate ≡ brute force on tie-free random series — " +
+       "straddle math, clamps, and key isolation") {
+    val s = spark; import s.implicits._
+    val pairGen = for {
+      u <- Gen.choose(1L, 4L); ts <- Gen.choose(0L, 40L)
+    } yield (u, ts)
+    val dataGen = for {
+      ls <- Gen.listOfN(50, pairGen)
+      rs <- Gen.listOfN(30, pairGen)
+    } yield (ls, rs)
+    (1 to 3).foreach { round =>
+      val (ls, rs) = dataGen(Gen.Parameters.default, Seed(round * 7919L)).get
+      val left = ls.zipWithIndex.map { case ((u, ts), i) => (u, ts, 100L + i) }
+      // collapse right ties up front (the operator contract: per-(key, ts)
+      // unique), deterministic synthetic values
+      val right = rs.distinct.map { case (u, ts) => (u, ts, (u * 31 + ts).toDouble / 7.0) }
+      val rByKey = right.groupBy(_._1)
+      val expected = left.map { case (u, t, id) =>
+        val series = rByKey.getOrElse(u, Nil)
+        val prev = series.filter(_._2 <= t).sortBy(_._2).lastOption
+        val next = series.filter(_._2 >= t).sortBy(_._2).headOption
+        val v = (prev, next) match {
+          case (None, None) => None
+          case (Some((_, _, pv)), None) => Some(pv)
+          case (None, Some((_, _, nv))) => Some(nv)
+          case (Some((_, pt, pv)), Some((_, nt, nv))) =>
+            if (nt == pt) Some(pv)
+            else Some(pv + (nv - pv) * ((t - pt).toDouble / (nt - pt).toDouble))
+        }
+        id -> v
+      }.toMap
+      val out = AsOfJoin.interpolate(
+          left.toDF("k", "ts", "left_id"), right.toDF("k", "ts", "v"),
+          "k", "v")
+        .select("left_id", "interp")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(out === expected, s"round $round diverged from brute force")
+    }
+  }
+
   test("property: k-nearest ≡ brute force on tie-heavy random data — " +
        "equal-ts collapse to max id, |gap| order, past-on-tie, k cutoff") {
     val s = spark; import s.implicits._

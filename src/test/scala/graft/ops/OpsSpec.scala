@@ -1980,4 +1980,87 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(byRank.head.getAs[Long]("cand_id") === best)
     }
   }
+
+  test("t46 training order ≡ brute-force md5 permutation manifest") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hexVal = "0123456789abcdef"
+    val keyed = docs.map { case (id, chars) =>
+      val okey = md5hex(s"order|$id")
+      val shard = (hexVal.indexOf(okey(0)) * 16 + hexVal.indexOf(okey(1))) % 8
+      (shard, okey, id, chars)
+    }
+    val expected = keyed.groupBy(_._1).map { case (shard, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val fp = ordered.zipWithIndex
+        .map { case ((_, _, id, _), i) => (i + 1).toLong * (id % 1000003L) }.sum
+      shard -> (rows.length.toLong, rows.map(_._4).sum,
+        ordered.head._3, ordered.last._3, fp)
+    }
+    val got = TextAnalysis.trainingOrder(spark, dir).collect().map { r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }.toMap
+    assert(got === expected)
+    // every doc landed in exactly one shard
+    assert(got.values.map(_._1).sum === docs.length.toLong)
+  }
+
+  test("s27 MMR prefers a diverse pick over a redundant higher-rel one") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, expr, sqrt}
+    def at(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // c11/c12 are near-copies of each other (1° apart) near the query;
+    // c13 is farther from q but FAR from the pair — pure top-2 keeps the
+    // redundant pair, MMR swaps the copy for the diverse candidate.
+    val embs = Seq(
+      (1L, at(0)), (11L, at(30)), (12L, at(31)), (13L, at(-40))
+    ).toDF("vec_id", "embedding")
+    val pool = Similarity.knnOf(
+      embs.filter(col("vec_id") === 1L), embs.filter(col("vec_id") > 1L), 3)
+    val poolVecs = pool.select("query_id", "cand_id")
+      .join(embs.select(col("vec_id").as("cand_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v")), "cand_id")
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val out = Similarity.mmrRerankOf(pool, poolVecs, k = 2, lambda = 0.7, mu = 0.3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(x => (x._1, x._2)).toSeq === Seq((1, 11L), (2, 13L)))
+    // hand-check the two scores from the same rounded inputs
+    def r6d(d: Double) = java.math.BigDecimal.valueOf(d).setScale(6,
+      java.math.RoundingMode.HALF_UP)
+    def cosDeg(a: Double, b: Double): Double = {
+      val (va, vb) = (at(a).map(_.toDouble), at(b).map(_.toDouble))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+    val s1 = r6d(cosDeg(0, 30)).multiply(new java.math.BigDecimal("0.7"))
+    val s2 = new java.math.BigDecimal("0.7").multiply(r6d(cosDeg(0, -40)))
+      .subtract(new java.math.BigDecimal("0.3").multiply(r6d(cosDeg(30, -40))))
+    assert(out(0)._3 === s1.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    assert(out(1)._3 === s2.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
+
+  test("s27 on testdata: rank-1 is the brute-force top-1 and marginal " +
+       "scores are non-increasing") {
+    val knn1 = Similarity.knnBrute(spark, dir).collect()
+      .filter(_.getAs[Int]("rnk") === 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("cand_id")).toMap
+    val mmr = Similarity.mmrRerank(spark, dir).collect()
+    assert(mmr.length === knn1.size * 3)
+    mmr.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.head.getAs[Long]("cand_id") === knn1(q),
+        s"query $q rank-1 must be the relevance argmax")
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q MMR marginal scores must be non-increasing")
+    }
+  }
 }
