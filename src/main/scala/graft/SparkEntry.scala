@@ -201,6 +201,7 @@ object SparkEntry {
     "t44_cdc_chunks"         -> (TextAnalysis.cdcChunkStats _),
     "t45_data_card"          -> (TextAnalysis.dataCard _),
     "t46_training_order"     -> (TextAnalysis.trainingOrder _),
+    "t47_boilerplate_strip"  -> (TextAnalysis.boilerplateStrip _),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),
@@ -228,8 +229,11 @@ object SparkEntry {
     "s26_range_search"       -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.rangeSearch(s, d)),
     "s27_mmr_rerank"         -> (graft.ops.Similarity.mmrRerank _),
+    "s28_nprobe_sweep"       -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.nprobeSweep(s, d)),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
+    "m13_audio_energy"       -> (graft.ops.Multimodal.audioEnergy _),
     "m12_image_stats"        -> (graft.ops.Multimodal.imageStats _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),

@@ -210,9 +210,10 @@ object Multimodal {
       out // trailing odd filler byte (if any) stays 0
     }
 
-    /** Genuine RIFF chunk walk + PCM16 sample decode. None = not a
-      * 16-bit PCM WAV. Returns (rate, channels, n_samples, amp_sum). */
-    def decode(media: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    /** Shared RIFF chunk walk: magic, fmt validation (PCM16), data chunk
+      * location. None = not a 16-bit PCM WAV.
+      * Returns (rate, channels, dataStart, nSamples). */
+    private def parse(media: Array[Byte]): Option[(Int, Int, Int, Int)] = {
       if (media.length < 44 || !tag(media, 0, "RIFF") || !tag(media, 8, "WAVE"))
         return None
       var off = 12
@@ -232,16 +233,43 @@ object Multimodal {
         off += 8 + size + size % 2 // RIFF chunks are even-padded
       }
       if (rate < 0 || channels <= 0 || dataStart < 0) return None
-      val n = dataSize / 2
-      var sum = 0L
-      var j = 0
-      while (j < n) {
-        val s = getShort(media, dataStart + 2 * j).toShort.toInt
-        sum += math.abs(s)
-        j += 1
-      }
-      Some((rate.toLong, channels.toLong, n.toLong, sum))
+      Some((rate, channels, dataStart, dataSize / 2))
     }
+
+    /** Genuine RIFF chunk walk + PCM16 sample decode. None = not a
+      * 16-bit PCM WAV. Returns (rate, channels, n_samples, amp_sum). */
+    def decode(media: Array[Byte]): Option[(Long, Long, Long, Long)] =
+      parse(media).map { case (rate, channels, dataStart, n) =>
+        var sum = 0L
+        var j = 0
+        while (j < n) {
+          val s = getShort(media, dataStart + 2 * j).toShort.toInt
+          sum += math.abs(s)
+          j += 1
+        }
+        (rate.toLong, channels.toLong, n.toLong, sum)
+      }
+
+    /** Energy/silence statistics over the REAL decoded samples — the
+      * per-sample pass a VAD/loudness gate runs. `silentBelow` is the
+      * |amplitude| threshold under which a sample counts as silence.
+      * Returns (rate, channels, n_samples, silent_samples, sq_sum,
+      * peak_abs) — all exact integers (Σ s² of PCM16 fits a Long far
+      * beyond any real clip length). */
+    def energy(media: Array[Byte], silentBelow: Int): Option[(Long, Long, Long, Long, Long, Long)] =
+      parse(media).map { case (rate, channels, dataStart, n) =>
+        var silent = 0L; var sq = 0L; var peak = 0L
+        var j = 0
+        while (j < n) {
+          val s = getShort(media, dataStart + 2 * j).toShort.toInt
+          val a = math.abs(s)
+          if (a < silentBelow) silent += 1
+          sq += s.toLong * s
+          if (a > peak) peak = a
+          j += 1
+        }
+        (rate.toLong, channels.toLong, n.toLong, silent, sq, peak)
+      }
   }
 
   /** REAL decode path for a COMPRESSED image format (VERDICT r8 item 5):
@@ -668,6 +696,37 @@ object Multimodal {
       .mapPartitions(_.flatMap { r =>
         WavCodec.decode(r.media).map { case (rate, ch, n, amp) =>
           AudioMeta(r.doc_id, r.media.length.toLong, rate, ch, n, amp)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  final case class AudioEnergy(doc_id: Long, sample_rate: Long, n_samples: Long,
+                               silent_samples: Long, sq_sum: Long, peak_abs: Long)
+
+  /** AUDIO ENERGY / SILENCE GATE (m13) — the voice-activity statistics a
+    * speech-data pipeline computes before keeping a clip: per-sample
+    * squared energy (Σ s², the basis of RMS/loudness), a silence count
+    * under a fixed |amplitude| threshold (<10 of PCM16 full scale here),
+    * and the true peak. All three come from the REAL decoded samples
+    * ([[WavCodec.energy]]'s RIFF walk + signed little-endian PCM16 read)
+    * — a byte-order or sign bug shifts sq_sum/peak_abs and fails the
+    * oracle, which recomputes every field in closed form from
+    * octet_length (the (j%200)-100 sample pattern's Σ s² telescopes:
+    * 666700 per 200-sample period + a square-pyramid remainder).
+    *
+    * Integers only — no ratio column, so no cross-engine rounding
+    * surface; a consumer derives silence_ratio/RMS from the exact
+    * counts. Scale shape: per-row narrow decode, zero shuffles; the
+    * payload bytes stream through the scan once (m11's discipline). */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        WavCodec.energy(r.media, silentBelow = 10).map {
+          case (rate, _, n, silent, sq, peak) =>
+            AudioEnergy(r.doc_id, rate, n, silent, sq, peak)
         }
       })
       .toDF()

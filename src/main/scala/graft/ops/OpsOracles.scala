@@ -1792,6 +1792,49 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s28: nprobe recall/cost sweep — query cells rk ≤ nprobe per sweep
+    // point, candidates on their rk = 1 assignment; matched vs exact
+    // cosine top-3; cand_pairs counts the scored volume per setting.
+    "s28_nprobe_sweep" ->
+      s"""WITH $ivfRankedCte,
+        |assigned AS (SELECT vec_id, cell, v, norm FROM cellranked WHERE rk = 1),
+        |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        |probes AS (
+        |  SELECT np.nprobe, r.vec_id, r.cell, r.v, r.norm
+        |  FROM cellranked r CROSS JOIN np
+        |  WHERE r.vec_id < 10 AND r.rk <= np.nprobe),
+        |scored AS (
+        |  SELECT q.nprobe, q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(64), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS cosine
+        |  FROM probes q JOIN assigned c
+        |    ON q.cell = c.cell AND c.vec_id >= 10),
+        |appr AS (SELECT nprobe, query_id, cand_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+        |      ORDER BY cosine DESC, cand_id ASC) AS rnk FROM scored)
+        |  WHERE rnk <= 3),
+        |cc AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS cand_pairs
+        |  FROM scored GROUP BY nprobe),
+        |exact AS (SELECT query_id, cand_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(64), i -> q.v[i+1] * c.v[i+1]))
+        |              / (q.norm * c.norm), 6) DESC, c.vec_id ASC) AS rk
+        |    FROM n q CROSS JOIN n c
+        |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |  WHERE rk <= 3),
+        |m AS (
+        |  SELECT a.nprobe,
+        |    CAST(count(DISTINCT a.query_id) AS BIGINT) AS n_queries,
+        |    CAST(count(e.cand_id) AS BIGINT) AS matched
+        |  FROM appr a LEFT JOIN exact e
+        |    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+        |  GROUP BY a.nprobe)
+        |SELECT CAST(m.nprobe AS INT) AS nprobe, n_queries, cand_pairs, matched,
+        |  round(matched / (n_queries * 3.0), 4) AS recall
+        |FROM m JOIN cc ON m.nprobe = cc.nprobe
+        |ORDER BY nprobe""".stripMargin,
+
     // d13: label-free near-dup — d06's shape with the pair join celled on
     // the trained rk = 1 assignment instead of the given label.
     "d13_neardup_cells" ->
@@ -3086,6 +3129,31 @@ object OpsOracles {
         |    END AS BIGINT) AS amp_sum
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // m13: audio energy/silence over the REAL decoded PCM16 samples —
+    // closed forms from octet_length: Σ s² telescopes (666700 per
+    // 200-sample period + square-pyramid remainder S(x)=x(x+1)(2x+1)/6),
+    // silence (|s|<10 → j%200 ∈ [91,109]) is 19 per period + a clamp,
+    // peak is 100 whenever any sample exists (j=0 → -100).
+    "m13_audio_energy" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+        |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 64),
+        |d AS (
+        |  SELECT doc_id, CAST(8000 + L % 4000 AS BIGINT) AS sample_rate,
+        |    (L - 44) // 2 AS n
+        |  FROM b),
+        |e AS (SELECT doc_id, sample_rate, n, n // 200 AS f, n % 200 AS r FROM d)
+        |SELECT doc_id, sample_rate, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(f * 19 + LEAST(GREATEST(r - 91, 0), 19) AS BIGINT)
+        |    AS silent_samples,
+        |  CAST(f * 666700 +
+        |    CASE WHEN r <= 100
+        |      THEN 338350 - (100 - r) * (101 - r) * (201 - 2 * r) // 6
+        |      ELSE 338350 + (r - 101) * (r - 100) * (2 * r - 201) // 6
+        |    END AS BIGINT) AS sq_sum,
+        |  CAST(CASE WHEN n > 0 THEN 100 ELSE 0 END AS BIGINT) AS peak_abs
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     // m12: real-decode image stats — BMP (doc_id%3=0, L≥200) and PNG
     // (doc_id%3=2, L≥280) rows only; dims and pixel sum in closed form
     // (pixel byte j ≡ j%16 in both formats); px_mean is one IEEE divide
@@ -3828,6 +3896,34 @@ object OpsOracles {
         |  max_by(doc_id, okey) AS last_doc,
         |  CAST(sum(position * (doc_id % 1000003)) AS BIGINT) AS perm_fp
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // t47: C4-style corpus-level boilerplate strip — 3-token chunks,
+    // chunks in ≥3 distinct docs stripped everywhere, per-doc md5 of the
+    // order-preserved surviving text. list_slice is 1-based inclusive
+    // (mirrors Spark's 1-based slice(arr, start, len)).
+    "t47_boilerplate_strip" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+        |dn AS (SELECT doc_id, ts,
+        |         CAST(ceil(len(ts) / 3.0) AS INT) AS n_chunks FROM toks),
+        |idx AS (SELECT doc_id, ts,
+        |          unnest(range(CAST(n_chunks AS BIGINT))) AS cpos FROM dn),
+        |chunks AS (SELECT doc_id, CAST(cpos AS INT) AS cpos,
+        |    array_to_string(list_slice(ts, cpos*3 + 1, cpos*3 + 3), ' ') AS chunk
+        |  FROM idx),
+        |bp AS (SELECT chunk FROM chunks
+        |       GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_chunks,
+        |    string_agg(chunk, ' ' ORDER BY cpos) AS kept_text
+        |  FROM chunks ANTI JOIN bp USING (chunk) GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_chunks,
+        |  CAST(COALESCE(k.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+        |  CAST(d.n_chunks - COALESCE(k.kept_chunks, 0) AS BIGINT) AS removed_chunks,
+        |  md5(COALESCE(k.kept_text, '')) AS kept_fp,
+        |  CAST(length(COALESCE(k.kept_text, '')) AS INT) AS kept_chars,
+        |  round((d.n_chunks - COALESCE(k.kept_chunks, 0))
+        |    / CAST(d.n_chunks AS DOUBLE), 6) AS removed_pct
+        |FROM dn d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t44_cdc_chunks" -> {
       val decode = (0 until 8).map { i =>

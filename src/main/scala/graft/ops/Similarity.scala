@@ -556,6 +556,74 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** NPROBE TUNING SWEEP (s28) — the recall/cost CURVE the s14 single
+    * point sits on: run the trained-IVF search at several nprobe
+    * settings in ONE pass and report, per setting, the recall@k against
+    * exact ground truth AND the candidate volume paid for it. This is
+    * the table an index operator actually reads before fixing nprobe in
+    * production — recall alone (s14) says nothing about cost, and cost
+    * alone says nothing about what the extra probes bought.
+    *
+    * Plan shape: the sweep multiplies only the QUERY side — the ranked
+    * query cells (broadcast-sized by definition) explode across the
+    * sweep literals and keep rk ≤ nprobe, so ALL sweep points share one
+    * broadcast join against the corpus-side rk=1 assignment (read from
+    * the session memo). The corpus is scanned once for the whole curve,
+    * not once per setting; candidate volume per setting is counted from
+    * the same scored frame the ranking reads. Ground truth is one
+    * brute-force pass (s14's discipline: pay exactness once, on the
+    * slice you can afford, to calibrate the cheap path).
+    *
+    * `recall` = matched/(n_queries·k): with k=3 the divisor's only prime
+    * factors are 2·3·5, so the quotient either terminates well before
+    * 4dp or repeats in 3s/6s — no decimal half-boundary, both engines
+    * round identically. */
+  def nprobeSweep(spark: SparkSession, dir: String, k: Int = 3,
+                  probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val c = trainedAssignment(spark, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        col("v").as("cv2"), col("norm").as("cnorm"))
+    val q = cellRanked(spark, dir)
+      .filter(col("vec_id") < 10)
+      .withColumn("nprobe", explode(array(probes.map(lit): _*)))
+      .filter(col("rk") <= col("nprobe"))
+      .select(col("nprobe"), col("vec_id").as("query_id"), col("cell"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("qnorm") * col("cnorm")), 6))
+    val candCounts = scored.groupBy("nprobe").agg(count(lit(1)).as("cand_pairs"))
+    val rankW = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    val appr = scored.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select("nprobe", "query_id", "cand_id")
+    val n = vectors(spark, dir)
+    val exactW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    val exact = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .crossJoin(n.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv2"), col("norm").as("cnorm")))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(exactW))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+    appr.join(exact, Seq("query_id", "cand_id"), "left")
+      .groupBy("nprobe")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("matched"))
+      .join(candCounts, Seq("nprobe"))
+      .withColumn("recall",
+        round(col("matched") / (col("n_queries") * k).cast("double"), 4))
+      .select("nprobe", "n_queries", "cand_pairs", "matched", "recall")
+      .orderBy("nprobe")
+  }
+
   /** Signed-random-projection (SRP) hyperplane weights: w(plane, dim) =
     * the first 4 md5 hex chars of "srp|plane|dim" decoded to an integer,
     * centered on zero (range [-32768, 32767]). A pure function of nothing

@@ -1779,4 +1779,80 @@ object TextAnalysis {
 
   def trainingOrder(spark: SparkSession, dir: String): DataFrame =
     trainingOrderOf(Tables.documents(spark, dir), 8)
+
+  /** CORPUS-LEVEL BOILERPLATE STRIP (t47) — the C4/RefinedWeb cleanup
+    * grain no doc-level dedup catches: a chunk of text (nav bars, cookie
+    * banners, license headers) that repeats across MANY documents is
+    * boilerplate even though each host document is unique. The published
+    * recipe (C4's "three-sentence" rule) is: count every chunk across
+    * the whole corpus, mark chunks appearing in ≥ `minDocs` distinct
+    * documents, and strip them from every document — a GLOBAL count, not
+    * a per-doc one, which is exactly what makes it a distributed-engine
+    * problem.
+    *
+    * Grain here = `span`-token windows (the synthetic corpus has no
+    * newlines/sentence marks; real deployments swap the chunker for
+    * line/sentence splits — the plan shape is identical). Plan:
+    *   1. explode docs → (doc, cpos, chunk): narrow, O(corpus tokens);
+    *   2. boilerplate set: groupBy(chunk).countDistinct(doc) ≥ minDocs —
+    *      ONE chunk-keyed exchange with partial aggregation;
+    *   3. left_anti join chunks against the set on the SAME chunk key
+    *      (AQE reuses the partitioning; the bp side is the post-filter
+    *      survivors only), then re-assemble per doc: collect_list of
+    *      (cpos, chunk) structs, array_sort, join — order restored
+    *      without a window.
+    * At 100 TB step 2's exact count can be swapped for a frequent-items
+    * sketch broadcast (t29's CMS) — the contract (which chunks die) is
+    * the only thing that changes engine-side.
+    *
+    * The per-doc `kept_fp` (md5 of the re-assembled text) pins the FULL
+    * surviving content and its order, so the oracle verifies the strip
+    * byte-for-byte, not just the counts. `removed_pct` is one int/int
+    * IEEE divide rounded 6dp — denominators ≤ ~34 chunks cannot produce
+    * a decimal half-boundary at 6dp (that needs a 2^7·5^k denominator),
+    * so both engines round identically. */
+  def boilerplateStripOf(docs: DataFrame, span: Int, minDocs: Int): DataFrame = {
+    val docChunks = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_chunks",
+        ceil(size(col("toks")) / lit(span.toDouble)).cast("int"))
+    val chunks = docChunks
+      .withColumn("cpos",
+        explode(when(col("n_chunks") > 0, sequence(lit(0), col("n_chunks") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(
+        col("doc_id"), col("cpos"),
+        concat_ws(" ", slice(col("toks"), col("cpos") * span + 1, lit(span))).as("chunk"))
+    val bp = chunks
+      .groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("d"))
+      .filter(col("d") >= minDocs)
+      .select("chunk")
+    val kept = chunks
+      .join(bp, Seq("chunk"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("kept_chunks"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("cpos"), col("chunk")))),
+            x => x.getField("chunk")),
+          " ").as("kept_text"))
+    docChunks.select("doc_id", "n_chunks")
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        (col("n_chunks").cast("long") - coalesce(col("kept_chunks"), lit(0L)))
+          .as("removed_chunks"),
+        md5(coalesce(col("kept_text"), lit(""))).as("kept_fp"),
+        length(coalesce(col("kept_text"), lit(""))).as("kept_chars"),
+        round((col("n_chunks").cast("long") - coalesce(col("kept_chunks"), lit(0L)))
+          / col("n_chunks").cast("double"), 6).as("removed_pct"))
+      .orderBy("doc_id")
+  }
+
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStripOf(Tables.documents(spark, dir), span = 3, minDocs = 3)
 }

@@ -2047,6 +2047,73 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 === s2.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
   }
 
+  test("t47 boilerplate strip ≡ brute-force corpus chunk-count recompute") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def chunksOf(text: String): Seq[String] =
+      text.split(" ", -1).grouped(3).map(_.mkString(" ")).toSeq
+    val all = docs.flatMap { case (id, t) =>
+      chunksOf(t).zipWithIndex.map { case (c, i) => (id, i, c) }
+    }
+    val bp = all.groupBy(_._3).filter(_._2.map(_._1).distinct.length >= 3).keySet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.map { case (id, t) =>
+      val cs = chunksOf(t)
+      val keptCs = cs.filterNot(bp.contains)
+      id -> (cs.length.toLong, keptCs.length.toLong,
+        md5hex(keptCs.mkString(" ")))
+    }.toMap
+    val got = TextAnalysis.boilerplateStrip(spark, dir).collect().map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Int]("n_chunks").toLong,
+        r.getAs[Long]("kept_chunks"), r.getAs[String]("kept_fp"))
+    }.toMap
+    assert(got === expected)
+    // the threshold bites on this corpus: something removed, something kept
+    assert(expected.values.exists { case (n, k, _) => k < n })
+    assert(expected.values.exists { case (_, k, _) => k > 0 })
+  }
+
+  test("t47 strips a shared chunk everywhere, keeps unique content in order") {
+    val s = spark; import s.implicits._
+    val banner = "cookie notice accepted"
+    // 3 docs share the same 3-token banner at DIFFERENT positions; doc 4
+    // does not. Unique payloads must survive, in original order.
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma"),
+      (2L, s"alpha beta gamma $banner"),
+      (3L, s"delta eps zeta $banner omega one two"),
+      (4L, "uniq only here delta eps zeta")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStripOf(docs, span = 3, minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("kept_chunks"), r.getAs[Long]("removed_chunks")))
+      .toMap
+    // the banner chunk is exactly ["cookie","notice","accepted"] only when
+    // aligned on a 3-token boundary: docs 1 and 2 and 3 all align it
+    assert(out(1L) === ((1L, 1L)))
+    assert(out(2L) === ((1L, 1L)))
+    assert(out(3L) === ((2L, 1L)))
+    assert(out(4L) === ((2L, 0L)))
+  }
+
+  test("s28 sweep: recall climbs with nprobe, exhaustive probing is exact") {
+    val sweep = Similarity.nprobeSweep(spark, dir).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("cand_pairs"),
+        r.getAs[Double]("recall"))).sortBy(_._1)
+    assert(sweep.map(_._1).toSeq === Seq(1, 2, 4))
+    // cost strictly grows with probes; recall never degrades
+    assert(sweep.sliding(2).forall { case Array(a, b) => b._2 > a._2 })
+    assert(sweep.sliding(2).forall { case Array(a, b) => b._3 >= a._3 })
+    // probing every cell IS the exact search — recall must be 1 by
+    // construction (same (cosine, cand_id) ranking as the ground truth)
+    val full = Similarity.nprobeSweep(spark, dir, probes = Seq(1000)).collect()
+    assert(full.length === 1)
+    assert(full(0).getAs[Double]("recall") === 1.0)
+  }
+
   test("s27 on testdata: rank-1 is the brute-force top-1 and marginal " +
        "scores are non-increasing") {
     val knn1 = Similarity.knnBrute(spark, dir).collect()

@@ -98,6 +98,49 @@ class WavCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("energy stats decode real samples: silence threshold, Σ s², peak") {
+    // hand-built WAV with samples the closed form knows nothing about:
+    // 1000, -2000, -32768, 9, -9, 10 → silent(|s|<10) = 2, peak = 32768
+    val samples = Seq(1000, -2000, -32768, 9, -9, 10)
+    val len = 44 + 2 * samples.length
+    val buf = new Array[Byte](len)
+    tag(buf, 0, "RIFF"); put32(buf, 4, len - 8); tag(buf, 8, "WAVE")
+    tag(buf, 12, "fmt "); put32(buf, 16, 16)
+    put16(buf, 20, 1); put16(buf, 22, 1); put32(buf, 24, 16000)
+    put32(buf, 28, 16000 * 2); put16(buf, 32, 2); put16(buf, 34, 16)
+    tag(buf, 36, "data"); put32(buf, 40, 2 * samples.length)
+    samples.zipWithIndex.foreach { case (s, j) => put16(buf, 44 + 2 * j, s & 0xFFFF) }
+    val Some((rate, ch, n, silent, sq, peak)) = WavCodec.energy(buf, 10)
+    assert(rate === 16000L && ch === 1L && n === samples.length.toLong)
+    assert(silent === samples.count(s => math.abs(s) < 10).toLong)
+    assert(sq === samples.map(s => s.toLong * s).sum)
+    assert(peak === 32768L)
+  }
+
+  test("property: energy on synthesized payloads ≡ brute per-sample AND " +
+       "the oracle's telescoped closed forms") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sqPyramid(x: Long): Long = x * (x + 1) * (2 * x + 1) / 6
+    val generated = Gen.listOfN(150, Gen.choose(64, 6000))
+      .apply(Gen.Parameters.default, Seed(13L)).get
+    (generated ++ Seq(64, 226, 244, 245, 262, 263, 444, 644)).foreach { len =>
+      val p = WavCodec.synthesize(len)
+      val Some((_, _, n, silent, sq, peak)) = WavCodec.energy(p, 10)
+      val pat = (0L until n).map(j => (j % 200) - 100)
+      assert(silent === pat.count(s => math.abs(s) < 10).toLong, s"len=$len")
+      assert(sq === pat.map(s => s * s).sum, s"len=$len")
+      assert(peak === (if (n > 0) 100L else 0L), s"len=$len")
+      // the m13 oracle's closed forms
+      val (f, r) = (n / 200, n % 200)
+      assert(silent === f * 19 + math.max(0L, math.min(r, 110) - 91), s"len=$len")
+      val rem =
+        if (r <= 100) 338350L - sqPyramid(100 - r)
+        else 338350L + sqPyramid(r - 101)
+      assert(sq === f * 666700L + rem, s"len=$len")
+    }
+  }
+
   test("non-WAV and non-PCM16 payloads are rejected") {
     assert(WavCodec.decode("RIFFxxxxWAVE but then garbage".getBytes("UTF-8")).isEmpty)
     assert(WavCodec.decode("plain text, no RIFF header here at all ok"
