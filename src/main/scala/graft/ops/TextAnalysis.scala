@@ -1796,11 +1796,11 @@ object TextAnalysis {
     *   1. explode docs → (doc, cpos, chunk): narrow, O(corpus tokens);
     *   2. boilerplate set: groupBy(chunk).countDistinct(doc) ≥ minDocs —
     *      ONE chunk-keyed exchange with partial aggregation;
-    *   3. left_anti join chunks against the set on the SAME chunk key
-    *      (AQE reuses the partitioning; the bp side is the post-filter
-    *      survivors only), then re-assemble per doc: collect_list of
-    *      (cpos, chunk) structs, array_sort, join — order restored
-    *      without a window.
+    *   3. flag-join chunks against the set on the SAME chunk key (the
+    *      bp side is the post-filter survivors only), then ONE doc-grain
+    *      aggregate computes totals and the strip together: collect_list
+    *      skips the nulled boilerplate entries, array_sort restores
+    *      chunk order without a window.
     * At 100 TB step 2's exact count can be swapped for a frequent-items
     * sketch broadcast (t29's CMS) — the contract (which chunks die) is
     * the only thing that changes engine-side.
@@ -1828,27 +1828,32 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("d"))
       .filter(col("d") >= minDocs)
       .select("chunk")
-    val kept = chunks
-      .join(bp, Seq("chunk"), "left_anti")
+    // ONE doc-grain aggregate does totals AND the strip: chunks carry a
+    // boilerplate flag from a left join (same chunk-keyed partitioning as
+    // the bp aggregate), collect_list skips the nulled boilerplate
+    // entries, so no separate per-doc totals scan or re-join is needed —
+    // two corpus passes total (the global count, then the strip), which
+    // is this operator's floor.
+    chunks
+      .join(bp.withColumn("is_bp", lit(1)), Seq("chunk"), "left")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("kept_chunks"),
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("is_bp").isNull, 1L).otherwise(0L)).as("kept_chunks"),
         array_join(
           transform(
-            array_sort(collect_list(struct(col("cpos"), col("chunk")))),
+            array_sort(collect_list(
+              when(col("is_bp").isNull, struct(col("cpos"), col("chunk"))))),
             x => x.getField("chunk")),
           " ").as("kept_text"))
-    docChunks.select("doc_id", "n_chunks")
-      .join(kept, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("n_chunks"),
-        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
-        (col("n_chunks").cast("long") - coalesce(col("kept_chunks"), lit(0L)))
-          .as("removed_chunks"),
-        md5(coalesce(col("kept_text"), lit(""))).as("kept_fp"),
-        length(coalesce(col("kept_text"), lit(""))).as("kept_chars"),
-        round((col("n_chunks").cast("long") - coalesce(col("kept_chunks"), lit(0L)))
+        col("kept_chunks"),
+        (col("n_chunks").cast("long") - col("kept_chunks")).as("removed_chunks"),
+        md5(col("kept_text")).as("kept_fp"),
+        length(col("kept_text")).as("kept_chars"),
+        round((col("n_chunks").cast("long") - col("kept_chunks"))
           / col("n_chunks").cast("double"), 6).as("removed_pct"))
       .orderBy("doc_id")
   }

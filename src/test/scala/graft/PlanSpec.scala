@@ -575,4 +575,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans === 1, s"expected one documents scan, got $scans")
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
   }
+
+  test("m13_audio_energy: narrow per-sample pass, m11's zero-shuffle shape") {
+    val p = plan("m13_audio_energy")
+    val scans = fileScans("m13_audio_energy").count(_.contains("documents"))
+    assert(scans === 1, s"expected one documents scan, got $scans")
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
+  test("t47_boilerplate_strip: two corpus passes (global count + strip), " +
+       "no third scan for the per-doc totals") {
+    // the flag-join + single doc-grain aggregate folds totals into the
+    // strip pass; a refactor that re-derives totals from the raw corpus
+    // (or re-joins the doc grain) shows up as a third documents scan
+    val scans = fileScans("t47_boilerplate_strip").count(_.contains("documents"))
+    assert(scans <= 2, s"expected <=2 documents scans, got $scans")
+    // no cartesian anywhere — candidate generation is the chunk-keyed join
+    val p = plan("t47_boilerplate_strip")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("s28_nprobe_sweep: the sweep multiplies only the broadcast query " +
+       "side — the corpus-side assignment joins by broadcast hash, once " +
+       "for the whole curve") {
+    val p = plan("s28_nprobe_sweep")
+    // approx side: query probes broadcast onto the cell-keyed candidates
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // a per-setting corpus pass would show as extra InMemoryTableScans of
+    // the memoized assignment (one for scoring, one for cand counts, one
+    // ground-truth-side read is NOT from the memo) — allow the two
+    // declared readers only
+    assert("InMemoryTableScan".r.findAllIn(p).size <= 2, p.take(3000))
+  }
 }
