@@ -202,6 +202,7 @@ object SparkEntry {
     "t45_data_card"          -> (TextAnalysis.dataCard _),
     "t46_training_order"     -> (TextAnalysis.trainingOrder _),
     "t47_boilerplate_strip"  -> (TextAnalysis.boilerplateStrip _),
+    "t48_dsir_weights"       -> (TextAnalysis.dsirWeights _),
     "q48_session_depth"      -> (Relational.q48SessionDepth _),
     "q49_rfm_segments"       -> (Relational.q49RfmSegments _),
     "q50_event_transitions"  -> (Relational.q50EventTransitions _),
@@ -231,6 +232,8 @@ object SparkEntry {
     "s27_mmr_rerank"         -> (graft.ops.Similarity.mmrRerank _),
     "s28_nprobe_sweep"       -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.nprobeSweep(s, d)),
+    "d29_semdedup"           -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.semDedup(s, d)),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "m13_audio_energy"       -> (graft.ops.Multimodal.audioEnergy _),

@@ -1835,6 +1835,44 @@ object OpsOracles {
         |FROM m JOIN cc ON m.nprobe = cc.nprobe
         |ORDER BY nprobe""".stripMargin,
 
+    // d29: SemDeDup — celled θ-graph (cosine ≥ 0.3), transitive
+    // components via reachability closure (pair graph is duplicate-sized;
+    // multiply-referenced CTEs MATERIALIZED against recursive re-inline),
+    // keeper = argmin cosine-to-own-centroid per family.
+    "d29_semdedup" ->
+      s"""WITH RECURSIVE $ivfRankedCte,
+        |assigned AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, norm FROM cellranked WHERE rk = 1),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(64),
+        |      i -> a.v[i+1] * b.v[i+1])) / (a.norm * b.norm), 6) >= 0.3),
+        |bi AS MATERIALIZED (
+        |  SELECT d1 AS a, d2 AS b FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(doc_id, node) AS (
+        |  SELECT DISTINCT a, a FROM bi
+        |  UNION
+        |  SELECT w.doc_id, e.b FROM walk w JOIN bi e ON w.node = e.a),
+        |comps AS (SELECT doc_id, min(node) AS cluster_id FROM walk
+        |  GROUP BY doc_id),
+        |mem AS (
+        |  SELECT c.doc_id AS vec_id, s.cell, c.cluster_id,
+        |    round(list_sum(list_transform(range(64),
+        |        i -> s.v[i+1] * ct.cv[i+1]))
+        |      / (s.norm * sqrt(list_sum(list_transform(ct.cv, x -> x * x)))),
+        |      6) AS cos2c
+        |  FROM comps c
+        |  JOIN assigned s ON c.doc_id = s.vec_id
+        |  JOIN cent ct ON s.cell = ct.cell)
+        |SELECT vec_id, cell, cluster_id, cos2c,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY cos2c ASC, vec_id ASC) = 1 THEN 1 ELSE 0 END AS INT)
+        |    AS keep
+        |FROM mem ORDER BY vec_id""".stripMargin,
+
     // d13: label-free near-dup — d06's shape with the pair join celled on
     // the trained rk = 1 assignment instead of the given label.
     "d13_neardup_cells" ->
@@ -3924,6 +3962,47 @@ object OpsOracles {
         |    / CAST(d.n_chunks AS DOUBLE), 6) AS removed_pct
         |FROM dn d LEFT JOIN kept k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // t48: DSIR importance weights — hashed-bigram (mod 256) bag models
+    // for target (lang='en') vs raw; per-bucket log-ratio of add-one
+    // smoothed rates as ONE ln of an exact-integer ratio rounded 6dp;
+    // per-doc Σ n_b·lr as exact DECIMAL. List indexing is 1-based.
+    "t48_dsir_weights" -> {
+      val decode = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', m[${i + 1}]) - 1) * CAST($mult AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, str_split(text, ' ') AS ts FROM documents),
+        |bg0 AS (
+        |  SELECT doc_id, lang, ts,
+        |    unnest(range(CAST(len(ts) - 1 AS BIGINT))) AS i
+        |  FROM t WHERE len(ts) >= 2),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    md5(ts[CAST(i + 1 AS BIGINT)] || ' ' || ts[CAST(i + 2 AS BIGINT)]) AS m
+        |  FROM bg0),
+        |pdb AS (
+        |  SELECT doc_id, lang, CAST(($decode) % 256 AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY 1, 2, 3),
+        |cr AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM pdb GROUP BY b),
+        |ct AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM pdb
+        |       WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS rtot,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS ttot
+        |  FROM pdb),
+        |lr AS (
+        |  SELECT cr.b,
+        |    round(ln(((COALESCE(ct.ct, 0) + 1) * (tot.rtot + 256))
+        |      / ((cr.cr + 1) * (tot.ttot + 256))), 6) AS lr
+        |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot)
+        |SELECT doc_id, lang,
+        |  CAST(round(sum(n * CAST(lr AS DECIMAL(18,6))), 4) AS DOUBLE) AS weight
+        |FROM pdb JOIN lr USING (b)
+        |GROUP BY doc_id, lang
+        |ORDER BY doc_id""".stripMargin
+    },
 
     "t44_cdc_chunks" -> {
       val decode = (0 until 8).map { i =>

@@ -275,7 +275,7 @@ object Similarity {
     spark.read.parquet(dest.toString)
   }
 
-  private def centroidVectors(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def centroidVectors(spark: SparkSession, dir: String): DataFrame =
     diskMemo(spark, dir, "cents") {
       localized(labelCentroids(spark, dir)
         .groupBy(col("label").as("cell"))
@@ -554,6 +554,55 @@ object Similarity {
       .agg(sum(coalesce(col("hit"), lit(0))).as("matches"))
       .withColumn("recall", round(col("matches").cast("double") / k, 4))
       .orderBy("query_id")
+  }
+
+  /** SEMDEDUP (d29) — semantic deduplication exactly as published
+    * (Abbas et al. 2023): cluster the corpus with the coarse quantizer,
+    * call two documents semantic duplicates when their embedding cosine
+    * within a cluster clears θ, group duplicates transitively, and KEEP
+    * THE MEMBER LEAST LIKE ITS CLUSTER CENTROID — the paper's
+    * counterintuitive keeper rule (the far-from-centroid member carries
+    * the most marginal information; the near-centroid copies are what
+    * the cluster already says). This is the embedding-space analogue of
+    * d16+d28: same transitive-family semantics, but similarity is
+    * semantic, not lexical, so paraphrases and translations fall in.
+    *
+    * Compose, don't rebuild: cells come from the memoized
+    * [[trainedAssignment]] (the s06/s07/d13 artifact), the θ-graph is
+    * the d13 celled pair join with a threshold instead of a top-k, the
+    * components are [[Dedup.dedupClustersOf]]'s min-label propagation
+    * (one edge join + aggregate per round, lazy-checkpointed lineage),
+    * and the keeper argmin is one partitioned rank over family-sized
+    * groups. Scale: pair volume is celled (never corpus-quadratic), the
+    * component loop runs on the pair graph only (duplicate-sized, a
+    * tiny fraction of the corpus), and the centroid LUT broadcasts. */
+  def semDedup(spark: SparkSession, dir: String, theta: Double = 0.3): DataFrame = {
+    val assigned = trainedAssignment(spark, dir)
+    val a = assigned.select(col("vec_id").as("d1"), col("cell"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("vec_id").as("d2"), col("cell"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= theta)
+      .select("d1", "d2")
+    val comps = Dedup.dedupClustersOf(pairs)
+    val members = comps
+      .join(assigned.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .join(broadcast(centroidVectors(spark, dir)), Seq("cell"))
+      .withColumn("cdot",
+        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cnorm", expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("cos2c", round(col("cdot") / (col("norm") * col("cnorm")), 6))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("cos2c").asc, col("doc_id").asc)
+    members.withColumn("rk", row_number().over(w))
+      .select(col("doc_id").as("vec_id"), col("cell"), col("cluster_id"),
+        col("cos2c"), (col("rk") === 1).cast("int").as("keep"))
+      .orderBy("vec_id")
   }
 
   /** NPROBE TUNING SWEEP (s28) — the recall/cost CURVE the s14 single

@@ -1860,4 +1860,63 @@ object TextAnalysis {
 
   def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
     boilerplateStripOf(Tables.documents(spark, dir), span = 3, minDocs = 3)
+
+  /** DSIR IMPORTANCE WEIGHTS (t48) — Data Selection via Importance
+    * Resampling (Xie et al. 2023), the published recipe for skewing a
+    * raw crawl toward a target distribution WITHOUT a learned
+    * classifier: featurize every document into hashed n-gram buckets,
+    * fit two bag-of-buckets models (target vs raw), and weight each
+    * document by its log likelihood ratio Σ_b n_b·ln(p_tgt(b)/p_raw(b)).
+    * Target here = the English slice (the "match this distribution"
+    * role); features = hashed BIGRAMS mod 256 (the paper's hashed
+    * n-gram featurization — collisions are part of the method, they
+    * regularize exactly like a hashing vectorizer).
+    *
+    * Everything is exact integer counting until the very end: bucket
+    * counts are plain aggregates; both totals ride one broadcast row;
+    * each bucket's log-ratio is ONE ln of a ratio of exact integers
+    * (products < 2^53, so the double argument is identical cross-engine)
+    * rounded to 6dp; per-doc weights sum n_b·lr as exact DECIMAL (t19
+    * discipline — no float accumulation anywhere). Plan: one narrow
+    * bigram explode, one (doc, bucket) aggregate, bucket-grain (≤256
+    * rows) model frames that BROADCAST back onto the doc-grain counts —
+    * the corpus never shuffles on anything wider than (doc_id, bucket).
+    * At 100 TB this is the same three-aggregate shape, with the model
+    * frames still 256 rows. */
+  def dsirWeightsOf(docs: DataFrame, nBuckets: Int = 256): DataFrame = {
+    val decode = (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * cast($mult as bigint)"
+    }.mkString(" + ")
+    val perDocB = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("g", explode(when(size(col("toks")) >= 2,
+        expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .otherwise(array().cast("array<string>"))))
+      .withColumn("m", md5(col("g")))
+      .withColumn("b", (expr(decode) % nBuckets).cast("int"))
+      .groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("n"))
+    val rawC = perDocB.groupBy("b").agg(sum("n").as("cr"))
+    val tgtC = perDocB.filter(col("lang") === "en")
+      .groupBy("b").agg(sum("n").as("ct"))
+    val totals = perDocB.agg(
+      sum("n").as("rtot"),
+      sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("ttot"))
+    val lr = rawC.join(tgtC, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr", round(log(
+        ((col("ct") + 1) * (col("rtot") + nBuckets)) /
+          ((col("cr") + 1) * (col("ttot") + nBuckets))), 6))
+      .select("b", "lr")
+    perDocB.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(round(sum(col("n") * col("lr").cast("decimal(18,6)")), 4)
+        .cast("double").as("weight"))
+      .orderBy("doc_id")
+  }
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(Tables.documents(spark, dir))
 }

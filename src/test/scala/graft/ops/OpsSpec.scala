@@ -2114,6 +2114,109 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full(0).getAs[Double]("recall") === 1.0)
   }
 
+  test("t48 DSIR weights ≡ brute-force hashed-bigram model recompute, " +
+       "and the target slice scores above the rest") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hexVal = "0123456789abcdef"
+    def bucket(g: String): Int = {
+      val m = md5hex(g)
+      val h = (0 until 8).map(i =>
+        hexVal.indexOf(m(i)).toLong << (4 * (7 - i))).sum
+      (h % 256).toInt
+    }
+    val perDoc = docs.map { case (id, lang, text) =>
+      val toks = text.split(" ", -1)
+      val bs = toks.sliding(2).filter(_.length == 2)
+        .map(p => bucket(p.mkString(" "))).toSeq
+      (id, lang, bs.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong })
+    }
+    val cr = perDoc.flatMap(_._3).groupBy(_._1)
+      .map { case (b, xs) => b -> xs.map(_._2).sum }
+    val ct = perDoc.filter(_._2 == "en").flatMap(_._3).groupBy(_._1)
+      .map { case (b, xs) => b -> xs.map(_._2).sum }
+    val rtot = cr.values.sum; val ttot = ct.values.sum
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    val lr = cr.map { case (b, c) =>
+      b -> r6(math.log(((ct.getOrElse(b, 0L) + 1).toDouble * (rtot + 256)) /
+        ((c + 1).toDouble * (ttot + 256))))
+    }
+    val expected = perDoc.map { case (id, lang, bs) =>
+      val w = bs.map { case (b, n) =>
+        lr(b).multiply(java.math.BigDecimal.valueOf(n))
+      }.reduce(_ add _).setScale(4, java.math.RoundingMode.HALF_UP)
+      id -> w.doubleValue()
+    }.toMap
+    val got = TextAnalysis.dsirWeights(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+    assert(got === expected)
+    // separation: the target slice must average above the rest
+    val byLang = docs.map { case (id, lang, _) => (lang, got(id)) }
+    val en = byLang.filter(_._1 == "en").map(_._2)
+    val rest = byLang.filterNot(_._1 == "en").map(_._2)
+    assert(en.sum / en.length > rest.sum / rest.length,
+      "en docs must outscore the rest under an en-target model")
+  }
+
+  test("d29 SemDeDup ≡ brute-force θ-graph components with the " +
+       "far-from-centroid keeper rule") {
+    val assigned = Similarity.trainedAssignment(spark, dir)
+      .select("vec_id", "cell", "v", "norm").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // brute θ-graph within cells
+    val pairs = for {
+      i <- assigned.indices; j <- (i + 1) until assigned.length
+      (id1, c1, v1, n1) = assigned(i); (id2, c2, v2, n2) = assigned(j)
+      if c1 == c2
+      cos = r6(v1.zip(v2).map { case (x, y) => x * y }.sum / (n1 * n2))
+      if cos >= 0.3
+    } yield if (id1 < id2) (id1, id2) else (id2, id1)
+    // min-label components to fixpoint
+    var label = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> x).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      pairs.foreach { case (a, b) =>
+        val m = math.min(label(a), label(b))
+        if (label(a) != m) { label += a -> m; changed = true }
+        if (label(b) != m) { label += b -> m; changed = true }
+      }
+    }
+    val cents = Similarity.centroidVectors(spark, dir)
+      .select("cell", "cv").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val byId = assigned.map(a => a._1 -> a).toMap
+    val expected = label.map { case (id, lab) =>
+      val (_, cell, v, n) = byId(id)
+      val cv = cents(cell)
+      val cos2c = r6(v.zip(cv).map { case (x, y) => x * y }.sum /
+        (n * math.sqrt(cv.map(x => x * x).sum)))
+      id -> (lab, cos2c)
+    }
+    val keepers = expected.groupBy(_._2._1).map { case (lab, ms) =>
+      lab -> ms.toSeq.map { case (id, (_, c)) => (c, id) }.min._2
+    }
+    val got = Similarity.semDedup(spark, dir).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Double]("cos2c"),
+          r.getAs[Int]("keep"))
+    }.toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap === expected)
+    got.foreach { case (id, (lab, _, keep)) =>
+      assert((keep == 1) === (keepers(lab) == id),
+        s"vec $id keeper flag disagrees with the argmin rule")
+    }
+  }
+
   test("s27 on testdata: rank-1 is the brute-force top-1 and marginal " +
        "scores are non-increasing") {
     val knn1 = Similarity.knnBrute(spark, dir).collect()
