@@ -225,6 +225,8 @@ object SparkEntry {
     "g08_kcore"              -> (graft.ops.GraphRank.kcore _),
     "g09_lpa_communities"    -> (graft.ops.GraphRank.lpaCommunities _),
     "g10_local_clustering"   -> (graft.ops.GraphRank.localClustering _),
+    "g11_random_walks"       -> ((s: SparkSession, d: String) =>
+      graft.ops.GraphRank.randomWalks(s, d)),
     "s25_truncated_ann"      -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.truncatedAnn(s, d)),
     "s26_range_search"       -> ((s: SparkSession, d: String) =>

@@ -729,4 +729,55 @@ object GraphRank {
 
   def lpaCommunities(spark: SparkSession, dir: String): DataFrame =
     lpaCommunitiesOf(lpaSelfEdges(spark, dir), LpaRounds)
+
+  /** DETERMINISTIC RANDOM WALKS (g11) — the DeepWalk/node2vec corpus
+    * step (Perozzi et al. 2014): sample fixed-length walks from every
+    * node and hand the sequences to a skip-gram trainer; the walk corpus
+    * IS training data, which makes this the graph→LLM-pipeline bridge.
+    * "Random" here is the repo's reproducibility discipline (t46/t09):
+    * the step choice is argmin over neighbors of
+    * md5("rw|start|walk|step|here|neighbor") — a pure function of the
+    * walk position, so reprocessing at any scale replays the EXACT
+    * corpus, engines agree byte-for-byte, and no RNG state is
+    * coordinated across executors (the property that makes distributed
+    * "sampling" reproducible at all).
+    *
+    * Per step: ONE shuffle-hash join of the walk frontier (V×W rows)
+    * against the memoized undirected edge frame + one (start, walk)
+    * min_by — O(E·W/V-ish) work per step, L steps, linear lineage (each
+    * frontier referenced once). Walks can't die: the graph is
+    * undirected, so the arriving edge is always available to leave by.
+    * The gate row is a per-start MANIFEST (t46's trick — step count,
+    * distinct nodes visited, an order-sensitive Σ position·residue
+    * fingerprint), so the oracle verifies every step of every walk
+    * without shipping the raw corpus. */
+  def randomWalks(spark: SparkSession, dir: String,
+                  walks: Int = 2, length: Int = 4): DataFrame = {
+    val und = undirectedEdgesFor(spark, dir) // (p1=here, p2=neighbor)
+    var frontier = copurchaseDegrees(spark, dir)
+      .select(col("pk").as("start"))
+      .withColumn("w", explode(array((0 until walks).map(lit): _*)))
+      .withColumn("t", lit(0))
+      .withColumn("u", col("start"))
+    val trail = scala.collection.mutable.Buffer(frontier)
+    for (t <- 1 to length) {
+      val key = md5(concat_ws("|",
+        lit("rw"), col("start"), col("w"), lit(t), col("u"), col("p2")))
+      frontier = frontier
+        .join(und.hint("shuffle_hash"), col("u") === col("p1"))
+        .groupBy("start", "w")
+        .agg(min_by(col("p2"), key).as("u"))
+        .withColumn("t", lit(t))
+        .select("start", "w", "t", "u")
+      trail += frontier
+    }
+    trail.reduce(_ unionByName _)
+      .groupBy("start")
+      .agg(
+        count(lit(1)).as("n_steps"),
+        countDistinct(col("u")).as("distinct_visited"),
+        sum((col("w") * (length + 1) + col("t") + 1).cast("long")
+          * (col("u") % 1000003L)).as("walk_fp"))
+      .orderBy("start")
+  }
 }

@@ -997,6 +997,40 @@ object OpsOracles {
     // g03: triangle count — the same degree-ordered orientation replayed
     // relationally: pack (degree, id) keys, orient, wedge self-join,
     // close. Counts are integers; nothing can diverge.
+    // g11: deterministic random walks — unrolled steps, each an argmin
+    // over neighbors of md5("rw|start|walk|step|here|neighbor"); the
+    // per-start manifest (count, distinct visited, order-sensitive
+    // Σ position·residue) pins every step of every walk.
+    "g11_random_walks" -> {
+      val steps = (1 to 4).map { t =>
+        val key = s"md5('rw|' || start || '|' || w || '|' || $t || '|' || u || '|' || e.p2)"
+        s"""w$t AS (
+           |  SELECT start, w, $t AS t, min_by(e.p2, $key) AS u
+           |  FROM w${t - 1} JOIN e ON u = e.p1
+           |  GROUP BY start, w)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |e AS (SELECT p1, p2 FROM edges UNION ALL SELECT p2, p1 FROM edges),
+        |nodes AS (SELECT DISTINCT p1 FROM e),
+        |w0 AS (SELECT p1 AS start, w, 0 AS t, p1 AS u
+        |  FROM nodes CROSS JOIN (VALUES (0), (1)) ws(w)),
+        |$steps,
+        |alls AS (
+        |  SELECT * FROM w0 UNION ALL SELECT * FROM w1
+        |  UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+        |  UNION ALL SELECT * FROM w4)
+        |SELECT start, CAST(count(*) AS BIGINT) AS n_steps,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS distinct_visited,
+        |  CAST(sum((w * 5 + t + 1) * (u % 1000003)) AS BIGINT) AS walk_fp
+        |FROM alls GROUP BY start ORDER BY start""".stripMargin
+    },
+
     "g03_triangle_count" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -2114,6 +2114,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full(0).getAs[Double]("recall") === 1.0)
   }
 
+  test("g11 random walks ≡ brute-force md5-argmin walk replay") {
+    val edges0 = GraphRank.copurchaseSupport(spark, dir)
+      .filter(col("support") >= 2).select("p1", "p2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges0 ++ edges0.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSeq }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val L = 4; val W = 2
+    val expected = adj.keys.toSeq.map { start =>
+      val visits = for (w <- 0 until W) yield {
+        var u = start
+        (start, w, 0, u) +: (1 to L).map { t =>
+          u = adj(u).minBy(nb => md5hex(s"rw|$start|$w|$t|$u|$nb"))
+          (start, w, t, u)
+        }
+      }
+      val rows = visits.flatten
+      start -> (rows.length.toLong,
+        rows.map(_._4).distinct.length.toLong,
+        rows.map { case (_, w, t, u) => (w * (L + 1) + t + 1).toLong * (u % 1000003L) }.sum)
+    }.toMap
+    val got = GraphRank.randomWalks(spark, dir).collect().map { r =>
+      r.getAs[Long]("start") -> (r.getAs[Long]("n_steps"),
+        r.getAs[Long]("distinct_visited"), r.getAs[Long]("walk_fp"))
+    }.toMap
+    assert(got === expected)
+    // walks genuinely move: some start has more than one distinct node
+    assert(expected.values.exists(_._2 > 1))
+  }
+
   test("t48 DSIR weights ≡ brute-force hashed-bigram model recompute, " +
        "and the target slice scores above the rest") {
     val docs = graft.Tables.documents(spark, dir)
