@@ -1888,6 +1888,9 @@ object TextAnalysis {
       val mult = 1L << (4 * (7 - i))
       s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * cast($mult as bigint)"
     }.mkString(" + ")
+    // eager localCheckpoint (t42's tf discipline): four consumers read
+    // this frame (raw counts, target counts, totals, the scoring join) —
+    // unmaterialized, each would re-run the corpus-wide bigram explode
     val perDocB = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("g", explode(when(size(col("toks")) >= 2,
@@ -1897,6 +1900,7 @@ object TextAnalysis {
       .withColumn("b", (expr(decode) % nBuckets).cast("int"))
       .groupBy("doc_id", "lang", "b")
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val rawC = perDocB.groupBy("b").agg(sum("n").as("cr"))
     val tgtC = perDocB.filter(col("lang") === "en")
       .groupBy("b").agg(sum("n").as("ct"))
