@@ -595,6 +595,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("t48_dsir_weights: the doc-bucket frame materializes once for its " +
+       "four consumers — no repeated corpus bigram explode") {
+    val p = plan("t48_dsir_weights")
+    // the eager localCheckpoint surfaces as Scan ExistingRDD; a refactor
+    // that drops it re-runs the explode per consumer (four corpus passes)
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    val scans = fileScans("t48_dsir_weights").count(_.contains("documents"))
+    assert(scans === 0, s"post-checkpoint plan must not rescan documents, got $scans")
+  }
+
+  test("d29_semdedup: the θ-graph pair join is cell-keyed and the " +
+       "centroid LUT broadcasts — no cartesian anywhere") {
+    val p = plan("d29_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("g11_random_walks: every step joins the memoized edge frame by " +
+       "shuffle hash — no cartesian, no sort-merge in the loop") {
+    val p = plan("g11_random_walks")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
   test("s28_nprobe_sweep: the sweep multiplies only the broadcast query " +
        "side — the corpus-side assignment joins by broadcast hash, once " +
        "for the whole curve") {
