@@ -65,6 +65,10 @@ object ScaledReplica {
     replicate("customer", Seq("c_custkey"))
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"))
+    // vec_id shifts like every other key; label is a distribution column
+    // (cell seed), so each shard keeps the same cell structure — the
+    // embedding-family surfaces (d29, s-chains) see N× rows per cell
+    replicate("embeddings", Seq("vec_id"))
     spark.stop()
   }
 }
