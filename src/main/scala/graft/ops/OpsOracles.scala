@@ -406,36 +406,64 @@ object OpsOracles {
       |      c.cell ASC) AS rk
       |  FROM n CROSS JOIN cent c)""".stripMargin
 
+  /** One Lloyd assignment CTE (nearest centroid by 6dp-rounded L2, cid
+    * tiebreak) — shared by the s08/s09 fixed-k replay and d29's
+    * corpus-sized chain. Expects an `n`(vec_id, v) CTE in scope. */
+  private def kmAssignCte(cents: String, out: String) =
+    s"""$out AS (
+       |  SELECT vec_id, cid, v FROM (
+       |    SELECT n.vec_id, c.cid, n.v,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(64),
+       |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))), 6) ASC,
+       |        c.cid ASC) AS rk
+       |    FROM n CROSS JOIN $cents c)
+       |  WHERE rk = 1)""".stripMargin
+
+  /** Per-iteration 6dp-rounded centroid means, companion to
+    * [[kmAssignCte]]. */
+  private def kmMeansCte(assigned: String, m: String, c: String) =
+    s"""$m AS (
+       |  SELECT cid, i AS dim, round(avg(v[i+1]), 6) AS c
+       |  FROM $assigned, range(64) AS t(i)
+       |  GROUP BY cid, i),
+       |$c AS (SELECT cid, list(c ORDER BY dim) AS cv FROM $m GROUP BY cid)""".stripMargin
+
   /** s08: label-free k-means (k=8, 2 Lloyd iterations) — deterministic
     * seeds (first 8 vectors), one unrolled CTE pair per iteration,
     * centroids rounded to 6dp after each (mirrors
     * Similarity.kmeansCentroids). */
-  private val kmeansSql = {
-    def assign(cents: String, out: String) =
-      s"""$out AS (
-         |  SELECT vec_id, cid, v FROM (
-         |    SELECT n.vec_id, c.cid, n.v,
-         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |        round(list_sum(list_transform(range(64),
-         |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))), 6) ASC,
-         |        c.cid ASC) AS rk
-         |    FROM n CROSS JOIN $cents c)
-         |  WHERE rk = 1)""".stripMargin
-    def means(assigned: String, m: String, c: String) =
-      s"""$m AS (
-         |  SELECT cid, i AS dim, round(avg(v[i+1]), 6) AS c
-         |  FROM $assigned, range(64) AS t(i)
-         |  GROUP BY cid, i),
-         |$c AS (SELECT cid, list(c ORDER BY dim) AS cv FROM $m GROUP BY cid)""".stripMargin
+  private val kmeansSql =
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM n WHERE vec_id < 8),
-       |${assign("c0", "a1")},
-       |${means("a1", "m1", "c1")},
-       |${assign("c1", "a2")},
-       |${means("a2", "m2", "c2")}
+       |${kmAssignCte("c0", "a1")},
+       |${kmMeansCte("a1", "m1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmMeansCte("a2", "m2", "c2")}
        |SELECT cid, CAST(dim AS INT) AS dim, c AS centroid FROM m2
        |ORDER BY cid, dim""".stripMargin
-  }
+
+  /** d29's corpus-sized k-means chain (mirrors Similarity
+    * .semDedupCentroids / semDedupAssignment): the same Lloyd replay as
+    * [[kmeansSql]] but the seed count derives from the corpus —
+    * k = max(8, ceil(N / 200)) — so expected cell width, and with it the
+    * θ-graph pair volume, stays bounded at any corpus size. Ends in a
+    * `cent`(cell, cv) centroid table; `n` carries norms for the cosine
+    * downstream. */
+  private val semKmeansCtes =
+    s"""n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+       |  FROM embeddings),
+       |kk AS (SELECT greatest(8, CAST(ceil(count(*) / ${Similarity.SemDedupTargetCell}.0) AS BIGINT)) AS k
+       |       FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM n
+       |       WHERE vec_id < (SELECT k FROM kk)),
+       |${kmAssignCte("c0", "a1")},
+       |${kmMeansCte("a1", "m1", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmMeansCte("a2", "m2", "c2")},
+       |cent AS MATERIALIZED (SELECT cid AS cell, cv FROM c2)""".stripMargin
 
   /** Nearest-codeword assignment of `sub`'s (vec_id, s, sv) rows against
     * codebook table `cents` — reused by the PQ training iterations, the
@@ -1869,14 +1897,23 @@ object OpsOracles {
         |FROM m JOIN cc ON m.nprobe = cc.nprobe
         |ORDER BY nprobe""".stripMargin,
 
-    // d29: SemDeDup — celled θ-graph (cosine ≥ 0.3), transitive
-    // components via reachability closure (pair graph is duplicate-sized;
-    // multiply-referenced CTEs MATERIALIZED against recursive re-inline),
-    // keeper = argmin cosine-to-own-centroid per family.
+    // d29: SemDeDup — celled θ-graph (cosine ≥ 0.3) on the CORPUS-SIZED
+    // k-means quantizer (semKmeansCtes: k = max(8, ceil(N/200)), so pair
+    // volume stays ~N·200), transitive components via reachability
+    // closure (pair graph is duplicate-sized; multiply-referenced CTEs
+    // MATERIALIZED against recursive re-inline), keeper = argmin
+    // cosine-to-own-centroid per family.
     "d29_semdedup" ->
-      s"""WITH RECURSIVE $ivfRankedCte,
+      s"""WITH RECURSIVE $semKmeansCtes,
         |assigned AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, norm FROM cellranked WHERE rk = 1),
+        |  SELECT vec_id, cell, v, norm FROM (
+        |    SELECT n.vec_id, c.cell, n.v, n.norm,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(64),
+        |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))), 6) ASC,
+        |        c.cell ASC) AS rk
+        |    FROM n CROSS JOIN cent c)
+        |  WHERE rk = 1),
         |pairs AS MATERIALIZED (
         |  SELECT a.vec_id AS d1, b.vec_id AS d2
         |  FROM assigned a JOIN assigned b

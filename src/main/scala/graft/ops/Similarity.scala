@@ -556,8 +556,46 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** SemDeDup's cell-width bound: the quantizer's k SCALES WITH THE
+    * CORPUS — k = max(8, ceil(N / SemDedupTargetCell)) — so expected
+    * cell width stays ~[[SemDedupTargetCell]] at any corpus size and the
+    * θ-graph pair join is O(N · targetCell), LINEAR in N. A fixed-k
+    * quantizer degrades to O(N²/k) pair volume as the corpus grows (the
+    * r9 sf1-replica measurement surfaced exactly that); the paper's own
+    * prescription is k ∝ corpus size. */
+  private[ops] val SemDedupTargetCell = 200
+
+  private[ops] def semDedupK(n: Long): Int =
+    math.max(8L, (n + SemDedupTargetCell - 1) / SemDedupTargetCell).toInt
+
+  /** The SemDeDup path's OWN trained quantizer — (cell, cv) centroid
+    * rows from [[kmeansCentroids]] with k sized by [[semDedupK]] from
+    * the corpus cardinality. A separate artifact from the fixed-k
+    * [[trainedAssignment]] the search family shares, so the corpus-
+    * derived sizing never re-gates s05–s09/d13/s28: search recall wants
+    * a FIXED probe geometry, dedup wants a BOUNDED cell width — two
+    * different contracts, two quantizers (the k×dims table is tiny
+    * either way and [[kmeansCentroids]] disk-memoizes per k). */
+  private[ops] def semDedupCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val k = semDedupK(Tables.embeddings(spark, dir).count())
+    kmeansCentroids(spark, dir, k)
+      .groupBy(col("cid").as("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)")
+        .as("cv"))
+  }
+
+  /** Corpus→cell assignment on the [[semDedupCentroids]] quantizer: the
+    * same narrow broadcast-LUT argmin as [[trainedAssignment]] (no
+    * corpus exchange), memoized per (session, dir). */
+  private[ops] def semDedupAssignment(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "semassign") {
+      nearestCell(vectors(spark, dir), semDedupCentroids(spark, dir),
+          Seq.empty, "cell", "v", "cell")
+        .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+    }
+
   /** SEMDEDUP (d29) — semantic deduplication exactly as published
-    * (Abbas et al. 2023): cluster the corpus with the coarse quantizer,
+    * (Abbas et al. 2023): cluster the corpus with a coarse quantizer,
     * call two documents semantic duplicates when their embedding cosine
     * within a cluster clears θ, group duplicates transitively, and KEEP
     * THE MEMBER LEAST LIKE ITS CLUSTER CENTROID — the paper's
@@ -567,17 +605,21 @@ object Similarity {
     * d16+d28: same transitive-family semantics, but similarity is
     * semantic, not lexical, so paraphrases and translations fall in.
     *
-    * Compose, don't rebuild: cells come from the memoized
-    * [[trainedAssignment]] (the s06/s07/d13 artifact), the θ-graph is
-    * the d13 celled pair join with a threshold instead of a top-k, the
-    * components are [[Dedup.dedupClustersOf]]'s min-label propagation
-    * (one edge join + aggregate per round, lazy-checkpointed lineage),
-    * and the keeper argmin is one partitioned rank over family-sized
-    * groups. Scale: pair volume is celled (never corpus-quadratic), the
-    * component loop runs on the pair graph only (duplicate-sized, a
-    * tiny fraction of the corpus), and the centroid LUT broadcasts. */
+    * Compose, don't rebuild: cells come from [[semDedupAssignment]] —
+    * the s08 k-means machinery with k derived from corpus cardinality
+    * ([[semDedupK]]), so cell width is bounded in CODE, not in a
+    * docstring — the θ-graph is the d13 celled pair join with a
+    * threshold instead of a top-k, the components are
+    * [[Dedup.dedupClustersOf]]'s min-label propagation (one edge join +
+    * aggregate per round, lazy-checkpointed lineage), and the keeper
+    * argmin is one partitioned rank over family-sized groups. Scale:
+    * pair volume is O(N · SemDedupTargetCell) by the k sizing (never
+    * corpus-quadratic; OpsSpec pins the sub-quadratic growth on a 4×
+    * corpus step), the component loop runs on the pair graph only
+    * (duplicate-sized, a tiny fraction of the corpus), and the centroid
+    * LUT broadcasts. */
   def semDedup(spark: SparkSession, dir: String, theta: Double = 0.3): DataFrame = {
-    val assigned = trainedAssignment(spark, dir)
+    val assigned = semDedupAssignment(spark, dir)
     val a = assigned.select(col("vec_id").as("d1"), col("cell"),
       col("v").as("va"), col("norm").as("na"))
     val b = assigned.select(col("vec_id").as("d2"), col("cell"),
@@ -592,7 +634,7 @@ object Similarity {
     val comps = Dedup.dedupClustersOf(pairs)
     val members = comps
       .join(assigned.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
-      .join(broadcast(centroidVectors(spark, dir)), Seq("cell"))
+      .join(broadcast(semDedupCentroids(spark, dir)), Seq("cell"))
       .withColumn("cdot",
         expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
       .withColumn("cnorm", expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))"))

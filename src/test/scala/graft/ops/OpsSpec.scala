@@ -2197,7 +2197,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("d29 SemDeDup ≡ brute-force θ-graph components with the " +
        "far-from-centroid keeper rule") {
-    val assigned = Similarity.trainedAssignment(spark, dir)
+    val assigned = Similarity.semDedupAssignment(spark, dir)
       .select("vec_id", "cell", "v", "norm").collect()
       .map(r => (r.getLong(0), r.getInt(1),
         r.getSeq[Double](2).toArray, r.getDouble(3)))
@@ -2223,7 +2223,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (label(b) != m) { label += b -> m; changed = true }
       }
     }
-    val cents = Similarity.centroidVectors(spark, dir)
+    val cents = Similarity.semDedupCentroids(spark, dir)
       .select("cell", "cv").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     val byId = assigned.map(a => a._1 -> a).toMap
@@ -2247,6 +2247,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((keep == 1) === (keepers(lab) == id),
         s"vec $id keeper flag disagrees with the argmin rule")
     }
+  }
+
+  test("d29 cell width is bounded in code: θ-graph pair volume grows " +
+       "sub-quadratically across a 4× corpus step (k scales with N)") {
+    // the sizing formula itself, at the gated and replica scales
+    assert(Similarity.semDedupK(500) === 8)      // sf0.01: floor holds
+    assert(Similarity.semDedupK(2000) === 10)    // sf0.1: derived path
+    assert(Similarity.semDedupK(20000) === 100)  // sf1 replica
+    val sp = spark
+    import sp.implicits._
+    def corpus(n: Int): String = {
+      val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_semdedup_scale_$n")
+      val table = new java.io.File(d, "embeddings.parquet")
+      if (!new java.io.File(table, "_SUCCESS").exists()) {
+        val rows = (0L until n).map { i =>
+          (i, graft.sources.gen.ClusteredEmbeddings.vector(i), (i % 10).toInt)
+        }
+        spark.createDataset(rows).toDF("vec_id", "embedding", "label")
+          .repartition(4).write.mode("overwrite").parquet(table.toString)
+      }
+      d.toString
+    }
+    // Σ|cell|² IS the θ-graph's scored-pair volume (before the θ filter):
+    // the one quantity the r9 verdict flagged as quadratic under fixed k
+    def pairVolume(d: String): (Long, Long) = {
+      val widths = Similarity.semDedupAssignment(spark, d)
+        .groupBy("cell").count().collect().map(_.getLong(1))
+      (widths.map(w => w * w).sum, widths.max)
+    }
+    val (v1, _) = pairVolume(corpus(2000))
+    val (v4, wMax) = pairVolume(corpus(8000))
+    // linear-in-N is 4×, fixed-k quadratic is 16×: pin the sub-quadratic
+    // side with slack for k-means imbalance
+    val growth = v4.toDouble / v1
+    info(f"pair volume 2000→8000 rows: $v1 → $v4 (${growth}%.1f×), max cell $wMax")
+    assert(growth <= 8.0, f"pair volume grew $growth%.1f× over a 4× corpus")
+    assert(wMax <= 8L * Similarity.SemDedupTargetCell,
+      s"max cell width $wMax exceeds 8×target")
   }
 
   test("s27 on testdata: rank-1 is the brute-force top-1 and marginal " +
