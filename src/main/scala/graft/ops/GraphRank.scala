@@ -744,8 +744,12 @@ object GraphRank {
     *
     * Per step: ONE shuffle-hash join of the walk frontier (V×W rows)
     * against the memoized undirected edge frame + one (start, walk)
-    * min_by — O(E·W/V-ish) work per step, L steps, linear lineage (each
-    * frontier referenced once). Walks can't die: the graph is
+    * min_by — O(E·W/V-ish) work per step, L steps. Each frontier has
+    * TWO consumers (the next step's join and the final trail union), so
+    * every frontier lazily localCheckpoints before joining the trail —
+    * without that the union replays frontier t's join chain once per
+    * later step (O(L²) step-joins; the g06/k-core lineage discipline).
+    * Walks can't die: the graph is
     * undirected, so the arriving edge is always available to leave by.
     * The gate row is a per-start MANIFEST (t46's trick — step count,
     * distinct nodes visited, an order-sensitive Σ position·residue
@@ -759,6 +763,7 @@ object GraphRank {
       .withColumn("w", explode(array((0 until walks).map(lit): _*)))
       .withColumn("t", lit(0))
       .withColumn("u", col("start"))
+      .localCheckpoint(eager = false)
     val trail = scala.collection.mutable.Buffer(frontier)
     for (t <- 1 to length) {
       val key = md5(concat_ws("|",
@@ -769,6 +774,7 @@ object GraphRank {
         .agg(min_by(col("p2"), key).as("u"))
         .withColumn("t", lit(t))
         .select("start", "w", "t", "u")
+        .localCheckpoint(eager = false)
       trail += frontier
     }
     trail.reduce(_ unionByName _)

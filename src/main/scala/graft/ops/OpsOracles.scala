@@ -1885,16 +1885,17 @@ object OpsOracles {
         |    FROM n q CROSS JOIN n c
         |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
         |  WHERE rk <= 3),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+        |  FROM embeddings WHERE vec_id < 10),
         |m AS (
         |  SELECT a.nprobe,
-        |    CAST(count(DISTINCT a.query_id) AS BIGINT) AS n_queries,
         |    CAST(count(e.cand_id) AS BIGINT) AS matched
         |  FROM appr a LEFT JOIN exact e
         |    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
         |  GROUP BY a.nprobe)
         |SELECT CAST(m.nprobe AS INT) AS nprobe, n_queries, cand_pairs, matched,
         |  round(matched / (n_queries * 3.0), 4) AS recall
-        |FROM m JOIN cc ON m.nprobe = cc.nprobe
+        |FROM m JOIN cc ON m.nprobe = cc.nprobe CROSS JOIN nq
         |ORDER BY nprobe""".stripMargin,
 
     // d29: SemDeDup — celled θ-graph (cosine ≥ 0.3) on the CORPUS-SIZED
@@ -4029,8 +4030,9 @@ object OpsOracles {
         |  CAST(d.n_chunks - COALESCE(k.kept_chunks, 0) AS BIGINT) AS removed_chunks,
         |  md5(COALESCE(k.kept_text, '')) AS kept_fp,
         |  CAST(length(COALESCE(k.kept_text, '')) AS INT) AS kept_chars,
-        |  round((d.n_chunks - COALESCE(k.kept_chunks, 0))
-        |    / CAST(d.n_chunks AS DOUBLE), 6) AS removed_pct
+        |  CASE WHEN d.n_chunks > 0 THEN
+        |    round((d.n_chunks - COALESCE(k.kept_chunks, 0))
+        |      / CAST(d.n_chunks AS DOUBLE), 6) END AS removed_pct
         |FROM dn d LEFT JOIN kept k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

@@ -703,12 +703,18 @@ object Similarity {
       .withColumn("rk", row_number().over(exactW))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+    // recall denominator = the QUERY SET's size, not the post-join approx
+    // frame's distinct queries: a query whose probed cells hold zero
+    // candidates must still count against recall, not silently drop out
+    // and inflate the curve (ADVICE r9). One-row aggregate, J4-style
+    // cross join.
+    val nQueries = n.filter(col("vec_id") < 10)
+      .agg(count(lit(1)).as("n_queries"))
     appr.join(exact, Seq("query_id", "cand_id"), "left")
       .groupBy("nprobe")
-      .agg(
-        countDistinct(col("query_id")).as("n_queries"),
-        sum(coalesce(col("hit"), lit(0))).cast("long").as("matched"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("matched"))
       .join(candCounts, Seq("nprobe"))
+      .crossJoin(nQueries)
       .withColumn("recall",
         round(col("matched") / (col("n_queries") * k).cast("double"), 4))
       .select("nprobe", "n_queries", "cand_pairs", "matched", "recall")

@@ -1834,11 +1834,10 @@ object TextAnalysis {
     // entries, so no separate per-doc totals scan or re-join is needed —
     // two corpus passes total (the global count, then the strip), which
     // is this operator's floor.
-    chunks
+    val perDoc = chunks
       .join(bp.withColumn("is_bp", lit(1)), Seq("chunk"), "left")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).cast("int").as("n_chunks"),
         sum(when(col("is_bp").isNull, 1L).otherwise(0L)).as("kept_chunks"),
         array_join(
           transform(
@@ -1846,6 +1845,15 @@ object TextAnalysis {
               when(col("is_bp").isNull, struct(col("cpos"), col("chunk"))))),
             x => x.getField("chunk")),
           " ").as("kept_text"))
+    // anchor the output on the DOC grain, not the exploded chunk frame:
+    // a zero-chunk doc (null text, or a chunker returning nothing) has no
+    // chunk rows, so deriving rows from `chunks` would drop it while the
+    // oracle's doc-grain LEFT JOIN retains it (ADVICE r9) — the left join
+    // back onto docChunks emits its n_chunks=0 row on both engines.
+    docChunks.select(col("doc_id"), col("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("kept_chunks", coalesce(col("kept_chunks"), lit(0L)))
+      .withColumn("kept_text", coalesce(col("kept_text"), lit("")))
       .select(
         col("doc_id"),
         col("n_chunks"),
@@ -1853,8 +1861,11 @@ object TextAnalysis {
         (col("n_chunks").cast("long") - col("kept_chunks")).as("removed_chunks"),
         md5(col("kept_text")).as("kept_fp"),
         length(col("kept_text")).as("kept_chars"),
-        round((col("n_chunks").cast("long") - col("kept_chunks"))
-          / col("n_chunks").cast("double"), 6).as("removed_pct"))
+        // explicit n_chunks=0 → NULL on BOTH engines (IEEE 0/0 is NaN in
+        // Spark but NULL in DuckDB — never let the engines divide by 0)
+        when(col("n_chunks") > 0,
+          round((col("n_chunks").cast("long") - col("kept_chunks"))
+            / col("n_chunks").cast("double"), 6)).as("removed_pct"))
       .orderBy("doc_id")
   }
 

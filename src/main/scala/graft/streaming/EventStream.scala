@@ -886,9 +886,16 @@ object EventStream {
     val byBatch = new java.util.concurrent.ConcurrentHashMap[
       java.lang.Long, org.apache.spark.sql.Row]()
     val terminated = new java.util.concurrent.CountDownLatch(1)
+    // the runId is captured by onQueryStarted (matched by query name),
+    // NOT assigned after start(): the bus delivers started → progress →
+    // terminated in per-listener order, so the guard below can never see
+    // a terminated event before the matching started event — whereas a
+    // post-start() assignment races a tiny AvailableNow run's terminated
+    // event and stalls the latch for the full timeout (ADVICE r9).
     @volatile var runId: java.util.UUID = null
     val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        if (e.name == queryName) runId = e.runId
       override def onQueryProgress(e: QueryProgressEvent): Unit =
         if (e.progress.name == queryName)
           Option(e.progress.observedMetrics.get("ingest_slo"))
@@ -903,7 +910,6 @@ object EventStream {
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      runId = q.runId
       q.awaitTermination()
       // the terminated event is posted after every progress event of the
       // run; waiting for it closes the async listener-bus window

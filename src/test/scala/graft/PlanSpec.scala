@@ -613,11 +613,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(2000))
   }
 
-  test("g11_random_walks: every step joins the memoized edge frame by " +
-       "shuffle hash — no cartesian, no sort-merge in the loop") {
+  test("g11_random_walks: every frontier lazily checkpoints before " +
+       "joining the trail — the union reads ExistingRDD scans (each " +
+       "step's join chain runs once, not once per later step), no " +
+       "cartesian") {
     val p = plan("g11_random_walks")
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    // frontiers surface as checkpointed scans in the trail union; a
+    // refactor that drops the checkpoint re-exposes the raw join chains
+    // (O(L²) step-join replay — ADVICE r9 item 1)
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
   }
 
   test("s28_nprobe_sweep: the sweep multiplies only the broadcast query " +

@@ -2099,6 +2099,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) === ((2L, 0L)))
   }
 
+  test("t47 zero-chunk docs survive: the output anchors on the doc grain, " +
+       "not the exploded chunk frame") {
+    val s = spark; import s.implicits._
+    // doc 2 has null text → no chunk rows at all; it must still emit a
+    // row (the oracle's doc-grain LEFT JOIN retains it — ADVICE r9)
+    val docs = Seq((1L, Option("alpha beta gamma")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStripOf(docs, span = 3, minDocs = 3).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L))
+    val r2 = out.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(r2.isNullAt(r2.fieldIndex("n_chunks")),
+      "null text must carry a null chunk count on both engines")
+    assert(r2.getAs[Long]("kept_chunks") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("removed_pct")),
+      "no 0/0 divide may reach either engine")
+  }
+
   test("s28 sweep: recall climbs with nprobe, exhaustive probing is exact") {
     val sweep = Similarity.nprobeSweep(spark, dir).collect()
       .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("cand_pairs"),
