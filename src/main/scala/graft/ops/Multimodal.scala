@@ -300,11 +300,12 @@ object Multimodal {
       * 7·28 = 196) + margin. */
     val MinPngBytes = 280
 
-    /** Which corpus rows carry a PNG payload — the remaining residue
-      * class after BMP (%3=0) and WAV (%3=1): mirrored in the oracle as
-      * `doc_id % 3 = 2 AND L >= 280`. */
+    /** Which corpus rows carry a PNG payload — the %6=2 half of the
+      * image residue class left after BMP (%3=0) and WAV (%3=1); the
+      * %6=5 half belongs to [[JpegCodec]]. Mirrored in the oracle as
+      * `doc_id % 6 = 2 AND L >= 280`. */
     def eligible(docId: Long, len: Int): Boolean =
-      docId % 3 == 2 && len >= MinPngBytes
+      docId % 6 == 2 && len >= MinPngBytes
 
     def dims(len: Int): (Int, Int) = (4 + len % 6, 4 + len % 4)
 
@@ -391,8 +392,136 @@ object Multimodal {
     }
   }
 
-  /** Per-row decode dispatch: real BMP/PNG parse when the payload is
-    * one, the deterministic stub otherwise. */
+  /** REAL decode path for the LOSSY image format (VERDICT r9 item 4):
+    * baseline JPEG via the JDK's `javax.imageio` reader — a genuine
+    * Huffman decode + dequantize + IDCT pipeline, no new dependency.
+    *
+    * Lossy codecs and byte-exact oracles coexist through DC-EXACTNESS:
+    * [[synthesize]] hand-writes a minimal baseline grayscale JPEG whose
+    * single 8×8 block is a UNIFORM value v — the DCT of a constant block
+    * is DC-only (DC = 8·(v−128), every AC = 0), the all-ones quant table
+    * preserves that DC exactly, and the IDCT of a DC-only block is the
+    * constant DC/8 + 128 = v again, so the decode is bit-exact despite
+    * the format being lossy and px_sum = w·h·v is a closed form of the
+    * byte length (v = L%256, dims 3+L%6 × 3+L%4 ≤ 8×6 — one block).
+    * The container hits EXACTLY the target byte length (the
+    * BMP/WAV/PNG same-length discipline) via COM comment segments
+    * (+ ≤3 legal 0xFF fill bytes) inserted after SOI; the entropy coder
+    * is a real one — canonical Huffman tables (12 DC categories at
+    * length 4, the lone AC EOB at length 2; the all-ones code stays
+    * unused as the spec requires), category/value-bits DC encoding,
+    * 0xFF byte stuffing, 1-padded final byte.
+    *
+    * [[decode]] trusts the BYTES (FFD8FF signature, then a full ImageIO
+    * read): a bug in the marker layout, table counts, stuffing, or bit
+    * packing fails the read; a bug in the DC math fails the oracle's
+    * px_sum. */
+  object JpegCodec {
+    /** ~160 fixed marker/table/entropy bytes worst-case + margin; the
+      * COM padding absorbs the rest. */
+    val MinJpegBytes = 200
+
+    /** Which corpus rows carry a JPEG payload — the %6=5 half of the
+      * image residue class (PNG keeps %6=2): mirrored in the oracle as
+      * `doc_id % 6 = 5 AND L >= 200`. */
+    def eligible(docId: Long, len: Int): Boolean =
+      docId % 6 == 5 && len >= MinJpegBytes
+
+    /** w ≤ 8, h ≤ 6 — exactly one 8×8 block. */
+    def dims(len: Int): (Int, Int) = (3 + len % 6, 3 + len % 4)
+    def gray(len: Int): Int = len % 256
+
+    /** A REAL baseline JPEG of exactly `len` total bytes. */
+    def synthesize(len: Int): Array[Byte] = {
+      require(len >= MinJpegBytes, s"payload too small for a JPEG: $len")
+      val (w, h) = dims(len)
+      val v = gray(len)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def b(x: Int): Unit = buf += x.toByte
+      def be16(x: Int): Unit = { b(x >> 8); b(x & 0xFF) }
+      b(0xFF); b(0xD8)                       // SOI
+      b(0xFF); b(0xDB); be16(67); b(0x00)    // DQT: all-ones luma table
+      (0 until 64).foreach(_ => b(1))
+      b(0xFF); b(0xC0); be16(11); b(8)       // SOF0: 8-bit baseline
+      be16(h); be16(w); b(1)                 // 1 component (grayscale)
+      b(1); b(0x11); b(0)                    // id 1, H=V=1, qtable 0
+      b(0xFF); b(0xC4); be16(2 + 1 + 16 + 12); b(0x00) // DHT DC 0
+      Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(b)
+      (0 until 12).foreach(b)                // categories 0..11, 4-bit codes
+      b(0xFF); b(0xC4); be16(2 + 1 + 16 + 1); b(0x10)  // DHT AC 0
+      Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(b)
+      b(0x00)                                // the lone EOB symbol, code 00
+      b(0xFF); b(0xDA); be16(8); b(1)        // SOS
+      b(1); b(0x00); b(0); b(63); b(0)
+      // entropy: ONE block — DC category + value bits, then EOB
+      var bits = 0L; var nbits = 0
+      def putBits(value: Int, n: Int): Unit = if (n > 0) {
+        bits = (bits << n) | (value.toLong & ((1L << n) - 1)); nbits += n
+        while (nbits >= 8) {
+          val byte = ((bits >> (nbits - 8)) & 0xFF).toInt
+          b(byte)
+          if (byte == 0xFF) b(0x00)          // byte stuffing
+          nbits -= 8
+        }
+      }
+      val d = 8 * (v - 128)
+      val s = if (d == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(d))
+      putBits(s, 4)                          // DC code = the category itself
+      if (s > 0) putBits(if (d > 0) d else d - 1, s)
+      putBits(0, 2)                          // AC EOB
+      if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits) // 1-pad
+      b(0xFF); b(0xD9)                       // EOI
+      val base = buf.toArray
+      var pad = len - base.length
+      require(pad >= 0, s"jpeg base ${base.length} exceeds target $len")
+      // COM segments (skipped by every decoder) absorb the pad; a 1-3
+      // byte remainder becomes legal 0xFF fill bytes before a marker
+      val mid = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while (pad >= 4) {
+        val seg = math.min(pad, 65535 + 2)
+        mid += 0xFF.toByte; mid += 0xFE.toByte
+        mid += (((seg - 2) >> 8) & 0xFF).toByte
+        mid += ((seg - 2) & 0xFF).toByte
+        (0 until (seg - 4)).foreach(_ => mid += 0x2A)
+        pad -= seg
+      }
+      (0 until pad).foreach(_ => mid += 0xFF.toByte)
+      val out = new Array[Byte](len)
+      System.arraycopy(base, 0, out, 0, 2)
+      mid.copyToArray(out, 2)
+      System.arraycopy(base, 2, out, 2 + mid.length, base.length - 2)
+      out
+    }
+
+    /** Genuine ImageIO decode (Huffman + dequant + IDCT) + raster sample
+      * sum over every band. None = not a JPEG / unreadable. */
+    def decode(media: Array[Byte]): Option[(Long, Long, Long)] = {
+      if (media.length < 3 || (media(0) & 0xFF) != 0xFF ||
+          (media(1) & 0xFF) != 0xD8 || (media(2) & 0xFF) != 0xFF) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(media))
+        if (img == null) return None
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var bd = 0
+            while (bd < bands) { sum += raster.getSample(x, y, bd); bd += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        Some((w.toLong, h.toLong, sum))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Per-row decode dispatch: real BMP/PNG/JPEG parse when the payload
+    * is one, the deterministic stub otherwise. */
   def decodeRow(r: MediaRow): DecodedMeta =
     BmpCodec.decode(r.media) match {
       case Some((w, h, px)) =>
@@ -400,7 +529,11 @@ object Multimodal {
       case None => PngCodec.decode(r.media) match {
         case Some((w, h, px)) =>
           DecodedMeta(r.doc_id, r.media.length.toLong, w, h, "png", px)
-        case None => DecodeStub.decode(r)
+        case None => JpegCodec.decode(r.media) match {
+          case Some((w, h, px)) =>
+            DecodedMeta(r.doc_id, r.media.length.toLong, w, h, "jpeg", px)
+          case None => DecodeStub.decode(r)
+        }
       }
     }
 
@@ -408,9 +541,10 @@ object Multimodal {
     * modality corpus covering every residue class: doc_id % 3 = 0 rows
     * (length ≥ [[BmpCodec.MinBmpBytes]]) carry a REAL synthesized BMP,
     * doc_id % 3 = 1 rows (length ≥ [[WavCodec.MinWavBytes]]) a REAL
-    * PCM16 WAV, doc_id % 3 = 2 rows (length ≥ [[PngCodec.MinPngBytes]])
-    * a REAL deflate-compressed PNG — each of the SAME byte length as the
-    * raw text — and short rows the raw text bytes. */
+    * PCM16 WAV, doc_id % 6 = 2 rows (length ≥ [[PngCodec.MinPngBytes]])
+    * a REAL deflate-compressed PNG, doc_id % 6 = 5 rows (length ≥
+    * [[JpegCodec.MinJpegBytes]]) a REAL baseline JPEG — each of the SAME
+    * byte length as the raw text — and short rows the raw text bytes. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -422,6 +556,7 @@ object Multimodal {
           if (BmpCodec.eligible(id, raw.length)) BmpCodec.synthesize(raw.length)
           else if (WavCodec.eligible(id, raw.length)) WavCodec.synthesize(raw.length)
           else if (PngCodec.eligible(id, raw.length)) PngCodec.synthesize(raw.length)
+          else if (JpegCodec.eligible(id, raw.length)) JpegCodec.synthesize(raw.length)
           else raw
         MediaRow(id, media, n)
       })
@@ -739,13 +874,15 @@ object Multimodal {
   /** REAL-DECODE image statistics (m12) — the rows whose payloads
     * genuinely parse as images, reported from the DECODED PIXELS only:
     * BMP via [[BmpCodec]]'s header+stride walk, PNG via [[PngCodec]]'s
-    * ImageIO inflate+defilter. Dispatch trusts the BYTES (flatMap over
-    * the parse Options — m11's discipline), never the doc_id residue;
+    * ImageIO inflate+defilter, JPEG via [[JpegCodec]]'s ImageIO
+    * Huffman+IDCT. Dispatch trusts the BYTES (flatMap over the parse
+    * Options — m11's discipline), never the doc_id residue;
     * the oracle independently recomputes the eligible set and every
     * field in closed form from octet_length, so a dispatch, synthesis,
     * or decode bug surfaces as a row-count or pixel-sum mismatch.
-    * `px_mean` is the per-pixel-channel mean — ONE IEEE divide of two
-    * exact integers, identical in both engines before the 6dp round.
+    * `px_mean` is the per-pixel-channel mean (3 channels for BMP/PNG,
+    * 1 for the grayscale JPEG) — ONE IEEE divide of two exact integers,
+    * identical in both engines before the 6dp round.
     *
     * Scale shape: per-row narrow decode, zero shuffles (the order-by is
     * presentation-only); payload bytes stream through the scan once. */
@@ -757,10 +894,13 @@ object Multimodal {
           .map { case (w, h, px) => ImageStats(r.doc_id, "bmp", w, h, px) }
           .orElse(PngCodec.decode(r.media)
             .map { case (w, h, px) => ImageStats(r.doc_id, "png", w, h, px) })
+          .orElse(JpegCodec.decode(r.media)
+            .map { case (w, h, px) => ImageStats(r.doc_id, "jpeg", w, h, px) })
       })
       .toDF()
       .withColumn("px_mean",
-        round(col("px_sum") / (col("width") * col("height") * lit(3L)), 6))
+        round(col("px_sum") / (col("width") * col("height") *
+          when(col("format") === "jpeg", lit(1L)).otherwise(lit(3L))), 6))
       .orderBy("doc_id")
   }
 

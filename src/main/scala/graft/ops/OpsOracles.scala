@@ -3178,29 +3178,35 @@ object OpsOracles {
         |WHERE doc_id NOT IN (SELECT v2 FROM losers)
         |ORDER BY doc_id""".stripMargin,
 
-    // m01: BMP rows (doc_id%3=0, L≥200) carry REAL synthesized BMPs and
-    // PNG rows (doc_id%3=2, L≥280) REAL deflate-compressed PNGs — the
-    // engine genuinely parses/inflates them; this oracle recomputes the
-    // dims and the pixel sums in closed form (pixel byte j is j%16 in
-    // both formats, so a row of 3w bytes sums to (3w//16)*120 +
-    // rem*(rem-1)/2; BMP dims 4+L%5 × 4+L%3, PNG dims 4+L%6 × 4+L%4).
-    // Other rows keep the documented stub arithmetic (px_sum 0).
+    // m01: BMP rows (doc_id%3=0, L≥200) carry REAL synthesized BMPs,
+    // PNG rows (doc_id%6=2, L≥280) REAL deflate-compressed PNGs, and
+    // JPEG rows (doc_id%6=5, L≥200) REAL DC-exact baseline JPEGs — the
+    // engine genuinely parses/inflates/IDCTs them; this oracle
+    // recomputes the dims and the pixel sums in closed form (BMP/PNG:
+    // pixel byte j is j%16, so a row of 3w bytes sums to (3w//16)*120 +
+    // rem*(rem-1)/2, dims 4+L%5 × 4+L%3 / 4+L%6 × 4+L%4; JPEG: uniform
+    // gray L%256 over 3+L%6 × 3+L%4 one-band pixels). Other rows keep
+    // the documented stub arithmetic (px_sum 0).
     "m01_decoded_meta" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS L,
         |    (doc_id % 3 = 0 AND octet_length(encode(text)) >= 200) AS is_bmp,
-        |    (doc_id % 3 = 2 AND octet_length(encode(text)) >= 280) AS is_png
+        |    (doc_id % 6 = 2 AND octet_length(encode(text)) >= 280) AS is_png,
+        |    (doc_id % 6 = 5 AND octet_length(encode(text)) >= 200) AS is_jpeg
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, L AS bytes,
         |    CASE WHEN is_bmp THEN 4 + L % 5
         |         WHEN is_png THEN 4 + L % 6
+        |         WHEN is_jpeg THEN 3 + L % 6
         |         ELSE 64 + L % 512 END AS width,
         |    CASE WHEN is_bmp THEN 4 + L % 3
         |         WHEN is_png THEN 4 + L % 4
+        |         WHEN is_jpeg THEN 3 + L % 4
         |         ELSE 64 + (L * 7) % 512 END AS height,
         |    CASE WHEN is_bmp THEN 'bmp'
         |      WHEN is_png THEN 'png'
+        |      WHEN is_jpeg THEN 'jpeg'
         |      ELSE CASE L % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
         |           ELSE 'webp' END END AS format,
         |    CASE WHEN is_bmp THEN
@@ -3211,6 +3217,8 @@ object OpsOracles {
         |      CAST(4 + L % 4 AS BIGINT) *
         |        ((3 * (4 + L % 6)) // 16 * 120 +
         |         ((3 * (4 + L % 6)) % 16) * ((3 * (4 + L % 6)) % 16 - 1) // 2)
+        |    WHEN is_jpeg THEN
+        |      CAST(3 + L % 6 AS BIGINT) * (3 + L % 4) * (L % 256)
         |    ELSE 0 END AS px_sum
         |  FROM b)
         |SELECT doc_id, bytes, width, height, format, CAST(px_sum AS BIGINT) AS px_sum
@@ -3264,28 +3272,37 @@ object OpsOracles {
         |  CAST(CASE WHEN n > 0 THEN 100 ELSE 0 END AS BIGINT) AS peak_abs
         |FROM e ORDER BY doc_id""".stripMargin,
 
-    // m12: real-decode image stats — BMP (doc_id%3=0, L≥200) and PNG
-    // (doc_id%3=2, L≥280) rows only; dims and pixel sum in closed form
-    // (pixel byte j ≡ j%16 in both formats); px_mean is one IEEE divide
-    // of exact integers before the 6dp round.
+    // m12: real-decode image stats — BMP (doc_id%3=0, L≥200), PNG
+    // (doc_id%6=2, L≥280), and JPEG (doc_id%6=5, L≥200) rows; dims and
+    // pixel sum in closed form (BMP/PNG: pixel byte j ≡ j%16; JPEG:
+    // uniform gray L%256, one band); px_mean divides by the per-format
+    // band count — one IEEE divide of exact integers before the 6dp
+    // round.
     "m12_image_stats" ->
       """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
         |d AS (
         |  SELECT doc_id, 'bmp' AS format,
-        |    CAST(4 + L % 5 AS BIGINT) AS width, CAST(4 + L % 3 AS BIGINT) AS height
+        |    CAST(4 + L % 5 AS BIGINT) AS width, CAST(4 + L % 3 AS BIGINT) AS height,
+        |    NULL AS gray
         |  FROM b WHERE doc_id % 3 = 0 AND L >= 200
         |  UNION ALL
         |  SELECT doc_id, 'png',
-        |    CAST(4 + L % 6 AS BIGINT), CAST(4 + L % 4 AS BIGINT)
-        |  FROM b WHERE doc_id % 3 = 2 AND L >= 280),
+        |    CAST(4 + L % 6 AS BIGINT), CAST(4 + L % 4 AS BIGINT), NULL
+        |  FROM b WHERE doc_id % 6 = 2 AND L >= 280
+        |  UNION ALL
+        |  SELECT doc_id, 'jpeg',
+        |    CAST(3 + L % 6 AS BIGINT), CAST(3 + L % 4 AS BIGINT), L % 256
+        |  FROM b WHERE doc_id % 6 = 5 AND L >= 200),
         |e AS (
         |  SELECT doc_id, format, width, height,
-        |    height * ((3 * width) // 16 * 120 +
-        |      ((3 * width) % 16) * ((3 * width) % 16 - 1) // 2) AS px_sum
+        |    CASE WHEN format = 'jpeg' THEN width * height * gray
+        |    ELSE height * ((3 * width) // 16 * 120 +
+        |      ((3 * width) % 16) * ((3 * width) % 16 - 1) // 2) END AS px_sum
         |  FROM d)
         |SELECT doc_id, format, width, height,
         |  CAST(px_sum AS BIGINT) AS px_sum,
-        |  round(CAST(px_sum AS DOUBLE) / (width * height * 3), 6) AS px_mean
+        |  round(CAST(px_sum AS DOUBLE) / (width * height *
+        |    CASE WHEN format = 'jpeg' THEN 1 ELSE 3 END), 6) AS px_mean
         |FROM e ORDER BY doc_id""".stripMargin,
 
     "j02_range_join" ->
@@ -3721,25 +3738,29 @@ object OpsOracles {
         |FROM k
         |ORDER BY doc_id""".stripMargin,
 
-    // m02: same BMP/PNG/stub split as m01 (bmp is a real format class,
-    // and the 'png' class now pools real PNG rows with the stub rows
-    // whose length-derived format label is 'png').
+    // m02: same BMP/PNG/JPEG/stub split as m01 (bmp is a real format
+    // class; the 'png' and 'jpeg' classes pool real rows with the stub
+    // rows whose length-derived format label matches).
     "m02_format_summary" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS L,
         |    (doc_id % 3 = 0 AND octet_length(encode(text)) >= 200) AS is_bmp,
-        |    (doc_id % 3 = 2 AND octet_length(encode(text)) >= 280) AS is_png
+        |    (doc_id % 6 = 2 AND octet_length(encode(text)) >= 280) AS is_png,
+        |    (doc_id % 6 = 5 AND octet_length(encode(text)) >= 200) AS is_jpeg
         |  FROM documents),
         |m AS (
         |  SELECT L AS bytes,
         |    CASE WHEN is_bmp THEN 4 + L % 5
         |         WHEN is_png THEN 4 + L % 6
+        |         WHEN is_jpeg THEN 3 + L % 6
         |         ELSE 64 + L % 512 END AS width,
         |    CASE WHEN is_bmp THEN 4 + L % 3
         |         WHEN is_png THEN 4 + L % 4
+        |         WHEN is_jpeg THEN 3 + L % 4
         |         ELSE 64 + (L * 7) % 512 END AS height,
         |    CASE WHEN is_bmp THEN 'bmp'
         |      WHEN is_png THEN 'png'
+        |      WHEN is_jpeg THEN 'jpeg'
         |      ELSE CASE L % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
         |           ELSE 'webp' END END AS format
         |  FROM b)

@@ -418,8 +418,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rIvfPq >= 0.6, f"s13 IVF-PQ recall@3 on clustered data: $rIvfPq%.3f < 0.6")
   }
 
-  test("multimodal decode: BMP and PNG rows carry genuinely parsed dims, " +
-       "the rest match the stub arithmetic") {
+  test("multimodal decode: BMP, PNG, and JPEG rows carry genuinely " +
+       "parsed dims, the rest match the stub arithmetic") {
     val rows = Multimodal.decodedMeta(spark, dir).collect()
     assert(rows.length === graft.Tables.documents(spark, dir).count())
     // per-row pixel byte j is j%16 in BOTH real formats — the decoders'
@@ -429,7 +429,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val lr = 3 * w; val rem = lr % 16
       h.toLong * (lr / 16 * 120 + rem * (rem - 1) / 2)
     }
-    var bmps = 0; var pngs = 0
+    var bmps = 0; var pngs = 0; var jpegs = 0
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       val b = r.getAs[Long]("bytes")
@@ -447,6 +447,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(r.getAs[Long]("width") === w.toLong)
         assert(r.getAs[Long]("height") === h.toLong)
         assert(r.getAs[Long]("px_sum") === rowSum(w, h))
+      } else if (Multimodal.JpegCodec.eligible(id, b.toInt)) {
+        jpegs += 1
+        assert(r.getAs[String]("format") === "jpeg")
+        val (w, h) = Multimodal.JpegCodec.dims(b.toInt)
+        assert(r.getAs[Long]("width") === w.toLong)
+        assert(r.getAs[Long]("height") === h.toLong)
+        // DC-exact uniform gray: the lossy decode is byte-exact
+        assert(r.getAs[Long]("px_sum") === w.toLong * h * (b % 256))
       } else {
         assert(r.getAs[Long]("width") === 64 + b % 512)
         assert(r.getAs[Long]("height") === 64 + (b * 7) % 512)
@@ -455,6 +463,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(bmps > 0, "corpus should contain BMP-eligible rows")
     assert(pngs > 0, "corpus should contain PNG-eligible rows")
+    assert(jpegs > 0, "corpus should contain JPEG-eligible rows")
   }
 
   test("RewriteDotProduct rule: HOF fold rewrites to native DotProduct, same values") {
