@@ -234,6 +234,8 @@ object SparkEntry {
     "s27_mmr_rerank"         -> (graft.ops.Similarity.mmrRerank _),
     "s28_nprobe_sweep"       -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.nprobeSweep(s, d)),
+    "s29_graph_ann"          -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.graphAnn(s, d)),
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.semDedup(s, d)),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),

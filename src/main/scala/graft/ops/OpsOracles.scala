@@ -1898,6 +1898,70 @@ object OpsOracles {
         |FROM m JOIN cc ON m.nprobe = cc.nprobe CROSS JOIN nq
         |ORDER BY nprobe""".stripMargin,
 
+    // s29: HNSW-lite graph ANN — k-NN graph (per-node top-M same-cell
+    // cosine), per-cell medoid entry, GraphAnnHops unrolled beam-walk
+    // hops (expand → score → keep best GraphAnnBeam), final top-3.
+    // Mirrors Similarity.graphAnn hop for hop (6dp rounds, cand_id
+    // tie-breaks); the M/beam/hops literals come from the SAME constants
+    // the engine defaults read.
+    "s29_graph_ann" -> {
+      val qcos = "round(list_sum(list_transform(range(64), " +
+        "i -> q.v[i+1] * c.v[i+1])) / (q.norm * c.norm), 6)"
+      def hop(t: Int) =
+        s"""e$t AS (SELECT DISTINCT query_id, node FROM (
+           |  SELECT query_id, node FROM b${t - 1}
+           |  UNION ALL
+           |  SELECT b.query_id, g.dst FROM b${t - 1} b
+           |  JOIN graph g ON b.node = g.src)),
+           |b$t AS (SELECT query_id, node FROM (
+           |  SELECT e.query_id, e.node,
+           |    row_number() OVER (PARTITION BY e.query_id ORDER BY
+           |      $qcos DESC, e.node ASC) AS rk
+           |  FROM e$t e JOIN cand c ON e.node = c.cand_id
+           |  JOIN q ON e.query_id = q.query_id)
+           |  WHERE rk <= ${Similarity.GraphAnnBeam})""".stripMargin
+      s"""WITH $ivfRankedCte,
+        |assigned AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, norm FROM cellranked WHERE rk = 1),
+        |cand AS MATERIALIZED (
+        |  SELECT vec_id AS cand_id, cell, v, norm FROM assigned
+        |  WHERE vec_id >= 10),
+        |graph AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.cand_id AS src, b.cand_id AS dst,
+        |      row_number() OVER (PARTITION BY a.cand_id ORDER BY
+        |        round(list_sum(list_transform(range(64),
+        |          i -> a.v[i+1] * b.v[i+1])) / (a.norm * b.norm), 6) DESC,
+        |        b.cand_id ASC) AS rk
+        |    FROM cand a JOIN cand b
+        |      ON a.cell = b.cell AND a.cand_id <> b.cand_id)
+        |  WHERE rk <= ${Similarity.GraphAnnM}),
+        |med AS (
+        |  SELECT cell, cand_id AS entry FROM (
+        |    SELECT c.cell, c.cand_id,
+        |      row_number() OVER (PARTITION BY c.cell ORDER BY
+        |        round(list_sum(list_transform(range(64),
+        |          i -> (c.v[i+1] - ct.cv[i+1]) * (c.v[i+1] - ct.cv[i+1]))), 6)
+        |          ASC, c.cand_id ASC) AS rk
+        |    FROM cand c JOIN cent ct ON c.cell = ct.cell)
+        |  WHERE rk = 1),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, cell, v, norm FROM assigned
+        |  WHERE vec_id < 10),
+        |b0 AS (SELECT q.query_id, m.entry AS node
+        |  FROM q JOIN med m ON q.cell = m.cell),
+        |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}
+        |SELECT query_id, cand_id, cosine, rnk FROM (
+        |  SELECT e.query_id, e.node AS cand_id, $qcos AS cosine,
+        |    row_number() OVER (PARTITION BY e.query_id ORDER BY
+        |      $qcos DESC, e.node ASC) AS rnk
+        |  FROM b${Similarity.GraphAnnHops} e
+        |  JOIN cand c ON e.node = c.cand_id
+        |  JOIN q ON e.query_id = q.query_id)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin
+    },
+
     // d29: SemDeDup — celled θ-graph (cosine ≥ 0.3) on the CORPUS-SIZED
     // k-means quantizer (semKmeansCtes: k = max(8, ceil(N/200)), so pair
     // volume stays ~N·200), transitive components via reachability

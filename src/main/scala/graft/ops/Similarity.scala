@@ -721,6 +721,105 @@ object Similarity {
       .orderBy("nprobe")
   }
 
+  /** GRAPH-BASED ANN, HNSW-LITE (s29) — the serving-index family the
+    * IVF/PQ/SQ chain lacked: graph indexes (HNSW, Malkov & Yashunin
+    * 2018; DiskANN, Subramanya et al. 2019) are the industry default
+    * because a greedy walk over a k-NN graph touches O(beam · hops · m)
+    * candidates regardless of corpus size. This is a bounded,
+    * deterministic form of that idea in the house style:
+    *
+    *  - INDEX = a k-NN GRAPH: each candidate's `m` nearest same-cell
+    *    candidates by rounded cosine (the d13 celled pair join with a
+    *    per-node top-m instead of a global top-k — pair volume stays
+    *    celled, never corpus-quadratic), disk-memoized like every other
+    *    index artifact (s15 discipline), plus one MEDOID per cell — the
+    *    candidate nearest its cell centroid, DiskANN's entry-point rule.
+    *  - SEARCH = a fixed-depth BEAM WALK (g06's bounded-superstep
+    *    discipline): start at the query's cell medoid, then `hops`
+    *    rounds of expand-neighbors → score → keep the best `beam`
+    *    (ties by cand_id). The beam is MONOTONE — beam_t is a subset of
+    *    hop t+1's candidate pool, so the best-so-far never degrades —
+    *    and carries no visited set, which keeps the walk replayable as
+    *    plain SQL (the full HNSW visited-list refinement changes cost,
+    *    not the determinism contract).
+    *
+    * Scale shape: the graph build is one celled pair join (co-partitioned
+    * on cell id) + a per-node window — O(Σ|cell|²) pairs ONCE at build
+    * time, amortized across every search; each hop is ONE broadcast join
+    * of the beam (queries × beam rows — broadcast-sized by definition)
+    * against the disk-backed graph and ONE against the candidate
+    * vectors: the corpus is never re-scanned wider than the beam's
+    * adjacency. Everything rounds to 6dp with full tie-breaks, so the
+    * DuckDB oracle replays the identical walk hop by hop. */
+  /** s29 defaults, shared with the oracle template so engine and SQL
+    * can never walk different graphs. Sized on the clustered spec
+    * corpus: m=8/beam=8/hops=4 reaches recall@3 = 1.0 there (m=4/
+    * beam=4/hops=3 stalls in trait sub-clusters at 0.37). */
+  val GraphAnnM = 8
+  val GraphAnnBeam = 8
+  val GraphAnnHops = 4
+
+  def graphAnn(spark: SparkSession, dir: String, k: Int = 3,
+               m: Int = GraphAnnM, beam: Int = GraphAnnBeam,
+               hops: Int = GraphAnnHops): DataFrame = {
+    val assigned = trainedAssignment(spark, dir)
+    val cand = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        col("v").as("cv2"), col("norm").as("cnorm"))
+    val graph = diskMemo(spark, dir, s"knngraph$m") {
+      val a = cand.select(col("cand_id").as("src"), col("cell"),
+        col("cv2").as("sv"), col("cnorm").as("sn"))
+      val b = cand.select(col("cand_id").as("dst"), col("cell"),
+        col("cv2").as("dv"), col("cnorm").as("dn"))
+      val w = Window.partitionBy("src").orderBy(col("gcos").desc, col("dst").asc)
+      a.join(b, Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("gcos", round(
+          expr("aggregate(zip_with(sv, dv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            / (col("sn") * col("dn")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= m)
+        .select("src", "dst")
+    }
+    val medoid = diskMemo(spark, dir, "knnmedoid") {
+      val w = Window.partitionBy("cell").orderBy(col("cdist").asc, col("cand_id").asc)
+      cand.join(broadcast(centroidVectors(spark, dir)), Seq("cell"))
+        .withColumn("cdist", round(
+          expr("aggregate(zip_with(cv2, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cell"), col("cand_id").as("entry"))
+    }
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val vecs = cand.select(col("cand_id").as("node"), col("cv2"), col("cnorm"))
+    def scoreRank(nodes: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("node").asc)
+      vecs.join(broadcast(nodes), Seq("node"))
+        .join(broadcast(q.select(col("query_id"), col("qv"), col("qnorm"))),
+          Seq("query_id"))
+        .withColumn("cosine", round(
+          expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            / (col("qnorm") * col("cnorm")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= keep)
+        .select("query_id", "node", "cosine", "rnk")
+    }
+    var beamDf = q.join(medoid, Seq("cell"))
+      .select(col("query_id"), col("entry").as("node"))
+    for (_ <- 1 to hops) {
+      val expanded = beamDf.select("query_id", "node")
+        .unionByName(graph.join(broadcast(beamDf), col("node") === col("src"))
+          .select(col("query_id"), col("dst").as("node")))
+        .distinct()
+      beamDf = scoreRank(expanded, beam).select("query_id", "node")
+    }
+    scoreRank(beamDf, k)
+      .select(col("query_id"), col("node").as("cand_id"), col("cosine"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Signed-random-projection (SRP) hyperplane weights: w(plane, dim) =
     * the first 4 md5 hex chars of "srp|plane|dim" decoded to an integer,
     * centered on zero (range [-32768, 32767]). A pure function of nothing

@@ -625,6 +625,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Scan ExistingRDD"), p.take(2000))
   }
 
+  test("s29_graph_ann: every hop broadcasts the beam against the " +
+       "disk-backed graph and vectors — no cartesian, no corpus-side " +
+       "exchange in the walk") {
+    val p = plan("s29_graph_ann")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the beam side broadcasts at every hop (expansion + scoring joins);
+    // a sort-merge or shuffled-hash join here means the corpus-sized
+    // side started exchanging per hop
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("s28_nprobe_sweep: the sweep multiplies only the broadcast query " +
        "side — the corpus-side assignment joins by broadcast hash, once " +
        "for the whole curve") {

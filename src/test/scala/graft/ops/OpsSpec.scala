@@ -2313,6 +2313,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"max cell width $wMax exceeds 8×target")
   }
 
+  test("s29 graph ANN: beam walk is monotone and recall@3 clears the " +
+       "floor on the CLUSTERED corpus") {
+    import org.apache.spark.sql.DataFrame
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // structure on the flat testdata: k rows per query, valid candidates
+    val flat = Similarity.graphAnn(spark, dir).collect()
+    assert(flat.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 3))
+    flat.foreach(r => assert(r.getAs[Long]("cand_id") >= 10L))
+    // recall on the clustered corpus, where neighborhoods are real: the
+    // medoid entry + 3-hop beam walk must recover most of the brute top-3
+    val d = graft.sources.gen.ClusteredEmbeddings.ensure(spark)
+    val truth = pairs(Similarity.knnBrute(spark, d))
+    val got = pairs(Similarity.graphAnn(spark, d))
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"s29 clustered recall@3 = $recall%.3f")
+    // measured 1.0 at m=8/beam=8/hops=4; pin 0.8 with drift margin
+    assert(recall >= 0.8, f"s29 graph-ANN recall@3 $recall%.3f < 0.8")
+  }
+
   test("s27 on testdata: rank-1 is the brute-force top-1 and marginal " +
        "scores are non-increasing") {
     val knn1 = Similarity.knnBrute(spark, dir).collect()
