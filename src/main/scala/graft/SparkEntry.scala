@@ -236,6 +236,8 @@ object SparkEntry {
       graft.ops.Similarity.nprobeSweep(s, d)),
     "s29_graph_ann"          -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnn(s, d)),
+    "s30_graph_ann_sweep"    -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.graphAnnSweep(s, d)),
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.semDedup(s, d)),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),

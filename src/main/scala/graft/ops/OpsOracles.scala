@@ -465,6 +465,62 @@ object OpsOracles {
        |${kmMeansCte("a2", "m2", "c2")},
        |cent AS MATERIALIZED (SELECT cid AS cell, cv FROM c2)""".stripMargin
 
+  /** s29/s30 shared walk chain (mirrors Similarity.beamWalkScored):
+    * k-NN graph (per-node top-M same-cell cosine), per-cell medoid
+    * entry, then GraphAnnHops unrolled hops — e$t = the expanded
+    * frontier, s$t = its scored ranking (cosine + rnk kept), b$t = the
+    * rank-≤beam beam. The M/beam/hops literals come from the SAME
+    * constants the engine defaults read. */
+  private val graphWalkCtes = {
+    val qcos = "round(list_sum(list_transform(range(64), " +
+      "i -> q.v[i+1] * c.v[i+1])) / (q.norm * c.norm), 6)"
+    def hop(t: Int) =
+      s"""e$t AS (SELECT DISTINCT query_id, node FROM (
+         |  SELECT query_id, node FROM b${t - 1}
+         |  UNION ALL
+         |  SELECT b.query_id, g.dst FROM b${t - 1} b
+         |  JOIN graph g ON b.node = g.src)),
+         |s$t AS (
+         |  SELECT e.query_id, e.node, $qcos AS cosine,
+         |    row_number() OVER (PARTITION BY e.query_id ORDER BY
+         |      $qcos DESC, e.node ASC) AS rnk
+         |  FROM e$t e JOIN cand c ON e.node = c.cand_id
+         |  JOIN q ON e.query_id = q.query_id),
+         |b$t AS (SELECT query_id, node FROM s$t
+         |  WHERE rnk <= ${Similarity.GraphAnnBeam})""".stripMargin
+    s"""$ivfRankedCte,
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, cell, v, norm FROM cellranked WHERE rk = 1),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id AS cand_id, cell, v, norm FROM assigned
+       |  WHERE vec_id >= 10),
+       |graph AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT a.cand_id AS src, b.cand_id AS dst,
+       |      row_number() OVER (PARTITION BY a.cand_id ORDER BY
+       |        round(list_sum(list_transform(range(64),
+       |          i -> a.v[i+1] * b.v[i+1])) / (a.norm * b.norm), 6) DESC,
+       |        b.cand_id ASC) AS rk
+       |    FROM cand a JOIN cand b
+       |      ON a.cell = b.cell AND a.cand_id <> b.cand_id)
+       |  WHERE rk <= ${Similarity.GraphAnnM}),
+       |med AS (
+       |  SELECT cell, cand_id AS entry FROM (
+       |    SELECT c.cell, c.cand_id,
+       |      row_number() OVER (PARTITION BY c.cell ORDER BY
+       |        round(list_sum(list_transform(range(64),
+       |          i -> (c.v[i+1] - ct.cv[i+1]) * (c.v[i+1] - ct.cv[i+1]))), 6)
+       |          ASC, c.cand_id ASC) AS rk
+       |    FROM cand c JOIN cent ct ON c.cell = ct.cell)
+       |  WHERE rk = 1),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cell, v, norm FROM assigned
+       |  WHERE vec_id < 10),
+       |b0 AS (SELECT q.query_id, m.entry AS node
+       |  FROM q JOIN med m ON q.cell = m.cell),
+       |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
+  }
+
   /** Nearest-codeword assignment of `sub`'s (vec_id, s, sv) rows against
     * codebook table `cents` — reused by the PQ training iterations, the
     * final encode (s11/s12), and the residual encode (s13). */
@@ -1898,69 +1954,48 @@ object OpsOracles {
         |FROM m JOIN cc ON m.nprobe = cc.nprobe CROSS JOIN nq
         |ORDER BY nprobe""".stripMargin,
 
-    // s29: HNSW-lite graph ANN — k-NN graph (per-node top-M same-cell
-    // cosine), per-cell medoid entry, GraphAnnHops unrolled beam-walk
-    // hops (expand → score → keep best GraphAnnBeam), final top-3.
-    // Mirrors Similarity.graphAnn hop for hop (6dp rounds, cand_id
-    // tie-breaks); the M/beam/hops literals come from the SAME constants
-    // the engine defaults read.
-    "s29_graph_ann" -> {
-      val qcos = "round(list_sum(list_transform(range(64), " +
-        "i -> q.v[i+1] * c.v[i+1])) / (q.norm * c.norm), 6)"
-      def hop(t: Int) =
-        s"""e$t AS (SELECT DISTINCT query_id, node FROM (
-           |  SELECT query_id, node FROM b${t - 1}
-           |  UNION ALL
-           |  SELECT b.query_id, g.dst FROM b${t - 1} b
-           |  JOIN graph g ON b.node = g.src)),
-           |b$t AS (SELECT query_id, node FROM (
-           |  SELECT e.query_id, e.node,
-           |    row_number() OVER (PARTITION BY e.query_id ORDER BY
-           |      $qcos DESC, e.node ASC) AS rk
-           |  FROM e$t e JOIN cand c ON e.node = c.cand_id
-           |  JOIN q ON e.query_id = q.query_id)
-           |  WHERE rk <= ${Similarity.GraphAnnBeam})""".stripMargin
-      s"""WITH $ivfRankedCte,
-        |assigned AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, norm FROM cellranked WHERE rk = 1),
-        |cand AS MATERIALIZED (
-        |  SELECT vec_id AS cand_id, cell, v, norm FROM assigned
-        |  WHERE vec_id >= 10),
-        |graph AS MATERIALIZED (
-        |  SELECT src, dst FROM (
-        |    SELECT a.cand_id AS src, b.cand_id AS dst,
-        |      row_number() OVER (PARTITION BY a.cand_id ORDER BY
+    // s29: HNSW-lite graph ANN — the shared walk chain's last hop,
+    // rank ≤ 3 (beam ≥ 3 makes "top-3 of the beam" ≡ "top-3 of the
+    // expansion", exactly as the engine computes it).
+    "s29_graph_ann" ->
+      s"""WITH $graphWalkCtes
+        |SELECT query_id, node AS cand_id, cosine, rnk
+        |FROM s${Similarity.GraphAnnHops}
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // s30: hop-depth recall/cost sweep over the SAME walk — per hop, the
+    // rank-≤3 prefix of that hop's scored expansion vs the exact brute
+    // top-3, plus the expansion size scored (the cost). n_queries counts
+    // the query SET (s28's denominator discipline).
+    "s30_graph_ann_sweep" ->
+      s"""WITH $graphWalkCtes,
+        |allh AS (${(1 to Similarity.GraphAnnHops).map(t =>
+          s"SELECT $t AS hop, query_id, node, rnk FROM s$t")
+          .mkString("\n  UNION ALL ")}),
+        |cc AS (SELECT hop, CAST(count(*) AS BIGINT) AS cand_nodes
+        |  FROM allh GROUP BY hop),
+        |exact AS (SELECT query_id, node FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS node,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
         |        round(list_sum(list_transform(range(64),
         |          i -> a.v[i+1] * b.v[i+1])) / (a.norm * b.norm), 6) DESC,
-        |        b.cand_id ASC) AS rk
-        |    FROM cand a JOIN cand b
-        |      ON a.cell = b.cell AND a.cand_id <> b.cand_id)
-        |  WHERE rk <= ${Similarity.GraphAnnM}),
-        |med AS (
-        |  SELECT cell, cand_id AS entry FROM (
-        |    SELECT c.cell, c.cand_id,
-        |      row_number() OVER (PARTITION BY c.cell ORDER BY
-        |        round(list_sum(list_transform(range(64),
-        |          i -> (c.v[i+1] - ct.cv[i+1]) * (c.v[i+1] - ct.cv[i+1]))), 6)
-        |          ASC, c.cand_id ASC) AS rk
-        |    FROM cand c JOIN cent ct ON c.cell = ct.cell)
-        |  WHERE rk = 1),
-        |q AS MATERIALIZED (
-        |  SELECT vec_id AS query_id, cell, v, norm FROM assigned
-        |  WHERE vec_id < 10),
-        |b0 AS (SELECT q.query_id, m.entry AS node
-        |  FROM q JOIN med m ON q.cell = m.cell),
-        |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}
-        |SELECT query_id, cand_id, cosine, rnk FROM (
-        |  SELECT e.query_id, e.node AS cand_id, $qcos AS cosine,
-        |    row_number() OVER (PARTITION BY e.query_id ORDER BY
-        |      $qcos DESC, e.node ASC) AS rnk
-        |  FROM b${Similarity.GraphAnnHops} e
-        |  JOIN cand c ON e.node = c.cand_id
-        |  JOIN q ON e.query_id = q.query_id)
-        |WHERE rnk <= 3
-        |ORDER BY query_id, rnk""".stripMargin
-    },
+        |        b.vec_id ASC) AS rk
+        |    FROM n a CROSS JOIN n b
+        |    WHERE a.vec_id < 10 AND b.vec_id >= 10)
+        |  WHERE rk <= 3),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+        |  FROM embeddings WHERE vec_id < 10),
+        |mt AS (
+        |  SELECT a.hop, CAST(count(e.node) AS BIGINT) AS matched
+        |  FROM (SELECT hop, query_id, node FROM allh WHERE rnk <= 3) a
+        |  LEFT JOIN exact e
+        |    ON a.query_id = e.query_id AND a.node = e.node
+        |  GROUP BY a.hop)
+        |SELECT CAST(mt.hop AS INT) AS hop, n_queries, cand_nodes, matched,
+        |  round(matched / (n_queries * 3.0), 4) AS recall
+        |FROM mt JOIN cc ON mt.hop = cc.hop CROSS JOIN nq
+        |ORDER BY hop""".stripMargin,
 
     // d29: SemDeDup — celled θ-graph (cosine ≥ 0.3) on the CORPUS-SIZED
     // k-means quantizer (semKmeansCtes: k = max(8, ceil(N/200)), so pair

@@ -759,9 +759,14 @@ object Similarity {
   val GraphAnnBeam = 8
   val GraphAnnHops = 4
 
-  def graphAnn(spark: SparkSession, dir: String, k: Int = 3,
-               m: Int = GraphAnnM, beam: Int = GraphAnnBeam,
-               hops: Int = GraphAnnHops): DataFrame = {
+  /** The s29/s30 shared core: disk-memoized k-NN graph + medoid entry
+    * points, then `hops` rounds of expand → score → keep-beam. Returns
+    * each hop's SCORED EXPANSION (hop, query_id, node, cosine, rnk) —
+    * graphAnn reads the last hop's rank-≤k prefix (beam ≥ k makes
+    * "top-k of the beam" ≡ "top-k of the expansion"), the sweep reads
+    * every hop's. */
+  private def beamWalkScored(spark: SparkSession, dir: String,
+                             m: Int, beam: Int, hops: Int): Seq[DataFrame] = {
     val assigned = trainedAssignment(spark, dir)
     val cand = assigned.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cand_id"), col("cell"),
@@ -794,7 +799,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("cell"),
         col("v").as("qv"), col("norm").as("qnorm"))
     val vecs = cand.select(col("cand_id").as("node"), col("cv2"), col("cnorm"))
-    def scoreRank(nodes: DataFrame, keep: Int): DataFrame = {
+    def scored(nodes: DataFrame): DataFrame = {
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("node").asc)
       vecs.join(broadcast(nodes), Seq("node"))
         .join(broadcast(q.select(col("query_id"), col("qv"), col("qnorm"))),
@@ -803,21 +808,73 @@ object Similarity {
           expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
             / (col("qnorm") * col("cnorm")), 6))
         .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= keep)
-        .select("query_id", "node", "cosine", "rnk")
     }
     var beamDf = q.join(medoid, Seq("cell"))
       .select(col("query_id"), col("entry").as("node"))
-    for (_ <- 1 to hops) {
+    (1 to hops).map { h =>
       val expanded = beamDf.select("query_id", "node")
         .unionByName(graph.join(broadcast(beamDf), col("node") === col("src"))
           .select(col("query_id"), col("dst").as("node")))
         .distinct()
-      beamDf = scoreRank(expanded, beam).select("query_id", "node")
+      val s = scored(expanded)
+      beamDf = s.filter(col("rnk") <= beam).select("query_id", "node")
+      s.withColumn("hop", lit(h))
     }
-    scoreRank(beamDf, k)
-      .select(col("query_id"), col("node").as("cand_id"), col("cosine"), col("rnk"))
+  }
+
+  def graphAnn(spark: SparkSession, dir: String, k: Int = 3,
+               m: Int = GraphAnnM, beam: Int = GraphAnnBeam,
+               hops: Int = GraphAnnHops): DataFrame =
+    beamWalkScored(spark, dir, m, beam, hops).last
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("node").as("cand_id"), col("cosine"),
+        col("rnk"))
       .orderBy("query_id", "rnk")
+
+  /** HOP-DEPTH TUNING SWEEP for the graph walk (s30) — s28's
+    * recall/cost-curve story applied to s29: how deep must the beam walk
+    * go before recall plateaus, and what does each extra hop cost? The
+    * sweep is FREE relative to one full walk: hop h's beam is a prefix
+    * of the (h+1)-hop walk, so ONE walk yields every point — per hop,
+    * the top-k of that hop's scored expansion vs the exact brute-force
+    * top-k, plus the expansion size actually scored (the cost paid).
+    *
+    * Same denominator discipline as s28 (ADVICE r9): n_queries counts
+    * the query SET, so a hop whose expansion misses a query still counts
+    * against that hop's recall. */
+  def graphAnnSweep(spark: SparkSession, dir: String, k: Int = 3,
+                    m: Int = GraphAnnM, beam: Int = GraphAnnBeam,
+                    hops: Int = GraphAnnHops): DataFrame = {
+    val all = beamWalkScored(spark, dir, m, beam, hops)
+      .map(_.select("hop", "query_id", "node", "rnk"))
+      .reduce(_ unionByName _)
+    val counts = all.groupBy("hop")
+      .agg(count(lit(1)).cast("long").as("cand_nodes"))
+    val n = vectors(spark, dir)
+    val exactW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    val exact = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .crossJoin(n.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv2"), col("norm").as("cnorm")))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(exactW))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id").as("node"), lit(1).as("hit"))
+    val nQueries = n.filter(col("vec_id") < 10)
+      .agg(count(lit(1)).as("n_queries"))
+    all.filter(col("rnk") <= k)
+      .join(exact, Seq("query_id", "node"), "left")
+      .groupBy("hop")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("matched"))
+      .join(counts, Seq("hop"))
+      .crossJoin(nQueries)
+      .withColumn("recall",
+        round(col("matched") / (col("n_queries") * k).cast("double"), 4))
+      .select("hop", "n_queries", "cand_nodes", "matched", "recall")
+      .orderBy("hop")
   }
 
   /** Signed-random-projection (SRP) hyperplane weights: w(plane, dim) =

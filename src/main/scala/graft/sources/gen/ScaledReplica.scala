@@ -23,7 +23,23 @@ import org.apache.spark.sql.functions._
   * Deliberate consequence of disjoint shards: single-source surfaces
   * (g05 BFS from the global min node) still traverse ONE shard, so their
   * cost measures the component, not the corpus — noted in the README
-  * scaling table. */
+  * scaling table.
+  *
+  * PERTURBED CONTENT (VERDICT r9 item 3): shard 0 is byte-identical to
+  * the source, but every k>0 shard's `documents.text` gets ONE
+  * key-derived adjacent-token swap and every k>0 shard's
+  * `embeddings.embedding` a ±1% per-dimension multiplicative jitter
+  * (hash-seeded, deterministic — no RNG state). Exactly-duplicated
+  * shards made the dedup-family replica runs degenerate: exact-hash
+  * dedup collapsed 10 shards to 1 survivor set and w08 rejected ~90% of
+  * its feed, so the decade step timed the probe machinery against
+  * unrealistically tiny survivor volumes. After the perturbation the
+  * shard copies are NEAR-duplicates (the realistic cross-crawl shape):
+  * exact/fingerprint dedup keeps ~10× survivors, while
+  * MinHash/SimHash/embedding near-dup still find the cross-shard
+  * families and do real pairing work. The jitter is multiplicative, so
+  * vector norms stay within 1% — no re-normalization pass is needed for
+  * the cosine chains, which recompute norms from the stored values. */
 object ScaledReplica {
   val Off = 10000000L
 
@@ -38,10 +54,34 @@ object ScaledReplica {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def replicate(table: String, keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.DataFrame
+    // one adjacent-token swap at a (doc_id, shard)-derived position:
+    // breaks exact-hash identity across shards, keeps ~all shingles (a
+    // near-duplicate, not a fresh document)
+    def swapTokens(d: DataFrame, k: Int): DataFrame = d
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("p", pmod(col("doc_id") + lit(k),
+        greatest(size(col("toks")) - 1, lit(1))).cast("int"))
+      .withColumn("text", when(size(col("toks")) >= 2, expr(
+        "array_join(transform(toks, (x, i) -> " +
+          "CASE WHEN i = p THEN toks[p+1] WHEN i = p+1 THEN toks[p] " +
+          "ELSE x END), ' ')")).otherwise(col("text")))
+      .drop("toks", "p")
+    // ±1% per-dim multiplicative jitter, hash-seeded by (vec_id, dim,
+    // shard): shard copies become ~0.9999-cosine near-dups instead of
+    // exact ones; norms move < 1% so no re-normalization is required
+    def jitterVec(d: DataFrame, k: Int): DataFrame = d
+      .withColumn("embedding", expr(
+        s"transform(embedding, (x, i) -> cast(x * (1.0d + " +
+          s"(pmod(hash(vec_id, i, $k), 1000) / 1000.0d - 0.5d) * 0.02d) " +
+          "as float))"))
+    def replicate(table: String, keyCols: Seq[String],
+                  perturb: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
       val df = spark.read.parquet(s"$src/$table.parquet")
       val shifted = (0 until copies).map { k =>
-        keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * Off)))
+        val moved =
+          keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * Off)))
+        if (k == 0) moved else perturb(moved, k)
       }.reduce(_ unionByName _)
       // the testdata layout is ONE FILE per table (the streaming readers
       // select it by pathGlobFilter on the file name, which a directory
@@ -64,11 +104,11 @@ object ScaledReplica {
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("customer", Seq("c_custkey"))
     replicate("events", Seq("event_id", "user_id"))
-    replicate("documents", Seq("doc_id"))
+    replicate("documents", Seq("doc_id"), swapTokens)
     // vec_id shifts like every other key; label is a distribution column
     // (cell seed), so each shard keeps the same cell structure — the
     // embedding-family surfaces (d29, s-chains) see N× rows per cell
-    replicate("embeddings", Seq("vec_id"))
+    replicate("embeddings", Seq("vec_id"), jitterVec)
     spark.stop()
   }
 }

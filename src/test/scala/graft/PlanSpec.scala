@@ -637,6 +637,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("s30_graph_ann_sweep: one walk serves every hop point — no " +
+       "cartesian, the ground-truth cross join stays broadcast-nested " +
+       "over the 10-row query side") {
+    val p = plan("s30_graph_ann_sweep")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("s28_nprobe_sweep: the sweep multiplies only the broadcast query " +
        "side — the corpus-side assignment joins by broadcast hash, once " +
        "for the whole curve") {

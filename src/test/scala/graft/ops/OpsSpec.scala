@@ -2334,6 +2334,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, f"s29 graph-ANN recall@3 $recall%.3f < 0.8")
   }
 
+  test("s30 hop sweep: cost grows with depth, recall never degrades, " +
+       "and the last hop equals s29's answer set") {
+    val sweep = Similarity.graphAnnSweep(spark, dir).collect()
+      .map(r => (r.getAs[Int]("hop"), r.getAs[Long]("cand_nodes"),
+        r.getAs[Double]("recall"), r.getAs[Long]("matched"))).sortBy(_._1)
+    assert(sweep.map(_._1).toSeq === (1 to Similarity.GraphAnnHops))
+    // recall is monotone (top-3(U)∩S ⊆ top-3(S), S grows per hop);
+    // expansion SIZE is not — a converged beam's neighborhoods overlap —
+    // so cost gets a bound, not an ordering
+    assert(sweep.sliding(2).forall { case Array(a, b) => b._3 >= a._3 })
+    val (nq, b, m) = (10L, Similarity.GraphAnnBeam, Similarity.GraphAnnM)
+    sweep.foreach { case (h, nodes, _, _) =>
+      assert(nodes >= nq && nodes <= nq * b * (m + 1),
+        s"hop $h scored $nodes nodes, outside [$nq, ${nq * b * (m + 1)}]")
+    }
+    // consistency with the shipped search: hop GraphAnnHops IS s29
+    val s29 = Similarity.graphAnn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val exact = Similarity.knnBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(sweep.last._4 === s29.intersect(exact).size.toLong,
+      s"sweep's last-hop matched ${sweep.last._4} != s29-vs-brute overlap")
+  }
+
   test("s27 on testdata: rank-1 is the brute-force top-1 and marginal " +
        "scores are non-increasing") {
     val knn1 = Similarity.knnBrute(spark, dir).collect()
