@@ -448,8 +448,12 @@ object OpsOracles {
     * [[kmeansSql]] but the seed count derives from the corpus —
     * k = max(8, ceil(N / 200)) — so expected cell width, and with it the
     * θ-graph pair volume, stays bounded at any corpus size. Ends in a
-    * `cent`(cell, cv) centroid table; `n` carries norms for the cosine
-    * downstream. */
+    * `cent`(cell, cv) centroid table plus the TWO-LEVEL ROUTE (⌈√k⌉
+    * super-centroids from one Lloyd step over the centroid table;
+    * vectors route super-first — O(N·√k·d), the hierarchical-quantizer
+    * build shape): `vsup` is the vector→super leg, `routed` the
+    * centroid→super membership the final per-super argmin joins. `n`
+    * carries norms for the cosine downstream. */
   private val semKmeansCtes =
     s"""n AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -463,7 +467,44 @@ object OpsOracles {
        |${kmMeansCte("a1", "m1", "c1")},
        |${kmAssignCte("c1", "a2")},
        |${kmMeansCte("a2", "m2", "c2")},
-       |cent AS MATERIALIZED (SELECT cid AS cell, cv FROM c2)""".stripMargin
+       |cent AS MATERIALIZED (SELECT cid AS cell, cv FROM c2),
+       |seeds AS (
+       |  SELECT cell AS sup, cv FROM (
+       |    SELECT cell, cv, row_number() OVER (ORDER BY cell ASC) AS rn
+       |    FROM cent)
+       |  WHERE rn <= (SELECT CAST(ceil(sqrt(k)) AS BIGINT) FROM kk)),
+       |sa AS (
+       |  SELECT cell, cv, sup FROM (
+       |    SELECT c.cell, c.cv, d.sup,
+       |      row_number() OVER (PARTITION BY c.cell ORDER BY
+       |        round(list_sum(list_transform(range(64),
+       |          i -> (c.cv[i+1] - d.cv[i+1]) * (c.cv[i+1] - d.cv[i+1]))), 6) ASC,
+       |        d.sup ASC) AS rk
+       |    FROM cent c CROSS JOIN seeds d)
+       |  WHERE rk = 1),
+       |sup AS (
+       |  SELECT sup, list(sx ORDER BY dim) AS cv FROM (
+       |    SELECT sup, i AS dim, round(avg(cv[i+1]), 6) AS sx
+       |    FROM sa, range(64) AS t(i) GROUP BY sup, i)
+       |  GROUP BY sup),
+       |routed AS MATERIALIZED (
+       |  SELECT cell, cv, sup FROM (
+       |    SELECT c.cell, c.cv, u.sup,
+       |      row_number() OVER (PARTITION BY c.cell ORDER BY
+       |        round(list_sum(list_transform(range(64),
+       |          i -> (c.cv[i+1] - u.cv[i+1]) * (c.cv[i+1] - u.cv[i+1]))), 6) ASC,
+       |        u.sup ASC) AS rk
+       |    FROM cent c CROSS JOIN sup u)
+       |  WHERE rk = 1),
+       |vsup AS (
+       |  SELECT vec_id, v, norm, sup FROM (
+       |    SELECT n.vec_id, n.v, n.norm, u.sup,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(64),
+       |          i -> (n.v[i+1] - u.cv[i+1]) * (n.v[i+1] - u.cv[i+1]))), 6) ASC,
+       |        u.sup ASC) AS rk
+       |    FROM n CROSS JOIN (SELECT * FROM sup SEMI JOIN routed USING (sup)) u)
+       |  WHERE rk = 1)""".stripMargin
 
   /** s29/s30 shared walk chain (mirrors Similarity.beamWalkScored):
     * k-NN graph (per-node top-M same-cell cosine), per-cell medoid
@@ -2007,12 +2048,12 @@ object OpsOracles {
       s"""WITH RECURSIVE $semKmeansCtes,
         |assigned AS MATERIALIZED (
         |  SELECT vec_id, cell, v, norm FROM (
-        |    SELECT n.vec_id, c.cell, n.v, n.norm,
-        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |    SELECT w.vec_id, r.cell, w.v, w.norm,
+        |      row_number() OVER (PARTITION BY w.vec_id ORDER BY
         |        round(list_sum(list_transform(range(64),
-        |          i -> (n.v[i+1] - c.cv[i+1]) * (n.v[i+1] - c.cv[i+1]))), 6) ASC,
-        |        c.cell ASC) AS rk
-        |    FROM n CROSS JOIN cent c)
+        |          i -> (w.v[i+1] - r.cv[i+1]) * (w.v[i+1] - r.cv[i+1]))), 6) ASC,
+        |        r.cell ASC) AS rk
+        |    FROM vsup w JOIN routed r ON w.sup = r.sup)
         |  WHERE rk = 1),
         |pairs AS MATERIALIZED (
         |  SELECT a.vec_id AS d1, b.vec_id AS d2

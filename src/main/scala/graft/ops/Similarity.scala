@@ -584,13 +584,54 @@ object Similarity {
         .as("cv"))
   }
 
-  /** Corpus→cell assignment on the [[semDedupCentroids]] quantizer: the
-    * same narrow broadcast-LUT argmin as [[trainedAssignment]] (no
-    * corpus exchange), memoized per (session, dir). */
+  /** Super-centroid count for the two-level route: √k keeps the
+    * per-vector distance count at s + k/s ≈ 2√k. */
+  private[ops] def semDedupS(k: Int): Int =
+    math.ceil(math.sqrt(k.toDouble)).toInt
+
+  /** Corpus→cell assignment on the [[semDedupCentroids]] quantizer —
+    * TWO-LEVEL ROUTED, not a flat argmin: with k ∝ N (the cell-width
+    * bound), a flat k-way argmin is O(N·k·d) = O(N²·d/targetCell) — the
+    * build-time quadratic that replaces the pair-join one. The standard
+    * fix (IVF on the centroids themselves — the coarse layer of every
+    * hierarchical quantizer) routes each vector through s = ⌈√k⌉
+    * SUPER-centroids first and then argmins only that super's member
+    * centroids: O(N·(s + k/s)·d) = O(N·√k·d) per corpus pass.
+    *
+    * The super layer is one Lloyd step over the CENTROID table (k rows,
+    * index-sized): seeds = the s lowest cell ids, one assign + 6dp-
+    * rounded means, then every centroid routes to its nearest super.
+    * Vectors see only supers that own ≥1 member (an empty super can win
+    * no vector). Both levels are the same rounded-argmin LUT fold as
+    * every other assignment ([[nearestCell]]), so the DuckDB oracle
+    * replays the route bit-for-bit. The route is approximate in the
+    * usual IVF sense — a vector whose true nearest centroid lives in a
+    * different super lands one cell over — which SemDeDup tolerates by
+    * construction (any coarse clustering is admissible; the oracle
+    * mirrors the same rule, and cell WIDTH, the scale contract, is
+    * unchanged in expectation). Memoized per (session, dir). */
   private[ops] def semDedupAssignment(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "semassign") {
-      nearestCell(vectors(spark, dir), semDedupCentroids(spark, dir),
-          Seq.empty, "cell", "v", "cell")
+      val cents = semDedupCentroids(spark, dir)
+      val s = semDedupS(semDedupK(Tables.embeddings(spark, dir).count()))
+      val cRows = cents.select(col("cell"), col("cv").as("cvec"))
+      // seeds: deterministic TakeOrdered, no unpartitioned window
+      val seeds = localized(cRows.orderBy(col("cell").asc).limit(s)
+        .select(col("cell").as("sup"), col("cvec").as("cv")))
+      val a1 = nearestCell(cRows, seeds, Seq.empty, "sup", "cvec", "sup")
+      val supers = localized(a1
+        .select(col("sup"), posexplode(col("cvec")).as(Seq("dim", "x")))
+        .groupBy("sup", "dim").agg(round(avg("x"), 6).as("sx"))
+        .groupBy("sup")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, sx))), t -> t.sx)")
+          .as("cv")))
+      val routed = nearestCell(cRows, supers, Seq.empty, "sup", "cvec", "sup")
+      val liveSupers = supers.join(
+        broadcast(routed.select("sup").distinct()), Seq("sup"))
+      val vsup = nearestCell(vectors(spark, dir), liveSupers,
+        Seq.empty, "sup", "v", "sup")
+      val memberLut = routed.select(col("sup"), col("cell"), col("cvec").as("cv"))
+      nearestCell(vsup, memberLut, Seq("sup"), "cell", "v", "cell")
         .select(col("vec_id"), col("cell"), col("v"), col("norm"))
     }
 
