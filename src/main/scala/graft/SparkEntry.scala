@@ -240,6 +240,7 @@ object SparkEntry {
       graft.ops.Similarity.graphAnnSweep(s, d)),
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.semDedup(s, d)),
+    "d30_lsh_calibration"    -> (Dedup.lshCalibration _),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "m13_audio_energy"       -> (graft.ops.Multimodal.audioEnergy _),

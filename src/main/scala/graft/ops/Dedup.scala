@@ -989,4 +989,50 @@ object Dedup {
 
   def spanExcise(spark: SparkSession, dir: String): DataFrame =
     spanExciseOf(Tables.documents(spark, dir).select("doc_id", "text"))
+
+  /** LSH CALIBRATION REPORT (d30) — the missing leg of the calibration
+    * trio (d20 measures the MinHash ESTIMATE against true Jaccard, s14
+    * measures ANN recall against exact search; this measures the LSH
+    * DETECTOR against the exact all-pairs baseline): how many documents
+    * would the production near-dup pass ([[minhashLsh]]) drop vs the
+    * pay-once exact detector ([[ngramJaccard]]), and do the two loser
+    * sets agree? This is the table an operator reads before trusting a
+    * banding geometry on a new corpus or threshold — pair counts differ
+    * BY DESIGN (the LSH pass emits a spanning star per duplicate
+    * cluster, the exact pass all qualifying pairs), so the comparable
+    * contract is the LOSER SET (who gets dropped), exactly the invariant
+    * the d04 spec pins.
+    *
+    * Scale shape: the LSH side is the production path (banded, bucket-min
+    * paired); the exact side is worst-case quadratic and is the point —
+    * calibration pays for exactness ONCE on a slice it can afford (run
+    * this on a sample at 100 TB), then trusts the cheap path. One summary
+    * row; both inputs ride the memoized shingle table. */
+  def lshCalibrationOf(ds: DataFrame): DataFrame = {
+    val exact = ngramJaccardOf(ds)
+    val lsh = minhashLshOf(ds)
+    val el = exact.select(col("d2").as("doc_id")).distinct()
+      .withColumn("e", lit(1))
+    val ll = lsh.select(col("d2").as("doc_id")).distinct()
+      .withColumn("l", lit(1))
+    el.join(ll, Seq("doc_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("e"), lit(0))).cast("long").as("exact_losers"),
+        sum(coalesce(col("l"), lit(0))).cast("long").as("lsh_losers"),
+        sum(when(col("e").isNotNull && col("l").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("agree_losers"))
+      .crossJoin(exact.agg(count(lit(1)).cast("long").as("exact_pairs")))
+      .crossJoin(lsh.agg(count(lit(1)).cast("long").as("lsh_pairs")))
+      .select(
+        col("exact_pairs"), col("lsh_pairs"),
+        col("exact_losers"), col("lsh_losers"),
+        (col("exact_losers") - col("agree_losers")).as("missed_losers"),
+        (col("lsh_losers") - col("agree_losers")).as("extra_losers"),
+        when(col("exact_losers") > 0,
+          round(col("agree_losers") / col("exact_losers").cast("double"), 4))
+          .as("loser_recall"))
+  }
+
+  def lshCalibration(spark: SparkSession, dir: String): DataFrame =
+    lshCalibrationOf(docShingles(spark, dir))
 }

@@ -2932,6 +2932,45 @@ object OpsOracles {
         |WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
+    // d30: LSH calibration — the production detector's loser set vs the
+    // exact all-pairs baseline's; pair counts differ by design (spanning
+    // star vs all pairs), the loser SET is the contract.
+    "d30_lsh_calibration" ->
+      s"""WITH $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |einter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |epairs AS (
+        |  SELECT d1, d2 FROM einter
+        |  JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |linter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |lpairs AS (
+        |  SELECT d1, d2 FROM linter
+        |  JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |el AS (SELECT DISTINCT d2 AS doc_id FROM epairs),
+        |ll AS (SELECT DISTINCT d2 AS doc_id FROM lpairs),
+        |agg AS (SELECT
+        |  CAST((SELECT count(*) FROM epairs) AS BIGINT) AS exact_pairs,
+        |  CAST((SELECT count(*) FROM lpairs) AS BIGINT) AS lsh_pairs,
+        |  CAST((SELECT count(*) FROM el) AS BIGINT) AS exact_losers,
+        |  CAST((SELECT count(*) FROM ll) AS BIGINT) AS lsh_losers,
+        |  CAST((SELECT count(*) FROM el SEMI JOIN ll USING (doc_id)) AS BIGINT) AS agree)
+        |SELECT exact_pairs, lsh_pairs, exact_losers, lsh_losers,
+        |  exact_losers - agree AS missed_losers,
+        |  lsh_losers - agree AS extra_losers,
+        |  CASE WHEN exact_losers > 0
+        |    THEN round(agree / CAST(exact_losers AS DOUBLE), 4) END AS loser_recall
+        |FROM agg""".stripMargin,
+
     // d23: threshold sweep over the production detector's verified pairs —
     // per candidate cutoff, surviving pair and loser counts. Thresholds
     // are i/100.0 on both engines (identical doubles), compared against

@@ -1816,44 +1816,47 @@ object TextAnalysis {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_chunks",
         ceil(size(col("toks")) / lit(span.toDouble)).cast("int"))
+    // a ZERO-CHUNK doc (null text, or a chunker returning nothing) emits
+    // one SENTINEL row (cpos = -1, chunk = null) instead of exploding to
+    // nothing: the doc grain survives into the final aggregate without a
+    // third corpus scan for an anchor frame (ADVICE r9 — the oracle's
+    // doc-grain LEFT JOIN retains such docs, so the engine must too)
     val chunks = docChunks
       .withColumn("cpos",
         explode(when(col("n_chunks") > 0, sequence(lit(0), col("n_chunks") - 1))
-          .otherwise(array().cast("array<int>"))))
+          .otherwise(array(lit(-1)))))
       .select(
-        col("doc_id"), col("cpos"),
-        concat_ws(" ", slice(col("toks"), col("cpos") * span + 1, lit(span))).as("chunk"))
+        col("doc_id"), col("n_chunks"), col("cpos"),
+        when(col("cpos") >= 0,
+          concat_ws(" ", slice(col("toks"), col("cpos") * span + 1, lit(span))))
+          .as("chunk"))
     val bp = chunks
+      .filter(col("cpos") >= 0)
       .groupBy("chunk")
       .agg(countDistinct(col("doc_id")).as("d"))
       .filter(col("d") >= minDocs)
       .select("chunk")
     // ONE doc-grain aggregate does totals AND the strip: chunks carry a
     // boilerplate flag from a left join (same chunk-keyed partitioning as
-    // the bp aggregate), collect_list skips the nulled boilerplate
-    // entries, so no separate per-doc totals scan or re-join is needed —
-    // two corpus passes total (the global count, then the strip), which
-    // is this operator's floor.
-    val perDoc = chunks
+    // the bp aggregate; a sentinel's null chunk matches nothing),
+    // collect_list skips the nulled boilerplate and sentinel entries, so
+    // no separate per-doc totals scan or re-join is needed — two corpus
+    // passes total (the global count, then the strip), which is this
+    // operator's floor.
+    chunks
       .join(bp.withColumn("is_bp", lit(1)), Seq("chunk"), "left")
       .groupBy("doc_id")
       .agg(
-        sum(when(col("is_bp").isNull, 1L).otherwise(0L)).as("kept_chunks"),
+        max(col("n_chunks")).as("n_chunks"),
+        sum(when(col("cpos") >= 0 && col("is_bp").isNull, 1L).otherwise(0L))
+          .as("kept_chunks"),
         array_join(
           transform(
             array_sort(collect_list(
-              when(col("is_bp").isNull, struct(col("cpos"), col("chunk"))))),
+              when(col("cpos") >= 0 && col("is_bp").isNull,
+                struct(col("cpos"), col("chunk"))))),
             x => x.getField("chunk")),
           " ").as("kept_text"))
-    // anchor the output on the DOC grain, not the exploded chunk frame:
-    // a zero-chunk doc (null text, or a chunker returning nothing) has no
-    // chunk rows, so deriving rows from `chunks` would drop it while the
-    // oracle's doc-grain LEFT JOIN retains it (ADVICE r9) — the left join
-    // back onto docChunks emits its n_chunks=0 row on both engines.
-    docChunks.select(col("doc_id"), col("n_chunks"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .withColumn("kept_chunks", coalesce(col("kept_chunks"), lit(0L)))
-      .withColumn("kept_text", coalesce(col("kept_text"), lit("")))
       .select(
         col("doc_id"),
         col("n_chunks"),

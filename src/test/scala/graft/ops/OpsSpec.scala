@@ -48,6 +48,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.map(_._2) === exact.map(_._2))
   }
 
+  test("d30 calibration report agrees with the d04 loser-set invariant: " +
+       "LSH drops exactly the exact detector's losers on this corpus") {
+    val r = Dedup.lshCalibration(spark, dir).collect()(0)
+    assert(r.getAs[Long]("exact_losers") > 0L, "planted near-dups expected")
+    assert(r.getAs[Long]("missed_losers") === 0L)
+    assert(r.getAs[Long]("extra_losers") === 0L)
+    assert(r.getAs[Double]("loser_recall") === 1.0)
+    // the star emits at most one pair per loser; the exact pass all pairs
+    assert(r.getAs[Long]("lsh_pairs") <= r.getAs[Long]("exact_pairs"))
+  }
+
   test("exact-dedup apply keeps exactly one doc per distinct text") {
     val kept = Dedup.dropExactDuplicates(spark, dir).count()
     val distinctTexts = graft.Tables.documents(spark, dir)
@@ -2108,11 +2119,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) === ((2L, 0L)))
   }
 
-  test("t47 zero-chunk docs survive: the output anchors on the doc grain, " +
-       "not the exploded chunk frame") {
+  test("t47 zero-chunk docs survive: the sentinel row carries the doc " +
+       "grain through the strip aggregate") {
     val s = spark; import s.implicits._
-    // doc 2 has null text → no chunk rows at all; it must still emit a
-    // row (the oracle's doc-grain LEFT JOIN retains it — ADVICE r9)
+    // doc 2 has null text → no real chunks; its sentinel row must still
+    // emit an output row (the oracle's doc-grain LEFT JOIN retains it —
+    // ADVICE r9) without costing a third corpus scan
     val docs = Seq((1L, Option("alpha beta gamma")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
     val out = TextAnalysis.boilerplateStripOf(docs, span = 3, minDocs = 3).collect()
