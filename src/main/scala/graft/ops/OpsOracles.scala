@@ -507,11 +507,14 @@ object OpsOracles {
        |  WHERE rk = 1)""".stripMargin
 
   /** s29/s30 shared walk chain (mirrors Similarity.beamWalkScored):
-    * k-NN graph (per-node top-M same-cell cosine), per-cell medoid
-    * entry, then GraphAnnHops unrolled hops — e$t = the expanded
-    * frontier, s$t = its scored ranking (cosine + rnk kept), b$t = the
-    * rank-≤beam beam. The M/beam/hops literals come from the SAME
-    * constants the engine defaults read. */
+    * cells from the CORPUS-SIZED two-level-routed quantizer
+    * ([[semKmeansCtes]] — the graph build's pair join must stay
+    * O(N·targetCell), the d29 lesson applied to the index build), k-NN
+    * graph (per-node top-M same-cell cosine), per-cell medoid entry,
+    * then GraphAnnHops unrolled hops — e$t = the expanded frontier,
+    * s$t = its scored ranking (cosine + rnk kept), b$t = the rank-≤beam
+    * beam. The M/beam/hops literals come from the SAME constants the
+    * engine defaults read. */
   private val graphWalkCtes = {
     val qcos = "round(list_sum(list_transform(range(64), " +
       "i -> q.v[i+1] * c.v[i+1])) / (q.norm * c.norm), 6)"
@@ -529,22 +532,19 @@ object OpsOracles {
          |  JOIN q ON e.query_id = q.query_id),
          |b$t AS (SELECT query_id, node FROM s$t
          |  WHERE rnk <= ${Similarity.GraphAnnBeam})""".stripMargin
-    s"""$ivfRankedCte,
+    s"""$semKmeansCtes,
        |assigned AS MATERIALIZED (
-       |  SELECT vec_id, cell, v, norm FROM cellranked WHERE rk = 1),
+       |  SELECT vec_id, cell, v, norm FROM (
+       |    SELECT w.vec_id, r.cell, w.v, w.norm,
+       |      row_number() OVER (PARTITION BY w.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(64),
+       |          i -> (w.v[i+1] - r.cv[i+1]) * (w.v[i+1] - r.cv[i+1]))), 6) ASC,
+       |        r.cell ASC) AS rk
+       |    FROM vsup w JOIN routed r ON w.sup = r.sup)
+       |  WHERE rk = 1),
        |cand AS MATERIALIZED (
        |  SELECT vec_id AS cand_id, cell, v, norm FROM assigned
        |  WHERE vec_id >= 10),
-       |graph AS MATERIALIZED (
-       |  SELECT src, dst FROM (
-       |    SELECT a.cand_id AS src, b.cand_id AS dst,
-       |      row_number() OVER (PARTITION BY a.cand_id ORDER BY
-       |        round(list_sum(list_transform(range(64),
-       |          i -> a.v[i+1] * b.v[i+1])) / (a.norm * b.norm), 6) DESC,
-       |        b.cand_id ASC) AS rk
-       |    FROM cand a JOIN cand b
-       |      ON a.cell = b.cell AND a.cand_id <> b.cand_id)
-       |  WHERE rk <= ${Similarity.GraphAnnM}),
        |med AS (
        |  SELECT cell, cand_id AS entry FROM (
        |    SELECT c.cell, c.cand_id,
@@ -554,11 +554,41 @@ object OpsOracles {
        |          ASC, c.cand_id ASC) AS rk
        |    FROM cand c JOIN cent ct ON c.cell = ct.cell)
        |  WHERE rk = 1),
+       |pairsg AS MATERIALIZED (
+       |  SELECT a.cand_id AS src, b.cand_id AS dst, a.cell,
+       |    round(list_sum(list_transform(range(64),
+       |      i -> a.v[i+1] * b.v[i+1])) / (a.norm * b.norm), 6) AS gcos
+       |  FROM cand a JOIN cand b
+       |    ON a.cell = b.cell AND a.cand_id <> b.cand_id),
+       |graph AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM (
+       |      SELECT src, dst, row_number() OVER (PARTITION BY src
+       |        ORDER BY gcos DESC, dst ASC) AS rk FROM pairsg)
+       |    WHERE rk <= ${Similarity.GraphAnnM}
+       |    UNION ALL
+       |    SELECT src, dst FROM (
+       |      SELECT p.src, p.dst,
+       |        row_number() OVER (PARTITION BY p.cell
+       |          ORDER BY p.gcos ASC, p.dst ASC) AS fk,
+       |        count(*) OVER (PARTITION BY p.cell) AS cnt
+       |      FROM pairsg p JOIN med m ON p.cell = m.cell AND p.src = m.entry)
+       |    WHERE (fk - 1) % ((cnt + ${Similarity.GraphAnnEntryDegree - 1})
+       |      // ${Similarity.GraphAnnEntryDegree}) = 0)),
        |q AS MATERIALIZED (
        |  SELECT vec_id AS query_id, cell, v, norm FROM assigned
        |  WHERE vec_id < 10),
-       |b0 AS (SELECT q.query_id, m.entry AS node
-       |  FROM q JOIN med m ON q.cell = m.cell),
+       |qprobe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT qq.query_id, ct.cell,
+       |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+       |        round(list_sum(list_transform(range(64),
+       |          i -> (qq.v[i+1] - ct.cv[i+1]) * (qq.v[i+1] - ct.cv[i+1]))), 6)
+       |          ASC, ct.cell ASC) AS rk
+       |    FROM q qq CROSS JOIN cent ct)
+       |  WHERE rk <= ${Similarity.GraphAnnProbes}),
+       |b0 AS (SELECT DISTINCT p.query_id, m.entry AS node
+       |  FROM qprobe p JOIN med m ON p.cell = m.cell),
        |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
   }
 

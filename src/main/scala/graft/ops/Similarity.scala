@@ -799,42 +799,82 @@ object Similarity {
   val GraphAnnM = 8
   val GraphAnnBeam = 8
   val GraphAnnHops = 4
+  /** Entry probes: the walk starts from the medoids of the query's 2
+    * nearest cells (s07's multiprobe rule). The celled graph has no
+    * cross-cell edges, so single-cell entry caps recall at the cell
+    * recall (measured 0.8 on the clustered corpus — 20% of true top-3
+    * live one cell over); two entry probes restore 1.0. */
+  val GraphAnnProbes = 2
+  /** The medoid's long-range degree: entry points in serving graph
+    * indexes are high-degree hubs (HNSW layer-0 entry, DiskANN medoid).
+    * m-degree entries leave same-shell sub-clusters unreachable
+    * (measured 0.87–0.90 on the clustered corpus); 32 stride-sampled
+    * long edges put an entry hop within reach of every sub-cluster of
+    * size ≥ width/32 while hop-1 expansion stays O(probes·entryDeg). */
+  val GraphAnnEntryDegree = 32
 
   /** The s29/s30 shared core: disk-memoized k-NN graph + medoid entry
     * points, then `hops` rounds of expand → score → keep-beam. Returns
     * each hop's SCORED EXPANSION (hop, query_id, node, cosine, rnk) —
     * graphAnn reads the last hop's rank-≤k prefix (beam ≥ k makes
     * "top-k of the beam" ≡ "top-k of the expansion"), the sweep reads
-    * every hop's. */
+    * every hop's.
+    *
+    * Cells come from the CORPUS-SIZED quantizer ([[semDedupAssignment]],
+    * k = max(8, ⌈N/200⌉)), not the fixed-k search quantizer: the graph
+    * build's pair join is O(Σ|cell|²), so fixed-k cells would make the
+    * INDEX BUILD quadratic at scale — the same trap the d29 θ-graph had.
+    * With the sized quantizer the build stays O(N · targetCell), the
+    * property a build-once serving index actually needs. */
   private def beamWalkScored(spark: SparkSession, dir: String,
                              m: Int, beam: Int, hops: Int): Seq[DataFrame] = {
-    val assigned = trainedAssignment(spark, dir)
+    val assigned = semDedupAssignment(spark, dir)
     val cand = assigned.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cand_id"), col("cell"),
         col("v").as("cv2"), col("norm").as("cnorm"))
-    val graph = diskMemo(spark, dir, s"knngraph$m") {
-      val a = cand.select(col("cand_id").as("src"), col("cell"),
-        col("cv2").as("sv"), col("cnorm").as("sn"))
-      val b = cand.select(col("cand_id").as("dst"), col("cell"),
-        col("cv2").as("dv"), col("cnorm").as("dn"))
-      val w = Window.partitionBy("src").orderBy(col("gcos").desc, col("dst").asc)
-      a.join(b, Seq("cell"))
-        .filter(col("src") =!= col("dst"))
-        .withColumn("gcos", round(
-          expr("aggregate(zip_with(sv, dv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-            / (col("sn") * col("dn")), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= m)
-        .select("src", "dst")
-    }
-    val medoid = diskMemo(spark, dir, "knnmedoid") {
+    val medoid = diskMemo(spark, dir, "knnmedoidv2") {
       val w = Window.partitionBy("cell").orderBy(col("cdist").asc, col("cand_id").asc)
-      cand.join(broadcast(centroidVectors(spark, dir)), Seq("cell"))
+      cand.join(broadcast(semDedupCentroids(spark, dir)), Seq("cell"))
         .withColumn("cdist", round(
           expr("aggregate(zip_with(cv2, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("cell"), col("cand_id").as("entry"))
+    }
+    // graph = per-node top-m SAME-CELL cosine edges (the near layer)
+    // UNION m STRIDE-SAMPLED long-range edges from the medoid across the
+    // cell's whole distance spectrum (the HNSW upper-layer effect): near
+    // edges alone partition a cell holding several semantic clusters
+    // into disconnected components the walk cannot cross (measured:
+    // recall capped at 0.8 on the clustered corpus), and farthest-only
+    // long edges still miss MIDDLE sub-clusters (0.9) — the stride
+    // sample puts one entry hop in every distance band, after which the
+    // near edges descend. Both layers read ONE scored pair frame.
+    // the tag carries BOTH edge-policy parameters: a policy change must
+    // never silently reuse a stale artifact
+    val graph = diskMemo(spark, dir, s"knngraph${m}e$GraphAnnEntryDegree") {
+      val a = cand.select(col("cand_id").as("src"), col("cell"),
+        col("cv2").as("sv"), col("cnorm").as("sn"))
+      val b = cand.select(col("cand_id").as("dst"), col("cell"),
+        col("cv2").as("dv"), col("cnorm").as("dn"))
+      val scored = a.join(b, Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("gcos", round(
+          expr("aggregate(zip_with(sv, dv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            / (col("sn") * col("dn")), 6))
+      val nearW = Window.partitionBy("src").orderBy(col("gcos").desc, col("dst").asc)
+      val near = scored.withColumn("rk", row_number().over(nearW))
+        .filter(col("rk") <= m)
+        .select("src", "dst")
+      val ed = GraphAnnEntryDegree
+      val farW = Window.partitionBy("cell").orderBy(col("gcos").asc, col("dst").asc)
+      val far = scored
+        .join(broadcast(medoid.withColumnRenamed("entry", "src")), Seq("cell", "src"))
+        .withColumn("fk", row_number().over(farW))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("cell")))
+        .filter(pmod(col("fk") - 1, expr(s"(cnt + ${ed - 1}) div $ed")) === 0)
+        .select("src", "dst")
+      near.unionByName(far).distinct()
     }
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cell"),
@@ -850,15 +890,33 @@ object Similarity {
             / (col("qnorm") * col("cnorm")), 6))
         .withColumn("rnk", row_number().over(w))
     }
-    var beamDf = q.join(medoid, Seq("cell"))
+    // multi-probe entry: medoids of the query's GraphAnnProbes nearest
+    // cells — queries × cells is broadcast-sized, ranked flat
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("pcell").asc)
+    val qProbes = q.select(col("query_id"), col("qv"))
+      .crossJoin(broadcast(semDedupCentroids(spark, dir)
+        .select(col("cell").as("pcell"), col("cv"))))
+      .withColumn("cdist", round(
+        expr("aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"), 6))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= GraphAnnProbes)
+      .select(col("query_id"), col("pcell").as("cell"))
+    var beamDf = qProbes.join(medoid, Seq("cell"))
       .select(col("query_id"), col("entry").as("node"))
+      .distinct()
     (1 to hops).map { h =>
       val expanded = beamDf.select("query_id", "node")
         .unionByName(graph.join(broadcast(beamDf), col("node") === col("src"))
           .select(col("query_id"), col("dst").as("node")))
         .distinct()
       val s = scored(expanded)
+      // each beam has two consumers (next hop's union + its join) and
+      // every hop's scored frame survives for the sweep: lazily
+      // checkpoint the beam so hop t's join chain runs once, not once
+      // per later consumer (the g11 trail lesson)
       beamDf = s.filter(col("rnk") <= beam).select("query_id", "node")
+        .localCheckpoint(eager = false)
       s.withColumn("hop", lit(h))
     }
   }

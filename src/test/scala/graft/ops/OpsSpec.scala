@@ -2342,8 +2342,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = pairs(Similarity.graphAnn(spark, d))
     val recall = got.intersect(truth).size.toDouble / truth.size
     info(f"s29 clustered recall@3 = $recall%.3f")
-    // measured 1.0 at m=8/beam=8/hops=4; pin 0.8 with drift margin
-    assert(recall >= 0.8, f"s29 graph-ANN recall@3 $recall%.3f < 0.8")
+    // measured 0.967 at m=8/beam=8/hops=4/entryDeg=32 on the sized
+    // quantizer (0.80 without long-range entry edges, 0.87–0.90 with
+    // only m of them); pin 0.9 with drift margin
+    assert(recall >= 0.9, f"s29 graph-ANN recall@3 $recall%.3f < 0.9")
   }
 
   test("s30 hop sweep: cost grows with depth, recall never degrades, " +
@@ -2357,9 +2359,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // so cost gets a bound, not an ordering
     assert(sweep.sliding(2).forall { case Array(a, b) => b._3 >= a._3 })
     val (nq, b, m) = (10L, Similarity.GraphAnnBeam, Similarity.GraphAnnM)
+    // every scored node is a frontier member or one of its ≤ m+entryDeg
+    // neighbors, and the frontier is ≤ probes+beam rows — the bound is a
+    // CONSTANT per query, independent of corpus size (the walk's whole
+    // point)
+    val perQuery = (Similarity.GraphAnnProbes + b) *
+      (1 + m + Similarity.GraphAnnEntryDegree)
     sweep.foreach { case (h, nodes, _, _) =>
-      assert(nodes >= nq && nodes <= nq * b * (m + 1),
-        s"hop $h scored $nodes nodes, outside [$nq, ${nq * b * (m + 1)}]")
+      assert(nodes >= nq && nodes <= nq * perQuery,
+        s"hop $h scored $nodes nodes, outside [$nq, ${nq * perQuery}]")
     }
     // consistency with the shipped search: hop GraphAnnHops IS s29
     val s29 = Similarity.graphAnn(spark, dir).collect()
