@@ -241,6 +241,9 @@ object SparkEntry {
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.semDedup(s, d)),
     "d30_lsh_calibration"    -> (Dedup.lshCalibration _),
+    "s31_hard_negatives"     -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.hardNegatives(s, d)),
+    "t49_gopher_rules"       -> (TextAnalysis.gopherRules _),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "m13_audio_energy"       -> (graft.ops.Multimodal.audioEnergy _),

@@ -4393,5 +4393,54 @@ object OpsOracles {
         |  round(CAST(sum(CAST(avg_logprob AS DECIMAL(18,6))) AS DOUBLE)
         |    / count(*), 4) AS mean_logprob
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // s31: hard negatives — s01's brute scoring with the query-dependent
+    // anti-label pair predicate (q.label <> c.label), k=5.
+    "s31_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neg_id, c.label AS neg_label,
+        |    round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS cosine
+        |  FROM n q JOIN n c ON q.label <> c.label
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |SELECT query_id, neg_id, neg_label, cosine, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neg_id ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // t49: Gopher rules — every threshold in integer cross-multiplied
+    // form, mirroring the Spark side bit-for-bit (no float boundaries).
+    "t49_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS word_chars,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS sym_hits,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_distinct
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_words, word_chars,
+        |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_words,
+        |    CASE WHEN 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+        |         THEN 1 ELSE 0 END AS r_mean_len,
+        |    CASE WHEN 10 * sym_hits <= n_words THEN 1 ELSE 0 END AS r_symbol,
+        |    CASE WHEN 5 * alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS r_alpha,
+        |    CASE WHEN stop_distinct >= 1 THEN 1 ELSE 0 END AS r_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, word_chars, r_words, r_mean_len, r_symbol,
+        |  r_alpha, r_stop,
+        |  r_words * r_mean_len * r_symbol * r_alpha * r_stop AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

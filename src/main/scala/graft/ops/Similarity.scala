@@ -1833,4 +1833,46 @@ object Similarity {
         Seq("cand_id"))
     mmrRerankOf(pool, poolVecs, k = 3, lambda = 0.7, mu = 0.3)
   }
+
+  /** HARD-NEGATIVE MINING (s31) — the retrieval-training data op behind
+    * dense-retriever pipelines (DPR, Karpukhin et al. 2020 §4.2; ANCE,
+    * Xiong et al. 2021): for each query, the top-k most-similar
+    * candidates whose label DIFFERS from the query's — "close but
+    * wrong", the negatives that actually move a contrastive loss.
+    *
+    * This is the QUERY-DEPENDENT dual of s18's filtered ANN: s18 prunes
+    * candidates by a STATIC predicate (one semi-join fixes the corpus
+    * subset for every query); here the exclusion predicate is a
+    * per-query anti-equality on the query's own label, so it rides the
+    * pair predicate of the scoring join itself — no per-query corpus
+    * rewrite, no extra exchange. Plan shape = s01's exactness baseline
+    * (broadcast query side, ONE narrow candidate pass, per-query top-k
+    * window): the label test is a free conjunct on the scored pair. At
+    * corpus scale the same predicate drops into the celled route
+    * unchanged (probe the query's cells as in s09, score cell members
+    * with `qlabel <> clabel` — negatives concentrate in the query's own
+    * cells by construction, which is exactly why they are hard).
+    *
+    * Rank on the 6-dp-rounded score with cand_id tie-break — both
+    * engines select the identical top-k at float boundaries. */
+  def hardNegativesOf(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"), col("v").as("qv"), col("norm").as("qnorm"))
+    val c = candidates.select(col("vec_id").as("neg_id"),
+      col("label").as("neg_label"), col("v").as("cv"), col("norm").as("cnorm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neg_id").asc)
+    broadcast(q).join(c, col("qlabel") =!= col("neg_label"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neg_id", "neg_label", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val vs = vectors(spark, dir)
+    hardNegativesOf(vs.filter(col("vec_id") < 10), vs.filter(col("vec_id") >= 10), k)
+  }
 }

@@ -1937,4 +1937,71 @@ object TextAnalysis {
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeightsOf(Tables.documents(spark, dir))
+
+  /** Gopher/MassiveText stopword list (Rae et al. 2021, A1.1) — mirrored
+    * verbatim in the t49 oracle. Distinct from [[EnStopwords]] (the
+    * heuristic lang-ID list): this one is the published filter's. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER QUALITY RULES (t49) — the published MassiveText rule-based
+    * filter (Rae et al. 2021 "Scaling Language Models", Appendix A1.1),
+    * the de-facto first-pass web filter (reused by Falcon/RefinedWeb and
+    * Dolma): per document,
+    *   r_words    — word count in [50, 100,000];
+    *   r_mean_len — mean word length in [3, 10] chars;
+    *   r_symbol   — symbol-to-word ratio ('#' or '...' hits) ≤ 0.1;
+    *   r_alpha    — ≥ 80% of words contain ≥ 1 alphabetic character;
+    *   r_stop     — ≥ 2 DISTINCT Gopher stopwords present;
+    * keep = every rule passes. Unlike t02's heuristic score bands, this
+    * is a NAMED recipe with per-rule provenance — each flag survives to
+    * the output so downstream audits can attribute every drop.
+    *
+    * Engine-exactness: every threshold is evaluated in INTEGER
+    * cross-multiplied form (3·n ≤ chars, 10·sym ≤ n, 5·alpha ≥ 4·n) —
+    * no float ratio ever compares against a boundary, so Spark and
+    * DuckDB agree on every flag bit-for-bit. Plan: fully narrow per-row
+    * scoring (the §t-family shape) — zero shuffles before the output
+    * sort; at 100 TB scan parallelism is the only knob. */
+  def gopherRulesOf(docs: DataFrame, minStopwords: Int = 2): DataFrame = {
+    val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
+    withToks(docs)
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("word_chars",
+        expr("aggregate(toks, 0L, (acc, w) -> acc + length(w))"))
+      .withColumn("sym_hits",
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("long"))
+      .withColumn("alpha_words",
+        expr("size(filter(toks, w -> w rlike '[A-Za-z]'))").cast("long"))
+      .withColumn("stop_distinct",
+        expr(s"size(array_intersect(array_distinct(toks), array($stopList)))").cast("long"))
+      .withColumn("r_words",
+        when(col("n_words").between(50L, 100000L), 1).otherwise(0))
+      .withColumn("r_mean_len",
+        when(lit(3L) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10L) * col("n_words"), 1).otherwise(0))
+      .withColumn("r_symbol",
+        when(lit(10L) * col("sym_hits") <= col("n_words"), 1).otherwise(0))
+      .withColumn("r_alpha",
+        when(lit(5L) * col("alpha_words") >= lit(4L) * col("n_words"), 1).otherwise(0))
+      .withColumn("r_stop",
+        when(col("stop_distinct") >= minStopwords.toLong, 1).otherwise(0))
+      .withColumn("keep",
+        col("r_words") * col("r_mean_len") * col("r_symbol") *
+          col("r_alpha") * col("r_stop"))
+      .select("doc_id", "n_words", "word_chars", "r_words", "r_mean_len",
+        "r_symbol", "r_alpha", "r_stop", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Driver entry: minStopwords CORPUS-CALIBRATED to 1 (the q6_active
+    * stance, SURVEY §0.2-7): the synthetic vocabulary carries only "the"
+    * from the Gopher list, so the published ≥2 selects keep=0 for every
+    * document — a degenerate gate row. At ≥1 the flag splits 382/118 at
+    * sf0.01 and keep exercises both paths; the published default stays
+    * on [[gopherRulesOf]], and the spec pins the ≥2 semantics on a
+    * planted corpus that carries real stopword variety. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(spark, dir), minStopwords = 1)
 }

@@ -657,4 +657,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // declared readers only
     assert("InMemoryTableScan".r.findAllIn(p).size <= 2, p.take(3000))
   }
+
+  test("s31_hard_negatives: s01's broadcast shape — the anti-label predicate " +
+       "rides the scoring join, no per-query corpus rewrite") {
+    val p = plan("s31_hard_negatives")
+    // query side broadcasts; the label inequality is the join condition of
+    // the nested-loop broadcast join (an equi-join can't express <>)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // ONE candidate pass: a per-query semi-join materialization of the
+    // allowed set would show as a second embeddings scan
+    val scans = fileScans("s31_hard_negatives").count(_.contains("embeddings"))
+    assert(scans === 2, s"expected 2 embeddings scans (query + candidate), got $scans")
+  }
+
+  test("t49_gopher_rules: fully narrow per-doc scoring — zero exchanges " +
+       "before the output sort") {
+    val p = plan("t49_gopher_rules")
+    val scans = fileScans("t49_gopher_rules").count(_.contains("documents"))
+    assert(scans === 1, s"expected one documents scan, got $scans")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
 }

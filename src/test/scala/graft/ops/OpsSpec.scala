@@ -2394,4 +2394,78 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"query $q MMR marginal scores must be non-increasing")
     }
   }
+
+  test("t49 Gopher rules: each rule attributes exactly its planted violation " +
+    "(published minStopwords=2 defaults)") {
+    val s = spark; import s.implicits._
+    def words(w: String, n: Int): String = Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      // 48 fillers + "the" + "of" = 50 words, mean len ~4.9, no symbols
+      (1L, words("table", 48) + " the of"),
+      // 8 fillers + 2 stopwords = 10 words < 50
+      (2L, words("table", 8) + " the of"),
+      // 48 one-char words + the + of: mean word length < 3
+      (3L, words("x", 48) + " the of"),
+      // 6 '#' words in 50: 10*6 > 50 (alpha ratio 44/50 = 88% still passes)
+      (4L, words("table", 42) + " the of " + words("#", 6)),
+      // 15 numeric words in 50: alpha 35/50 = 70% < 80%
+      (5L, words("table", 33) + " the of " + words("123", 15)),
+      // 50 words but only "the" from the Gopher list
+      (6L, words("table", 49) + " the")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRulesOf(docs).collect().map { x =>
+      x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("r_words"), x.getAs[Int]("r_mean_len"),
+          x.getAs[Int]("r_symbol"), x.getAs[Int]("r_alpha"),
+          x.getAs[Int]("r_stop"), x.getAs[Int]("keep"))
+    }.toMap
+    assert(r(1L) === ((1, 1, 1, 1, 1, 1)), s"clean doc must keep: ${r(1L)}")
+    assert(r(2L) === ((0, 1, 1, 1, 1, 0)), s"short doc fails r_words only: ${r(2L)}")
+    assert(r(3L) === ((1, 0, 1, 1, 1, 0)), s"1-char doc fails r_mean_len only: ${r(3L)}")
+    assert(r(4L) === ((1, 1, 0, 1, 1, 0)), s"symbol doc fails r_symbol only: ${r(4L)}")
+    assert(r(5L) === ((1, 1, 1, 0, 1, 0)), s"numeric doc fails r_alpha only: ${r(5L)}")
+    assert(r(6L) === ((1, 1, 1, 1, 0, 0)), s"one-stopword doc fails r_stop only: ${r(6L)}")
+  }
+
+  test("s31 hard negatives: same-label candidates excluded even at cosine 1, " +
+    "ties break on neg_id, k bounds the set") {
+    val s = spark; import s.implicits._
+    def frame(rows: Seq[(Long, Int, Seq[Double])]) =
+      rows.toDF("vec_id", "label", "v")
+        .withColumn("norm",
+          org.apache.spark.sql.functions.sqrt(
+            org.apache.spark.sql.functions.expr(
+              "aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val queries = frame(Seq((0L, 0, Seq(1.0, 0.0))))
+    val cands = frame(Seq(
+      (10L, 0, Seq(1.0, 0.0)),  // cosine 1.0 but SAME label — excluded
+      (11L, 1, Seq(2.0, 0.0)),  // cosine 1.0
+      (14L, 3, Seq(3.0, 0.0)),  // cosine 1.0 — tie with 11, loses on id
+      (13L, 2, Seq(1.0, 1.0)),  // cosine 0.707107
+      (12L, 1, Seq(0.0, 1.0)))) // cosine 0 — beyond k=3
+    val r = Similarity.hardNegativesOf(queries, cands, k = 3).collect()
+      .map(x => (x.getAs[Int]("rnk"), x.getAs[Long]("neg_id"),
+        x.getAs[Double]("cosine")))
+    assert(r.toSeq === Seq((1, 11L, 1.0), (2, 14L, 1.0), (3, 13L, 0.707107)),
+      s"got ${r.toSeq}")
+  }
+
+  test("s31 hard negatives on the corpus: k rows per query, no same-label " +
+    "neighbor, scores non-increasing") {
+    val labels = graft.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = Similarity.hardNegatives(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length === 5, s"query $q must emit k=5 negatives")
+      rs.foreach { r =>
+        assert(r.getAs[Int]("neg_label") !== labels(q),
+          s"query $q (label ${labels(q)}) got a same-label negative")
+        assert(r.getAs[Int]("neg_label") === labels(r.getAs[Long]("neg_id")),
+          "neg_label must be the candidate's own label")
+      }
+      val sc = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cosine"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b },
+        s"query $q cosine must be non-increasing in rank")
+    }
+  }
 }
