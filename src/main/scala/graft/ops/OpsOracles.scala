@@ -24,13 +24,32 @@ object OpsOracles {
       |  SELECT *, row_number() OVER (ORDER BY cosine DESC, v1 ASC, v2 ASC) AS rn
       |  FROM scored)""".stripMargin
 
-  private val shingleCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+  private def shingleCteFrom(src: String) =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM $src),
       |sh AS (SELECT DISTINCT doc_id,
       |  unnest(CASE WHEN len(l) < 3 THEN []
       |         ELSE list_transform(range(len(l)-2),
       |              i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]) END) AS shingle
       |  FROM toks)""".stripMargin
+
+  private val shingleCte = shingleCteFrom("documents")
+
+  /** d30's deterministic calibration sample — mirrors
+    * [[graft.ops.Dedup.calibrationSampleOf]]: identity while the corpus
+    * fits the 5000-doc budget (every gated SF), an md5-uniform fraction
+    * beyond it. The 4-nibble decode is the simhash oracle's strpos trick. */
+  private val calibrationSampleCte =
+    """dcnt AS (SELECT CAST(count(*) AS BIGINT) AS dn FROM documents),
+      |dsamp AS (SELECT doc_id, text,
+      |  md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+      |docs_s AS (
+      |  SELECT doc_id, text FROM dsamp CROSS JOIN dcnt
+      |  WHERE dn <= 5000 OR
+      |    CAST((strpos('0123456789abcdef', m[1]) - 1) * 4096
+      |       + (strpos('0123456789abcdef', m[2]) - 1) * 256
+      |       + (strpos('0123456789abcdef', m[3]) - 1) * 16
+      |       + (strpos('0123456789abcdef', m[4]) - 1) AS BIGINT) * dn
+      |      < 5000 * 65536)""".stripMargin
 
   /** t24: the eight BPE stages unrolled (DuckDB 1.0 has no recursive
     * lambda state beyond list_reduce's first-element seed, and memory's
@@ -2966,7 +2985,8 @@ object OpsOracles {
     // exact all-pairs baseline's; pair counts differ by design (spanning
     // star vs all pairs), the loser SET is the contract.
     "d30_lsh_calibration" ->
-      s"""WITH $shingleCte,
+      s"""WITH $calibrationSampleCte,
+        |${shingleCteFrom("docs_s")},
         |$lshCandCte,
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |einter AS (

@@ -2450,6 +2450,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got ${r.toSeq}")
   }
 
+  test("d30 calibration sample: identity under budget, a deterministic " +
+    "proper md5-subset beyond it — the quadratic baseline's input is " +
+    "bounded in code") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 400L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+    val under = Dedup.calibrationSampleOf(docs, budget = 400L)
+    assert(under.count() === 400L, "corpus within budget must pass through whole")
+    val a = Dedup.calibrationSampleOf(docs, budget = 40L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Dedup.calibrationSampleOf(docs, budget = 40L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "sample must be deterministic")
+    assert(a.nonEmpty && a.size < 400,
+      s"sample must be a proper non-empty subset, got ${a.size}")
+    // brute recompute of the predicate: md5-uniform fraction budget/N
+    val expected = (0L until 400L).filter { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) * 400L < 40L * 65536L
+    }.toSet
+    assert(a === expected, "sample must equal the md5-fraction predicate")
+  }
+
   test("s31 hard negatives on the corpus: k rows per query, no same-label " +
     "neighbor, scores non-increasing") {
     val labels = graft.Tables.embeddings(spark, dir).collect()
