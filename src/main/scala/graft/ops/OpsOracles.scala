@@ -4462,5 +4462,37 @@ object OpsOracles {
         |  r_alpha, r_stop,
         |  r_words * r_mean_len * r_symbol * r_alpha * r_stop AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // w16: t49's flags (minStopwords=1 driver stance) with first-failing-
+    // rule attribution, aggregated per (reason, lang) — verifies the whole
+    // stream route→sink→scan path since every column is row-local.
+    "w16_stream_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS word_chars,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS sym_hits,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_distinct
+        |  FROM t),
+        |v AS (
+        |  SELECT lang, n_words,
+        |    CASE
+        |      WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 'too_few_words'
+        |      WHEN NOT (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+        |        THEN 'word_length'
+        |      WHEN NOT (10 * sym_hits <= n_words) THEN 'symbol_heavy'
+        |      WHEN NOT (5 * alpha_words >= 4 * n_words) THEN 'non_alpha'
+        |      WHEN NOT (stop_distinct >= 1) THEN 'no_stopwords'
+        |      ELSE 'ok' END AS reason
+        |  FROM m)
+        |SELECT reason, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS words_sum
+        |FROM v GROUP BY reason, lang
+        |ORDER BY reason, lang""".stripMargin,
   )
 }

@@ -1963,7 +1963,11 @@ object TextAnalysis {
     * DuckDB agree on every flag bit-for-bit. Plan: fully narrow per-row
     * scoring (the §t-family shape) — zero shuffles before the output
     * sort; at 100 TB scan parallelism is the only knob. */
-  def gopherRulesOf(docs: DataFrame, minStopwords: Int = 2): DataFrame = {
+  /** The rule flags WITHOUT the output projection/sort — the
+    * frame-in/frame-out core shared by t49 and the w16 streaming gate
+    * (a streaming plan cannot sort; flags are pure per-row expressions,
+    * so the identical plan runs over a batch or streaming frame). */
+  def gopherFlagsOf(docs: DataFrame, minStopwords: Int): DataFrame = {
     val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
     withToks(docs)
       .withColumn("n_words", size(col("toks")).cast("long"))
@@ -1990,10 +1994,13 @@ object TextAnalysis {
       .withColumn("keep",
         col("r_words") * col("r_mean_len") * col("r_symbol") *
           col("r_alpha") * col("r_stop"))
+  }
+
+  def gopherRulesOf(docs: DataFrame, minStopwords: Int = 2): DataFrame =
+    gopherFlagsOf(docs, minStopwords)
       .select("doc_id", "n_words", "word_chars", "r_words", "r_mean_len",
         "r_symbol", "r_alpha", "r_stop", "keep")
       .orderBy("doc_id")
-  }
 
   /** Driver entry: minStopwords CORPUS-CALIBRATED to 1 (the q6_active
     * stance, SURVEY §0.2-7): the synthetic vocabulary carries only "the"

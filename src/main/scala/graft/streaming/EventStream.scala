@@ -933,4 +933,61 @@ object EventStream {
         minTs, maxTs))
       .toDF("n_rows", "null_values", "value_sum", "min_ts_us", "max_ts_us")
   }
+
+  /** Per-document verdict for the w16 streaming quality gate: t49's
+    * Gopher flags (corpus-calibrated minStopwords=1, the same driver
+    * stance as t49) with FIRST-FAILING-RULE attribution in the published
+    * rule order — 'ok' when every rule passes. Pure per-row expressions
+    * over the document alone, so the identical plan runs over a batch or
+    * streaming frame (the ingestDedupOf discipline) and the verdict is
+    * arrival-order-free. */
+  def qualityGateVerdict(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.gopherFlagsOf(docs, minStopwords = 1)
+      .withColumn("reason",
+        when(col("r_words") === 0, lit("too_few_words"))
+          .when(col("r_mean_len") === 0, lit("word_length"))
+          .when(col("r_symbol") === 0, lit("symbol_heavy"))
+          .when(col("r_alpha") === 0, lit("non_alpha"))
+          .when(col("r_stop") === 0, lit("no_stopwords"))
+          .otherwise(lit("ok")))
+      .select("doc_id", "lang", "n_words", "reason")
+
+  /** STREAMING QUALITY GATE (w16) — the t49 rule filter applied IN
+    * FLIGHT: arriving documents are scored and routed at ingest, the
+    * production posture for web-crawl feeds (filter before you store —
+    * at 100 TB, post-hoc filtering means having paid to land the
+    * rejects). ZERO streaming state: no watermark, no aggregation, no
+    * buffer inside the trigger — the verdict is a narrow per-row pass,
+    * so the gate runs at line rate on an unbounded feed. The returned
+    * report re-reads the routed sink and aggregates per (reason, lang);
+    * counts and integer word sums are commutative monoids, so
+    * AvailableNow's backlog slicing cannot change the answer (w14's
+    * determinism stance), and total docs across reasons must equal the
+    * feed — nothing lost, nothing duplicated. */
+  def streamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_quality_gate/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    graft.sources.StaleOutputs.sweep("graft_quality_gate",
+      spark.sparkContext.applicationId)
+    graft.sources.StaleOutputs.reset(base)
+    val out = s"$base/routed"
+    val routed = qualityGateVerdict(readDocuments(spark, dir))
+    // seed the sink with the routed schema (the w15 empty-feed lesson)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), routed.schema)
+    empty.write.mode("append").parquet(out)
+    val q = routed
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("reason", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("words_sum"))
+      .orderBy("reason", "lang")
+  }
 }

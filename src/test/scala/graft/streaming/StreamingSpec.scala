@@ -423,4 +423,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.getAs[Long]("min_ts_us") === direct.getAs[Long]("min_ts_us"))
     assert(m.getAs[Long]("max_ts_us") === direct.getAs[Long]("max_ts_us"))
   }
+
+  test("streaming quality gate: equals the batch verdict rollup, " +
+    "conserves the feed, attributes one reason per doc") {
+    val report = EventStream.streamQualityGate(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // batch mirror: the SAME verdict transform over a batch read
+    val batch = EventStream.qualityGateVerdict(docs)
+      .groupBy("reason", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("words_sum"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val streamed = report
+      .map(r => (r.getAs[String]("reason"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("words_sum"))).toMap
+    assert(streamed === batch,
+      "stream route->sink->scan must equal the batch verdict rollup")
+    // conservation: one reason per doc, nothing lost or duplicated
+    assert(report.map(_.getAs[Long]("n_docs")).sum === docs.count())
+  }
 }
