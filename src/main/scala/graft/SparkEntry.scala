@@ -243,6 +243,8 @@ object SparkEntry {
     "d30_lsh_calibration"    -> (Dedup.lshCalibration _),
     "s31_hard_negatives"     -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.hardNegatives(s, d)),
+    "s32_triplet_margins"    -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.tripletMargins(s, d)),
     "t49_gopher_rules"       -> (TextAnalysis.gopherRules _),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),

@@ -4434,6 +4434,45 @@ object OpsOracles {
         |WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s32: triplet assembly — same-label top-1 positive × anti-label
+    // top-3 negatives; margins and the semi-hard band in exact DECIMAL.
+    "s32_triplet_margins" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        |  FROM embeddings),
+        |ps AS (
+        |  SELECT q.vec_id AS anchor_id, c.vec_id AS pos_id,
+        |    round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS pos_cos
+        |  FROM n q JOIN n c ON q.label = c.label
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |pr AS (
+        |  SELECT anchor_id, pos_id, pos_cos FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY anchor_id ORDER BY pos_cos DESC, pos_id ASC) AS prnk
+        |    FROM ps) WHERE prnk = 1),
+        |ns AS (
+        |  SELECT q.vec_id AS anchor_id, c.vec_id AS neg_id,
+        |    round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+        |          / (q.norm * c.norm), 6) AS neg_cos
+        |  FROM n q JOIN n c ON q.label <> c.label
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |nr AS (
+        |  SELECT anchor_id, neg_id, neg_cos, CAST(rnk AS INT) AS rnk FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY anchor_id ORDER BY neg_cos DESC, neg_id ASC) AS rnk
+        |    FROM ns) WHERE rnk <= 3)
+        |SELECT p.anchor_id, pos_id, pos_cos, neg_id, neg_cos, rnk,
+        |  CAST(CAST(pos_cos AS DECIMAL(18,6)) - CAST(neg_cos AS DECIMAL(18,6))
+        |    AS DOUBLE) AS margin,
+        |  CASE WHEN CAST(neg_cos AS DECIMAL(18,6)) < CAST(pos_cos AS DECIMAL(18,6))
+        |        AND CAST(pos_cos AS DECIMAL(18,6)) - CAST(neg_cos AS DECIMAL(18,6))
+        |            < CAST(0.05 AS DECIMAL(18,6))
+        |       THEN 1 ELSE 0 END AS semi_hard
+        |FROM pr p JOIN nr USING (anchor_id)
+        |ORDER BY anchor_id, rnk""".stripMargin,
+
     // t49: Gopher rules — every threshold in integer cross-multiplied
     // form, mirroring the Spark side bit-for-bit (no float boundaries).
     "t49_gopher_rules" ->

@@ -1875,4 +1875,46 @@ object Similarity {
     val vs = vectors(spark, dir)
     hardNegativesOf(vs.filter(col("vec_id") < 10), vs.filter(col("vec_id") >= 10), k)
   }
+
+  /** TRIPLET ASSEMBLY (s32) — the training-tuple op downstream of s31:
+    * per anchor, the top same-label candidate (the positive) paired with
+    * each of the top-k hard negatives, with the triplet MARGIN
+    * (pos − neg cosine) and the FaceNet semi-hard attribution (Schroff
+    * et al. 2015 §3.2: negatives farther than the positive but within
+    * the α-band — the ones that train without collapsing). Composes
+    * [[cosineTopK]] (same-label, k=1) and [[hardNegativesOf]]: two
+    * narrow corpus passes (each s01's broadcast shape), then a
+    * broadcast-sized join of the two ≤(anchors·k) result frames —
+    * corpus cost is additive, never multiplicative.
+    *
+    * Margins subtract in EXACT DECIMAL (the MMR discipline): both
+    * cosines are 6-dp rounds, and re-deriving arithmetic on 6-dp doubles
+    * lands on rounding half-boundaries ~1 in 10 times — DECIMAL(18,6)
+    * subtraction is exact and converts back to the identical double in
+    * both engines. The semi-hard band test compares the same decimals
+    * (α = 0.05, exactly representable as DECIMAL). */
+  def tripletMarginsOf(queries: DataFrame, candidates: DataFrame,
+                       k: Int, alpha: String = "0.05"): DataFrame = {
+    val pos = cosineTopK(queries, candidates, Seq("label"), 1)
+      .select(col("query_id").as("anchor_id"), col("cand_id").as("pos_id"),
+        col("cosine").as("pos_cos"))
+    val neg = hardNegativesOf(queries, candidates, k)
+      .select(col("query_id").as("anchor_id"), col("neg_id"),
+        col("cosine").as("neg_cos"), col("rnk"))
+    val pd = col("pos_cos").cast("decimal(18,6)")
+    val nd = col("neg_cos").cast("decimal(18,6)")
+    pos.join(neg, Seq("anchor_id"))
+      .withColumn("margin", (pd - nd).cast("double"))
+      .withColumn("semi_hard",
+        when(nd < pd && pd - nd < expr(s"cast($alpha as decimal(18,6))"), 1)
+          .otherwise(0))
+      .select("anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos",
+        "rnk", "margin", "semi_hard")
+      .orderBy("anchor_id", "rnk")
+  }
+
+  def tripletMargins(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val vs = vectors(spark, dir)
+    tripletMarginsOf(vs.filter(col("vec_id") < 10), vs.filter(col("vec_id") >= 10), k)
+  }
 }

@@ -2474,6 +2474,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === expected, "sample must equal the md5-fraction predicate")
   }
 
+  test("s32 triplet margins: positive is the same-label argmax, margins " +
+    "exact, semi-hard only inside the (0, alpha) band") {
+    val s = spark; import s.implicits._
+    def frame(rows: Seq[(Long, Int, Seq[Double])]) =
+      rows.toDF("vec_id", "label", "v")
+        .withColumn("norm",
+          org.apache.spark.sql.functions.sqrt(
+            org.apache.spark.sql.functions.expr(
+              "aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val queries = frame(Seq((0L, 0, Seq(1.0, 0.0))))
+    val cands = frame(Seq(
+      (10L, 0, Seq(1.0, 1.0)),   // same label, cos 0.707107 — loses to 15
+      (15L, 0, Seq(1.0, 0.0)),   // same label, cos 1.0 — the positive
+      (11L, 1, Seq(2.0, 0.0)),   // neg cos 1.0: margin 0 — NOT semi-hard
+      (13L, 2, Seq(1.0, 0.1)),   // neg cos 0.995037: inside the band
+      (12L, 1, Seq(0.0, 1.0)))) // neg cos 0: margin 1.0 — too easy
+    val r = Similarity.tripletMarginsOf(queries, cands, k = 3).collect()
+      .map(x => (x.getAs[Int]("rnk"), x.getAs[Long]("pos_id"),
+        x.getAs[Long]("neg_id"), x.getAs[Double]("margin"),
+        x.getAs[Int]("semi_hard")))
+    assert(r.toSeq === Seq(
+      (1, 15L, 11L, 0.0, 0),
+      (2, 15L, 13L, 0.004963, 1),
+      (3, 15L, 12L, 1.0, 0)), s"got ${r.toSeq}")
+  }
+
   test("s31 hard negatives on the corpus: k rows per query, no same-label " +
     "neighbor, scores non-increasing") {
     val labels = graft.Tables.embeddings(spark, dir).collect()
