@@ -214,6 +214,7 @@ object SparkEntry {
     "f12_snapshot_diff"      -> (graft.sources.TimeTravel.snapshotDiffQuery _),
     "f13_data_skipping"      -> (graft.sources.DataSkipping.skippingQuery _),
     "f14_incremental_agg"    -> (graft.sources.IncrementalAgg.refreshedDailyView _),
+    "f15_dynamic_pruning"    -> (graft.sources.DynamicPruning.pruningJoin _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),
     "g03_triangle_count"     -> (graft.ops.GraphRank.triangleCount _),

@@ -2431,6 +2431,19 @@ object OpsOracles {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
+    // f15: dynamic partition pruning — the oracle is the LAYOUT-FREE
+    // join (pruning is a plan-side superset cut, never a semantics).
+    "f15_dynamic_pruning" ->
+      """WITH dim(lang, region) AS (VALUES
+        |  ('en','west'), ('fr','west'), ('de','east'), ('es','east'),
+        |  ('zh','east'))
+        |SELECT d.lang, region, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents d JOIN dim USING (lang)
+        |WHERE region = 'west'
+        |GROUP BY d.lang, region
+        |ORDER BY d.lang""".stripMargin,
+
     // t36: stratified split report — the md5-nibble three-way split with
     // per-source shares; pure integer counts and one rounded divide
     "t36_train_val_test" ->

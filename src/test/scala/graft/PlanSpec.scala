@@ -677,4 +677,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans === 1, s"expected one documents scan, got $scans")
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
+
+  test("f15_dynamic_pruning: the fact scan's partition filters carry a " +
+       "runtime DynamicPruningExpression fed by the dim broadcast") {
+    val df = SparkEntry.queries("f15_dynamic_pruning")(spark, dir)
+    df.collect() // DPP subqueries materialize at execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in the fact scan:\n${p.take(3000)}")
+  }
 }
