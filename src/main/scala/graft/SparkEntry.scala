@@ -228,6 +228,7 @@ object SparkEntry {
     "g10_local_clustering"   -> (graft.ops.GraphRank.localClustering _),
     "g11_random_walks"       -> ((s: SparkSession, d: String) =>
       graft.ops.GraphRank.randomWalks(s, d)),
+    "g12_harmonic_centrality" -> (graft.ops.GraphRank.harmonicCentrality _),
     "s25_truncated_ann"      -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.truncatedAnn(s, d)),
     "s26_range_search"       -> ((s: SparkSession, d: String) =>
@@ -242,6 +243,7 @@ object SparkEntry {
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.semDedup(s, d)),
     "d30_lsh_calibration"    -> (Dedup.lshCalibration _),
+    "d31_detector_agreement" -> (Dedup.detectorAgreement _),
     "s31_hard_negatives"     -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.hardNegatives(s, d)),
     "s32_triplet_margins"    -> ((s: SparkSession, d: String) =>

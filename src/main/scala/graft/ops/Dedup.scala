@@ -1059,4 +1059,41 @@ object Dedup {
     * every gated SF, a 1-in-10 deterministic sample at the sf1 replica). */
   def lshCalibration(spark: SparkSession, dir: String): DataFrame =
     lshCalibrationOf(calibrationSampleOf(docShingles(spark, dir), 5000L))
+
+  /** DETECTOR ENSEMBLE AGREEMENT (d31) — the two production near-dup
+    * detectors run over the SAME corpus and compared pair-for-pair: the
+    * token-SET detector (MinHash-LSH over 3-shingles, verified
+    * Jaccard ≥ 0.5 — d04) vs the token-BAG detector (SimHash64,
+    * hamming ≤ 8 — d11). Production dedup stacks run detector ensembles,
+    * and the agreement statistic is the drift monitor: a Dice score that
+    * collapses release-over-release means one detector (or the corpus)
+    * changed character — caught from ONE summary row, before anyone
+    * diffs pair lists. Completes the monitoring trio a detector fleet
+    * needs: d30 (recall vs exact truth, sampled), d20 (volume estimate),
+    * d31 (cross-detector drift — no exact pass required, so it runs on
+    * the FULL corpus at any scale).
+    *
+    * Scale shape: both detectors are their unchanged production plans
+    * (banded, k-anchor, corpus-linear); the full-outer agreement join
+    * runs on the PAIR LISTS — result-sized frames, never the corpus. */
+  def detectorAgreementOf(docs: DataFrame, ds: DataFrame): DataFrame = {
+    val m = minhashLshOf(ds).select(col("d1"), col("d2"), lit(1).as("m"))
+    val s = simhash64NearDupOf(docs).select(col("d1"), col("d2"), lit(1).as("s"))
+    m.join(s, Seq("d1", "d2"), "full_outer")
+      .agg(
+        sum(coalesce(col("m"), lit(0))).cast("long").as("mh_pairs"),
+        sum(coalesce(col("s"), lit(0))).cast("long").as("sh_pairs"),
+        sum(when(col("m").isNotNull && col("s").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("both_pairs"))
+      .select(
+        col("mh_pairs"), col("sh_pairs"), col("both_pairs"),
+        (col("mh_pairs") - col("both_pairs")).as("mh_only"),
+        (col("sh_pairs") - col("both_pairs")).as("sh_only"),
+        when(col("mh_pairs") + col("sh_pairs") > 0,
+          round(lit(2.0) * col("both_pairs") / (col("mh_pairs") + col("sh_pairs")), 4))
+          .as("dice"))
+  }
+
+  def detectorAgreement(spark: SparkSession, dir: String): DataFrame =
+    detectorAgreementOf(Tables.documents(spark, dir), docShingles(spark, dir))
 }

@@ -443,6 +443,59 @@ object GraphRank {
   def bfsHops(spark: SparkSession, dir: String): DataFrame =
     bfsHopsOf(copurchaseEdges(spark, dir))
 
+  /** BOUNDED-HORIZON HARMONIC CENTRALITY (g12) — per-source
+    * Σ reached(d)/d over hops d ≤ maxHop (harmonic centrality, Boldi &
+    * Vigna 2014 "Axioms for Centrality" — the centrality that behaves on
+    * disconnected graphs, which is why HyperBall computes exactly this
+    * at web scale): "how much of the graph can this node reach, and how
+    * cheaply". The horizon bound is the SCALE DESIGN, not a shortcut —
+    * exact all-pairs centrality is O(V·E); a fixed-radius frontier sweep
+    * from a fixed source set is O(sources · E) worst case with
+    * per-round work O(edges out of the frontier), the same bounded-
+    * superstep posture as g06. At web scale the radius-bounded exact
+    * form IS the production measurement (HyperBall's counters just make
+    * the frontier set approximate to fit memory).
+    *
+    * Sources: the `nSources` smallest node ids (deterministic). The loop
+    * is [[bfsHopsOf]]'s multi-source generalization — state keyed
+    * (src, pk), per-round anti-join against the visited set, lazy
+    * checkpoints with the per-round count() as the one materializing
+    * action. The harmonic sum n1 + n2/2.0 + n3/3.0 evaluates
+    * left-to-right over integer-derived doubles, so both engines produce
+    * the identical double before the one 6-dp round. */
+  def harmonicCentralityOf(edges: DataFrame, nSources: Int = 10,
+                           maxHop: Int = 3): DataFrame = {
+    val und = edges
+      .union(edges.select(col("p2").as("p1"), col("p1").as("p2")))
+      .localCheckpoint(eager = false)
+    val seeds = und.select(col("p1").as("src")).distinct()
+      .orderBy("src").limit(nSources)
+    var frontier = seeds.select(col("src"), col("src").as("pk"))
+      .withColumn("hop", lit(0)).localCheckpoint()
+    var dist = frontier
+    for (h <- 1 to maxHop) {
+      val next = frontier.join(und, frontier("pk") === und("p1"))
+        .select(col("src"), col("p2").as("pk")).distinct()
+        .join(dist, Seq("src", "pk"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(eager = false)
+      next.count() // the ONE action per round: materializes the frontier
+      dist = dist.union(next)
+      frontier = next
+    }
+    val counts = (1 to maxHop).map(h =>
+      sum(when(col("hop") === h, 1L).otherwise(0L)).as(s"n$h"))
+    dist.filter(col("hop") > 0)
+      .groupBy("src")
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("harmonic",
+        round((1 to maxHop).map(h => col(s"n$h") / h.toDouble).reduce(_ + _), 6))
+      .orderBy("src")
+  }
+
+  def harmonicCentrality(spark: SparkSession, dir: String): DataFrame =
+    harmonicCentralityOf(copurchaseEdges(spark, dir))
+
   /** BOUNDED-ROUND CONNECTED COMPONENTS (g06) — HashMin label
     * propagation (the simple O(diameter)-round variant of Rastogi et
     * al. 2013, "Finding Connected Components in Map-Reduce in

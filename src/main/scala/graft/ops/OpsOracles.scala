@@ -1488,6 +1488,43 @@ object OpsOracles {
         |  min(pk) AS min_pk, max(pk) AS max_pk
         |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // g12: bounded-horizon harmonic centrality — the 3-hop frontier sweep
+    // unrolled level by level (DISTINCT caps each level at S×V; min-hop
+    // recovered by the grouped MIN, mirroring the engine's anti-join BFS).
+    "g12_harmonic_centrality" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |und AS MATERIALIZED (
+        |  SELECT p1, p2 FROM edges UNION ALL SELECT p2, p1 FROM edges),
+        |seeds AS (
+        |  SELECT p1 AS src FROM (SELECT DISTINCT p1 FROM und)
+        |  ORDER BY p1 LIMIT 10),
+        |w0 AS (SELECT src, src AS pk, 0 AS hop FROM seeds),
+        |w1 AS (SELECT DISTINCT w.src, u.p2 AS pk, 1 AS hop
+        |       FROM w0 w JOIN und u ON u.p1 = w.pk),
+        |w2 AS (SELECT DISTINCT w.src, u.p2 AS pk, 2 AS hop
+        |       FROM w1 w JOIN und u ON u.p1 = w.pk),
+        |w3 AS (SELECT DISTINCT w.src, u.p2 AS pk, 3 AS hop
+        |       FROM w2 w JOIN und u ON u.p1 = w.pk),
+        |alls AS (
+        |  SELECT * FROM w0 UNION ALL SELECT * FROM w1
+        |  UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3),
+        |dist AS (SELECT src, pk, min(hop) AS hop FROM alls GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT src,
+        |    CAST(sum(CASE WHEN hop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN hop = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN hop = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM dist WHERE hop > 0 GROUP BY src)
+        |SELECT src, n1, n2, n3,
+        |  round(n1 / 1.0 + n2 / 2.0 + n3 / 3.0, 6) AS harmonic
+        |FROM agg ORDER BY src""".stripMargin,
+
     // t33: per-source quota cap — t02's quality machinery + one ranked
     // window; ordering keys are integers/strings with a doc_id tie-break.
     "t33_source_quota" ->
@@ -4485,6 +4522,36 @@ object OpsOracles {
         |       THEN 1 ELSE 0 END AS semi_hard
         |FROM pr p JOIN nr USING (anchor_id)
         |ORDER BY anchor_id, rnk""".stripMargin,
+
+    // d31: detector ensemble agreement — d04's verified MinHash pairs vs
+    // d11's SimHash64 pairs, one summary row (CTE names disjoint across
+    // the two detector bundles by construction).
+    "d31_detector_agreement" ->
+      s"""WITH $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |linter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |mh AS (
+        |  SELECT d1, d2 FROM linter
+        |  JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |$simhash64PairsCte,
+        |shp AS (SELECT d1, d2 FROM pairs64 WHERE hamming <= 8),
+        |agg AS (SELECT
+        |  CAST((SELECT count(*) FROM mh) AS BIGINT) AS mh_pairs,
+        |  CAST((SELECT count(*) FROM shp) AS BIGINT) AS sh_pairs,
+        |  CAST((SELECT count(*) FROM mh SEMI JOIN shp USING (d1, d2))
+        |    AS BIGINT) AS both_pairs)
+        |SELECT mh_pairs, sh_pairs, both_pairs,
+        |  mh_pairs - both_pairs AS mh_only,
+        |  sh_pairs - both_pairs AS sh_only,
+        |  CASE WHEN mh_pairs + sh_pairs > 0
+        |    THEN round(2.0 * both_pairs / (mh_pairs + sh_pairs), 4) END AS dice
+        |FROM agg""".stripMargin,
 
     // t49: Gopher rules — every threshold in integer cross-multiplied
     // form, mirroring the Spark side bit-for-bit (no float boundaries).

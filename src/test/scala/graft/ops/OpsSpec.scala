@@ -2474,6 +2474,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === expected, "sample must equal the md5-fraction predicate")
   }
 
+  test("d31 detector agreement: totals reconcile with d04/d11 exactly, " +
+    "dice recomputes from the counts") {
+    val r = Dedup.detectorAgreement(spark, dir).collect()(0)
+    val mh = Dedup.minhashLsh(spark, dir).count()
+    val sh = Dedup.simhash64NearDup(spark, dir).count()
+    assert(r.getAs[Long]("mh_pairs") === mh, "mh_pairs must equal d04's pair count")
+    assert(r.getAs[Long]("sh_pairs") === sh, "sh_pairs must equal d11's pair count")
+    val both = r.getAs[Long]("both_pairs")
+    assert(both <= math.min(mh, sh) && both >= 0)
+    assert(r.getAs[Long]("mh_only") === mh - both)
+    assert(r.getAs[Long]("sh_only") === sh - both)
+    assert(r.getAs[Double]("dice") ===
+      BigDecimal(2.0 * both / (mh + sh))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("g12 harmonic centrality: hand-checked on a path graph, horizon " +
+    "bounds the sum, disconnected components contribute nothing") {
+    val s = spark; import s.implicits._
+    // path 1-2-3-4-5 plus the disconnected pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("p1", "p2")
+    val r = graft.ops.GraphRank.harmonicCentralityOf(edges, nSources = 3)
+      .collect()
+      .map(x => x.getAs[Long]("src") ->
+        (x.getAs[Long]("n1"), x.getAs[Long]("n2"), x.getAs[Long]("n3"),
+          x.getAs[Double]("harmonic"))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L), "sources are the 3 smallest ids")
+    assert(r(1L) === ((1L, 1L, 1L, 1.833333)), s"src 1: ${r(1L)}") // 2,3,4; 5 beyond horizon
+    assert(r(2L) === ((2L, 1L, 1L, 2.833333)), s"src 2: ${r(2L)}")
+    assert(r(3L) === ((2L, 2L, 0L, 3.0)), s"src 3: ${r(3L)}") // whole path within 2 hops
+  }
+
   test("s32 triplet margins: positive is the same-label argmax, margins " +
     "exact, semi-hard only inside the (0, alpha) band") {
     val s = spark; import s.implicits._
