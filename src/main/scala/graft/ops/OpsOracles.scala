@@ -2468,6 +2468,20 @@ object OpsOracles {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
+    // f16: corrupt-record ingest — the routing rule recomputes from the
+    // source table; parsed-field stats aggregate the ok channel only.
+    "f16_corrupt_jsonl" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN doc_id % 7 = 3 THEN 'corrupt' ELSE 'ok' END
+        |    AS outcome, doc_id, n_chars
+        |  FROM documents)
+        |SELECT outcome, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN outcome = 'ok' THEN n_chars END) AS BIGINT)
+        |    AS n_chars_sum,
+        |  min(CASE WHEN outcome = 'ok' THEN doc_id END) AS min_doc,
+        |  max(CASE WHEN outcome = 'ok' THEN doc_id END) AS max_doc
+        |FROM o GROUP BY outcome ORDER BY outcome""".stripMargin,
+
     // f15: dynamic partition pruning — the oracle is the LAYOUT-FREE
     // join (pruning is a plan-side superset cut, never a semantics).
     "f15_dynamic_pruning" ->
