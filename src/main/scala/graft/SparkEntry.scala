@@ -250,6 +250,7 @@ object SparkEntry {
     "s32_triplet_margins"    -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.tripletMargins(s, d)),
     "t49_gopher_rules"       -> (TextAnalysis.gopherRules _),
+    "t50_distilled_filter"   -> (TextAnalysis.distilledFilter _),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "m13_audio_energy"       -> (graft.ops.Multimodal.audioEnergy _),

@@ -2011,4 +2011,83 @@ object TextAnalysis {
     * planted corpus that carries real stopword variety. */
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesOf(Tables.documents(spark, dir), minStopwords = 1)
+
+  /** DISTILLED QUALITY FILTER (t50) — train a hashed-unigram Naive-Bayes
+    * classifier AGAINST the t49 rule labels and report its held-out
+    * confusion matrix: the classifier-distillation step every modern
+    * corpus pipeline runs (CCNet's fastText stage, DCLM's quality
+    * classifier, Llama's wiki-ref model) — an expensive/rule teacher is
+    * compressed into a model cheap enough for the full crawl, and the
+    * confusion matrix against held-out teacher labels is its acceptance
+    * test. Teacher = [[gopherFlagsOf]] keep (minStopwords=1, the t49
+    * driver stance); holdout = the md5-nibble-'f' arrival line (the
+    * d19/s16 split convention); model = per-bucket log likelihood ratios
+    * with Laplace +1 plus the class-prior log ratio (t48's EXACT
+    * algebra: integer counts end to end, one ln per bucket rounded to
+    * 6 dp, per-doc sums and the >0 decision in DECIMAL — both engines
+    * agree bit-for-bit).
+    *
+    * Scale shape: the corpus shuffles only at (doc_id, bucket) grain
+    * (t48's bound); the model is a 64-row broadcast whatever the corpus
+    * size; labels and bucket counts each materialize ONCE for their
+    * multiple consumers (the multi-consumer discipline). */
+  private def distilledFilterCore(docs: DataFrame, nBuckets: Int): DataFrame = {
+    val decode = (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * cast($mult as bigint)"
+    }.mkString(" + ")
+    // labels feed three consumers (train counts, priors, eval join)
+    val lab = gopherFlagsOf(docs, minStopwords = 1)
+      .select(col("doc_id"), col("keep").as("label"))
+      .withColumn("is_eval",
+        substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+      .localCheckpoint()
+    // the corpus-wide token explode feeds train AND eval — once
+    val perDocB = docs
+      .withColumn("t", explode(split(col("text"), " ")))
+      .withColumn("m", md5(col("t")))
+      .withColumn("b", (expr(decode) % nBuckets).cast("int"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val train = perDocB.join(lab.filter(!col("is_eval")), Seq("doc_id"))
+    val cnt = train.groupBy("b").agg(
+      sum(when(col("label") === 1, col("n")).otherwise(0L)).as("c1"),
+      sum(when(col("label") === 0, col("n")).otherwise(0L)).as("c0"))
+    // full bucket spine: a bucket absent from train still scores (+1/+1)
+    val spine = docs.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("b"))
+    val counts = spine.join(cnt, Seq("b"), "left").na.fill(0L, Seq("c1", "c0"))
+    val totals = counts.agg(sum("c1").as("t1"), sum("c0").as("t0"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("lr", round(log(
+        ((col("c1") + 1) * (col("t0") + nBuckets)) /
+          ((col("c0") + 1) * (col("t1") + nBuckets))), 6))
+      .select("b", "lr")
+    val pr = lab.filter(!col("is_eval")).agg(
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("n0"))
+      .select(round(log(col("n1").cast("double") / col("n0")), 6).as("pr"))
+    perDocB.join(lab.filter(col("is_eval")), Seq("doc_id"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy("doc_id", "label")
+      .agg(sum(col("n") * col("lr").cast("decimal(18,6)")).as("s"))
+      .crossJoin(broadcast(pr))
+      .withColumn("predicted",
+        (col("s") + col("pr").cast("decimal(18,6)") > 0).cast("int"))
+      .select("doc_id", "label", "predicted")
+  }
+
+  /** Doc-grain holdout predictions (spec surface; the driver entry
+    * aggregates them into the confusion matrix). */
+  def distilledScoresOf(docs: DataFrame, nBuckets: Int = 64): DataFrame =
+    distilledFilterCore(docs, nBuckets)
+
+  def distilledFilterOf(docs: DataFrame, nBuckets: Int = 64): DataFrame =
+    distilledFilterCore(docs, nBuckets)
+      .groupBy("label", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("label", "predicted")
+
+  def distilledFilter(spark: SparkSession, dir: String): DataFrame =
+    distilledFilterOf(Tables.documents(spark, dir))
 }

@@ -2474,6 +2474,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === expected, "sample must equal the md5-fraction predicate")
   }
 
+  test("t50 distilled filter: learns a separable teacher perfectly on the " +
+    "holdout; confusion totals cover exactly the 'f'-nibble eval docs") {
+    val s = spark; import s.implicits._
+    // 320 docs: even ids are long keep-docs over one vocabulary, odd ids
+    // are short drop-docs over a disjoint vocabulary — separable both by
+    // length (the count features) and by bucket content
+    def md5Nib(i: Long): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    val docs = (0L until 320L).map { i =>
+      if (i % 2 == 0) (i, (Seq.fill(54)("alpha") :+ "the").mkString(" "))
+      else (i, (Seq.fill(9)("zork") :+ "the").mkString(" "))
+    }.toDF("doc_id", "text")
+    val preds = TextAnalysis.distilledScoresOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("label"),
+        r.getAs[Int]("predicted")))
+    val evalIds = (0L until 320L).filter(i => md5Nib(i) == 'f').toSet
+    assert(preds.map(_._1).toSet === evalIds,
+      "predictions must cover exactly the md5-'f' holdout")
+    assert(preds.nonEmpty)
+    preds.foreach { case (id, label, predicted) =>
+      assert(label === (if (id % 2 == 0) 1 else 0), s"doc $id teacher label")
+      assert(predicted === label,
+        s"doc $id: a separable teacher must distill perfectly, " +
+          s"got predicted=$predicted label=$label")
+    }
+  }
+
   test("d31 detector agreement: totals reconcile with d04/d11 exactly, " +
     "dice recomputes from the counts") {
     val r = Dedup.detectorAgreement(spark, dir).collect()(0)
