@@ -271,6 +271,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamQuarantine(s, d)),
     "w16_stream_quality_gate" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamQualityGate(s, d)),
+    "w17_stream_model_score" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamModelScore(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j04_nearest_join"       -> (graft.operators.AsOfJoin.purchaseNearestClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),

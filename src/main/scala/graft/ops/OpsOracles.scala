@@ -38,6 +38,63 @@ object OpsOracles {
     * [[graft.ops.Dedup.calibrationSampleOf]]: identity while the corpus
     * fits the 5000-doc budget (every gated SF), an md5-uniform fraction
     * beyond it. The 4-nibble decode is the simhash oracle's strpos trick. */
+  /** t50/w17 shared model CTEs: t49 labels (minStopwords=1) + 'f'
+    * holdout, (doc, bucket) unigram counts, the 64-bucket lr model and
+    * the class prior — everything up to scoring. */
+  private def distilledModelCtes: String = {
+    val decode = (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', m[${i + 1}]) - 1) * CAST($mult AS BIGINT)"
+    }.mkString(" + ")
+    s"""tq AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |mq AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS word_chars,
+      |    CAST(len(regexp_extract_all(text, '#'))
+      |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS sym_hits,
+      |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+      |    CAST(len(list_intersect(list_distinct(toks),
+      |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_distinct
+      |  FROM tq),
+      |lab AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_words BETWEEN 50 AND 100000
+      |          AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+      |          AND 10 * sym_hits <= n_words
+      |          AND 5 * alpha_words >= 4 * n_words
+      |          AND stop_distinct >= 1 THEN 1 ELSE 0 END AS label,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_eval
+      |  FROM mq),
+      |tok0 AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |tok AS (SELECT doc_id, md5(tk) AS m FROM tok0),
+      |pdb AS (
+      |  SELECT doc_id, CAST(($decode) % 64 AS INT) AS b,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM tok GROUP BY 1, 2),
+      |cnt AS (
+      |  SELECT b,
+      |    CAST(sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN label = 0 THEN n ELSE 0 END) AS BIGINT) AS c0
+      |  FROM pdb JOIN lab USING (doc_id) WHERE NOT is_eval GROUP BY b),
+      |spine AS (SELECT CAST(unnest(range(64)) AS INT) AS b),
+      |counts AS (
+      |  SELECT s.b, COALESCE(c1, 0) AS c1, COALESCE(c0, 0) AS c0
+      |  FROM spine s LEFT JOIN cnt ON s.b = cnt.b),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+      |  CAST(sum(c0) AS BIGINT) AS t0 FROM counts),
+      |model AS (
+      |  SELECT b, round(ln(((c1 + 1) * (t0 + 64))
+      |    / ((c0 + 1) * (t1 + 64))), 6) AS lr
+      |  FROM counts CROSS JOIN tot),
+      |pri AS (
+      |  SELECT round(ln(CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)), 6) AS pr
+      |  FROM lab WHERE NOT is_eval)""".stripMargin
+  }
+
   private val calibrationSampleCte =
     """dcnt AS (SELECT CAST(count(*) AS BIGINT) AS dn FROM documents),
       |dsamp AS (SELECT doc_id, text,
@@ -4395,57 +4452,7 @@ object OpsOracles {
     // md5-'f' holdout, t48's exact likelihood-ratio algebra over 64
     // hashed-unigram buckets, decimal score vs 0, confusion matrix.
     "t50_distilled_filter" -> {
-      val decode = (0 until 8).map { i =>
-        val mult = 1L << (4 * (7 - i))
-        s"(strpos('0123456789abcdef', m[${i + 1}]) - 1) * CAST($mult AS BIGINT)"
-      }.mkString(" + ")
-      s"""WITH tq AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-        |mq AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS word_chars,
-        |    CAST(len(regexp_extract_all(text, '#'))
-        |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS sym_hits,
-        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
-        |    CAST(len(list_intersect(list_distinct(toks),
-        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_distinct
-        |  FROM tq),
-        |lab AS (
-        |  SELECT doc_id,
-        |    CASE WHEN n_words BETWEEN 50 AND 100000
-        |          AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
-        |          AND 10 * sym_hits <= n_words
-        |          AND 5 * alpha_words >= 4 * n_words
-        |          AND stop_distinct >= 1 THEN 1 ELSE 0 END AS label,
-        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_eval
-        |  FROM mq),
-        |tok0 AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
-        |tok AS (SELECT doc_id, md5(tk) AS m FROM tok0),
-        |pdb AS (
-        |  SELECT doc_id, CAST(($decode) % 64 AS INT) AS b,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM tok GROUP BY 1, 2),
-        |cnt AS (
-        |  SELECT b,
-        |    CAST(sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS BIGINT) AS c1,
-        |    CAST(sum(CASE WHEN label = 0 THEN n ELSE 0 END) AS BIGINT) AS c0
-        |  FROM pdb JOIN lab USING (doc_id) WHERE NOT is_eval GROUP BY b),
-        |spine AS (SELECT CAST(unnest(range(64)) AS INT) AS b),
-        |counts AS (
-        |  SELECT s.b, COALESCE(c1, 0) AS c1, COALESCE(c0, 0) AS c0
-        |  FROM spine s LEFT JOIN cnt ON s.b = cnt.b),
-        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
-        |  CAST(sum(c0) AS BIGINT) AS t0 FROM counts),
-        |model AS (
-        |  SELECT b, round(ln(((c1 + 1) * (t0 + 64))
-        |    / ((c0 + 1) * (t1 + 64))), 6) AS lr
-        |  FROM counts CROSS JOIN tot),
-        |pri AS (
-        |  SELECT round(ln(CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)), 6) AS pr
-        |  FROM lab WHERE NOT is_eval),
+      s"""WITH $distilledModelCtes,
         |sc AS (
         |  SELECT doc_id, label, sum(n * CAST(lr AS DECIMAL(18,6))) AS s
         |  FROM pdb JOIN lab USING (doc_id) JOIN model USING (b)
@@ -4457,6 +4464,25 @@ object OpsOracles {
         |  FROM sc CROSS JOIN pri)
         |SELECT label, predicted, CAST(count(*) AS BIGINT) AS n_docs
         |FROM pred GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
+    },
+
+    // w17: the same trained model served per-row over the 'f' arrivals;
+    // the oracle scores via the (doc, bucket) sum — decimal addition is
+    // order-independent, so it equals the engine's per-token fold.
+    "w17_stream_model_score" -> {
+      s"""WITH $distilledModelCtes,
+        |sc AS (
+        |  SELECT doc_id, sum(n * CAST(lr AS DECIMAL(18,6))) AS s
+        |  FROM pdb JOIN lab USING (doc_id) JOIN model USING (b)
+        |  WHERE is_eval GROUP BY 1),
+        |scd AS (
+        |  SELECT d.lang, sc.s + (SELECT CAST(pr AS DECIMAL(18,6)) FROM pri)
+        |    AS score
+        |  FROM sc JOIN documents d USING (doc_id))
+        |SELECT CASE WHEN score > 0 THEN 1 ELSE 0 END AS predicted, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(round(sum(score), 4) AS DOUBLE) AS score_sum
+        |FROM scd GROUP BY 1, 2 ORDER BY predicted, lang""".stripMargin
     },
 
     "t44_cdc_chunks" -> {

@@ -2031,11 +2031,18 @@ object TextAnalysis {
     * (t48's bound); the model is a 64-row broadcast whatever the corpus
     * size; labels and bucket counts each materialize ONCE for their
     * multiple consumers (the multi-consumer discipline). */
-  private def distilledFilterCore(docs: DataFrame, nBuckets: Int): DataFrame = {
-    val decode = (0 until 8).map { i =>
+  /** The md5-nibble bucket decode over a hash column named `m` —
+    * shared by the t48/t50 hashed-feature surfaces and the w17 per-row
+    * scorer (which applies it inside a lambda over per-token hashes). */
+  def bucketDecodeSql(hashVar: String): String =
+    (0 until 8).map { i =>
       val mult = 1L << (4 * (7 - i))
-      s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * cast($mult as bigint)"
+      s"(instr('0123456789abcdef', substr($hashVar, ${i + 1}, 1)) - 1) * cast($mult as bigint)"
     }.mkString(" + ")
+
+  /** Shared t50/w17 training inputs: teacher labels + holdout flag, and
+    * the once-materialized (doc, bucket) count frame. */
+  private def distilledInputs(docs: DataFrame, nBuckets: Int): (DataFrame, DataFrame) = {
     // labels feed three consumers (train counts, priors, eval join)
     val lab = gopherFlagsOf(docs, minStopwords = 1)
       .select(col("doc_id"), col("keep").as("label"))
@@ -2046,15 +2053,21 @@ object TextAnalysis {
     val perDocB = docs
       .withColumn("t", explode(split(col("text"), " ")))
       .withColumn("m", md5(col("t")))
-      .withColumn("b", (expr(decode) % nBuckets).cast("int"))
+      .withColumn("b", (expr(bucketDecodeSql("m")) % nBuckets).cast("int"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    (lab, perDocB)
+  }
+
+  /** The trained model: per-bucket lr frame + the prior frame. */
+  private def distilledModelFrames(lab: DataFrame, perDocB: DataFrame,
+                                   nBuckets: Int): (DataFrame, DataFrame) = {
     val train = perDocB.join(lab.filter(!col("is_eval")), Seq("doc_id"))
     val cnt = train.groupBy("b").agg(
       sum(when(col("label") === 1, col("n")).otherwise(0L)).as("c1"),
       sum(when(col("label") === 0, col("n")).otherwise(0L)).as("c0"))
     // full bucket spine: a bucket absent from train still scores (+1/+1)
-    val spine = docs.sparkSession.range(nBuckets)
+    val spine = lab.sparkSession.range(nBuckets)
       .select(col("id").cast("int").as("b"))
     val counts = spine.join(cnt, Seq("b"), "left").na.fill(0L, Seq("c1", "c0"))
     val totals = counts.agg(sum("c1").as("t1"), sum("c0").as("t0"))
@@ -2067,6 +2080,29 @@ object TextAnalysis {
         sum(when(col("label") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("label") === 0, 1L).otherwise(0L)).as("n0"))
       .select(round(log(col("n1").cast("double") / col("n0")), 6).as("pr"))
+    (model, pr)
+  }
+
+  /** The trained model COLLECTED for embedding in a per-row serving
+    * expression (w17): the 6-dp lr per bucket and the prior, as EXACT
+    * decimal strings (a 6-dp-rounded double's shortest representation
+    * re-scaled to 6 dp is the exact decimal — the MMR argument). A
+    * 64-row + 1-row collect: the broadcast-LUT discipline (PQ/ADC). */
+  def distilledModel(spark: SparkSession, dir: String,
+                     nBuckets: Int = 64): (Seq[String], String) = {
+    val (lab, perDocB) = distilledInputs(Tables.documents(spark, dir), nBuckets)
+    val (model, pr) = distilledModelFrames(lab, perDocB, nBuckets)
+    def dec6(d: Double): String =
+      java.math.BigDecimal.valueOf(d).setScale(6).toPlainString
+    val lrByBucket = model.collect()
+      .map(r => r.getAs[Int]("b") -> r.getAs[Double]("lr")).toMap
+    val lrs = (0 until nBuckets).map(b => dec6(lrByBucket(b)))
+    (lrs, dec6(pr.first().getDouble(0)))
+  }
+
+  private def distilledFilterCore(docs: DataFrame, nBuckets: Int): DataFrame = {
+    val (lab, perDocB) = distilledInputs(docs, nBuckets)
+    val (model, pr) = distilledModelFrames(lab, perDocB, nBuckets)
     perDocB.join(lab.filter(col("is_eval")), Seq("doc_id"))
       .join(broadcast(model), Seq("b"))
       .groupBy("doc_id", "label")

@@ -990,4 +990,72 @@ object EventStream {
       .agg(count(lit(1)).as("n_docs"), sum("n_words").as("words_sum"))
       .orderBy("reason", "lang")
   }
+
+  /** The w17 per-row scorer: t50's trained model EMBEDDED as a literal
+    * decimal LUT inside one higher-order expression — score =
+    * Σ_tokens lr[bucket(md5(token))] + prior, folded in DECIMAL so the
+    * streamed score is bit-identical to t50's batch (doc, bucket)-grain
+    * sum (decimal addition is order-independent). Pure per-row compute:
+    * no join, no shuffle, no state — the model ships with the plan the
+    * way a serving binary ships its weights. */
+  def modelScoreVerdict(docs: DataFrame, lrs: Seq[String], prior: String): DataFrame = {
+    val lrArr = "array(" +
+      lrs.map(s => s"CAST($s AS DECIMAL(18,6))").mkString(", ") + ")"
+    val decode = graft.ops.TextAnalysis.bucketDecodeSql("m")
+    val scoreExpr =
+      s"""aggregate(
+         |  transform(split(text, ' '), t -> md5(t)),
+         |  CAST(0 AS DECIMAL(28,6)),
+         |  (acc, m) -> CAST(acc + element_at($lrArr,
+         |    CAST(($decode) % 64 AS INT) + 1) AS DECIMAL(28,6)))
+         |""".stripMargin.replaceAll("\n", " ")
+    docs
+      .withColumn("score",
+        expr(scoreExpr) + expr(s"CAST($prior AS DECIMAL(18,6))"))
+      .withColumn("predicted", (col("score") > 0).cast("int"))
+      .select("doc_id", "lang", "score", "predicted")
+  }
+
+  /** STREAMING MODEL SERVING (w17) — the serving half of t50's
+    * distillation: the quality model TRAINS batch-side (one corpus
+    * pass, 64 lr values + a prior), then scores ARRIVING documents
+    * in-flight (the md5-'f' arrival line — t50's own holdout, so the
+    * streamed verdicts ARE t50's held-out predictions, spec-asserted
+    * row for row). This is the production split every distilled filter
+    * runs: train nightly at corpus scale, serve per-document at line
+    * rate with the weights inlined — ZERO streaming state, no
+    * stream-side join, nothing to rebalance when the feed spikes. The
+    * report re-reads the routed sink and aggregates per (predicted,
+    * lang); counts and exact-decimal score sums are commutative
+    * monoids, so AvailableNow slicing cannot change it (w14's stance). */
+  def streamModelScore(spark: SparkSession, dir: String): DataFrame = {
+    val (lrs, prior) = graft.ops.TextAnalysis.distilledModel(spark, dir)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_model_score/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    graft.sources.StaleOutputs.sweep("graft_model_score",
+      spark.sparkContext.applicationId)
+    graft.sources.StaleOutputs.reset(base)
+    val out = s"$base/routed"
+    val scored = modelScoreVerdict(
+      readDocuments(spark, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f"),
+      lrs, prior)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), scored.schema)
+    empty.write.mode("append").parquet(out)
+    val q = scored
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("predicted", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("score"), 4).cast("double").as("score_sum"))
+      .orderBy("predicted", "lang")
+  }
 }

@@ -424,6 +424,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.getAs[Long]("max_ts_us") === direct.getAs[Long]("max_ts_us"))
   }
 
+  test("w17 model serving: the per-row decimal fold reproduces t50's " +
+    "batch predictions; the stream is state-free and equals batch row for row") {
+    val (lrs, pr) = graft.ops.TextAnalysis.distilledModel(spark, dir)
+    assert(lrs.size === 64)
+    def arrivals(df: org.apache.spark.sql.DataFrame) =
+      df.filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+    val batch = EventStream.modelScoreVerdict(
+        arrivals(spark.read.parquet(s"$dir/documents.parquet")), lrs, pr)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("predicted"),
+        r.getAs[java.math.BigDecimal]("score").toPlainString)).toSet
+    // the serving fold must reproduce the training-side batch predictions
+    val t50 = graft.ops.TextAnalysis
+      .distilledScoresOf(graft.Tables.documents(spark, dir))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("predicted")).toMap
+    assert(batch.map(x => x._1 -> x._2).toMap === t50,
+      "per-row serving fold must equal t50's (doc, bucket)-sum decisions")
+    // streaming run: identical rows, ZERO streaming state
+    val q = EventStream.modelScoreVerdict(
+        arrivals(EventStream.readDocuments(spark, dir)), lrs, pr)
+      .writeStream.format("memory").queryName("w17_spec")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.nonEmpty)
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+      "the serving scorer accumulated streaming state")
+    val streamed = spark.table("w17_spec").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("predicted"),
+        r.getAs[java.math.BigDecimal]("score").toPlainString)).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming quality gate: equals the batch verdict rollup, " +
     "conserves the feed, attributes one reason per doc") {
     val report = EventStream.streamQualityGate(spark, dir).collect()
