@@ -1015,12 +1015,17 @@ object Dedup {
       .withColumn("e", lit(1))
     val ll = lsh.select(col("d2").as("doc_id")).distinct()
       .withColumn("l", lit(1))
+    // coalesce OUTSIDE the sums: on a zero-pair corpus (a clean crawl —
+    // exactly the scenario calibration is run on first) the loser join
+    // is EMPTY and a bare sum() returns NULL, while the oracle's
+    // count(*) subqueries return 0 — a cross-engine split on the one
+    // input shape the gate corpora never exercise (ADVICE r10)
     el.join(ll, Seq("doc_id"), "full_outer")
       .agg(
-        sum(coalesce(col("e"), lit(0))).cast("long").as("exact_losers"),
-        sum(coalesce(col("l"), lit(0))).cast("long").as("lsh_losers"),
-        sum(when(col("e").isNotNull && col("l").isNotNull, 1L).otherwise(0L))
-          .cast("long").as("agree_losers"))
+        coalesce(sum(coalesce(col("e"), lit(0))), lit(0)).cast("long").as("exact_losers"),
+        coalesce(sum(coalesce(col("l"), lit(0))), lit(0)).cast("long").as("lsh_losers"),
+        coalesce(sum(when(col("e").isNotNull && col("l").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("agree_losers"))
       .crossJoin(exact.agg(count(lit(1)).cast("long").as("exact_pairs")))
       .crossJoin(lsh.agg(count(lit(1)).cast("long").as("lsh_pairs")))
       .select(
@@ -1035,7 +1040,8 @@ object Dedup {
 
   /** Deterministic hash-sample bound for calibration inputs: identity
     * while the corpus fits the budget, an md5-uniform ~budget/N fraction
-    * of docs beyond it. The d29 lesson APPLIED IN CODE, not prose: d30's
+    * of docs beyond it (EXPECTED size budget — hash variance can exceed
+    * it by a few percent; the bound is statistical, not a hard cap). The d29 lesson APPLIED IN CODE, not prose: d30's
     * exact all-pairs baseline is intentionally quadratic (that is what
     * "exact" costs), so the thing that must scale with the corpus is the
     * SAMPLE the baseline runs on, not the baseline itself — the standard
@@ -1055,8 +1061,11 @@ object Dedup {
         .cast("long") * n < budget * 65536L)
   }
 
-  /** Driver entry: calibrate on at most 5000 docs (= the full corpus at
-    * every gated SF, a 1-in-10 deterministic sample at the sf1 replica). */
+  /** Driver entry: calibrate on an EXPECTED ~5000 docs — the md5
+    * fraction gives the sample's expected size, not a hard cap (hash
+    * variance can land a few percent over). Identity (= the full corpus)
+    * at every gated SF, a ~1-in-10 deterministic sample at the sf1
+    * replica. */
   def lshCalibration(spark: SparkSession, dir: String): DataFrame =
     lshCalibrationOf(calibrationSampleOf(docShingles(spark, dir), 5000L))
 
@@ -1079,12 +1088,14 @@ object Dedup {
   def detectorAgreementOf(docs: DataFrame, ds: DataFrame): DataFrame = {
     val m = minhashLshOf(ds).select(col("d1"), col("d2"), lit(1).as("m"))
     val s = simhash64NearDupOf(docs).select(col("d1"), col("d2"), lit(1).as("s"))
+    // coalesce outside the sums — the d30 zero-pair lesson (ADVICE r10):
+    // two clean detectors agree with 0s, not NULLs
     m.join(s, Seq("d1", "d2"), "full_outer")
       .agg(
-        sum(coalesce(col("m"), lit(0))).cast("long").as("mh_pairs"),
-        sum(coalesce(col("s"), lit(0))).cast("long").as("sh_pairs"),
-        sum(when(col("m").isNotNull && col("s").isNotNull, 1L).otherwise(0L))
-          .cast("long").as("both_pairs"))
+        coalesce(sum(coalesce(col("m"), lit(0))), lit(0)).cast("long").as("mh_pairs"),
+        coalesce(sum(coalesce(col("s"), lit(0))), lit(0)).cast("long").as("sh_pairs"),
+        coalesce(sum(when(col("m").isNotNull && col("s").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("both_pairs"))
       .select(
         col("mh_pairs"), col("sh_pairs"), col("both_pairs"),
         (col("mh_pairs") - col("both_pairs")).as("mh_only"),

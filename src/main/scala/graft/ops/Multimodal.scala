@@ -565,8 +565,9 @@ object Multimodal {
 
   /** Partition-wise batch decode through the typed Dataset API —
     * mapPartitions so a real codec would amortize per-partition init.
-    * BMP and PNG rows decode genuinely ([[BmpCodec]]/[[PngCodec]]); the
-    * rest take the stub. */
+    * BMP, PNG, and JPEG rows decode genuinely
+    * ([[BmpCodec]]/[[PngCodec]]/[[JpegCodec]]); the rest take the
+    * stub. */
   def decodeBatch(spark: SparkSession, dir: String): Dataset[DecodedMeta] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRow]
@@ -591,8 +592,8 @@ object Multimodal {
     * returns); the driver query projects its metadata.
     *
     * DELIBERATE stub-vs-real split (ADVICE r8): m03 (and m05) read
-    * [[DecodeStub]] dims for EVERY row — including the BMP/WAV/PNG rows
-    * m01 decodes genuinely — so their oracles and the m06-m10 feature
+    * [[DecodeStub]] dims for EVERY row — including the BMP/WAV/PNG/JPEG
+    * rows m01 decodes genuinely — so their oracles and the m06-m10 feature
     * consumers stay closed-form in octet_length. A consumer joining m01
     * to m03 therefore sees real dims on one side and stub dims on the
     * other for media rows; the real-decode path is m01/m02/m11's. */

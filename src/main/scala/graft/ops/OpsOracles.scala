@@ -86,8 +86,8 @@ object OpsOracles {
       |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
       |  CAST(sum(c0) AS BIGINT) AS t0 FROM counts),
       |model AS (
-      |  SELECT b, round(ln(((c1 + 1) * (t0 + 64))
-      |    / ((c0 + 1) * (t1 + 64))), 6) AS lr
+      |  SELECT b, round(ln((CAST(c1 + 1 AS DOUBLE) * CAST(t0 + 64 AS DOUBLE))
+      |    / (CAST(c0 + 1 AS DOUBLE) * CAST(t1 + 64 AS DOUBLE))), 6) AS lr
       |  FROM counts CROSS JOIN tot),
       |pri AS (
       |  SELECT round(ln(CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE)

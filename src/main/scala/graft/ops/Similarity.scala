@@ -228,7 +228,7 @@ object Similarity {
   /** Format version of the on-disk ANN artifacts ([[diskMemo]]): bump
     * whenever a trainer's SEMANTICS change so a fresh build can never
     * consume an artifact an older code version wrote. */
-  private val ArtifactVersion = "r8a" // r8: PqK 16 -> 64 (trainer semantics)
+  private val ArtifactVersion = "r11a" // r11: Lloyd trainer input bounded (identity at gated SFs, but sampled beyond TrainerSampleBudget — replica-scale artifacts must rebuild)
 
   /** Source-table fingerprint (size + mtime of embeddings.parquet):
     * regeneration of the testdata invalidates every artifact keyed on it
@@ -432,9 +432,12 @@ object Similarity {
     * Scale shape per iteration: the centroid table (k×dims,
     * corpus-independent) broadcasts as [[nearestCell]]'s one-row LUT;
     * assignment is a narrow shuffle-free projection (k distances per
-    * vector); the mean recomputation is one (cid, dim)-keyed exchange
-    * with map-side combine — O(k×dims) rows out. Total cost: iters × one
-    * corpus pass, no iteration-to-iteration state beyond the k×dims
+    * vector) over the BOUNDED trainer sample ([[TrainerSampleBudget]] —
+    * identity at every gated SF, ≤ budget rows beyond it, so a pass is
+    * O(B·k·d) even when k scales with the corpus); the mean
+    * recomputation is one (cid, dim)-keyed exchange with map-side
+    * combine — O(k×dims) rows out. Total cost: iters × one bounded
+    * sample pass, no iteration-to-iteration state beyond the k×dims
     * table.
     *
     * Cross-engine determinism: centroids round to 6dp after EVERY
@@ -453,17 +456,57 @@ object Similarity {
       kmeansTrainLoop(spark, dir, k, iters)
     }.orderBy("cid", "dim")
 
+  /** Lloyd-trainer input budget: the trainer sees AT MOST this many
+    * vectors whatever the corpus size. This is the bound that kills the
+    * last build-time quadratic on the d29/s29/s30 index path (VERDICT
+    * r10 item 1): with the corpus-sized k = N/targetCell, a full-corpus
+    * Lloyd pass assigns N vectors against k centroids — O(N²·d/targetCell)
+    * per iteration. Sampling the TRAINER input (FAISS's posture —
+    * quantizers train on samples; the corpus never needs to vote on
+    * centroid positions, only to be assigned to them) makes each pass
+    * O(B·k·d) = O(B·N·d/targetCell): LINEAR in N. The full corpus still
+    * gets assigned once, through the √k two-level route
+    * ([[semDedupAssignment]]).
+    *
+    * 4096 ≥ every gated corpus (sf0.01: 500, sf0.1: 2000, the clustered
+    * spec corpus: 500), so the sample is the IDENTITY wherever the
+    * oracle gate runs — the d30 `calibrationSampleOf` discipline. It
+    * binds at the 8000-row OpsSpec scale corpus (which therefore
+    * exercises sampled training's cell-width bound) and at the 20k sf1
+    * replica (trainer input 20000 → ~4096 per pass). */
+  private[ops] val TrainerSampleBudget = 4096L
+
+  /** Deterministic md5-uniform trainer sample: identity while the corpus
+    * fits the budget, an EXPECTED ~budget/n fraction beyond it (hash
+    * variance can land a few percent over — a statistical bound, like
+    * [[graft.ops.Dedup.calibrationSampleOf]]). Keyed on md5(vec_id), so
+    * it is reproducible across runs and engines. */
+  private[ops] def trainerSample(vs: DataFrame, n: Long,
+                                 budget: Long = TrainerSampleBudget): DataFrame =
+    if (n <= budget) vs
+    else vs.filter(
+      conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") * n < budget * 65536L)
+
   private def kmeansTrainLoop(spark: SparkSession, dir: String,
                               k: Int, iters: Int): DataFrame = {
-    val vs = vectors(spark, dir).select("vec_id", "v")
+    val vsAll = vectors(spark, dir).select("vec_id", "v")
+    // trainer input is BOUNDED (see TrainerSampleBudget): the Lloyd
+    // iterations vote centroid positions from ≤ budget sampled vectors,
+    // never the whole corpus — identity at every gated SF
+    val vs = trainerSample(vsAll, vsAll.count())
+    // seeds come from the FULL frame (a pushed-down vec_id < k scan, k
+    // rows): a sampled seed set would thin the live-centroid count and
+    // widen cells at exactly the scales where the bound binds
     // localized() per iteration: flat k×dims LocalRelation broadcasts
     // instead of a recursively nested training lineage (see localized)
-    var cents = localized(vs.filter(col("vec_id") < k)
+    var cents = localized(vsAll.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv")))
     for (_ <- 1 to iters) {
       // per-iteration assignment is [[nearestCell]]'s shuffle-free
-      // projection — the only exchange per Lloyd iteration is the
-      // O(k×dims)-row mean recomputation below
+      // projection over the BOUNDED sample — O(B·k·d), not O(N·k·d);
+      // the only exchange per Lloyd iteration is the O(k×dims)-row mean
+      // recomputation below
       val assigned = nearestCell(vs, cents, Seq.empty, "cid", "v", "cid")
         .select("vec_id", "cid", "v")
       cents = localized(assigned

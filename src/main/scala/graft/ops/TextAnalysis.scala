@@ -2071,10 +2071,16 @@ object TextAnalysis {
       .select(col("id").cast("int").as("b"))
     val counts = spine.join(cnt, Seq("b"), "left").na.fill(0L, Seq("c1", "c0"))
     val totals = counts.agg(sum("c1").as("t1"), sum("c0").as("t0"))
+    // the four factors multiply as DOUBLE, not long: per-class token
+    // totals pass ~3e9 long products silently wrap in non-ANSI Spark
+    // (while DuckDB raises on BIGINT overflow — a cross-engine split).
+    // Doubles are exact below 2^53, so every gated-SF value is
+    // bit-identical, and beyond that the product's 2^-52 relative error
+    // is invisible at 6 dp after the log (ADVICE r10).
     val model = counts.crossJoin(broadcast(totals))
       .withColumn("lr", round(log(
-        ((col("c1") + 1) * (col("t0") + nBuckets)) /
-          ((col("c0") + 1) * (col("t1") + nBuckets))), 6))
+        ((col("c1") + 1).cast("double") * (col("t0") + nBuckets).cast("double")) /
+          ((col("c0") + 1).cast("double") * (col("t1") + nBuckets).cast("double"))), 6))
       .select("b", "lr")
     val pr = lab.filter(!col("is_eval")).agg(
         sum(when(col("label") === 1, 1L).otherwise(0L)).as("n1"),

@@ -2325,6 +2325,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"max cell width $wMax exceeds 8×target")
   }
 
+  test("d30/d31 on a zero-pair corpus report 0 counters, not NULLs — " +
+       "the clean-crawl shape the gate corpora never exercise (ADVICE r10)") {
+    val sp = spark
+    import sp.implicits._
+    // two long documents with DISJOINT vocabularies: no shared shingle,
+    // so both detectors emit zero pairs and every loser/agreement join
+    // is empty — the shape where a bare sum() returns NULL
+    val docs = Seq(
+      (1L, ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim),
+      (2L, ("uno dos tres cuatro cinco seis siete ocho " * 8).trim)
+    ).toDF("doc_id", "text")
+    val ds = Dedup.docShinglesOf(docs)
+    val cal = Dedup.lshCalibrationOf(ds).collect().head
+    for (c <- Seq("exact_pairs", "lsh_pairs", "exact_losers", "lsh_losers",
+                  "missed_losers", "extra_losers")) {
+      assert(!cal.isNullAt(cal.fieldIndex(c)), s"$c is NULL on the zero-pair corpus")
+      assert(cal.getAs[Long](c) === 0L, s"$c != 0 on the zero-pair corpus")
+    }
+    // loser_recall is undefined (0/0) — NULL is the documented value,
+    // mirrored by the oracle's ELSE-less CASE
+    assert(cal.isNullAt(cal.fieldIndex("loser_recall")))
+    val agr = Dedup.detectorAgreementOf(docs, ds).collect().head
+    for (c <- Seq("mh_pairs", "sh_pairs", "both_pairs", "mh_only", "sh_only")) {
+      assert(!agr.isNullAt(agr.fieldIndex(c)), s"$c is NULL on the zero-pair corpus")
+      assert(agr.getAs[Long](c) === 0L, s"$c != 0 on the zero-pair corpus")
+    }
+    assert(agr.isNullAt(agr.fieldIndex("dice")))
+  }
+
+  test("Lloyd trainer input is corpus-bounded: identity at gated sizes, " +
+       "~budget rows beyond (the r10 weak — per-pass cost O(B·k·d), " +
+       "linear in N even with k ∝ N)") {
+    val sp = spark
+    import sp.implicits._
+    // identity at gated-SF sizes: the sample IS the corpus, so every
+    // hash-gated centroid value is untouched by the bound
+    val small = (0L until 2000L).map(i => (i, i.toString)).toDF("vec_id", "x")
+    assert(Similarity.trainerSample(small, 2000L).count() === 2000L)
+    // beyond the budget: the trainer sees ~budget rows whatever N is —
+    // per-pass distances = |sample| × k ≤ ~B·k, never N·k
+    val big = (0L until 20000L).map(i => (i, "v")).toDF("vec_id", "x")
+    val s1 = Similarity.trainerSample(big, 20000L)
+    val c = s1.count()
+    val b = Similarity.TrainerSampleBudget
+    assert(c <= (b * 1.1).toLong, s"sample $c exceeds budget $b + 10%")
+    assert(c >= (b * 0.9).toLong, s"sample $c under budget $b - 10%")
+    // deterministic: md5-keyed, so re-sampling yields the same ids
+    // (reproducible across runs, engines, and artifact rebuilds)
+    val ids1 = s1.select("vec_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Similarity.trainerSample(big, 20000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
   test("s29 graph ANN: beam walk is monotone and recall@3 clears the " +
        "floor on the CLUSTERED corpus") {
     import org.apache.spark.sql.DataFrame
