@@ -241,6 +241,10 @@ object SparkEntry {
       graft.ops.Similarity.graphAnn(s, d)),
     "s30_graph_ann_sweep"    -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnSweep(s, d)),
+    "s33_graph_ann_insert"   -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.graphAnnInsert(s, d)),
+    "s34_graph_ann_serve"    -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.graphAnnServeAfterInsert(s, d)),
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.semDedup(s, d)),
     "d30_lsh_calibration"    -> (Dedup.lshCalibration _),

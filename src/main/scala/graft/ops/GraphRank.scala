@@ -808,6 +808,36 @@ object GraphRank {
     * distinct nodes visited, an order-sensitive Σ position·residue
     * fingerprint), so the oracle verifies every step of every walk
     * without shipping the raw corpus. */
+  /** One UN-CHECKPOINTED walk step: frontier ⋈ undirected edges →
+    * md5-argmin next hop. Extracted so PlanSpec can pin the in-loop
+    * join strategy directly (ADVICE r10): the production loop wraps
+    * each step in a lazy localCheckpoint, which hides these joins
+    * behind Scan ExistingRDD in the FINAL plan — a strategy regression
+    * inside the loop would otherwise pass the plan test. */
+  private[graft] def walkStep(frontier: DataFrame, und: DataFrame,
+                              t: Int): DataFrame = {
+    val key = md5(concat_ws("|",
+      lit("rw"), col("start"), col("w"), lit(t), col("u"), col("p2")))
+    frontier
+      .join(und.hint("shuffle_hash"), col("u") === col("p1"))
+      .groupBy("start", "w")
+      .agg(min_by(col("p2"), key).as("u"))
+      .withColumn("t", lit(t))
+      .select("start", "w", "t", "u")
+  }
+
+  /** The first walk step as a bare frame (no checkpoint) — PlanSpec's
+    * window into the loop's join strategy. */
+  private[graft] def walkStepFrame(spark: SparkSession, dir: String,
+                                   walks: Int = 2): DataFrame = {
+    val frontier = copurchaseDegrees(spark, dir)
+      .select(col("pk").as("start"))
+      .withColumn("w", explode(array((0 until walks).map(lit): _*)))
+      .withColumn("t", lit(0))
+      .withColumn("u", col("start"))
+    walkStep(frontier, undirectedEdgesFor(spark, dir), 1)
+  }
+
   def randomWalks(spark: SparkSession, dir: String,
                   walks: Int = 2, length: Int = 4): DataFrame = {
     val und = undirectedEdgesFor(spark, dir) // (p1=here, p2=neighbor)
@@ -819,14 +849,7 @@ object GraphRank {
       .localCheckpoint(eager = false)
     val trail = scala.collection.mutable.Buffer(frontier)
     for (t <- 1 to length) {
-      val key = md5(concat_ws("|",
-        lit("rw"), col("start"), col("w"), lit(t), col("u"), col("p2")))
-      frontier = frontier
-        .join(und.hint("shuffle_hash"), col("u") === col("p1"))
-        .groupBy("start", "w")
-        .agg(min_by(col("p2"), key).as("u"))
-        .withColumn("t", lit(t))
-        .select("start", "w", "t", "u")
+      frontier = walkStep(frontier, und, t)
         .localCheckpoint(eager = false)
       trail += frontier
     }

@@ -591,23 +591,50 @@ object OpsOracles {
     * s$t = its scored ranking (cosine + rnk kept), b$t = the rank-≤beam
     * beam. The M/beam/hops literals come from the SAME constants the
     * engine defaults read. */
-  private val graphWalkCtes = {
+  /** One unrolled hop of the beam walk, PARAMETERIZED over the CTE
+    * names so the same generator serves the standard search walk
+    * (prefix "", graph/cand/q), the s33 arrival walk (prefix "i" over
+    * the base graph with the jittered-arrival queries), and the s34
+    * post-insert serve walk (prefix "p" over the merged graph +
+    * arrival-extended candidates). */
+  private def walkHopCte(prefix: String, graphName: String,
+                         candName: String, qName: String)(t: Int) = {
     val qcos = "round(list_sum(list_transform(range(64), " +
       "i -> q.v[i+1] * c.v[i+1])) / (q.norm * c.norm), 6)"
-    def hop(t: Int) =
-      s"""e$t AS (SELECT DISTINCT query_id, node FROM (
-         |  SELECT query_id, node FROM b${t - 1}
-         |  UNION ALL
-         |  SELECT b.query_id, g.dst FROM b${t - 1} b
-         |  JOIN graph g ON b.node = g.src)),
-         |s$t AS (
-         |  SELECT e.query_id, e.node, $qcos AS cosine,
-         |    row_number() OVER (PARTITION BY e.query_id ORDER BY
-         |      $qcos DESC, e.node ASC) AS rnk
-         |  FROM e$t e JOIN cand c ON e.node = c.cand_id
-         |  JOIN q ON e.query_id = q.query_id),
-         |b$t AS (SELECT query_id, node FROM s$t
-         |  WHERE rnk <= ${Similarity.GraphAnnBeam})""".stripMargin
+    s"""${prefix}e$t AS (SELECT DISTINCT query_id, node FROM (
+       |  SELECT query_id, node FROM ${prefix}b${t - 1}
+       |  UNION ALL
+       |  SELECT b.query_id, g.dst FROM ${prefix}b${t - 1} b
+       |  JOIN $graphName g ON b.node = g.src)),
+       |${prefix}s$t AS (
+       |  SELECT e.query_id, e.node, $qcos AS cosine,
+       |    row_number() OVER (PARTITION BY e.query_id ORDER BY
+       |      $qcos DESC, e.node ASC) AS rnk
+       |  FROM ${prefix}e$t e JOIN $candName c ON e.node = c.cand_id
+       |  JOIN $qName q ON e.query_id = q.query_id),
+       |${prefix}b$t AS (SELECT query_id, node FROM ${prefix}s$t
+       |  WHERE rnk <= ${Similarity.GraphAnnBeam})""".stripMargin
+  }
+
+  /** Probe entry for a query CTE: the GraphAnnProbes nearest cells'
+    * medoids become `${prefix}b0`. */
+  private def walkEntryCtes(prefix: String, qName: String): String =
+    s"""${prefix}qprobe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT qq.query_id, ct.cell,
+       |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+       |        round(list_sum(list_transform(range(64),
+       |          i -> (qq.v[i+1] - ct.cv[i+1]) * (qq.v[i+1] - ct.cv[i+1]))), 6)
+       |          ASC, ct.cell ASC) AS rk
+       |    FROM $qName qq CROSS JOIN cent ct)
+       |  WHERE rk <= ${Similarity.GraphAnnProbes}),
+       |${prefix}b0 AS (SELECT DISTINCT p.query_id, m.entry AS node
+       |  FROM ${prefix}qprobe p JOIN med m ON p.cell = m.cell)""".stripMargin
+
+  /** Query-independent half of the walk chain: quantizer, assignment,
+    * candidates, per-cell medoids, scored same-cell pairs, and the
+    * near+long-range edge graph — shared verbatim by s29/s30/s33/s34. */
+  private val graphWalkBaseCtes = {
     s"""$semKmeansCtes,
        |assigned AS MATERIALIZED (
        |  SELECT vec_id, cell, v, norm FROM (
@@ -650,21 +677,60 @@ object OpsOracles {
        |        count(*) OVER (PARTITION BY p.cell) AS cnt
        |      FROM pairsg p JOIN med m ON p.cell = m.cell AND p.src = m.entry)
        |    WHERE (fk - 1) % ((cnt + ${Similarity.GraphAnnEntryDegree - 1})
-       |      // ${Similarity.GraphAnnEntryDegree}) = 0)),
+       |      // ${Similarity.GraphAnnEntryDegree}) = 0))""".stripMargin
+  }
+
+  private val graphWalkCtes = {
+    def hop(t: Int) = walkHopCte("", "graph", "cand", "q")(t)
+    s"""$graphWalkBaseCtes,
        |q AS MATERIALIZED (
        |  SELECT vec_id AS query_id, cell, v, norm FROM assigned
        |  WHERE vec_id < 10),
-       |qprobe AS (
-       |  SELECT query_id, cell FROM (
-       |    SELECT qq.query_id, ct.cell,
-       |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
-       |        round(list_sum(list_transform(range(64),
-       |          i -> (qq.v[i+1] - ct.cv[i+1]) * (qq.v[i+1] - ct.cv[i+1]))), 6)
-       |          ASC, ct.cell ASC) AS rk
-       |    FROM q qq CROSS JOIN cent ct)
-       |  WHERE rk <= ${Similarity.GraphAnnProbes}),
-       |b0 AS (SELECT DISTINCT p.query_id, m.entry AS node
-       |  FROM qprobe p JOIN med m ON p.cell = m.cell),
+       |${walkEntryCtes("", "q")},
+       |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
+  }
+
+  /** s33's arrival walk: jittered arrivals (per-dim additive
+    * (md5-nibble − 7.5)/1000 noise off parents 10–14, 6dp-rounded —
+    * Similarity.insertArrivals exactly) beam-walk the BASE graph; the
+    * attach list is the final hop's rank-≤M prefix. */
+  private val insertWalkCtes = {
+    def hop(t: Int) = walkHopCte("i", "graph", "cand", "iq")(t)
+    s"""$graphWalkBaseCtes,
+       |iq AS MATERIALIZED (
+       |  SELECT ${Similarity.InsertIdBase} + vec_id AS query_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+       |  FROM (
+       |    SELECT vec_id,
+       |      list_transform(range(64), i -> round(v[i+1] +
+       |        (strpos('0123456789abcdef', substr(md5('ins|' ||
+       |          CAST(vec_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+       |          1, 1)) - 1 - 7.5) / 1000.0, 6)) AS v
+       |    FROM n WHERE vec_id BETWEEN 10 AND 14)),
+       |${walkEntryCtes("i", "iq")},
+       |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")},
+       |attach AS MATERIALIZED (
+       |  SELECT query_id AS arrival_id, node AS nbr, cosine, rnk
+       |  FROM is${Similarity.GraphAnnHops}
+       |  WHERE rnk <= ${Similarity.GraphAnnM})""".stripMargin
+  }
+
+  /** s34's serve walk: merged graph (base ∪ attach ∪ reverse-attach),
+    * candidates extended by the arrivals, queried by the PARENTS. */
+  private val serveAfterInsertCtes = {
+    def hop(t: Int) = walkHopCte("p", "mgraph", "mcand", "pq")(t)
+    s"""$insertWalkCtes,
+       |mgraph AS MATERIALIZED (
+       |  SELECT src, dst FROM graph
+       |  UNION ALL SELECT arrival_id AS src, nbr AS dst FROM attach
+       |  UNION ALL SELECT nbr AS src, arrival_id AS dst FROM attach),
+       |mcand AS MATERIALIZED (
+       |  SELECT cand_id, v, norm FROM cand
+       |  UNION ALL SELECT query_id AS cand_id, v, norm FROM iq),
+       |pq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, v, norm FROM n
+       |  WHERE vec_id BETWEEN 10 AND 14),
+       |${walkEntryCtes("p", "pq")},
        |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
   }
 
@@ -2145,6 +2211,25 @@ object OpsOracles {
       s"""WITH $graphWalkCtes
         |SELECT query_id, node AS cand_id, cosine, rnk
         |FROM s${Similarity.GraphAnnHops}
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // s33: graph-ANN insert — the jittered arrivals beam-walk the BASE
+    // graph (never a rebuild); the attach list is the final hop's
+    // rank-≤M prefix, HNSW's insert rule.
+    "s33_graph_ann_insert" ->
+      s"""WITH $insertWalkCtes
+        |SELECT arrival_id, nbr, cosine, rnk FROM attach
+        |ORDER BY arrival_id, rnk""".stripMargin,
+
+    // s34: post-insert serving — the parents query the MERGED graph
+    // (base ∪ attach ∪ reverse-attach, candidates extended by the
+    // arrivals); each parent must surface its arrival, reachable only
+    // through the new reverse edges.
+    "s34_graph_ann_serve" ->
+      s"""WITH $serveAfterInsertCtes
+        |SELECT query_id, node AS cand_id, cosine, rnk
+        |FROM ps${Similarity.GraphAnnHops}
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 

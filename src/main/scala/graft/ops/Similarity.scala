@@ -869,8 +869,19 @@ object Similarity {
     * INDEX BUILD quadratic at scale — the same trap the d29 θ-graph had.
     * With the sized quantizer the build stays O(N · targetCell), the
     * property a build-once serving index actually needs. */
-  private def beamWalkScored(spark: SparkSession, dir: String,
-                             m: Int, beam: Int, hops: Int): Seq[DataFrame] = {
+  /** The graph index's three build artifacts, grouped so the insert
+    * (s33) and post-insert serving (s34) paths consume the SAME
+    * disk-memoized build the search (s29/s30) reads — an insert that
+    * triggered any of these builds would be a rebuild, not an insert. */
+  private[graft] final case class GraphAnnIndex(
+      cand: DataFrame, medoid: DataFrame, graph: DataFrame) {
+    /** Scoreable node table (node, cv2, cnorm) — the walk's vector side. */
+    def vecs: DataFrame =
+      cand.select(col("cand_id").as("node"), col("cv2"), col("cnorm"))
+  }
+
+  private[graft] def graphAnnIndex(spark: SparkSession, dir: String,
+                                   m: Int = GraphAnnM): GraphAnnIndex = {
     val assigned = semDedupAssignment(spark, dir)
     val cand = assigned.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cand_id"), col("cell"),
@@ -919,14 +930,26 @@ object Similarity {
         .select("src", "dst")
       near.unionByName(far).distinct()
     }
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("cell"),
-        col("v").as("qv"), col("norm").as("qnorm"))
-    val vecs = cand.select(col("cand_id").as("node"), col("cv2"), col("cnorm"))
+    GraphAnnIndex(cand, medoid, graph)
+  }
+
+  /** The hop loop over an EXPLICIT (graph, vecs, medoid, queries) —
+    * s29/s30 walk the built index with the standard query set; s33
+    * walks it with jittered ARRIVALS; s34 walks the merged
+    * (base ∪ attached) graph with the parents. `queries` is
+    * (query_id, qv, qnorm). `checkpointBeams = false` exposes one
+    * hop's raw join chain for PlanSpec's in-loop strategy pin
+    * (ADVICE r10 — the production lazy checkpoints hide the joins
+    * behind Scan ExistingRDD in the final plan). */
+  private[graft] def beamWalkOver(spark: SparkSession, dir: String,
+                                  graph: DataFrame, vecs: DataFrame,
+                                  medoid: DataFrame, queries: DataFrame,
+                                  beam: Int, hops: Int,
+                                  checkpointBeams: Boolean = true): Seq[DataFrame] = {
     def scored(nodes: DataFrame): DataFrame = {
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("node").asc)
       vecs.join(broadcast(nodes), Seq("node"))
-        .join(broadcast(q.select(col("query_id"), col("qv"), col("qnorm"))),
+        .join(broadcast(queries.select(col("query_id"), col("qv"), col("qnorm"))),
           Seq("query_id"))
         .withColumn("cosine", round(
           expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
@@ -937,7 +960,7 @@ object Similarity {
     // cells — queries × cells is broadcast-sized, ranked flat
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("cdist").asc, col("pcell").asc)
-    val qProbes = q.select(col("query_id"), col("qv"))
+    val qProbes = queries.select(col("query_id"), col("qv"))
       .crossJoin(broadcast(semDedupCentroids(spark, dir)
         .select(col("cell").as("pcell"), col("cv"))))
       .withColumn("cdist", round(
@@ -958,10 +981,20 @@ object Similarity {
       // every hop's scored frame survives for the sweep: lazily
       // checkpoint the beam so hop t's join chain runs once, not once
       // per later consumer (the g11 trail lesson)
-      beamDf = s.filter(col("rnk") <= beam).select("query_id", "node")
-        .localCheckpoint(eager = false)
+      val nextBeam = s.filter(col("rnk") <= beam).select("query_id", "node")
+      beamDf = if (checkpointBeams) nextBeam.localCheckpoint(eager = false)
+               else nextBeam
       s.withColumn("hop", lit(h))
     }
+  }
+
+  private def beamWalkScored(spark: SparkSession, dir: String,
+                             m: Int, beam: Int, hops: Int): Seq[DataFrame] = {
+    val idx = graphAnnIndex(spark, dir, m)
+    val q = semDedupAssignment(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    beamWalkOver(spark, dir, idx.graph, idx.vecs, idx.medoid, q, beam, hops)
   }
 
   def graphAnn(spark: SparkSession, dir: String, k: Int = 3,
@@ -1017,6 +1050,89 @@ object Similarity {
         round(col("matched") / (col("n_queries") * k).cast("double"), 4))
       .select("hop", "n_queries", "cand_nodes", "matched", "recall")
       .orderBy("hop")
+  }
+
+  /** Id offset for inserted arrivals — keeps them disjoint from every
+    * corpus vec_id at any gated SF or replica. */
+  private[graft] val InsertIdBase = 100000L
+
+  /** Deterministic ARRIVALS for the graph-insert path: five new vectors
+    * jittered off parents 10–14 (per-dim additive noise
+    * (md5-nibble − 7.5)/1000, 6dp-rounded — the ScaledReplica
+    * hash-seeded-jitter discipline, replayable in the oracle from its
+    * own md5()). Jittered copies are exactly the production arrival
+    * shape for a serving index — near-duplicates of in-index content —
+    * and make findability MEASURABLE: each parent must retrieve its
+    * arrival after the insert (s34). Shape: (query_id, qv, qnorm). */
+  private[graft] def insertArrivals(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .filter(col("vec_id").between(10, 14))
+      .withColumn("qv", expr(
+        "transform(v, (x, i) -> round(x + (cast(conv(substring(md5(" +
+          "concat('ins|', cast(vec_id as string), '|', cast(i as string))" +
+          "), 1, 1), 16, 10) as double) - 7.5) / 1000.0, 6))"))
+      .select((col("vec_id") + lit(InsertIdBase)).as("query_id"), col("qv"))
+      .withColumn("qnorm", sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")))
+
+  /** GRAPH-ANN INSERT (s33) — the serving-index property s29 lacked
+    * (VERDICT r10 item 2): arrivals fold into the built graph WITHOUT a
+    * rebuild. HNSW's insert rule (Malkov & Yashunin 2018): beam-search
+    * the EXISTING graph with the arrival as the query, then attach the
+    * arrival to its top-M discovered neighbors (edges run both ways —
+    * the reverse links are what make it discoverable). Cost per
+    * arrival: ONE beam walk — the same spec-pinned constant scored
+    * volume as a query ((probes+beam)·(1+m+entryDeg) nodes) — plus an
+    * M-row edge append; the corpus is never re-paired, the quantizer
+    * never retrained, the base graph artifact never rewritten
+    * (s16's frozen-trainer posture applied to the graph family).
+    *
+    * Output: the attach list — per arrival, its M new neighbors with
+    * the walk's cosine and rank. The reverse edges are the mirror;
+    * s34 proves the merged graph actually serves them. */
+  def graphAnnInsert(spark: SparkSession, dir: String,
+                     m: Int = GraphAnnM, beam: Int = GraphAnnBeam,
+                     hops: Int = GraphAnnHops): DataFrame = {
+    val idx = graphAnnIndex(spark, dir, m)
+    beamWalkOver(spark, dir, idx.graph, idx.vecs, idx.medoid,
+        insertArrivals(spark, dir), beam, hops).last
+      .filter(col("rnk") <= m)
+      .select(col("query_id").as("arrival_id"), col("node").as("nbr"),
+        col("cosine"), col("rnk"))
+      .orderBy("arrival_id", "rnk")
+  }
+
+  /** POST-INSERT SERVING (s34) — the proof the insert is an insert:
+    * search the MERGED graph (base edges ∪ s33's attach edges ∪ their
+    * reverses) with the five PARENT vectors as queries. The parent
+    * scores cosine 1.0 against itself, so the walk must surface its
+    * jittered arrival (cosine ≈ 0.9999…) right behind it — an arrival
+    * the BASE graph cannot return at all. OpsSpec pins the findability
+    * floor; the oracle replays both walks (insert + serve) CTE-for-CTE.
+    *
+    * Scale shape: the merged graph is the base artifact plus a
+    * delta-sized union — no base-edge rewrite, no corpus re-pairing;
+    * the serve walk's scored volume stays the s29 constant. The attach
+    * frame feeds two consumers (forward + reverse union), so it lazily
+    * checkpoints rather than replaying the arrival walk twice. */
+  def graphAnnServeAfterInsert(spark: SparkSession, dir: String,
+                               k: Int = 3): DataFrame = {
+    val idx = graphAnnIndex(spark, dir, GraphAnnM)
+    val arr = insertArrivals(spark, dir)
+    val attach = graphAnnInsert(spark, dir)
+      .select(col("arrival_id"), col("nbr"))
+      .localCheckpoint(eager = false)
+    val merged = idx.graph
+      .unionByName(attach.select(col("arrival_id").as("src"), col("nbr").as("dst")))
+      .unionByName(attach.select(col("nbr").as("src"), col("arrival_id").as("dst")))
+    val vecs = idx.vecs.unionByName(arr.select(col("query_id").as("node"),
+      col("qv").as("cv2"), col("qnorm").as("cnorm")))
+    val parents = vectors(spark, dir).filter(col("vec_id").between(10, 14))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    beamWalkOver(spark, dir, merged, vecs, idx.medoid, parents,
+        GraphAnnBeam, GraphAnnHops).last
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("node").as("cand_id"), col("cosine"), col("rnk"))
+      .orderBy("query_id", "rnk")
   }
 
   /** Signed-random-projection (SRP) hyperplane weights: w(plane, dim) =

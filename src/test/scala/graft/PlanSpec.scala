@@ -685,5 +685,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = df.queryExecution.executedPlan.toString
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"no DynamicPruningExpression in the fact scan:\n${p.take(3000)}")
+    // the metrics-drop proof (partitions/files actually read fall under
+    // DPP vs the static plan) lives in DynamicPruningSpec
+  }
+
+  test("g11 in-loop step, UN-checkpointed: the frontier joins the edge " +
+       "frame by shuffle-hash — no cartesian, no sort-merge (the lazy " +
+       "checkpoints hide these joins in the final plan; ADVICE r10)") {
+    val p = graft.ops.GraphRank.walkStepFrame(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("s29 in-loop hop, UN-checkpointed: the beam broadcasts against " +
+       "the graph and vector sides — BroadcastHashJoin only, no " +
+       "sort-merge, no cartesian (ADVICE r10)") {
+    import org.apache.spark.sql.functions._
+    val idx = graft.ops.Similarity.graphAnnIndex(spark, dir)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("qv"))
+      .withColumn("qnorm", sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")))
+    val hop = graft.ops.Similarity.beamWalkOver(spark, dir,
+      idx.graph, idx.vecs, idx.medoid, q, beam = 8, hops = 1,
+      checkpointBeams = false).last
+    val p = hop.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("s33_graph_ann_insert: the arrival walk broadcasts the beam — " +
+       "no cartesian, no sort-merge, and NO new index artifact (an " +
+       "insert is never a rebuild)") {
+    val p = plan("s33_graph_ann_insert")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 }

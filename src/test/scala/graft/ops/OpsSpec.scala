@@ -2402,6 +2402,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, f"s29 graph-ANN recall@3 $recall%.3f < 0.9")
   }
 
+  test("s33/s34: inserted arrivals are FINDABLE post-insert (every " +
+       "parent retrieves its arrival) and the insert writes NO new " +
+       "index artifact — an insert is never a rebuild") {
+    // force the index build, then snapshot the artifact set
+    Similarity.graphAnn(spark, dir).collect()
+    def artifactDirs: Set[String] = {
+      val base = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_annartifacts")
+      Option(base.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    }
+    val before = artifactDirs
+    val attach = Similarity.graphAnnInsert(spark, dir).collect()
+    assert(artifactDirs === before,
+      "graphAnnInsert materialized a new index artifact — that is a rebuild")
+    // every arrival attaches exactly M edges, ranked
+    val byArr = attach.groupBy(_.getAs[Long]("arrival_id"))
+    assert(byArr.keySet ===
+      (10L to 14L).map(_ + Similarity.InsertIdBase).toSet)
+    assert(byArr.values.forall(_.length == Similarity.GraphAnnM))
+    // findability on the flat testdata AND the clustered corpus: the
+    // merged graph must surface each parent's jittered arrival — a node
+    // the base graph cannot return at all
+    def assertFindable(d: String): Unit = {
+      val byQ = Similarity.graphAnnServeAfterInsert(spark, d).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+      (10L to 14L).foreach { p =>
+        val got = byQ(p).map(_.getAs[Long]("cand_id")).toSet
+        assert(got.contains(Similarity.InsertIdBase + p),
+          s"parent $p did not retrieve its inserted arrival in $d; got $got")
+      }
+    }
+    assertFindable(dir)
+    assertFindable(graft.sources.gen.ClusteredEmbeddings.ensure(spark))
+  }
+
   test("s30 hop sweep: cost grows with depth, recall never degrades, " +
        "and the last hop equals s29's answer set") {
     val sweep = Similarity.graphAnnSweep(spark, dir).collect()
