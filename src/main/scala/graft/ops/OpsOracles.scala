@@ -3615,7 +3615,8 @@ object OpsOracles {
 
     // m01: BMP rows (doc_id%3=0, L≥200) carry REAL synthesized BMPs,
     // PNG rows (doc_id%6=2, L≥280) REAL deflate-compressed PNGs, and
-    // JPEG rows (doc_id%6=5, L≥200) REAL DC-exact baseline JPEGs — the
+    // JPEG rows (doc_id%12=5, L≥200) REAL DC-exact baseline JPEGs and
+    // WEBP rows (doc_id%12=11, L≥64) REAL RIFF/VP8L containers — the
     // engine genuinely parses/inflates/IDCTs them; this oracle
     // recomputes the dims and the pixel sums in closed form (BMP/PNG:
     // pixel byte j is j%16, so a row of 3w bytes sums to (3w//16)*120 +
@@ -3627,21 +3628,25 @@ object OpsOracles {
         |  SELECT doc_id, octet_length(encode(text)) AS L,
         |    (doc_id % 3 = 0 AND octet_length(encode(text)) >= 200) AS is_bmp,
         |    (doc_id % 6 = 2 AND octet_length(encode(text)) >= 280) AS is_png,
-        |    (doc_id % 6 = 5 AND octet_length(encode(text)) >= 200) AS is_jpeg
+        |    (doc_id % 12 = 5 AND octet_length(encode(text)) >= 200) AS is_jpeg,
+        |    (doc_id % 12 = 11 AND octet_length(encode(text)) >= 64) AS is_webp
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, L AS bytes,
         |    CASE WHEN is_bmp THEN 4 + L % 5
         |         WHEN is_png THEN 4 + L % 6
         |         WHEN is_jpeg THEN 3 + L % 6
+        |         WHEN is_webp THEN 5 + L % 9
         |         ELSE 64 + L % 512 END AS width,
         |    CASE WHEN is_bmp THEN 4 + L % 3
         |         WHEN is_png THEN 4 + L % 4
         |         WHEN is_jpeg THEN 3 + L % 4
+        |         WHEN is_webp THEN 4 + L % 7
         |         ELSE 64 + (L * 7) % 512 END AS height,
         |    CASE WHEN is_bmp THEN 'bmp'
         |      WHEN is_png THEN 'png'
         |      WHEN is_jpeg THEN 'jpeg'
+        |      WHEN is_webp THEN 'webp'
         |      ELSE CASE L % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
         |           ELSE 'webp' END END AS format,
         |    CASE WHEN is_bmp THEN
@@ -3708,7 +3713,8 @@ object OpsOracles {
         |FROM e ORDER BY doc_id""".stripMargin,
 
     // m12: real-decode image stats — BMP (doc_id%3=0, L≥200), PNG
-    // (doc_id%6=2, L≥280), and JPEG (doc_id%6=5, L≥200) rows; dims and
+    // (doc_id%6=2, L≥280), and JPEG (doc_id%12=5, L≥200) rows — webp is
+    // dims-only by declared boundary, so it has no pixel-stats row; dims and
     // pixel sum in closed form (BMP/PNG: pixel byte j ≡ j%16; JPEG:
     // uniform gray L%256, one band); px_mean divides by the per-format
     // band count — one IEEE divide of exact integers before the 6dp
@@ -3727,7 +3733,7 @@ object OpsOracles {
         |  UNION ALL
         |  SELECT doc_id, 'jpeg',
         |    CAST(3 + L % 6 AS BIGINT), CAST(3 + L % 4 AS BIGINT), L % 256
-        |  FROM b WHERE doc_id % 6 = 5 AND L >= 200),
+        |  FROM b WHERE doc_id % 12 = 5 AND L >= 200),
         |e AS (
         |  SELECT doc_id, format, width, height,
         |    CASE WHEN format = 'jpeg' THEN width * height * gray
@@ -4181,21 +4187,25 @@ object OpsOracles {
         |  SELECT doc_id, octet_length(encode(text)) AS L,
         |    (doc_id % 3 = 0 AND octet_length(encode(text)) >= 200) AS is_bmp,
         |    (doc_id % 6 = 2 AND octet_length(encode(text)) >= 280) AS is_png,
-        |    (doc_id % 6 = 5 AND octet_length(encode(text)) >= 200) AS is_jpeg
+        |    (doc_id % 12 = 5 AND octet_length(encode(text)) >= 200) AS is_jpeg,
+        |    (doc_id % 12 = 11 AND octet_length(encode(text)) >= 64) AS is_webp
         |  FROM documents),
         |m AS (
         |  SELECT L AS bytes,
         |    CASE WHEN is_bmp THEN 4 + L % 5
         |         WHEN is_png THEN 4 + L % 6
         |         WHEN is_jpeg THEN 3 + L % 6
+        |         WHEN is_webp THEN 5 + L % 9
         |         ELSE 64 + L % 512 END AS width,
         |    CASE WHEN is_bmp THEN 4 + L % 3
         |         WHEN is_png THEN 4 + L % 4
         |         WHEN is_jpeg THEN 3 + L % 4
+        |         WHEN is_webp THEN 4 + L % 7
         |         ELSE 64 + (L * 7) % 512 END AS height,
         |    CASE WHEN is_bmp THEN 'bmp'
         |      WHEN is_png THEN 'png'
         |      WHEN is_jpeg THEN 'jpeg'
+        |      WHEN is_webp THEN 'webp'
         |      ELSE CASE L % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
         |           ELSE 'webp' END END AS format
         |  FROM b)
