@@ -114,7 +114,34 @@ object Bench {
     val passJson = passTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
     val spreadJson = spreadTop.map { case (n, r) => "\"" + n + "\":" + f"$r%.1f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":$reps,"queries":${jmap(results)},"queries_cold":${jmap(coldResults)},"sf":"$sfDir","total_min_sec":${f"$total%.3f"},"total_cold_sec":${f"$totalCold%.3f"},"suite_wall_sec":${f"$wallSec%.3f"},"errors":$errs,"pass_totals":$passJson,"spread_gt3":$spreadGt3,"spread_top":$spreadJson}""")
+    // Sentinel self-adjudication (VERDICT r10 item 6): rounds 7, 8, and
+    // 10 each needed README prose (multiple same-day captures, vmstat
+    // steal readings) to adjudicate a contended driver capture. The
+    // SENTINELS are long-carried, sub-second, code-stable queries with
+    // committed idle-host minima (BENCH_LOCAL_r10, n=7): their median
+    // current/prior ratio measures THE HOST, not the code — no code
+    // change lands on these paths without showing up in the gate first.
+    // Reading: ratio ≈ 1 ⇒ clean capture, trust the totals; ratio ≫ 1
+    // with healthy minimums elsewhere ⇒ the capture window was
+    // throttled — normalize carried-query comparisons by this ratio
+    // instead of re-running (two agreeing captures already prove the
+    // minimum is stable; the r8/r10 lesson). The fields sit LAST so the
+    // driver's tail-truncated store keeps the adjudication.
+    val sentinelPriors = Map(
+      "q01_pricing_summary" -> 0.275, "q05_full_outer_merge" -> 0.419,
+      "q12_window_rank" -> 0.703, "q13_running_sum" -> 0.141,
+      "q16_distinct_count" -> 0.087, "t01_token_stats" -> 0.128,
+      "d01_exact_dedup" -> 0.116, "s01_knn_brute" -> 0.371,
+      "j01_asof_join" -> 0.152, "f07_orc_roundtrip" -> 0.237,
+      "w02_session_counts" -> 0.177, "g03_triangle_count" -> 0.420)
+    val resultMap = results.toMap
+    val sentinelNow = sentinelPriors.keys.toSeq.sorted
+      .map(k => k -> resultMap.getOrElse(k, -1.0))
+    val ratios = sentinelNow
+      .collect { case (k, v) if v > 0 => v / sentinelPriors(k) }.sorted
+    val medRatio = if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
+    val sentinelJson = jmap(sentinelNow)
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":$reps,"queries":${jmap(results)},"queries_cold":${jmap(coldResults)},"sf":"$sfDir","total_min_sec":${f"$total%.3f"},"total_cold_sec":${f"$totalCold%.3f"},"suite_wall_sec":${f"$wallSec%.3f"},"errors":$errs,"pass_totals":$passJson,"spread_gt3":$spreadGt3,"spread_top":$spreadJson,"sentinels":$sentinelJson,"sentinel_prior":"BENCH_LOCAL_r10","sentinel_median_ratio":${f"$medRatio%.3f"}}""")
     spark.stop()
   }
 }

@@ -255,6 +255,7 @@ object SparkEntry {
       graft.ops.Similarity.tripletMargins(s, d)),
     "t49_gopher_rules"       -> (TextAnalysis.gopherRules _),
     "t50_distilled_filter"   -> (TextAnalysis.distilledFilter _),
+    "t51_perplexity_bands"   -> (TextAnalysis.perplexityBands _),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "m13_audio_energy"       -> (graft.ops.Multimodal.audioEnergy _),

@@ -4561,6 +4561,60 @@ object OpsOracles {
         |FROM pred GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
     },
 
+    // t51: CCNet-style perplexity banding — hashed-unigram Laplace LM
+    // over the t49-keep class, per-doc mean NLL (decimal sum, one IEEE
+    // divide), tertile cut scores from the bounded md5 sample, bands by
+    // value comparison.
+    "t51_perplexity_bands" -> {
+      s"""WITH $distilledModelCtes,
+        |klm AS (
+        |  SELECT b, CAST(sum(n) AS BIGINT) AS c
+        |  FROM pdb JOIN lab USING (doc_id) WHERE label = 1 GROUP BY b),
+        |kcounts AS (
+        |  SELECT s.b, COALESCE(c, 0) AS c
+        |  FROM spine s LEFT JOIN klm ON s.b = klm.b),
+        |ktot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM kcounts),
+        |lnp AS (
+        |  SELECT b, round(ln(CAST(c + 1 AS DOUBLE) / (t + 64)), 6) AS lnp
+        |  FROM kcounts CROSS JOIN ktot),
+        |sc0 AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n * CAST(-lnp AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      AS n6
+        |  FROM pdb JOIN lnp USING (b) GROUP BY doc_id),
+        |sco AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST((2 * n6 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+        |      / 1000000 AS score
+        |  FROM sc0),
+        |scnt AS (SELECT CAST(count(*) AS BIGINT) AS sn FROM sco),
+        |samp AS (
+        |  SELECT doc_id, score,
+        |    md5(CAST(doc_id AS VARCHAR)) AS m FROM sco),
+        |ssamp AS (
+        |  SELECT doc_id, score FROM samp CROSS JOIN scnt
+        |  WHERE sn <= 5000 OR
+        |    CAST((strpos('0123456789abcdef', m[1]) - 1) * 4096
+        |       + (strpos('0123456789abcdef', m[2]) - 1) * 256
+        |       + (strpos('0123456789abcdef', m[3]) - 1) * 16
+        |       + (strpos('0123456789abcdef', m[4]) - 1) AS BIGINT) * sn
+        |      < 5000 * 65536),
+        |ranked AS (
+        |  SELECT score, row_number() OVER (ORDER BY score, doc_id) AS rn,
+        |    count(*) OVER () AS cnt
+        |  FROM ssamp),
+        |cuts AS (
+        |  SELECT max(CASE WHEN rn = (cnt + 2) // 3 THEN score END) AS t1,
+        |    max(CASE WHEN rn = (cnt * 2 + 2) // 3 THEN score END) AS t2
+        |  FROM ranked)
+        |SELECT doc_id, n_tokens, score,
+        |  CASE WHEN score <= t1 THEN 'head'
+        |       WHEN score <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS band
+        |FROM sco CROSS JOIN cuts
+        |ORDER BY doc_id""".stripMargin
+    },
+
     // w17: the same trained model served per-row over the 'f' arrivals;
     // the oracle scores via the (doc, bucket) sum — decimal addition is
     // order-independent, so it equals the engine's per-token fold.

@@ -2132,4 +2132,82 @@ object TextAnalysis {
 
   def distilledFilter(spark: SparkSession, dir: String): DataFrame =
     distilledFilterOf(Tables.documents(spark, dir))
+
+  /** PERPLEXITY BANDS (t51) — CCNet's head/middle/tail corpus banding
+    * (Wenzek et al. 2020): score every document by its mean per-token
+    * negative log-likelihood under a language model trained on the
+    * high-quality class, then split the corpus at the tertile scores —
+    * "head" (most fluent) is what the pipeline keeps or upsamples.
+    * CCNet trains KenLM on Wikipedia; here the LM is the hashed-unigram
+    * Laplace model over the t49-keep teacher class (the t50
+    * distillation convention — a 64-bucket model, broadcast-sized
+    * whatever the corpus).
+    *
+    * The BAND THRESHOLDS come from a bounded md5 sample of scores (the
+    * d30 discipline): percentile banding is a global rank, so
+    * production computes the two tertile cut SCORES on a sample it can
+    * afford, broadcasts them, and bands the corpus by comparison — the
+    * only global window here runs over the bounded sample (identity at
+    * every gated SF). Boundary ties band by VALUE, identically in both
+    * engines.
+    *
+    * Exactness: one ln per bucket rounded to 6 dp, per-doc sums in
+    * DECIMAL(18,6) (the t48 algebra); the per-doc mean is ONE IEEE
+    * divide of the exact decimal sum by the token count (the m12
+    * px_mean argument), rounded at the final projection. */
+  def perplexityBandsOf(docs: DataFrame, nBuckets: Int = 64,
+                        budget: Long = 5000L): DataFrame = {
+    val (lab, perDocB) = distilledInputs(docs, nBuckets)
+    // the LM trains on the WHOLE keep class (no holdout — t51 scores
+    // the corpus, it doesn't evaluate a classifier)
+    val keepCounts = perDocB
+      .join(lab.filter(col("label") === 1), Seq("doc_id"))
+      .groupBy("b").agg(sum("n").as("c"))
+    val spine = docs.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("b"))
+    val counts = spine.join(keepCounts, Seq("b"), "left").na.fill(0L, Seq("c"))
+    val total = counts.agg(sum("c").as("t"))
+    val lnp = counts.crossJoin(broadcast(total))
+      .withColumn("lnp", round(log(
+        (col("c") + 1).cast("double") / (col("t") + nBuckets)), 6))
+      .select("b", "lnp")
+    // the per-doc mean rounds to 6 dp in EXACT INTEGER arithmetic: the
+    // decimal NLL sum is an integer of micronats (×1e6), the half-up
+    // rounded mean is (2·N6 + n) div (2·n), and the score double is one
+    // exact small-integer / 1e6 — an IEEE divide of the SAME two values
+    // on both engines. A double divide rounded with round(,6) instead
+    // lands on a half boundary ~1 in 500 docs, where Spark (shortest-
+    // repr HALF_UP) and DuckDB (binary) disagree — measured here.
+    val scores = perDocB
+      .join(broadcast(lnp), Seq("b"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").cast("long").as("n_tokens"),
+        sum(col("n") * (-col("lnp")).cast("decimal(18,6)")).as("nll"))
+      .withColumn("n6", (col("nll") * 1000000).cast("long"))
+      .withColumn("score",
+        expr("cast((2 * n6 + n_tokens) div (2 * n_tokens) as double)")
+          / 1000000.0)
+      .select("doc_id", "n_tokens", "score")
+      .localCheckpoint() // feeds the sample AND the final banding
+    val sampled = graft.ops.Dedup.calibrationSampleOf(scores, budget)
+    val w = Window.orderBy(col("score").asc, col("doc_id").asc)
+    val cuts = sampled
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .agg(
+        max(when(col("rn") === expr("(cnt + 2) div 3"), col("score"))).as("t1"),
+        max(when(col("rn") === expr("(cnt * 2 + 2) div 3"), col("score"))).as("t2"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("band",
+        when(col("score") <= col("t1"), "head")
+          .when(col("score") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "n_tokens", "score", "band")
+      .orderBy("doc_id")
+  }
+
+  def perplexityBands(spark: SparkSession, dir: String): DataFrame =
+    perplexityBandsOf(Tables.documents(spark, dir))
 }

@@ -2325,6 +2325,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"max cell width $wMax exceeds 8×target")
   }
 
+  test("t51 perplexity bands: keep-class-fluent text out-scores OOV " +
+       "garbage (Laplace penalty), and bands are value-ordered tertiles") {
+    val sp = spark
+    import sp.implicits._
+    val vocab = Seq("the", "model", "data", "train", "scale", "spark",
+      "engine", "query")
+    def sent(n: Int, seed: Int): String =
+      (0 until n).map(i => vocab((i + seed) % vocab.length)).mkString(" ")
+    // 20 keep-class docs (50+ words, stopword present) train the LM;
+    // doc 100 is in-vocabulary fluent, doc 101 is 60 unseen tokens
+    val docs = ((0L until 20L).map(i => (i, sent(60, i.toInt))) ++
+      Seq((100L, sent(60, 3)),
+          (101L, (0 until 60).map(i => s"zzq${i}xw").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBandsOf(docs).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Double]("score"), r.getAs[String]("band"))).toMap
+    assert(byId(100L)._1 < byId(101L)._1,
+      s"fluent ${byId(100L)} must out-score garbage ${byId(101L)}")
+    assert(byId(101L)._2 === "tail", s"OOV garbage banded ${byId(101L)._2}")
+    // bands are value-ordered: max(head) ≤ min(middle) ≤ ... — the
+    // threshold-comparison rule, not an engine-ordering accident
+    val byBand = out.groupBy(_.getAs[String]("band"))
+      .view.mapValues(_.map(_.getAs[Double]("score"))).toMap
+    assert(byBand("head").max <= byBand("middle").min)
+    assert(byBand("middle").max <= byBand("tail").min)
+  }
+
   test("d30/d31 on a zero-pair corpus report 0 counters, not NULLs — " +
        "the clean-crawl shape the gate corpora never exercise (ADVICE r10)") {
     val sp = spark
