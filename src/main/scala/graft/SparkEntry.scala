@@ -230,6 +230,7 @@ object SparkEntry {
     "g11_random_walks"       -> ((s: SparkSession, d: String) =>
       graft.ops.GraphRank.randomWalks(s, d)),
     "g12_harmonic_centrality" -> (graft.ops.GraphRank.harmonicCentrality _),
+    "g13_lpa_modularity"     -> (graft.ops.GraphRank.lpaModularity _),
     "s25_truncated_ann"      -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.truncatedAnn(s, d)),
     "s26_range_search"       -> ((s: SparkSession, d: String) =>
@@ -243,12 +244,15 @@ object SparkEntry {
       graft.ops.Similarity.graphAnnSweep(s, d)),
     "s33_graph_ann_insert"   -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnInsert(s, d)),
+    "s35_graph_ann_delete"   -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.graphAnnDeleteServe(s, d)),
     "s34_graph_ann_serve"    -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnServeAfterInsert(s, d)),
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.semDedup(s, d)),
     "d30_lsh_calibration"    -> (Dedup.lshCalibration _),
     "d31_detector_agreement" -> (Dedup.detectorAgreement _),
+    "d32_dedup_weights"      -> (Dedup.dedupWeights _),
     "s31_hard_negatives"     -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.hardNegatives(s, d)),
     "s32_triplet_margins"    -> ((s: SparkSession, d: String) =>

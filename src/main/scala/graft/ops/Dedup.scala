@@ -359,6 +359,40 @@ object Dedup {
   def clusterBestKeep(spark: SparkSession, dir: String): DataFrame =
     clusterBestKeepOf(dedupClusters(spark, dir), Tables.documents(spark, dir))
 
+  /** SOFT dedup (d32) — per-document SAMPLING WEIGHTS instead of drops:
+    * every member of a duplicate family of size n gets weight 1/n, docs
+    * outside the pair graph get weight 1. Sampling the corpus by these
+    * weights reproduces the deduplicated distribution WITHOUT deleting
+    * anything — the downweighting stance real pipelines take when
+    * duplicates carry signal (repeated epochs under a data budget,
+    * Muennighoff et al. 2023 "Scaling Data-Constrained Language Models";
+    * SlimPajama-style soft filtering) or when a hard drop is too
+    * destructive to audit. [[dropClusteredDuplicates]] is the limit case
+    * (weight realized as keep-one); this ships the decision table a
+    * weighted sampler or a loss-scaling trainer consumes.
+    *
+    * Scale shape: the family-size aggregate runs on the cluster labels
+    * (pair-graph-sized, not corpus-sized); the corpus sees exactly two
+    * uniform-key left joins on doc_id/cluster_id — O(corpus) with no
+    * skew, no explode, nothing quadratic. weight = 1.0/n is a single
+    * IEEE-correctly-rounded division of small integers, bit-identical
+    * across engines (no rounding step needed — the s27 discipline is
+    * unnecessary here because nothing re-aggregates the quotient). */
+  def dedupWeightsOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val fam = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("fs"))
+    docs.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .join(fam, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("fs"), lit(1L)).as("family_size"),
+        (lit(1.0) / coalesce(col("fs"), lit(1L))).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame =
+    dedupWeightsOf(Tables.documents(spark, dir), dedupClusters(spark, dir))
+
   /** EXACT dedup APPLICATION: the cleaned corpus with one keeper (min
     * doc_id) per distinct text — the workhorse first pass of every
     * training-data pipeline ([[exactDedup]] reports the summary; this

@@ -761,7 +761,16 @@ object GraphRank {
     * struct-min. Labels are referenced once per round (linear lineage,
     * g06's lazy checkpoint every 3 rounds) — O(E + V) per round, no
     * 2^rounds replay, no single-partition stage. */
-  def lpaCommunitiesOf(withSelf: DataFrame, rounds: Int): DataFrame = {
+  def lpaCommunitiesOf(withSelf: DataFrame, rounds: Int): DataFrame =
+    lpaLabelsOf(withSelf, rounds)
+      .groupBy("lbl").agg(count(lit(1)).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("communities"), sum("size").as("nodes"))
+      .orderBy("size")
+
+  /** The LPA round loop itself, returning the final (node, lbl) vector —
+    * g09 histograms it, g13 scores it. */
+  private[graft] def lpaLabelsOf(withSelf: DataFrame, rounds: Int): DataFrame = {
     var labels = withSelf.select(col("src")).distinct()
       .select(col("src").as("node"), col("src").as("lbl"))
     for (r <- 1 to rounds) {
@@ -774,14 +783,61 @@ object GraphRank {
         .select(col("node"), col("top.l").as("lbl"))
       if (r % 3 == 0 && r < rounds) labels = labels.localCheckpoint(eager = false)
     }
-    labels.groupBy("lbl").agg(count(lit(1)).as("size"))
-      .groupBy("size")
-      .agg(count(lit(1)).as("communities"), sum("size").as("nodes"))
-      .orderBy("size")
+    labels
   }
 
   def lpaCommunities(spark: SparkSession, dir: String): DataFrame =
     lpaCommunitiesOf(lpaSelfEdges(spark, dir), LpaRounds)
+
+  /** MODULARITY SCORING of the LPA partition (g13) — Newman & Girvan
+    * 2004: Q = Σ_c [e_c/m − (deg_c/2m)²] over the same
+    * support-thresholded purchase graph g09 labels. The quality number
+    * every community detection run reports next to its size histogram
+    * (a partition whose Q ≈ 0 found nothing better than random edge
+    * placement) — here per community, so a drifting partition shows
+    * WHICH families collapsed, plus the global Q as the column sum.
+    *
+    * Cross-engine determinism: e_c, deg_c, m are exact integers; each
+    * dq is two correctly-rounded IEEE divisions, one multiply, one
+    * subtract — the identical operation sequence in the oracle, so the
+    * doubles are bit-identical with no rounding step (the d32 stance).
+    *
+    * Scale shape: labels come from the g09 loop (O(E) per round); the
+    * scoring adds two label joins on the edge frame, one node-grain
+    * degree aggregate, and label-grain sums — all O(E) with uniform
+    * keys; m rides in as a broadcast 1-row cross join. The label
+    * vector has three consumers, so it lazily checkpoints (the t42
+    * discipline). */
+  def lpaModularityOf(withSelf: DataFrame, rounds: Int): DataFrame = {
+    val labels = lpaLabelsOf(withSelf, rounds).localCheckpoint(eager = false)
+    val und = withSelf.filter(col("src") =!= col("dst"))
+    // bipartite 'c…'→'s…' ids: src < dst picks each undirected edge once
+    val e0 = und.filter(col("src") < col("dst"))
+    val mdf = e0.agg(count(lit(1)).as("m"))
+    val la = labels.select(col("node").as("src"), col("lbl"))
+    val lb = labels.select(col("node").as("dst"), col("lbl").as("lblb"))
+    val ec = e0.join(la, Seq("src")).join(lb, Seq("dst"))
+      .filter(col("lbl") === col("lblb"))
+      .groupBy("lbl").agg(count(lit(1)).as("iec"))
+    val degc = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .join(labels.select(col("node").as("src"), col("lbl")), Seq("src"))
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("size"), sum("deg").as("degree_sum"))
+    degc.join(ec, Seq("lbl"), "left")
+      .crossJoin(broadcast(mdf))
+      .select(col("lbl").as("community"), col("size"),
+        coalesce(col("iec"), lit(0L)).as("internal_edges"),
+        col("degree_sum"), col("m"))
+      .withColumn("dq",
+        col("internal_edges").cast("double") / col("m")
+          - (col("degree_sum").cast("double") / (col("m") * lit(2.0)))
+          * (col("degree_sum").cast("double") / (col("m") * lit(2.0))))
+      .drop("m")
+      .orderBy("community")
+  }
+
+  def lpaModularity(spark: SparkSession, dir: String): DataFrame =
+    lpaModularityOf(lpaSelfEdges(spark, dir), LpaRounds)
 
   /** DETERMINISTIC RANDOM WALKS (g11) — the DeepWalk/node2vec corpus
     * step (Perozzi et al. 2014): sample fixed-length walks from every

@@ -409,9 +409,12 @@ object OpsOracles {
        |    FROM c$k) WHERE rn = 1)""".stripMargin
   }
 
-  private def lpaOracleSql: String = {
+  /** Shared LPA prefix (support-thresholded edges + self-loop vote graph
+    * + the unrolled rounds) — g09 histograms the final label vector,
+    * g13 modularity-scores it. */
+  private def lpaCtes: String = {
     val rounds = GraphRank.LpaRounds
-    s"""WITH e0 AS (
+    s"""e0 AS (
        |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        |  GROUP BY 1, 2 HAVING count(*) >= ${GraphRank.LpaMinSupport}),
@@ -420,13 +423,44 @@ object OpsOracles {
        |es AS (SELECT src, dst FROM e
        |  UNION ALL SELECT src, src FROM nodes),
        |p0 AS (SELECT src AS node, src AS lbl FROM nodes),
-       |${(1 to rounds).map(lpaStep).mkString(",\n")},
+       |${(1 to rounds).map(lpaStep).mkString(",\n")}""".stripMargin
+  }
+
+  private def lpaOracleSql: String =
+    s"""WITH $lpaCtes,
        |sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS size
-       |  FROM p$rounds GROUP BY lbl)
+       |  FROM p${GraphRank.LpaRounds} GROUP BY lbl)
        |SELECT size, CAST(count(*) AS BIGINT) AS communities,
        |  CAST(sum(size) AS BIGINT) AS nodes
        |FROM sizes GROUP BY size ORDER BY size""".stripMargin
-  }
+
+  /** g13: Newman–Girvan modularity of the LPA partition (mirrors
+    * GraphRank.lpaModularity) — per-community e_c/deg_c/size as exact
+    * integers, dq as the identical IEEE operation sequence the engine
+    * runs (two divisions, one multiply, one subtract — bit-identical,
+    * no rounding step). */
+  private def lpaModularityOracleSql: String =
+    s"""WITH $lpaCtes,
+       |lab AS (SELECT node, lbl FROM p${GraphRank.LpaRounds}),
+       |mm AS (SELECT count(*) AS m FROM e0),
+       |degn AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |ec AS (
+       |  SELECT a.lbl, count(*) AS iec FROM e0
+       |  JOIN lab a ON e0.src = a.node
+       |  JOIN lab b ON e0.dst = b.node
+       |  WHERE a.lbl = b.lbl GROUP BY a.lbl),
+       |dc AS (
+       |  SELECT l.lbl, CAST(count(*) AS BIGINT) AS size,
+       |    CAST(sum(d.deg) AS BIGINT) AS degree_sum
+       |  FROM lab l JOIN degn d ON l.node = d.node GROUP BY l.lbl)
+       |SELECT dc.lbl AS community, dc.size,
+       |  CAST(coalesce(ec.iec, 0) AS BIGINT) AS internal_edges,
+       |  dc.degree_sum,
+       |  CAST(coalesce(ec.iec, 0) AS DOUBLE) / mm.m
+       |    - (CAST(dc.degree_sum AS DOUBLE) / (mm.m * 2.0))
+       |    * (CAST(dc.degree_sum AS DOUBLE) / (mm.m * 2.0)) AS dq
+       |FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl CROSS JOIN mm
+       |ORDER BY community""".stripMargin
 
   /** MinHash signatures → 4 band keys per doc (mirrors
     * Dedup.minhashLshOf's signature/band construction; shared by the
@@ -2214,6 +2248,23 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s35: tombstone delete + filtered serving — the delete set is every
+    // rank-1 node of the SAME walk (FreshDiskANN: tombstoned nodes keep
+    // routing, results filter them); survivors re-rank per query.
+    "s35_graph_ann_delete" ->
+      s"""WITH $graphWalkCtes,
+        |tomb AS (SELECT DISTINCT node FROM s${Similarity.GraphAnnHops}
+        |  WHERE rnk = 1),
+        |kept AS (
+        |  SELECT query_id, node, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, node ASC) AS rnk
+        |  FROM s${Similarity.GraphAnnHops}
+        |  WHERE node NOT IN (SELECT node FROM tomb))
+        |SELECT query_id, node AS cand_id, cosine, rnk FROM kept
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     // s33: graph-ANN insert — the jittered arrivals beam-walk the BASE
     // graph (never a rebuild); the attach list is the final hop's
     // rank-≤M prefix, HNSW's insert rule.
@@ -3148,6 +3199,42 @@ object OpsOracles {
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (
         |  SELECT doc_id FROM labels WHERE doc_id != cluster_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // d32: soft dedup — per-doc sampling weight 1/family_size over d16's
+    // components (mirrors Dedup.dedupWeights); 1.0/n is one
+    // correctly-rounded IEEE division of small integers, bit-identical
+    // across engines.
+    "d32_dedup_weights" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |bi AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |       UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(doc_id, node) AS (
+        |  SELECT DISTINCT a, a FROM bi
+        |  UNION
+        |  SELECT w.doc_id, e.b FROM walk w JOIN bi e ON w.node = e.a),
+        |labels AS (
+        |  SELECT doc_id, min(node) AS cluster_id FROM walk GROUP BY doc_id),
+        |fam AS (
+        |  SELECT cluster_id, count(*) AS fs FROM labels GROUP BY cluster_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(fam.fs, 1) AS BIGINT) AS family_size,
+        |  CAST(1 AS DOUBLE) / CAST(coalesce(fam.fs, 1) AS BIGINT) AS weight
+        |FROM documents d
+        |LEFT JOIN labels l USING (doc_id)
+        |LEFT JOIN fam ON l.cluster_id = fam.cluster_id
         |ORDER BY d.doc_id""".stripMargin,
 
     // d15: containment (|∩| of rare shingles / min set size) over pairs
@@ -4315,6 +4402,7 @@ object OpsOracles {
     "g06_component_sizes" -> componentSizesOracleSql,
     "g08_kcore" -> kcoreOracleSql,
     "g09_lpa_communities" -> lpaOracleSql,
+    "g13_lpa_modularity" -> lpaModularityOracleSql,
     "g07_components_converged" -> componentsConvergedOracleSql,
 
     // t39: Zipf fit — ln-micro integer regression: 6dp-rounded lns as

@@ -1135,6 +1135,44 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** TOMBSTONE DELETE + filtered serving (s35) — the delete half of the
+    * graph index's serving lifecycle (s33 is the insert half; s17 is
+    * this operation on the IVF family). FreshDiskANN's stance (Singh et
+    * al. 2021): a deleted vector is TOMBSTONED, not unlinked — it keeps
+    * ROUTING (its edges still carry walks across the graph) but is
+    * filtered from every RESULT list until a background compaction
+    * rewires around it. Unlinking eagerly would be a graph rebuild per
+    * delete batch and can disconnect regions mid-serve; the tombstone
+    * makes deletes O(|tombstones|) with zero graph writes.
+    *
+    * Delete set here: every node currently served at rank 1 for some
+    * query — the takedown-request shape (exactly the content being
+    * retrieved is what gets removal orders), and the hardest case to
+    * serve (each query must backfill from its remaining expansion).
+    *
+    * Scale shape: ONE beam walk (the s29 spec-pinned constant scored
+    * volume — the walk itself never sees the tombstones), then a
+    * broadcast-sized anti-join and a per-query re-rank over the
+    * beam-sized survivor set. The scored final hop feeds two consumers
+    * (tombstone derivation + the filtered serve), so it lazily
+    * checkpoints rather than walking twice (the s34 attach
+    * discipline). Beam(8) > k(3) + 1 tombstone per query guarantees
+    * every query still fills its k rows. */
+  def graphAnnDeleteServe(spark: SparkSession, dir: String,
+                          k: Int = 3): DataFrame = {
+    val last = beamWalkScored(spark, dir, GraphAnnM, GraphAnnBeam, GraphAnnHops)
+      .last.localCheckpoint(eager = false)
+    val tomb = last.filter(col("rnk") === 1).select("node").distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("node").asc)
+    last.join(broadcast(tomb), Seq("node"), "left_anti")
+      .withColumn("srv", row_number().over(w))
+      .filter(col("srv") <= k)
+      .select(col("query_id"), col("node").as("cand_id"), col("cosine"),
+        col("srv").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Signed-random-projection (SRP) hyperplane weights: w(plane, dim) =
     * the first 4 md5 hex chars of "srp|plane|dim" decoded to an integer,
     * centered on zero (range [-32768, 32767]). A pure function of nothing

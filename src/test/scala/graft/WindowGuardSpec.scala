@@ -66,7 +66,13 @@ class WindowGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CMS top-words: the frame is the sketch grid join, sketch-sized
     "t29_cms_topwords" -> 1,
     // histogram quantiles: bin-grain frames (fixed bin count)
-    "t30_histogram_quantiles" -> 3
+    "t30_histogram_quantiles" -> 3,
+    // tertile cut scores: both global windows (row_number + the count)
+    // run over calibrationSampleOf's md5 sample — budget-bounded IN CODE
+    // (expected ~5000 rows at any corpus size; the d30 discipline). The
+    // prover can't see the bound because the scores frame eagerly
+    // localCheckpoints (its two consumers) into a Scan ExistingRDD.
+    "t51_perplexity_bands" -> 2
     // The r7 list carried 14 ref_* entries (3-6 permitted windows each,
     // justified by the fixed CSV corpus); the r8 prover extensions
     // (broadcast-join streamed-side walk, bounded-input aggregates, the

@@ -429,7 +429,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rIvfPq >= 0.6, f"s13 IVF-PQ recall@3 on clustered data: $rIvfPq%.3f < 0.6")
   }
 
-  test("multimodal decode: BMP, PNG, and JPEG rows carry genuinely " +
+  test("multimodal decode: BMP, PNG, JPEG, and WEBP rows carry genuinely " +
        "parsed dims, the rest match the stub arithmetic") {
     val rows = Multimodal.decodedMeta(spark, dir).collect()
     assert(rows.length === graft.Tables.documents(spark, dir).count())
@@ -440,7 +440,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val lr = 3 * w; val rem = lr % 16
       h.toLong * (lr / 16 * 120 + rem * (rem - 1) / 2)
     }
-    var bmps = 0; var pngs = 0; var jpegs = 0
+    var bmps = 0; var pngs = 0; var jpegs = 0; var webps = 0
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       val b = r.getAs[Long]("bytes")
@@ -466,6 +466,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(r.getAs[Long]("height") === h.toLong)
         // DC-exact uniform gray: the lossy decode is byte-exact
         assert(r.getAs[Long]("px_sum") === w.toLong * h * (b % 256))
+      } else if (Multimodal.WebpCodec.eligible(id, b.toInt)) {
+        webps += 1
+        assert(r.getAs[String]("format") === "webp")
+        val (w, h) = Multimodal.WebpCodec.dims(b.toInt)
+        assert(r.getAs[Long]("width") === w.toLong)
+        assert(r.getAs[Long]("height") === h.toLong)
+        // declared boundary: VP8L pixels stay undecoded, px_sum 0
+        assert(r.getAs[Long]("px_sum") === 0L)
       } else {
         assert(r.getAs[Long]("width") === 64 + b % 512)
         assert(r.getAs[Long]("height") === 64 + (b * 7) % 512)
@@ -475,6 +483,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bmps > 0, "corpus should contain BMP-eligible rows")
     assert(pngs > 0, "corpus should contain PNG-eligible rows")
     assert(jpegs > 0, "corpus should contain JPEG-eligible rows")
+    assert(webps > 0, "corpus should contain WEBP-eligible rows")
   }
 
   test("RewriteDotProduct rule: HOF fold rewrites to native DotProduct, same values") {
@@ -2695,5 +2704,89 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sc.zip(sc.tail).forall { case (a, b) => a >= b },
         s"query $q cosine must be non-increasing in rank")
     }
+  }
+
+  test("d32 soft-dedup weights: family members get 1/n, outsiders 1, " +
+    "and the corpus reconciles with the cluster labels exactly") {
+    val sp = spark
+    import sp.implicits._
+    // planted: docs 1..5; 1,2,3 are one family (labels all point at 1)
+    val docs = (1L to 5L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val planted = Dedup.dedupWeightsOf(docs, clusters).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("family_size"),
+        r.getAs[Double]("weight")))
+    assert(planted.toSeq === Seq(
+      (1L, 3L, 1.0 / 3L), (2L, 3L, 1.0 / 3L), (3L, 3L, 1.0 / 3L),
+      (4L, 1L, 1.0), (5L, 1L, 1.0)))
+    // corpus: family sizes must equal the d16 label counts, every doc
+    // present exactly once, weight always 1/family_size
+    val famOf = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val sizeOf = famOf.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    val labelOf = famOf.toMap
+    val rows = Dedup.dedupWeights(spark, dir).collect()
+    assert(rows.length === graft.Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      val (id, fs, w) = (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("family_size"), r.getAs[Double]("weight"))
+      val expect = labelOf.get(id).map(sizeOf).getOrElse(1L)
+      assert(fs === expect, s"doc $id family_size $fs != $expect")
+      assert(w === 1.0 / fs, s"doc $id weight $w != 1/$fs")
+    }
+  }
+
+  test("g13 modularity: hand-checked on the bridged cliques, and the " +
+    "community sizes reconcile with g09's histogram on the corpus") {
+    val sp = spark
+    import sp.implicits._
+    def k4(p: String) = for {
+      x <- 1 to 4; y <- 1 to 4 if x != y
+    } yield (s"$p$x", s"$p$y")
+    val und = k4("a") ++ k4("b") ++ Seq(("a1", "b1"), ("b1", "a1"))
+    val nodes = und.map(_._1).distinct
+    val withSelf = (und ++ nodes.map(n => (n, n))).toDF("src", "dst")
+    val got = GraphRank.lpaModularityOf(withSelf, GraphRank.LpaRounds)
+      .collect().map(r => (r.getAs[String]("community"),
+        r.getAs[Long]("size"), r.getAs[Long]("internal_edges"),
+        r.getAs[Long]("degree_sum"), r.getAs[Double]("dq")))
+    // m = 13 (6 per clique + bridge); each clique: e_c=6, deg_c=13
+    val dq = 6.0 / 13L - (13.0 / 26.0) * (13.0 / 26.0)
+    assert(got.toSeq === Seq(
+      ("a1", 4L, 6L, 13L, dq), ("b1", 4L, 6L, 13L, dq)))
+    // corpus reconciliation: per-size community counts must equal g09's
+    // histogram rows, and Q must land in modularity's valid range
+    val mod = GraphRank.lpaModularity(spark, dir).collect()
+    val hist = mod.groupBy(_.getAs[Long]("size"))
+      .map { case (s, xs) => s -> xs.length.toLong }
+    val g09 = GraphRank.lpaCommunities(spark, dir).collect()
+      .map(r => r.getAs[Long]("size") -> r.getAs[Long]("communities")).toMap
+    assert(hist === g09)
+    val q = mod.map(_.getAs[Double]("dq")).sum
+    assert(q >= -0.5 && q <= 1.0, s"global modularity $q outside [-0.5, 1]")
+  }
+
+  test("s35 tombstone delete: no tombstone served, k rows per query, and " +
+    "the result IS the beam's ranked prefix after exclusion") {
+    // the WHOLE final scored expansion (k beyond the beam disables the
+    // prefix cut), since the serve digs past the beam when several
+    // tombstones land in one query's prefix
+    val beamList = Similarity.graphAnn(spark, dir, k = Int.MaxValue)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rnk")))
+    val tomb = beamList.filter(_._4 == 1).map(_._2).toSet
+    val expect = beamList.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      rs.sortBy(_._4).filterNot(r => tomb(r._2)).take(3).zipWithIndex
+        .map { case ((_, n, c, _), i) => (q, n, c, i + 1) }
+    }.toSet
+    val got = Similarity.graphAnnDeleteServe(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rnk")))
+    assert(got.length === beamList.map(_._1).distinct.length * 3,
+      "every query must still fill k=3 rows after the delete")
+    assert(got.forall(r => !tomb(r._2)), "a tombstoned node was served")
+    assert(got.toSet === expect, "served set != ranked prefix of survivors")
   }
 }
