@@ -246,6 +246,8 @@ object SparkEntry {
       graft.ops.Similarity.graphAnnInsert(s, d)),
     "s35_graph_ann_delete"   -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnDeleteServe(s, d)),
+    "s36_quant_error"        -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.quantizationError(s, d)),
     "s34_graph_ann_serve"    -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnServeAfterInsert(s, d)),
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>

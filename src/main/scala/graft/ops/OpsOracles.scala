@@ -2248,6 +2248,65 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s36: quantization-error report — per tier, the reconstruction
+    // error on the candidate corpus (pq: assigned-codeword distance sum;
+    // sq8: affine byte-map round trip; trunc16: discarded tail energy).
+    // Per-vector errors round 6dp and sum as DECIMAL; the mean is one
+    // double divide at the projection (mirrors
+    // Similarity.quantizationError).
+    "s36_quant_error" ->
+      s"""WITH $pqBaseCte,
+        |cnd AS (SELECT vec_id, v FROM n WHERE vec_id >= 10),
+        |pqd AS (
+        |  SELECT b.vec_id, b.s,
+        |    min(round(list_sum(list_transform(range(8),
+        |      i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))), 6))
+        |      AS dmin
+        |  FROM sub b JOIN c2 c ON b.s = c.s
+        |  WHERE b.vec_id >= 10
+        |  GROUP BY b.vec_id, b.s),
+        |pqe AS (SELECT vec_id, sum(CAST(dmin AS DECIMAL(18,6))) AS err
+        |  FROM pqd GROUP BY vec_id),
+        |st AS (
+        |  SELECT CAST(t.d AS INT) AS dim, min(v[t.d + 1]) AS mn,
+        |    max(v[t.d + 1]) AS mx
+        |  FROM cnd, unnest(range(len(v))) AS t(d)
+        |  GROUP BY 1),
+        |sa AS (
+        |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        |  FROM st),
+        |xh AS (
+        |  SELECT vec_id, v,
+        |    list_transform(range(len(v)), d ->
+        |      CASE WHEN mxs[d + 1] = mns[d + 1] THEN mns[d + 1]
+        |      ELSE mns[d + 1] + least(255, greatest(0,
+        |        floor((v[d + 1] - mns[d + 1]) * 255 / (mxs[d + 1] - mns[d + 1]) + 0.5)))
+        |        * (mxs[d + 1] - mns[d + 1]) / 255 END) AS xhat
+        |  FROM cnd CROSS JOIN sa),
+        |sqe AS (
+        |  SELECT vec_id, CAST(round(list_sum(list_transform(range(len(v)),
+        |    i -> (v[i+1] - xhat[i+1]) * (v[i+1] - xhat[i+1]))), 6)
+        |    AS DECIMAL(18,6)) AS err
+        |  FROM xh),
+        |tre AS (
+        |  SELECT vec_id, CAST(round(list_sum(list_transform(range(48),
+        |    i -> v[i+17] * v[i+17])), 6) AS DECIMAL(18,6)) AS err
+        |  FROM cnd)
+        |SELECT * FROM (
+        |  SELECT 'pq' AS method, CAST(8 AS INT) AS bytes_per_vec,
+        |    count(*) AS n_vectors,
+        |    round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS avg_err,
+        |    CAST(max(err) AS DOUBLE) AS max_err FROM pqe
+        |  UNION ALL
+        |  SELECT 'sq8', CAST(64 AS INT), count(*),
+        |    round(CAST(sum(err) AS DOUBLE) / count(*), 6),
+        |    CAST(max(err) AS DOUBLE) FROM sqe
+        |  UNION ALL
+        |  SELECT 'trunc16', CAST(64 AS INT), count(*),
+        |    round(CAST(sum(err) AS DOUBLE) / count(*), 6),
+        |    CAST(max(err) AS DOUBLE) FROM tre)
+        |ORDER BY method""".stripMargin,
+
     // s35: tombstone delete + filtered serving — the delete set is every
     // rank-1 node of the SAME walk (FreshDiskANN: tombstoned nodes keep
     // routing, results filter them); survivors re-rank per query.

@@ -1605,6 +1605,61 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** QUANTIZATION-ERROR REPORT (s36) — the index-tier selection table:
+    * per compression tier, the reconstruction error it inflicts on the
+    * candidate corpus next to its byte budget. s14 measures what the
+    * deployed IVF-PQ index RETURNS (recall); this measures what each
+    * encoding DISCARDS — the number FAISS's own benchmarks lead with,
+    * and the one that picks the tier before any index is built:
+    *   - pq      (8 bytes/vec):  per-subspace distance to the assigned
+    *     codeword, summed — exactly the quantizer's objective;
+    *   - sq8     (64 bytes/vec): ‖v − decode(encode(v))‖² through the
+    *     affine byte map;
+    *   - trunc16 (64 bytes/vec as float32): the discarded tail energy
+    *     Σ_{d>16} v_d² (reconstruction pads zeros).
+    *
+    * Cross-engine exactness: each per-vector error rounds to 6dp and
+    * sums as DECIMAL (order-independent); the corpus mean is one double
+    * divide at the final projection (the t42 discipline).
+    *
+    * Scale shape: pq rides the memoized codebooks with an O(N·m·k)
+    * narrow broadcast join (the encode cost itself — no shuffle of the
+    * corpus); sq8/trunc are single narrow passes; each method reduces
+    * to ONE summary row, so the union is three 1-row frames. */
+  def quantizationError(spark: SparkSession, dir: String): DataFrame = {
+    val cands = vectors(spark, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("v"))
+    val pqPer = subvectorsOf(cands)
+      .join(broadcast(pqCodebooks(spark, dir)), Seq("s"))
+      .withColumn("d", round(expr(
+        "aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"), 6))
+      .groupBy("vec_id", "s").agg(min("d").as("dmin"))
+      .groupBy("vec_id")
+      .agg(sum(col("dmin").cast("decimal(18,6)")).as("err"))
+    val sqPer = cands.crossJoin(broadcast(sqStatsRow(spark, dir)))
+      .withColumn("xhat", expr(sqDecodeExpr))
+      .withColumn("err", round(expr(
+        "aggregate(zip_with(v, xhat, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 6)
+        .cast("decimal(18,6)"))
+      .select("vec_id", "err")
+    val trPer = cands
+      .withColumn("err", round(expr(
+        "aggregate(slice(v, 17, 48), 0D, (acc, x) -> acc + x * x)"), 6)
+        .cast("decimal(18,6)"))
+      .select("vec_id", "err")
+    def summarize(per: DataFrame, method: String, bytes: Int): DataFrame =
+      per.agg(count(lit(1)).as("n_vectors"),
+          sum("err").as("terr"), max("err").as("merr"))
+        .select(lit(method).as("method"),
+          lit(bytes).as("bytes_per_vec"), col("n_vectors"),
+          round(col("terr").cast("double") / col("n_vectors"), 6).as("avg_err"),
+          col("merr").cast("double").as("max_err"))
+    summarize(pqPer, "pq", 8)
+      .unionByName(summarize(sqPer, "sq8", 64))
+      .unionByName(summarize(trPer, "trunc16", 64))
+      .orderBy("method")
+  }
+
   /** The lexical half of [[hybridSearch]]: candidates ranked per query by
     * summed IDF of shared distinct tokens (rare shared terms dominate —
     * BM25's core signal without the length normalization). Per-token

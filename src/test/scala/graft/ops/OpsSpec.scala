@@ -2767,6 +2767,61 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q >= -0.5 && q <= 1.0, s"global modularity $q outside [-0.5, 1]")
   }
 
+  test("s36 quantization error ≡ brute per-tier recompute from the " +
+    "trained artifacts") {
+    // valueOf (shortest decimal repr), not new BigDecimal(binary
+    // expansion) — Spark's Round on double goes through valueOf
+    def r6(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    val vecs = graft.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    val cands = vecs.filter(_._1 >= 10)
+    // pq: per subspace, min squared distance to the s10 codebook
+    val books = Similarity.pqTrain(spark, dir).collect()
+      .groupBy(r => (r.getAs[Int]("subspace"), r.getAs[Int]("cid")))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("centroid")) }
+    val pqErr = cands.map { case (_, v) =>
+      (0 until 8).map { s =>
+        val sv = v.slice(s * 8, s * 8 + 8)
+        books.collect { case ((bs, _), cv) if bs == s =>
+          r6(sv.zip(cv).map { case (x, c) => (x - c) * (x - c) }.sum)
+        }.min
+      }.reduce(_ add _)
+    }
+    // sq8: affine byte round trip through the s22 stats
+    val st = Similarity.sqTrain(spark, dir).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Double]("mn"), r.getAs[Double]("mx"))).toMap
+    val sqErr = cands.map { case (_, v) =>
+      r6(v.zipWithIndex.map { case (x, d) =>
+        val (mn, mx) = st(d)
+        val xh = if (mx == mn) mn
+          else mn + math.min(255d, math.max(0d,
+            math.floor((x - mn) * 255d / (mx - mn) + 0.5))) * (mx - mn) / 255d
+        (x - xh) * (x - xh)
+      }.sum)
+    }
+    // trunc16: discarded tail energy
+    val trErr = cands.map { case (_, v) =>
+      r6(v.drop(16).map(x => x * x).sum) }
+    def expect(errs: Iterable[java.math.BigDecimal]) = (
+      errs.size.toLong,
+      r6(errs.reduce(_ add _).doubleValue / errs.size).doubleValue,
+      errs.max.doubleValue)
+    val got = Similarity.quantizationError(spark, dir).collect()
+      .map(r => r.getAs[String]("method") -> ((r.getAs[Long]("n_vectors"),
+        r.getAs[Double]("avg_err"), r.getAs[Double]("max_err")))).toMap
+    assert(got("pq") === expect(pqErr))
+    assert(got("sq8") === expect(sqErr))
+    assert(got("trunc16") === expect(trErr))
+    assert(got.keySet === Set("pq", "sq8", "trunc16"))
+    assert(got("pq")._2 > 0 && got("sq8")._2 >= 0 && got("trunc16")._2 > 0)
+  }
+
   test("s35 tombstone delete: no tombstone served, k rows per query, and " +
     "the result IS the beam's ranked prefix after exclusion") {
     // the WHOLE final scored expansion (k beyond the beam disables the
