@@ -725,4 +725,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("d32_dedup_weights: ONE corpus scan in the assembly plan — the " +
+       "LSH detector pass lives behind the cluster loop's eager " +
+       "checkpoint, and the family aggregate runs on the pair-graph " +
+       "labels, never the corpus") {
+    val p = plan("d32_dedup_weights")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // labels read from the loop's checkpoint, not a re-walked subtree
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    val scans = fileScans("d32_dedup_weights").count(_.contains("documents"))
+    assert(scans === 1, s"expected 1 documents scan (assembly), got $scans")
+  }
+
+  test("g13_lpa_modularity: m rides as a broadcast 1-row cross join, " +
+       "the label vector reads from its checkpoint — no cartesian") {
+    val p = plan("g13_lpa_modularity")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+  }
+
+  test("s35_graph_ann_delete: one walk, a broadcast LeftAnti tombstone " +
+       "filter over the checkpointed final hop — no cartesian, no " +
+       "sort-merge, no second walk") {
+    val p = plan("s35_graph_ann_delete")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    // the final hop checkpoints for its two consumers (tombstones +
+    // serve) — both read Scan ExistingRDD, never a walk replay
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+  }
+
+  test("s36_quant_error: three narrow corpus passes (pq encode join, " +
+       "sq8 round trip, tail energy) — codebooks/stats come from the " +
+       "memoized artifacts, no cartesian beyond the 1-row stats join") {
+    val p = plan("s36_quant_error")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    val scans = fileScans("s36_quant_error").count(_.contains("embeddings"))
+    assert(scans === 3, s"expected 3 embeddings scans (one per tier), got $scans")
+  }
 }
