@@ -2248,6 +2248,37 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // t52: epoch allocation under a 2x token budget — α=0.5 temperature
+    // weights over lang token counts, overflow-safe pro-rata targets,
+    // 4-epoch repeat cap (mirrors TextAnalysis.epochAllocation's integer
+    // algebra term for term).
+    "t52_epoch_allocation" ->
+      """WITH pl AS (
+        |  SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+        |  FROM documents GROUP BY lang),
+        |plw AS (
+        |  SELECT lang, lang_tokens,
+        |    CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE))) AS BIGINT) AS weight
+        |  FROM pl),
+        |tot AS (
+        |  SELECT CAST(sum(lang_tokens) * 2 AS BIGINT) AS budget,
+        |    CAST(sum(weight) AS BIGINT) AS tw
+        |  FROM plw),
+        |tgt AS (
+        |  SELECT lang, lang_tokens, weight,
+        |    weight * (budget // tw) + (weight * (budget % tw)) // tw
+        |      AS target_tokens
+        |  FROM plw CROSS JOIN tot)
+        |SELECT lang, lang_tokens, weight, target_tokens,
+        |  least(CAST(4 AS BIGINT),
+        |    (target_tokens + lang_tokens - 1) // lang_tokens) AS epochs,
+        |  least(target_tokens, lang_tokens * 4) AS planned_tokens,
+        |  target_tokens - least(target_tokens, lang_tokens * 4)
+        |    AS unmet_tokens
+        |FROM tgt
+        |ORDER BY lang""".stripMargin,
+
     // s36: quantization-error report — per tier, the reconstruction
     // error on the candidate corpus (pq: assigned-codeword distance sum;
     // sq8: affine byte-map round trip; trunc16: discarded tail energy).

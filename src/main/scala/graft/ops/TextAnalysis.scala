@@ -2210,4 +2210,61 @@ object TextAnalysis {
 
   def perplexityBands(spark: SparkSession, dir: String): DataFrame =
     perplexityBandsOf(Tables.documents(spark, dir))
+
+  /** t52's repeat ceiling: past ~4 epochs additional repeats of the same
+    * data contribute little (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models" — value decays to ~0 around 4
+    * repeats); the planner never allocates beyond it. */
+  val MaxEpochs = 4L
+
+  /** t52's budget multiplier: plan for a training run of 2× the corpus
+    * token count — the data-constrained regime where the allocator has
+    * real decisions to make (at B ≤ corpus the answer is trivially
+    * epochs=1 everywhere). */
+  val BudgetMultiplier = 2L
+
+  /** EPOCH ALLOCATION under a token budget (t52) — the data-constrained
+    * planning table (Muennighoff et al. 2023): given a training budget
+    * of [[BudgetMultiplier]]× the corpus tokens, split it across
+    * languages by α=0.5 temperature over TOKEN counts (t17's
+    * floor-sqrt arithmetic at token grain — dominant sources are cut
+    * hardest, low-resource ones boosted), then cap every source at
+    * [[MaxEpochs]] repeats. Per language: the target, the epochs that
+    * target implies, what can actually be planned under the cap, and
+    * the unmet remainder — the table a training-run scheduler consumes.
+    *
+    * All integer arithmetic, bit-portable: weights are floor(sqrt(n))
+    * (correctly-rounded IEEE sqrt of an integer, the t17 discipline);
+    * the pro-rata target uses the OVERFLOW-SAFE decomposition
+    * w·(B div W) + (w·(B mod W)) div W ≡ (B·w) div W — the naive
+    * product wraps past ~2^63 at real corpus scales (the t50 lr
+    * lesson, ADVICE r10), the decomposed form never exceeds w·W.
+    *
+    * Scale shape: one narrow corpus pass to per-doc token counts, one
+    * lang-grain aggregate (map-side combined), then all planning on a
+    * #languages-sized frame with a broadcast 1-row totals join. */
+  def epochAllocationOf(docs: DataFrame): DataFrame = {
+    val perLang = docs
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(sum("nt").as("lang_tokens"))
+      .withColumn("weight", floor(sqrt(col("lang_tokens"))).cast("long"))
+    val totals = perLang.agg(
+      (sum("lang_tokens") * lit(BudgetMultiplier)).as("budget"),
+      sum("weight").as("tw"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("target_tokens", expr(
+        "weight * (budget div tw) + (weight * (budget % tw)) div tw"))
+      .withColumn("epochs", least(lit(MaxEpochs),
+        expr("(target_tokens + lang_tokens - 1) div lang_tokens")))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"), col("lang_tokens") * lit(MaxEpochs)))
+      .withColumn("unmet_tokens", col("target_tokens") - col("planned_tokens"))
+      .select("lang", "lang_tokens", "weight", "target_tokens", "epochs",
+        "planned_tokens", "unmet_tokens")
+      .orderBy("lang")
+  }
+
+  def epochAllocation(spark: SparkSession, dir: String): DataFrame =
+    epochAllocationOf(Tables.documents(spark, dir))
 }

@@ -2767,6 +2767,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q >= -0.5 && q <= 1.0, s"global modularity $q outside [-0.5, 1]")
   }
 
+  test("t52 epoch allocation: hand-checked planted plan — the dominant " +
+    "source runs 2 epochs, the low-resource one hits the 4-epoch cap " +
+    "with unmet remainder; budget never oversubscribed") {
+    val sp = spark
+    import sp.implicits._
+    // big: 2×800 tokens = 1600 (weight 40); lo: 4 tokens (weight 2)
+    // T=1604, B=3208, W=42 → big target 3055 (2 epochs), lo target 152
+    // (38 epochs uncapped → 4, planned 16, unmet 136)
+    val docs = Seq(
+      (1L, "big", Seq.fill(800)("w").mkString(" ")),
+      (2L, "big", Seq.fill(800)("w").mkString(" ")),
+      (3L, "lo", "a b c d")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.epochAllocationOf(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("lang_tokens"),
+        r.getAs[Long]("weight"), r.getAs[Long]("target_tokens"),
+        r.getAs[Long]("epochs"), r.getAs[Long]("planned_tokens"),
+        r.getAs[Long]("unmet_tokens")))
+    assert(got.toSeq === Seq(
+      ("big", 1600L, 40L, 3055L, 2L, 3055L, 0L),
+      ("lo", 4L, 2L, 152L, 4L, 16L, 136L)))
+    // corpus invariants: Σ targets ≤ budget (floor rounding), epochs
+    // capped, planned = min(target, cap×tokens)
+    val rows = TextAnalysis.epochAllocation(spark, dir).collect()
+    val budget = 2L * rows.map(_.getAs[Long]("lang_tokens")).sum
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum <= budget)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("epochs") <= TextAnalysis.MaxEpochs)
+      assert(r.getAs[Long]("planned_tokens") ===
+        math.min(r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("lang_tokens") * TextAnalysis.MaxEpochs))
+    }
+  }
+
   test("s36 quantization error ≡ brute per-tier recompute from the " +
     "trained artifacts") {
     // valueOf (shortest decimal repr), not new BigDecimal(binary
