@@ -248,6 +248,8 @@ object SparkEntry {
       graft.ops.Similarity.graphAnnDeleteServe(s, d)),
     "s36_quant_error"        -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.quantizationError(s, d)),
+    "s37_graph_ann_compact"  -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.graphAnnCompactServe(s, d)),
     "s34_graph_ann_serve"    -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnServeAfterInsert(s, d)),
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>

@@ -651,8 +651,10 @@ object OpsOracles {
   }
 
   /** Probe entry for a query CTE: the GraphAnnProbes nearest cells'
-    * medoids become `${prefix}b0`. */
-  private def walkEntryCtes(prefix: String, qName: String): String =
+    * medoids (from `medName` — s37 re-elects into `med2`) become
+    * `${prefix}b0`. */
+  private def walkEntryCtes(prefix: String, qName: String,
+                            medName: String = "med"): String =
     s"""${prefix}qprobe AS (
        |  SELECT query_id, cell FROM (
        |    SELECT qq.query_id, ct.cell,
@@ -663,7 +665,7 @@ object OpsOracles {
        |    FROM $qName qq CROSS JOIN cent ct)
        |  WHERE rk <= ${Similarity.GraphAnnProbes}),
        |${prefix}b0 AS (SELECT DISTINCT p.query_id, m.entry AS node
-       |  FROM ${prefix}qprobe p JOIN med m ON p.cell = m.cell)""".stripMargin
+       |  FROM ${prefix}qprobe p JOIN $medName m ON p.cell = m.cell)""".stripMargin
 
   /** Query-independent half of the walk chain: quantizer, assignment,
     * candidates, per-cell medoids, scored same-cell pairs, and the
@@ -765,6 +767,63 @@ object OpsOracles {
        |  SELECT vec_id AS query_id, v, norm FROM n
        |  WHERE vec_id BETWEEN 10 AND 14),
        |${walkEntryCtes("p", "pq")},
+       |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
+  }
+
+  /** s37's compaction walk: tombstones = the base walk's rank-1 nodes;
+    * the patch retires them delta-locally (retained live edges,
+    * u→t→w shortcuts re-ranked top-M for tombstone-ADJACENT srcs only,
+    * re-elected entries), then the parents' queries walk the patched
+    * graph with NO result filter — mirrors
+    * Similarity.graphAnnCompactServe step for step. */
+  private val compactWalkCtes = {
+    val m = Similarity.GraphAnnM
+    def hop(t: Int) = walkHopCte("z", "pgraph", "cand", "q")(t)
+    s"""$graphWalkCtes,
+       |tomb AS (SELECT DISTINCT node FROM s${Similarity.GraphAnnHops}
+       |  WHERE rnk = 1),
+       |retained AS (
+       |  SELECT src, dst FROM graph
+       |  WHERE src NOT IN (SELECT node FROM tomb)
+       |    AND dst NOT IN (SELECT node FROM tomb)),
+       |totomb AS (
+       |  SELECT src, dst FROM graph
+       |  WHERE src NOT IN (SELECT node FROM tomb)
+       |    AND dst IN (SELECT node FROM tomb)),
+       |adjsrc AS (SELECT DISTINCT src FROM totomb),
+       |shortcuts AS (
+       |  SELECT DISTINCT a.src, g.dst FROM totomb a
+       |  JOIN graph g ON a.dst = g.src
+       |  WHERE g.dst NOT IN (SELECT node FROM tomb) AND g.dst <> a.src),
+       |cande AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM retained
+       |    WHERE src IN (SELECT src FROM adjsrc)
+       |    UNION ALL SELECT src, dst FROM shortcuts)),
+       |padj AS (
+       |  SELECT src, dst FROM (
+       |    SELECT e.src, e.dst, row_number() OVER (PARTITION BY e.src
+       |      ORDER BY round(list_sum(list_transform(range(64),
+       |        i -> a.v[i+1] * b.v[i+1])) / (a.norm * b.norm), 6) DESC,
+       |        e.dst ASC) AS rk
+       |    FROM cande e JOIN cand a ON e.src = a.cand_id
+       |    JOIN cand b ON e.dst = b.cand_id)
+       |  WHERE rk <= $m),
+       |pgraph AS MATERIALIZED (
+       |  SELECT src, dst FROM retained
+       |  WHERE src NOT IN (SELECT src FROM adjsrc)
+       |  UNION ALL SELECT src, dst FROM padj),
+       |med2 AS (
+       |  SELECT cell, cand_id AS entry FROM (
+       |    SELECT c.cell, c.cand_id,
+       |      row_number() OVER (PARTITION BY c.cell ORDER BY
+       |        round(list_sum(list_transform(range(64),
+       |          i -> (c.v[i+1] - ct.cv[i+1]) * (c.v[i+1] - ct.cv[i+1]))), 6)
+       |          ASC, c.cand_id ASC) AS rk
+       |    FROM cand c JOIN cent ct ON c.cell = ct.cell
+       |    WHERE c.cand_id NOT IN (SELECT node FROM tomb))
+       |  WHERE rk = 1),
+       |${walkEntryCtes("z", "q", "med2")},
        |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
   }
 
@@ -2352,6 +2411,15 @@ object OpsOracles {
         |  FROM s${Similarity.GraphAnnHops}
         |  WHERE node NOT IN (SELECT node FROM tomb))
         |SELECT query_id, node AS cand_id, cosine, rnk FROM kept
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // s37: compaction after delete — the patched graph serves with NO
+    // result filter; tombstones are unreachable by construction.
+    "s37_graph_ann_compact" ->
+      s"""WITH $compactWalkCtes
+        |SELECT query_id, node AS cand_id, cosine, rnk
+        |FROM zs${Similarity.GraphAnnHops}
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 

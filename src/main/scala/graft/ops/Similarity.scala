@@ -1605,6 +1605,85 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** COMPACTION after delete (s37) — the background rewire that retires
+    * s35's tombstones (FreshDiskANN, Singh et al. 2021 §4: serve through
+    * tombstones cheaply, then periodically PATCH the graph so deleted
+    * nodes stop routing at all). The patch is DELTA-LOCAL:
+    *   - edges between live nodes are RETAINED untouched;
+    *   - every node ADJACENT to a tombstone replaces its dead edges by
+    *     shortcut candidates through them (u→t→w becomes u→w, the
+    *     FreshDiskANN rule), then keeps the top-M of its retained ∪
+    *     shortcut set by cosine — only tombstone-adjacent nodes are
+    *     re-ranked, never the graph;
+    *   - cells whose entry medoid died re-elect it by the SAME
+    *     (centroid-distance, id) rule over the live candidates.
+    * The serve then walks the patched graph with NO result filter: a
+    * tombstone is unreachable by construction (no edge points at it,
+    * no entry is one), which is the proof the compaction worked.
+    *
+    * Scale shape: tombstones broadcast; retained/shortcut splits are
+    * narrow anti/semi-joins on the disk-memoized graph; the re-rank
+    * touches only tombstone-adjacent srcs (delta-sized); the patched
+    * graph lazily checkpoints so the 4 walk hops read a materialized
+    * frame, not the patch lineage. One base walk derives the tombstone
+    * set; one patched walk serves — never a corpus re-pairing or a
+    * quantizer retrain. */
+  def graphAnnCompactServe(spark: SparkSession, dir: String,
+                           k: Int = 3, m: Int = GraphAnnM): DataFrame = {
+    val idx = graphAnnIndex(spark, dir, m)
+    val tomb = beamWalkScored(spark, dir, m, GraphAnnBeam, GraphAnnHops)
+      .last.filter(col("rnk") === 1).select("node").distinct()
+      .localCheckpoint(eager = false)
+    val g = idx.graph
+    val live = g.join(broadcast(tomb.select(col("node").as("src"))),
+      Seq("src"), "left_anti")
+    val retained = live.join(broadcast(tomb.select(col("node").as("dst"))),
+      Seq("dst"), "left_anti")
+    val toTomb = live.join(broadcast(tomb.select(col("node").as("dst"))),
+      Seq("dst"), "left_semi")
+    val shortcuts = toTomb.select(col("src"), col("dst").as("t"))
+      .join(g.select(col("src").as("t"), col("dst").as("w")), Seq("t"))
+      .join(broadcast(tomb.select(col("node").as("w"))), Seq("w"), "left_anti")
+      .filter(col("src") =!= col("w"))
+      .select(col("src"), col("w").as("dst"))
+    val adjSrc = toTomb.select("src").distinct()
+    val vs = idx.vecs
+    val rankW = Window.partitionBy("src").orderBy(col("gcos").desc, col("dst").asc)
+    val patchedAdj = retained.join(broadcast(adjSrc), Seq("src"), "left_semi")
+      .unionByName(shortcuts).distinct()
+      .join(vs.select(col("node").as("src"), col("cv2").as("sv"),
+        col("cnorm").as("sn")), Seq("src"))
+      .join(vs.select(col("node").as("dst"), col("cv2").as("dv"),
+        col("cnorm").as("dn")), Seq("dst"))
+      .withColumn("gcos", round(
+        expr("aggregate(zip_with(sv, dv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("sn") * col("dn")), 6))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= m)
+      .select("src", "dst")
+    val pgraph = retained.join(broadcast(adjSrc), Seq("src"), "left_anti")
+      .unionByName(patchedAdj)
+      .localCheckpoint(eager = false)
+    val medW = Window.partitionBy("cell").orderBy(col("cdist").asc, col("cand_id").asc)
+    val med2 = idx.cand
+      .join(broadcast(tomb.select(col("node").as("cand_id"))), Seq("cand_id"), "left_anti")
+      .join(broadcast(semDedupCentroids(spark, dir)), Seq("cell"))
+      .withColumn("cdist", round(
+        expr("aggregate(zip_with(cv2, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"), 6))
+      .withColumn("rk", row_number().over(medW))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("cand_id").as("entry"))
+    val q = semDedupAssignment(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    beamWalkOver(spark, dir, pgraph, idx.vecs, med2, q,
+        GraphAnnBeam, GraphAnnHops).last
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("node").as("cand_id"), col("cosine"),
+        col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** QUANTIZATION-ERROR REPORT (s36) — the index-tier selection table:
     * per compression tier, the reconstruction error it inflicts on the
     * candidate corpus next to its byte budget. s14 measures what the

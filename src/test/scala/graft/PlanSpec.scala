@@ -758,6 +758,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Scan ExistingRDD"), p.take(2000))
   }
 
+  test("s37_graph_ann_compact: the patch is broadcast anti/semi joins " +
+       "on the memoized graph, the patched walk reads a checkpointed " +
+       "frame — no cartesian, no sort-merge") {
+    val p = plan("s37_graph_ann_compact")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the patched graph lazily checkpoints: all 4 hops read ExistingRDD
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("s36_quant_error: three narrow corpus passes (pq encode join, " +
        "sq8 round trip, tail energy) — codebooks/stats come from the " +
        "memoized artifacts, no cartesian beyond the 1-row stats join") {

@@ -2800,6 +2800,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s37 compaction: tombstones are UNREACHABLE in the patched serve " +
+    "(no result filter needed), every query refills k, and recall vs " +
+    "the live ground truth clears the floor on the clustered corpus") {
+    def tombsOf(d: String): Set[Long] =
+      Similarity.graphAnn(spark, d).collect()
+        .filter(_.getAs[Int]("rnk") == 1).map(_.getAs[Long]("cand_id")).toSet
+    def check(d: String, floor: Double): Unit = {
+      val tomb = tombsOf(d)
+      val served = Similarity.graphAnnCompactServe(spark, d).collect()
+      assert(served.length === 30, s"expected 10 queries x 3 rows in $d")
+      assert(served.forall(r => !tomb(r.getAs[Long]("cand_id"))),
+        s"a tombstone was served from the PATCHED graph in $d")
+      // ground truth: brute cosine top-3 among LIVE candidates only
+      val vecs = graft.Tables.embeddings(spark, d).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val cands = vecs.filter { case (id, _) => id >= 10 && !tomb(id) }
+      val truth = vecs.filter(_._1 < 10).map { case (q, qv) =>
+        q -> cands.map { case (c, cv) =>
+          (BigDecimal(cos(qv, cv)).setScale(6, BigDecimal.RoundingMode.HALF_UP), c)
+        }.sortBy { case (s, c) => (-s, c) }.take(3).map(_._2).toSet
+      }.toMap
+      val hits = served.count(r =>
+        truth(r.getAs[Long]("query_id")).contains(r.getAs[Long]("cand_id")))
+      val recall = hits / 30.0
+      assert(recall >= floor, s"$d: recall@3 $recall below $floor")
+    }
+    check(dir, 0.5) // flat noise corpus: walkability, not geometry
+    check(graft.sources.gen.ClusteredEmbeddings.ensure(spark), 0.85)
+  }
+
   test("s36 quantization error ≡ brute per-tier recompute from the " +
     "trained artifacts") {
     // valueOf (shortest decimal repr), not new BigDecimal(binary
