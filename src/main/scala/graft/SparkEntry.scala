@@ -231,6 +231,7 @@ object SparkEntry {
       graft.ops.GraphRank.randomWalks(s, d)),
     "g12_harmonic_centrality" -> (graft.ops.GraphRank.harmonicCentrality _),
     "g13_lpa_modularity"     -> (graft.ops.GraphRank.lpaModularity _),
+    "g14_incremental_components" -> (graft.ops.GraphRank.incrementalComponents _),
     "s25_truncated_ann"      -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.truncatedAnn(s, d)),
     "s26_range_search"       -> ((s: SparkSession, d: String) =>

@@ -608,7 +608,12 @@ object GraphRank {
     convergedOverSelf(
       withSelfLoops(und).repartition(col("src")).localCheckpoint())
 
-  private def convergedOverSelf(withSelf: DataFrame): DataFrame = {
+  private def convergedOverSelf(withSelf: DataFrame): DataFrame =
+    sizeHistogramOf(convergedLabelsOver(withSelf))
+
+  /** The fixpoint loop itself, returning (node, l) — g07 histograms it,
+    * g14 runs it twice (base graph + the delta-bounded label graph). */
+  private[graft] def convergedLabelsOver(withSelf: DataFrame): DataFrame = {
     var labels = withSelf.select(col("src")).distinct()
       .select(col("src").as("node"), col("src").as("l"))
       .localCheckpoint(eager = false)
@@ -624,13 +629,92 @@ object GraphRank {
         .select(col("node"), col("cand").as("l"),
           (col("cand") < col("l")).cast("long").as("chg"))
         .localCheckpoint(eager = false)
-      changed = next.agg(sum("chg")).first().getLong(0) // the ONE action
+      // the ONE action (coalesce: an empty graph converges immediately)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).first().getLong(0)
       labels = next.select("node", "l")
     }
+    labels
+  }
+
+  private def sizeHistogramOf(labels: DataFrame): DataFrame =
     labels.groupBy("l").agg(count(lit(1)).as("size"))
       .groupBy("size")
       .agg(count(lit(1)).as("components"), sum("size").as("nodes"))
       .orderBy("size")
+
+  /** INCREMENTAL connected components (g14) — the d19/d22 incremental
+    * discipline applied to the graph family: tonight's edge DELTA folds
+    * into yesterday's converged labels WITHOUT re-propagating the full
+    * graph. The algebra that makes it exact: every base component's
+    * label is its minimum node, so merging components through delta
+    * edges reduces to connected components of the LABEL GRAPH — delta
+    * edges mapped to (label(u), label(v)) pairs, a graph with at most
+    * 2·|delta| nodes. The fixpoint loop runs ONCE on the base graph
+    * (the pay-once nightly artifact) and once on that delta-bounded
+    * contraction; the final remap is one label-grain join. Incremental
+    * ≡ batch by construction (min over merged label groups = min over
+    * the union component), so the oracle IS g07's full-graph oracle —
+    * the gate row proves the incremental path computes the batch
+    * answer, d22's exact stance.
+    *
+    * The delta is a deterministic md5 split on the CANONICALIZED edge
+    * (least|greatest, so both directions land on the same side) —
+    * ~1/16 of edges, the t36 held-out-shard shape. */
+  /** The merge core over explicit undirected (both-directions) base and
+    * delta frames, returning the final (node, l) labels — the spec
+    * drives planted merges through this; the driver entry histograms
+    * the md5-split corpus. */
+  private[graft] def incrementalLabelsOf(base: DataFrame,
+                                         delta0: DataFrame): DataFrame =
+    incrementalMergeOf(
+      convergedLabelsOver(
+        withSelfLoops(base).repartition(col("src")).localCheckpoint())
+        .localCheckpoint(eager = false),
+      delta0)
+
+  /** The delta fold over PRECOMPUTED base labels — the production shape:
+    * yesterday's labels are the stored nightly artifact (the driver
+    * entry memoizes them), tonight pays only the label-graph merge. */
+  private[graft] def incrementalMergeOf(baseLabels: DataFrame,
+                                        delta0: DataFrame): DataFrame = {
+    val delta = delta0.localCheckpoint(eager = false)
+    val lblEdges = delta
+      .join(baseLabels.select(col("node").as("src"), col("l").as("la")),
+        Seq("src"), "left")
+      .join(baseLabels.select(col("node").as("dst"), col("l").as("lb")),
+        Seq("dst"), "left")
+      .select(coalesce(col("la"), col("src")).as("src"),
+        coalesce(col("lb"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val merge = convergedLabelsOver(
+        withSelfLoops(
+          lblEdges.union(lblEdges.select(col("dst").as("src"), col("src").as("dst"))))
+          .repartition(col("src")).localCheckpoint())
+      .select(col("node").as("l"), col("l").as("nl"))
+    val deltaOnly = delta.select(col("src").as("node")).distinct()
+      .join(baseLabels.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("l"))
+    baseLabels.unionByName(deltaOnly)
+      .join(merge, Seq("l"), "left")
+      .select(col("node"), coalesce(col("nl"), col("l")).as("l"))
+  }
+
+  def incrementalComponents(spark: SparkSession, dir: String): DataFrame = {
+    val und = adjFor(spark, dir).select("src", "dst")
+    val deltaPred = substring(md5(concat_ws("|",
+      least(col("src"), col("dst")), greatest(col("src"), col("dst")))),
+      1, 1) === "f"
+    // yesterday's labels are the pay-once artifact (the g12 cold-side
+    // stance): without the memo every "incremental" run re-propagated
+    // the base fixpoint — measured 65 s steady at the sf1 replica vs
+    // g07's 7 s batch, the opposite of incremental
+    val baseLabels = memo(spark, dir, "graph-cc-base") {
+      convergedLabelsOver(
+        withSelfLoops(und.filter(!deltaPred))
+          .repartition(col("src")).localCheckpoint())
+    }
+    sizeHistogramOf(incrementalMergeOf(baseLabels, und.filter(deltaPred)))
   }
 
   /** g08's peel budget and threshold — shared with the oracle's unroll so

@@ -4562,6 +4562,10 @@ object OpsOracles {
     "g09_lpa_communities" -> lpaOracleSql,
     "g13_lpa_modularity" -> lpaModularityOracleSql,
     "g07_components_converged" -> componentsConvergedOracleSql,
+    // g14: incremental ≡ batch by construction (min-label over the merged
+    // label groups IS the union component's min), so the oracle is the
+    // full-graph converged answer — the d22 exactness stance.
+    "g14_incremental_components" -> componentsConvergedOracleSql,
 
     // t39: Zipf fit — ln-micro integer regression: 6dp-rounded lns as
     // BIGINT micro-units, exact integer sums/cross-products (HUGEINT

@@ -758,6 +758,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Scan ExistingRDD"), p.take(2000))
   }
 
+  test("g14_incremental_components: the base fixpoint reads from the " +
+       "nightly memo — steady invocations pay only the delta fold, " +
+       "no cartesian") {
+    SparkEntry.queries("g14_incremental_components")(spark, dir).collect()
+    val p = plan("g14_incremental_components")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the memoized base labels surface as InMemoryTableScan; the merge
+    // loop's frames read from checkpoints
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+  }
+
   test("s37_graph_ann_compact: the patch is broadcast anti/semi joins " +
        "on the memoized graph, the patched walk reads a checkpointed " +
        "frame — no cartesian, no sort-merge") {

@@ -2800,6 +2800,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g14 incremental components: a planted delta edge MERGES two base " +
+    "components, untouched and delta-only components keep their labels, " +
+    "and the corpus answer equals the batch fixpoint exactly") {
+    val sp = spark
+    import sp.implicits._
+    def und(pairs: (String, String)*): org.apache.spark.sql.DataFrame =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    // base: three 2-node components; delta: a2-b1 merges A and B, and a
+    // fresh d1-d2 component arrives entirely in the delta
+    val labels = GraphRank.incrementalLabelsOf(
+        und(("a1", "a2"), ("b1", "b2"), ("c1", "c2")),
+        und(("a2", "b1"), ("d1", "d2")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels === Map(
+      "a1" -> "a1", "a2" -> "a1", "b1" -> "a1", "b2" -> "a1",
+      "c1" -> "c1", "c2" -> "c1", "d1" -> "d1", "d2" -> "d1"))
+    // corpus: incremental ≡ batch, row for row
+    val inc = GraphRank.incrementalComponents(spark, dir).collect()
+      .map(r => (r.getAs[Long]("size"), r.getAs[Long]("components"),
+        r.getAs[Long]("nodes")))
+    val batch = GraphRank.componentSizesConverged(spark, dir).collect()
+      .map(r => (r.getAs[Long]("size"), r.getAs[Long]("components"),
+        r.getAs[Long]("nodes")))
+    assert(inc.toSeq === batch.toSeq)
+  }
+
   test("s37 compaction: tombstones are UNREACHABLE in the patched serve " +
     "(no result filter needed), every query refills k, and recall vs " +
     "the live ground truth clears the floor on the clustered corpus") {
