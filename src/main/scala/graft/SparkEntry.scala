@@ -251,6 +251,8 @@ object SparkEntry {
       graft.ops.Similarity.quantizationError(s, d)),
     "s37_graph_ann_compact"  -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnCompactServe(s, d)),
+    "s38_tier_recall"        -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.tierRecallReport(s, d)),
     "s34_graph_ann_serve"    -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnServeAfterInsert(s, d)),
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>

@@ -2307,6 +2307,117 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s38: cross-tier recall frontier — each tier's SHIPPED search path
+    // (s12 ADC / s23 SQ8 / s25 truncated two-stage, replayed with
+    // renamed CTEs) overlapped against the exact-L2 top-3 (mirrors
+    // Similarity.tierRecallReport).
+    "s38_tier_recall" ->
+      s"""WITH $pqBaseCte,
+        |${pqAssignCte("c2", "a3")},
+        |plut AS (
+        |  SELECT q.vec_id AS query_id, c.s, c.cid AS code,
+        |    CAST(round(list_sum(list_transform(range(8),
+        |      i -> (q.sv[i+1] - c.cv[i+1]) * (q.sv[i+1] - c.cv[i+1]))), 6)
+        |      AS DECIMAL(18,6)) AS d
+        |  FROM sub q JOIN c2 c ON q.s = c.s
+        |  WHERE q.vec_id < 10),
+        |pcodes AS (SELECT vec_id AS cand_id, s, cid AS code FROM a3
+        |  WHERE vec_id >= 10),
+        |pscored AS (
+        |  SELECT query_id, cand_id, sum(d) AS adist
+        |  FROM pcodes JOIN plut USING (s, code)
+        |  GROUP BY query_id, cand_id),
+        |ptop AS (SELECT query_id, cand_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rnk
+        |  FROM pscored) WHERE rnk <= 3),
+        |st AS (
+        |  SELECT CAST(t.d AS INT) AS dim, min(v[t.d + 1]) AS mn,
+        |    max(v[t.d + 1]) AS mx
+        |  FROM n, unnest(range(len(v))) AS t(d)
+        |  WHERE vec_id >= 10
+        |  GROUP BY 1),
+        |sa AS (
+        |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        |  FROM st),
+        |xh AS (
+        |  SELECT vec_id,
+        |    list_transform(range(len(v)), d ->
+        |      CASE WHEN mxs[d + 1] = mns[d + 1] THEN mns[d + 1]
+        |      ELSE mns[d + 1] + least(255, greatest(0,
+        |        floor((v[d + 1] - mns[d + 1]) * 255 / (mxs[d + 1] - mns[d + 1]) + 0.5)))
+        |        * (mxs[d + 1] - mns[d + 1]) / 255 END) AS xhat
+        |  FROM n CROSS JOIN sa
+        |  WHERE vec_id >= 10),
+        |qscored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(len(q.v)),
+        |      i -> (q.v[i + 1] - x.xhat[i + 1]) * (q.v[i + 1] - x.xhat[i + 1]))), 6)
+        |      AS sqdist
+        |  FROM n q CROSS JOIN xh x
+        |  WHERE q.vec_id < 10),
+        |stop AS (SELECT query_id, cand_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sqdist ASC, cand_id ASC) AS rnk
+        |  FROM qscored) WHERE rnk <= 3),
+        |tpre AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(16),
+        |      i -> (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1]))), 6) AS pdist
+        |  FROM n q CROSS JOIN n c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |tshort AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY pdist ASC, cand_id ASC) AS prk
+        |    FROM tpre) WHERE prk <= 50),
+        |trer AS (
+        |  SELECT s.query_id, s.cand_id,
+        |    round(list_sum(list_transform(range(64),
+        |      i -> (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1]))), 6) AS dist
+        |  FROM tshort s
+        |  JOIN n q ON s.query_id = q.vec_id
+        |  JOIN n c ON s.cand_id = c.vec_id),
+        |ttop AS (SELECT query_id, cand_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist ASC, cand_id ASC) AS rnk
+        |  FROM trer) WHERE rnk <= 3),
+        |exd AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(64),
+        |      i -> (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1]))), 6) AS dist
+        |  FROM n q CROSS JOIN n c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |etop AS (SELECT query_id, cand_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist ASC, cand_id ASC) AS rk
+        |  FROM exd) WHERE rk <= 3),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM n
+        |  WHERE vec_id < 10)
+        |SELECT * FROM (
+        |  SELECT 'pq' AS method, CAST(8 AS INT) AS bytes_per_vec,
+        |    nq.n_queries,
+        |    CAST((SELECT count(*) FROM ptop JOIN etop USING (query_id, cand_id))
+        |      AS BIGINT) AS matched,
+        |    round((SELECT count(*) FROM ptop JOIN etop USING (query_id, cand_id))
+        |      / CAST(nq.n_queries * 3 AS DOUBLE), 4) AS recall
+        |  FROM nq
+        |  UNION ALL
+        |  SELECT 'sq8', CAST(64 AS INT), nq.n_queries,
+        |    CAST((SELECT count(*) FROM stop JOIN etop USING (query_id, cand_id))
+        |      AS BIGINT),
+        |    round((SELECT count(*) FROM stop JOIN etop USING (query_id, cand_id))
+        |      / CAST(nq.n_queries * 3 AS DOUBLE), 4)
+        |  FROM nq
+        |  UNION ALL
+        |  SELECT 'trunc16', CAST(64 AS INT), nq.n_queries,
+        |    CAST((SELECT count(*) FROM ttop JOIN etop USING (query_id, cand_id))
+        |      AS BIGINT),
+        |    round((SELECT count(*) FROM ttop JOIN etop USING (query_id, cand_id))
+        |      / CAST(nq.n_queries * 3 AS DOUBLE), 4)
+        |  FROM nq)
+        |ORDER BY method""".stripMargin,
+
     // t52: epoch allocation under a 2x token budget — α=0.5 temperature
     // weights over lang token counts, overflow-safe pro-rata targets,
     // 4-epoch repeat cap (mirrors TextAnalysis.epochAllocation's integer

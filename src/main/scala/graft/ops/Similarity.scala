@@ -1739,6 +1739,48 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** CROSS-TIER RECALL frontier (s38) — s36's other axis: what each
+    * compression tier RETURNS, measured as recall@k of its own shipped
+    * search path (pq = s12's ADC ranking, sq8 = s23's asymmetric
+    * reconstruction, trunc16 = s25's two-stage shortlist) against the
+    * exact-L2 ground truth. Together with s36 this is the
+    * bytes/error/recall Pareto table — the page every FAISS-style index
+    * benchmark leads with, and the artifact that actually picks a tier.
+    * s14 measures the one DEPLOYED index; this sweeps the candidates.
+    *
+    * Scale shape: each tier's search is its own already-gated plan; the
+    * ground truth is the one pay-once brute pass (the s14 stance); the
+    * exact top-k checkpoint feeds all three overlap joins, and each
+    * tier reduces to one summary row. */
+  def tierRecallReport(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val n = vectors(spark, dir)
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
+    val exact = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(n.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv2")))
+      .withColumn("dist", round(expr(
+        "aggregate(zip_with(qv, cv2, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+      .localCheckpoint(eager = false) // three overlap-join consumers
+    val nq = n.filter(col("vec_id") < 10).agg(count(lit(1)).as("n_queries"))
+    def tier(top: DataFrame, method: String, bytes: Int): DataFrame =
+      top.select("query_id", "cand_id")
+        .join(exact, Seq("query_id", "cand_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("matched"))
+        .crossJoin(broadcast(nq))
+        .select(lit(method).as("method"), lit(bytes).as("bytes_per_vec"),
+          col("n_queries"), col("matched"),
+          round(col("matched") / (col("n_queries") * k).cast("double"), 4)
+            .as("recall"))
+    tier(pqAnn(spark, dir, k), "pq", 8)
+      .unionByName(tier(sqAnn(spark, dir, k), "sq8", 64))
+      .unionByName(tier(truncatedAnn(spark, dir, k), "trunc16", 64))
+      .orderBy("method")
+  }
+
   /** The lexical half of [[hybridSearch]]: candidates ranked per query by
     * summed IDF of shared distinct tokens (rare shared terms dominate —
     * BM25's core signal without the length normalization). Per-token

@@ -2800,6 +2800,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s38 tier recall reconciles exactly with the shipped tier searches " +
+    "vs a driver-side exact-L2 ground truth") {
+    val vecs = graft.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+    def r6(x: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val cands = vecs.filter(_._1 >= 10)
+    val etop = vecs.filter(_._1 < 10).map { case (q, qv) =>
+      q -> cands.map { case (c, cv) =>
+        (r6(qv.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum), c)
+      }.sortBy { case (d, c) => (d, c) }.take(3).map(_._2).toSet
+    }.toMap
+    def overlap(df: org.apache.spark.sql.DataFrame): Long =
+      df.collect().count(r => etop(r.getAs[Long]("query_id"))
+        .contains(r.getAs[Long]("cand_id"))).toLong
+    val expect = Map(
+      "pq" -> overlap(Similarity.pqAnn(spark, dir)),
+      "sq8" -> overlap(Similarity.sqAnn(spark, dir)),
+      "trunc16" -> overlap(Similarity.truncatedAnn(spark, dir)))
+    val got = Similarity.tierRecallReport(spark, dir).collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      val m = r.getAs[String]("method")
+      assert(r.getAs[Long]("n_queries") === 10L)
+      assert(r.getAs[Long]("matched") === expect(m),
+        s"$m matched ${r.getAs[Long]("matched")} != brute ${expect(m)}")
+      assert(r.getAs[Double]("recall") ===
+        BigDecimal(java.math.BigDecimal.valueOf(expect(m) / 30.0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("g14 incremental components: a planted delta edge MERGES two base " +
     "components, untouched and delta-only components keep their labels, " +
     "and the corpus answer equals the batch fixpoint exactly") {
