@@ -260,6 +260,7 @@ object SparkEntry {
     "d30_lsh_calibration"    -> (Dedup.lshCalibration _),
     "d31_detector_agreement" -> (Dedup.detectorAgreement _),
     "d32_dedup_weights"      -> (Dedup.dedupWeights _),
+    "d33_cross_source_matrix" -> (Dedup.crossSourceMatrix _),
     "s31_hard_negatives"     -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.hardNegatives(s, d)),
     "s32_triplet_margins"    -> ((s: SparkSession, d: String) =>

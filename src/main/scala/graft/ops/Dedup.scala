@@ -393,6 +393,36 @@ object Dedup {
   def dedupWeights(spark: SparkSession, dir: String): DataFrame =
     dedupWeightsOf(Tables.documents(spark, dir), dedupClusters(spark, dir))
 
+  /** CROSS-SOURCE DUPLICATION MATRIX (d33) — the production detector's
+    * pair list aggregated to source grain (lang here, the corpus's
+    * source axis): how many near-dup pairs land within each source and
+    * how many CROSS source boundaries, with the distinct losers each
+    * cell would delete. This is the contamination heatmap a multi-crawl
+    * pipeline reads before dedup APPLY: a hot off-diagonal cell means
+    * one source is mirroring another (apply cross-source dedup, keep
+    * the canonical crawl); a purely diagonal matrix means sources are
+    * independent and can dedup in isolation — which parallelizes the
+    * whole pipeline source-by-source.
+    *
+    * Scale shape: runs on the PAIR LIST, never the corpus (the d31
+    * stance) — two uniform-key lang lookups and one #sources²-bounded
+    * aggregate. */
+  def crossSourceMatrixOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val langs = docs.select(col("doc_id"), col("lang"))
+    pairs
+      .join(langs.select(col("doc_id").as("d1"), col("lang").as("lang_keep")),
+        Seq("d1"))
+      .join(langs.select(col("doc_id").as("d2"), col("lang").as("lang_lose")),
+        Seq("d2"))
+      .groupBy("lang_keep", "lang_lose")
+      .agg(count(lit(1)).as("pairs"),
+        countDistinct(col("d2")).as("distinct_losers"))
+      .orderBy("lang_keep", "lang_lose")
+  }
+
+  def crossSourceMatrix(spark: SparkSession, dir: String): DataFrame =
+    crossSourceMatrixOf(minhashLsh(spark, dir), Tables.documents(spark, dir))
+
   /** EXACT dedup APPLICATION: the cleaned corpus with one keeper (min
     * doc_id) per distinct text — the workhorse first pass of every
     * training-data pipeline ([[exactDedup]] reports the summary; this

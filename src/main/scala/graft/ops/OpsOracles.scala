@@ -3543,6 +3543,32 @@ object OpsOracles {
         |WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
+    // d33: cross-source duplication matrix — d04's verified pairs
+    // aggregated to (lang_keep, lang_lose) with pair and distinct-loser
+    // counts (mirrors Dedup.crossSourceMatrix).
+    "d33_cross_source_matrix" ->
+      s"""WITH $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5)
+        |SELECT ka.lang AS lang_keep, kb.lang AS lang_lose,
+        |  CAST(count(*) AS BIGINT) AS pairs,
+        |  CAST(count(DISTINCT p.d2) AS BIGINT) AS distinct_losers
+        |FROM pairs p
+        |JOIN documents ka ON p.d1 = ka.doc_id
+        |JOIN documents kb ON p.d2 = kb.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     // d30: LSH calibration — the production detector's loser set vs the
     // exact all-pairs baseline's; pair counts differ by design (spanning
     // star vs all pairs), the loser SET is the contract.

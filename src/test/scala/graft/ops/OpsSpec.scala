@@ -2800,6 +2800,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d33 cross-source matrix reconciles with d04's pair list exactly, " +
+    "cell by cell") {
+    val langOf = graft.Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val pairs = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.groupBy(p => (langOf(p._1), langOf(p._2)))
+      .map { case (k, ps) =>
+        k -> ((ps.length.toLong, ps.map(_._2).distinct.length.toLong)) }
+    val got = Dedup.crossSourceMatrix(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang_keep"), r.getAs[String]("lang_lose")) ->
+        ((r.getAs[Long]("pairs"), r.getAs[Long]("distinct_losers")))).toMap
+    assert(got === expect)
+    assert(got.values.map(_._1).sum === pairs.length.toLong)
+  }
+
   test("s38 tier recall reconciles exactly with the shipped tier searches " +
     "vs a driver-side exact-L2 ground truth") {
     val vecs = graft.Tables.embeddings(spark, dir).collect()
