@@ -269,6 +269,7 @@ object SparkEntry {
     "t50_distilled_filter"   -> (TextAnalysis.distilledFilter _),
     "t51_perplexity_bands"   -> (TextAnalysis.perplexityBands _),
     "t52_epoch_allocation"   -> (TextAnalysis.epochAllocation _),
+    "t53_pipeline_funnel"    -> (TextAnalysis.pipelineFunnel _),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "m13_audio_energy"       -> (graft.ops.Multimodal.audioEnergy _),

@@ -2774,6 +2774,65 @@ object OpsOracles {
         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin,
 
+    // t53: pipeline funnel — d27's gate chain extended with t12's
+    // decontamination stage and BIGINT token sums, aggregated per lang.
+    // Flags are cumulative (each stage ANDs the previous), mirroring the
+    // Spark side's g1..g4 columns exactly.
+    "t53_pipeline_funnel" ->
+      s"""WITH $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the','a','of','and','is')))
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+        |    round(1.0 - len(list_distinct(string_split(text, ' ')))
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS repetition_ratio
+        |  FROM documents),
+        |bkt AS (SELECT doc_id, shingle,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket FROM sh),
+        |ev AS (SELECT DISTINCT shingle FROM bkt WHERE bucket = 'f'),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM bkt JOIN ev USING (shingle)
+        |  WHERE bucket != 'f'),
+        |flags AS (
+        |  SELECT d.doc_id, d.lang, q.n_tokens,
+        |    CASE WHEN d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |         THEN 1 ELSE 0 END AS g1e,
+        |    CASE WHEN d.doc_id IN (SELECT d2 FROM losers) THEN 0 ELSE 1 END AS g2e,
+        |    CASE WHEN q.n_tokens < 10 OR q.repetition_ratio > 0.8
+        |           OR q.stop_ratio > 0.4 THEN 0 ELSE 1 END AS g3e,
+        |    CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) != 'f'
+        |           AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |         THEN 1 ELSE 0 END AS g4e
+        |  FROM documents d JOIN qual q USING (doc_id))
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS docs_raw,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_raw,
+        |  CAST(sum(g1e) AS BIGINT) AS docs_exact,
+        |  CAST(sum(g1e * n_tokens) AS BIGINT) AS tokens_exact,
+        |  CAST(sum(g1e * g2e) AS BIGINT) AS docs_neardup,
+        |  CAST(sum(g1e * g2e * n_tokens) AS BIGINT) AS tokens_neardup,
+        |  CAST(sum(g1e * g2e * g3e) AS BIGINT) AS docs_quality,
+        |  CAST(sum(g1e * g2e * g3e * n_tokens) AS BIGINT) AS tokens_quality,
+        |  CAST(sum(g1e * g2e * g3e * g4e) AS BIGINT) AS docs_final,
+        |  CAST(sum(g1e * g2e * g3e * g4e * n_tokens) AS BIGINT) AS tokens_final
+        |FROM flags
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
     // t13: token-window chunking (window=32, stride=24) — DuckDB range()
     // excludes the end bound, Spark sequence(0, n-1) includes it: both
     // enumerate starts 0, 24, 48, ... < n. List slice l[a:b] is 1-based

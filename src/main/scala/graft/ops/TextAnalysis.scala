@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.plans.GlobalOrder
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -392,6 +392,69 @@ object TextAnalysis {
       .join(decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
+
+  /** PIPELINE FUNNEL (t53) — the per-language attrition ledger every
+    * training-data pipeline publishes: documents AND tokens surviving
+    * each cumulative curation stage — raw → exact dedup (d01's keeper
+    * rule) → near-dup dedup (d04's LSH losers) → quality gate (t02's
+    * 'ok' band) → decontamination (t11's eval-overlap drop plus the
+    * eval slice itself leaving the train split, t12's rule). d27 answers
+    * "why did THIS doc die"; the funnel answers the planning question —
+    * "how many tokens does each language actually contribute after
+    * curation" — which is the input t17/t52's mixture math consumes.
+    * Every gate is the already-verified primitive, composed, so the
+    * ledger is the pipeline's own decision log, not a drift-prone
+    * reimplementation.
+    *
+    * Scale shape: ONE corpus pass builds the narrow per-doc spine
+    * (doc_id, lang, token count, split bucket); the four gate sides are
+    * detection-sized (near-dup losers, quality rejects, contaminated
+    * ids) or two-narrow-column (the exact-keeper fp-grain min), all
+    * joined on the uniform doc_id key; the result is one
+    * #languages-sized aggregate. Token sums are BIGINT end to end —
+    * exact at any corpus size (the t50/t52 overflow lesson: counts, not
+    * products). */
+  def pipelineFunnelOf(docs: DataFrame, nearLosers: DataFrame,
+                       okDocs: DataFrame, contaminated: DataFrame): DataFrame = {
+    val keepers = docs
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id").withColumn("keeper", lit(1))
+    val nd = nearLosers.select(col("d2").as("doc_id")).distinct()
+      .withColumn("nd", lit(1))
+    val ok = okDocs.select("doc_id").withColumn("okf", lit(1))
+    val ct = contaminated.select("doc_id").distinct().withColumn("ct", lit(1))
+    val spine = docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("bucket"))
+      .join(keepers, Seq("doc_id"), "left_outer")
+      .join(nd, Seq("doc_id"), "left_outer")
+      .join(ok, Seq("doc_id"), "left_outer")
+      .join(ct, Seq("doc_id"), "left_outer")
+      .withColumn("g1", col("keeper").isNotNull)
+      .withColumn("g2", col("keeper").isNotNull && col("nd").isNull)
+      .withColumn("g3",
+        col("keeper").isNotNull && col("nd").isNull && col("okf").isNotNull)
+      .withColumn("g4",
+        col("keeper").isNotNull && col("nd").isNull && col("okf").isNotNull &&
+          col("bucket") =!= "f" && col("ct").isNull)
+    def stage(g: String, tag: String): Seq[Column] = Seq(
+      sum(when(col(g), 1L).otherwise(0L)).as(s"docs_$tag"),
+      sum(when(col(g), col("n_tokens")).otherwise(0L)).as(s"tokens_$tag"))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("docs_raw"), sum("n_tokens").as("tokens_raw")) ++
+        stage("g1", "exact") ++ stage("g2", "neardup") ++
+        stage("g3", "quality") ++ stage("g4", "final")
+    spine.groupBy("lang").agg(aggs.head, aggs.tail: _*).orderBy("lang")
+  }
+
+  def pipelineFunnel(spark: SparkSession, dir: String): DataFrame =
+    pipelineFunnelOf(
+      Tables.documents(spark, dir),
+      Dedup.minhashLsh(spark, dir),
+      qualityScore(spark, dir).filter(col("quality_band") === "ok"),
+      decontaminate(spark, dir))
 
   /** PII REDACTION: strip emails and phone numbers from every document
     * and report what was removed — the privacy-scrub pass a training

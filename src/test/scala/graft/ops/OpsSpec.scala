@@ -2988,4 +2988,56 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(r => !tomb(r._2)), "a tombstoned node was served")
     assert(got.toSet === expect, "served set != ranked prefix of survivors")
   }
+
+  test("t53 pipeline funnel reconciles stage by stage with the primitives " +
+    "it composes (d27 flags, t12's decontamination rule) and is monotone") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val docs = graft.Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val prov = Dedup.dropProvenance(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Int]("exact_dup"), r.getAs[Int]("near_dup"),
+          r.getAs[Int]("low_quality")))).toMap
+    val contaminated = TextAnalysis.decontaminate(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    def bucketF(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0) == 'f'
+    }
+    case class St(var dr: Long = 0, var tr: Long = 0, var de: Long = 0,
+      var te: Long = 0, var dn: Long = 0, var tn: Long = 0,
+      var dq: Long = 0, var tq: Long = 0, var df: Long = 0, var tf: Long = 0)
+    val expect = collection.mutable.Map[String, St]()
+    toks.foreach { case (id, (lang, n)) =>
+      val (ed, nd, lq) = prov(id)
+      val s = expect.getOrElseUpdate(lang, St())
+      s.dr += 1; s.tr += n
+      if (ed == 0) { s.de += 1; s.te += n }
+      if (ed == 0 && nd == 0) { s.dn += 1; s.tn += n }
+      if (ed == 0 && nd == 0 && lq == 0) { s.dq += 1; s.tq += n }
+      if (ed == 0 && nd == 0 && lq == 0 && !bucketF(id) &&
+          !contaminated(id)) { s.df += 1; s.tf += n }
+    }
+    val got = TextAnalysis.pipelineFunnel(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSet === expect.keySet)
+    got.foreach { r =>
+      val s = expect(r.getString(0))
+      val vals = (1 to 10).map(r.getLong)
+      assert(vals === Seq(s.dr, s.tr, s.de, s.te, s.dn, s.tn,
+        s.dq, s.tq, s.df, s.tf), s"funnel row mismatch for ${r.getString(0)}")
+      // the funnel is cumulative: every stage is <= the previous one
+      assert(vals(0) >= vals(2) && vals(2) >= vals(4) &&
+        vals(4) >= vals(6) && vals(6) >= vals(8))
+      assert(vals(1) >= vals(3) && vals(3) >= vals(5) &&
+        vals(5) >= vals(7) && vals(7) >= vals(9))
+    }
+    // at least one stage must actually cut something on the planted corpus
+    val tot = expect.values
+    assert(tot.map(_.dr).sum > tot.map(_.df).sum,
+      "the planted corpus should lose docs through the funnel")
+  }
 }
