@@ -261,6 +261,7 @@ object SparkEntry {
     "d31_detector_agreement" -> (Dedup.detectorAgreement _),
     "d32_dedup_weights"      -> (Dedup.dedupWeights _),
     "d33_cross_source_matrix" -> (Dedup.crossSourceMatrix _),
+    "d34_cluster_coherence"  -> (Dedup.clusterCoherence _),
     "s31_hard_negatives"     -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.hardNegatives(s, d)),
     "s32_triplet_margins"    -> ((s: SparkSession, d: String) =>

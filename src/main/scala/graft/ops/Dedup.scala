@@ -423,6 +423,48 @@ object Dedup {
   def crossSourceMatrix(spark: SparkSession, dir: String): DataFrame =
     crossSourceMatrixOf(minhashLsh(spark, dir), Tables.documents(spark, dir))
 
+  /** CLUSTER COHERENCE (d34) — the transitive-closure snowballing audit.
+    * Connected components treat "A~B and B~C" as one family even when A
+    * and C share nothing; at a loose threshold this CHAINS whole topic
+    * shards into one mega-family, and d07's keep-min-id apply then
+    * deletes documents that are not near-duplicates of their keeper.
+    * This op measures that risk per family: `coverage` = verified pairs
+    * / C(size,2) (1.0 = a genuine clique of mutual near-dups; → 0 = a
+    * thin chain holding unrelated docs together) and the min/max
+    * verified Jaccard inside the family (the weakest link that did the
+    * chaining). The production read: low-coverage large families are
+    * the ones to re-verify before applying the drop — exactly the audit
+    * step SemDeDup/Gopher pipelines run before a destructive dedup.
+    *
+    * Scale shape: both inputs are detection-sized (the pair list and
+    * its component labels — never the corpus); two uniform-key joins
+    * and one family-grain aggregate. Coverage is one IEEE divide of two
+    * exact BIGINTs, round(,6); min/max range over per-pair jaccards
+    * that are bitwise engine-identical (d04's verified values). */
+  def clusterCoherenceOf(clusters: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("size"))
+    val byD1 = clusters.select(col("doc_id").as("d1"), col("cluster_id"))
+    pairs.join(byD1, Seq("d1"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("jaccard").as("min_jaccard"),
+        max("jaccard").as("max_jaccard"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("size"), col("n_pairs"),
+        round((col("n_pairs") * 2).cast("double") /
+          (col("size") * (col("size") - 1)), 6).as("coverage"),
+        col("min_jaccard"), col("max_jaccard"))
+      .orderBy("cluster_id")
+  }
+
+  def clusterCoherence(spark: SparkSession, dir: String): DataFrame = {
+    // eager localCheckpoint: the pair list feeds BOTH the component loop
+    // and the coherence join — without it the LSH verification subtree
+    // runs twice (GC-scoped blocks, the minhashLshOf band-table pattern)
+    val pairs = minhashLsh(spark, dir).localCheckpoint()
+    clusterCoherenceOf(dedupClustersOf(pairs), pairs)
+  }
+
   /** EXACT dedup APPLICATION: the cleaned corpus with one keeper (min
     * doc_id) per distinct text — the workhorse first pass of every
     * training-data pipeline ([[exactDedup]] reports the summary; this

@@ -3404,6 +3404,48 @@ object OpsOracles {
         |FROM flags
         |ORDER BY doc_id""".stripMargin,
 
+    // d34: cluster coherence — d16's components joined back to the
+    // verified pair list: pairs / C(size,2) coverage plus the min/max
+    // in-family jaccard. Coverage is one IEEE divide of exact BIGINTs;
+    // the jaccards are d04's engine-identical rounded values.
+    "d34_cluster_coherence" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |pairsj AS (
+        |  SELECT d1, d2,
+        |    round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |bi AS (SELECT d1 AS a, d2 AS b FROM pairsj
+        |       UNION ALL SELECT d2, d1 FROM pairsj),
+        |walk(doc_id, node) AS (
+        |  SELECT DISTINCT a, a FROM bi
+        |  UNION
+        |  SELECT w.doc_id, e.b FROM walk w JOIN bi e ON w.node = e.a),
+        |lab AS (SELECT doc_id, min(node) AS cluster_id FROM walk GROUP BY doc_id),
+        |csize AS (SELECT cluster_id, count(*) AS size FROM lab GROUP BY 1),
+        |agg AS (
+        |  SELECT l.cluster_id, count(*) AS n_pairs,
+        |    min(p.jaccard) AS min_jaccard, max(p.jaccard) AS max_jaccard
+        |  FROM pairsj p JOIN lab l ON p.d1 = l.doc_id
+        |  GROUP BY 1)
+        |SELECT a.cluster_id,
+        |  CAST(s.size AS BIGINT) AS size,
+        |  CAST(a.n_pairs AS BIGINT) AS n_pairs,
+        |  round(CAST(a.n_pairs * 2 AS DOUBLE) / (s.size * (s.size - 1)), 6)
+        |    AS coverage,
+        |  a.min_jaccard, a.max_jaccard
+        |FROM agg a JOIN csize s USING (cluster_id)
+        |ORDER BY a.cluster_id""".stripMargin,
+
     // d16: connected components over the verified LSH pair graph via a
     // recursive reachability CTE — min reachable node == the fixpoint of
     // Spark's min-label propagation (mirrors Dedup.dedupClusters).

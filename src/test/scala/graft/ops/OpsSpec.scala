@@ -2989,6 +2989,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet === expect, "served set != ranked prefix of survivors")
   }
 
+  test("d34 cluster coherence flags a planted chain (A~B~C, A!~C) with " +
+    "coverage 2/3 and reconciles with d16+d04 on the testdata") {
+    val s = spark; import s.implicits._
+    // planted chain: one component of 3 docs held together by 2 pairs
+    val chain = Seq((1L, 2L, 0.6), (2L, 3L, 0.55)).toDF("d1", "d2", "jaccard")
+    val got1 = Dedup.clusterCoherenceOf(Dedup.dedupClustersOf(chain), chain)
+      .collect()
+    assert(got1.length === 1)
+    val r = got1.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 3L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === math.round(2.0 / 3.0 * 1e6) / 1e6)
+    assert(r.getDouble(4) === 0.55 && r.getDouble(5) === 0.6)
+    // testdata reconciliation: every family row matches a driver-side
+    // recompute from the same pair list and labels
+    val pairs = Dedup.minhashLsh(spark, dir).collect()
+      .map(p => (p.getLong(0), p.getLong(1), p.getDouble(2)))
+    val lab = Dedup.dedupClusters(spark, dir).collect()
+      .map(p => p.getLong(0) -> p.getLong(1)).toMap
+    val sizes = lab.values.groupBy(identity).map { case (c, v) => c -> v.size }
+    val expect = pairs.groupBy(p => lab(p._1)).map { case (c, ps) =>
+      val n = sizes(c).toLong
+      c -> ((n, ps.length.toLong,
+        math.round(ps.length * 2.0 / (n * (n - 1)) * 1e6) / 1e6,
+        ps.map(_._3).min, ps.map(_._3).max))
+    }
+    val got = Dedup.clusterCoherence(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5)))).toMap
+    assert(got === expect)
+    assert(got.values.map(_._2).sum === pairs.length.toLong,
+      "every verified pair must land in exactly one family")
+    assert(got.values.forall(v => v._3 > 0.0 && v._3 <= 1.0))
+  }
+
   test("t53 pipeline funnel reconciles stage by stage with the primitives " +
     "it composes (d27 flags, t12's decontamination rule) and is monotone") {
     import org.apache.spark.sql.functions.{col, size, split}
