@@ -5330,6 +5330,60 @@ object OpsOracles {
     // w16: t49's flags (minStopwords=1 driver stance) with first-failing-
     // rule attribution, aggregated per (reason, lang) — verifies the whole
     // stream route→sink→scan path since every column is row-local.
+    // w18: streaming gate-drift monitor — w16's verdict chain reduced to
+    // survivor counts per lang, then t32's JS math against the full-corpus
+    // reference profile. The stream side only accumulates monoid counts,
+    // so the oracle is the batch rollup verbatim.
+    "w18_stream_gate_drift" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS word_chars,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS sym_hits,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_distinct
+        |  FROM t),
+        |v AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 'too_few_words'
+        |      WHEN NOT (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+        |        THEN 'word_length'
+        |      WHEN NOT (10 * sym_hits <= n_words) THEN 'symbol_heavy'
+        |      WHEN NOT (5 * alpha_words >= 4 * n_words) THEN 'non_alpha'
+        |      WHEN NOT (stop_distinct >= 1) THEN 'no_stopwords'
+        |      ELSE 'ok' END AS reason
+        |  FROM m),
+        |kept AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS kept_n
+        |  FROM v WHERE reason = 'ok' GROUP BY 1),
+        |ref AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS ref_n
+        |  FROM documents GROUP BY 1),
+        |grid AS (
+        |  SELECT r.lang, r.ref_n, CAST(COALESCE(k.kept_n, 0) AS BIGINT) AS kept_n
+        |  FROM ref r LEFT JOIN kept k USING (lang)),
+        |tot AS (
+        |  SELECT CAST(sum(ref_n) AS BIGINT) AS ref_total,
+        |    CAST(sum(kept_n) AS BIGINT) AS kept_total FROM grid),
+        |sh2 AS (
+        |  SELECT lang, ref_n, kept_n,
+        |    ref_n / CAST(ref_total AS DOUBLE) AS p,
+        |    kept_n / CAST(kept_total AS DOUBLE) AS q
+        |  FROM grid CROSS JOIN tot),
+        |tt AS (
+        |  SELECT lang, ref_n, kept_n, p, q, (p + q) / 2.0 AS m FROM sh2)
+        |SELECT lang, ref_n, kept_n,
+        |  round(p, 6) AS ref_share, round(q, 6) AS kept_share,
+        |  round(CASE WHEN ref_n = 0 THEN 0.0 ELSE p * ln(p / m) / 2.0 END
+        |      + CASE WHEN kept_n = 0 THEN 0.0 ELSE q * ln(q / m) / 2.0 END,
+        |    6) AS js_term
+        |FROM tt ORDER BY lang""".stripMargin,
+
     "w16_stream_quality_gate" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),

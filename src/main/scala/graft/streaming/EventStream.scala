@@ -1058,4 +1058,80 @@ object EventStream {
         round(sum("score"), 4).cast("double").as("score_sum"))
       .orderBy("predicted", "lang")
   }
+
+  /** The w18 drift math, batch-shaped: per-language Jensen–Shannon term
+    * between the REFERENCE mix (the full corpus profile, frozen batch
+    * side) and the post-gate survivor mix streamed in by
+    * [[streamGateDrift]] — t32's exact JS expression sequence so both
+    * engines fold the identical IEEE ops. Languages the gate wiped out
+    * entirely still report (kept_n = 0, their q-term 0 by the JS zero
+    * convention). */
+  def gateDriftReport(docs: DataFrame, keptCounts: DataFrame): DataFrame = {
+    val grid = docs.groupBy("lang").agg(count(lit(1)).as("ref_n"))
+      .join(keptCounts, Seq("lang"), "left_outer")
+      .withColumn("kept_n", coalesce(col("kept_n"), lit(0L)))
+    val totals = grid.agg(sum("ref_n").as("ref_total"),
+      sum("kept_n").as("kept_total"))
+    val p = col("ref_n") / col("ref_total")
+    val q = col("kept_n") / col("kept_total")
+    val m = (p + q) / lit(2.0)
+    val termP = when(col("ref_n") === 0, lit(0.0))
+      .otherwise(p * log(p / m) / lit(2.0))
+    val termQ = when(col("kept_n") === 0, lit(0.0))
+      .otherwise(q * log(q / m) / lit(2.0))
+    grid.crossJoin(broadcast(totals))
+      .select(col("lang"), col("ref_n"), col("kept_n"),
+        round(p, 6).as("ref_share"),
+        round(q, 6).as("kept_share"),
+        round(termP + termQ, 6).as("js_term"))
+      .orderBy("lang")
+  }
+
+  /** STREAMING GATE-DRIFT MONITOR (w18) — does the in-flight quality
+    * gate SKEW THE LANGUAGE MIX? Aggressive rule filters are known to
+    * reject low-resource languages disproportionately (the documented
+    * failure mode of English-calibrated heuristics), and a pipeline that
+    * only discovers the skew at training time has already paid for the
+    * corpus. This monitor rides w16's gate: each micro-batch appends its
+    * survivors' per-language PARTIAL COUNTS to a sink — counts are a
+    * commutative monoid, so AvailableNow's backlog slicing cannot change
+    * the final answer (the w14 determinism stance) and the stream side
+    * keeps ZERO state. The report then scores the streamed survivor mix
+    * against the frozen reference profile (the corpus snapshot the gate
+    * was calibrated on) with t32's per-language JS-divergence terms —
+    * alerting is one `sum(js_term) > ε` over a #languages-sized frame.
+    *
+    * Scale shape: the stream side is w16's narrow per-row verdict plus a
+    * per-batch #langs-row aggregate (map-side combine collapses each
+    * batch before any exchange); the sink accumulates #langs × #batches
+    * tiny rows; the reference profile is one batch aggregate computed
+    * once. Nothing here grows with the corpus except the one narrow
+    * verdict pass the gate already pays. */
+  def streamGateDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_gate_drift/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    graft.sources.StaleOutputs.sweep("graft_gate_drift",
+      spark.sparkContext.applicationId)
+    graft.sources.StaleOutputs.reset(base)
+    val out = s"$base/kept_counts"
+    val countsSchema = StructType(Seq(
+      StructField("lang", StringType), StructField("n", LongType)))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), countsSchema)
+    empty.write.mode("append").parquet(out)
+    val q = qualityGateVerdict(readDocuments(spark, dir))
+      .filter(col("reason") === "ok")
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().groupBy("lang").agg(count(lit(1)).as("n"))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    val keptCounts = spark.read.parquet(out)
+      .groupBy("lang").agg(sum("n").as("kept_n"))
+    gateDriftReport(graft.Tables.documents(spark, dir), keptCounts)
+  }
 }

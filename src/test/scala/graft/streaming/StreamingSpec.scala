@@ -478,4 +478,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // conservation: one reason per doc, nothing lost or duplicated
     assert(report.map(_.getAs[Long]("n_docs")).sum === docs.count())
   }
+
+  test("streaming gate-drift monitor: equals the batch JS report (the " +
+    "per-batch partial counts are a monoid), and the gate's skew is real") {
+    val got = EventStream.streamGateDrift(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val keptBatch = EventStream.qualityGateVerdict(docs)
+      .filter(col("reason") === "ok")
+      .groupBy("lang").agg(count(lit(1)).as("kept_n"))
+    val batch = EventStream.gateDriftReport(docs, keptBatch).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(got.map(key).toSeq === batch.map(key).toSeq,
+      "streamed survivor counts must fold to the batch drift report")
+    // sanity: the gate keeps a subset, shares each sum to 1 (rounded)
+    got.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(got.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    // the monitor exists because filters skew the mix: on the testdata
+    // at least one language's share must actually move
+    assert(got.exists(r => r.getDouble(5) > 0.0),
+      "planted corpus should show a nonzero drift term")
+  }
 }
