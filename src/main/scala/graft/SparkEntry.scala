@@ -271,6 +271,7 @@ object SparkEntry {
     "t51_perplexity_bands"   -> (TextAnalysis.perplexityBands _),
     "t52_epoch_allocation"   -> (TextAnalysis.epochAllocation _),
     "t53_pipeline_funnel"    -> (TextAnalysis.pipelineFunnel _),
+    "t54_filter_pr_curve"    -> (TextAnalysis.distilledPrCurve _),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "m13_audio_energy"       -> (graft.ops.Multimodal.audioEnergy _),

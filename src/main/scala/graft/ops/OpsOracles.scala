@@ -5049,6 +5049,36 @@ object OpsOracles {
         |FROM pred GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
     },
 
+    // t54: filter operating curve — t50's exact decimal margins swept
+    // over an integer θ grid; counts exact, P/R/F1 single IEEE divides
+    // of exact BIGINTs rounded at the final projection.
+    "t54_filter_pr_curve" -> {
+      s"""WITH $distilledModelCtes,
+        |sc AS (
+        |  SELECT doc_id, label, sum(n * CAST(lr AS DECIMAL(18,6))) AS s
+        |  FROM pdb JOIN lab USING (doc_id) JOIN model USING (b)
+        |  WHERE is_eval GROUP BY 1, 2),
+        |mg AS (
+        |  SELECT label, s + CAST(pr AS DECIMAL(18,6)) AS margin
+        |  FROM sc CROSS JOIN pri),
+        |grid AS (SELECT CAST(unnest(range(-4, 5)) * 2 AS INT) AS theta),
+        |cm AS (
+        |  SELECT theta,
+        |    CAST(sum(CASE WHEN margin > theta AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN margin > theta AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT (margin > theta) AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT (margin > theta) AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM mg CROSS JOIN grid GROUP BY theta)
+        |SELECT theta, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN 0.0
+        |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+        |  CASE WHEN tp + fn = 0 THEN 0.0
+        |       ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+        |  CASE WHEN tp * 2 + fp + fn = 0 THEN 0.0
+        |       ELSE round(CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn), 6) END AS f1
+        |FROM cm ORDER BY theta""".stripMargin
+    },
+
     // t51: CCNet-style perplexity banding — hashed-unigram Laplace LM
     // over the t49-keep class, per-doc mean NLL (decimal sum, one IEEE
     // divide), tertile cut scores from the bounded md5 sample, bands by

@@ -2196,6 +2196,65 @@ object TextAnalysis {
   def distilledFilter(spark: SparkSession, dir: String): DataFrame =
     distilledFilterOf(Tables.documents(spark, dir))
 
+  /** FILTER OPERATING CURVE (t54) — the step between t50 (train the
+    * distilled classifier) and w17 (serve it at a fixed cut): sweep the
+    * decision threshold over the holdout and report the confusion
+    * counts + precision/recall/F1 per θ. t50's confusion matrix is ONE
+    * operating point (θ = 0, the Bayes cut); a production filter picks
+    * θ from this curve to hit a precision target (drop aggressively for
+    * pretraining) or a recall target (keep aggressively for scarce
+    * languages) — the same detect-vs-apply separation as d23's LSH
+    * threshold sweep, applied to the model family.
+    *
+    * Exactness: per-doc margins are the t50 DECIMAL log-odds sums
+    * (order-independent, bit-identical across engines); θ is an exact
+    * integer grid, so every comparison and count is exact; P/R/F1 are
+    * single IEEE divides of exact BIGINTs, rounded at the final
+    * projection (the t38 discipline).
+    *
+    * Scale shape: ONE scoring pass over the holdout (t50's plan: corpus
+    * token explode + (doc,bucket) aggregate + 64-row broadcast model);
+    * the sweep itself is a broadcast cross join of the doc-grain margin
+    * frame against a 9-row θ grid folded straight into a 9-row
+    * aggregate — the grid multiplies a DETECTION-sized frame, never the
+    * token stream. */
+  def distilledPrCurveOf(docs: DataFrame, nBuckets: Int = 64): DataFrame = {
+    val (lab, perDocB) = distilledInputs(docs, nBuckets)
+    val (model, pr) = distilledModelFrames(lab, perDocB, nBuckets)
+    val scored = perDocB.join(lab.filter(col("is_eval")), Seq("doc_id"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy("doc_id", "label")
+      .agg(sum(col("n") * col("lr").cast("decimal(18,6)")).as("s"))
+      .crossJoin(broadcast(pr))
+      .withColumn("margin", col("s") + col("pr").cast("decimal(18,6)"))
+      .select("label", "margin")
+    val thetas = docs.sparkSession.range(-4, 5)
+      .select((col("id") * 2).cast("int").as("theta"))
+    val keep = col("margin") > col("theta")
+    scored.crossJoin(broadcast(thetas))
+      .groupBy("theta")
+      .agg(
+        sum(when(keep && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(keep && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!keep && col("label") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(!keep && col("label") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("theta"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("recall"),
+        when(col("tp") * 2 + col("fp") + col("fn") === 0, lit(0.0))
+          .otherwise(round((col("tp") * 2).cast("double")
+            / (col("tp") * 2 + col("fp") + col("fn")), 6))
+          .as("f1"))
+      .orderBy("theta")
+  }
+
+  def distilledPrCurve(spark: SparkSession, dir: String): DataFrame =
+    distilledPrCurveOf(Tables.documents(spark, dir))
+
   /** PERPLEXITY BANDS (t51) — CCNet's head/middle/tail corpus banding
     * (Wenzek et al. 2020): score every document by its mean per-token
     * negative log-likelihood under a language model trained on the

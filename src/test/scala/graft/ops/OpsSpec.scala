@@ -2989,6 +2989,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet === expect, "served set != ranked prefix of survivors")
   }
 
+  test("t54 PR curve: the θ=0 row IS t50's confusion matrix, the keep set " +
+    "shrinks monotonically in θ, and class totals are conserved") {
+    val curve = TextAnalysis.distilledPrCurve(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(curve.map(_._1).toSeq === (-4 to 4).map(_ * 2))
+    // θ=0 must reproduce t50's shipped operating point exactly
+    val t50 = TextAnalysis.distilledFilter(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val z = curve.find(_._1 == 0).get
+    assert(z._2 === t50.getOrElse((1, 1), 0L), "tp != t50 (label=1,pred=1)")
+    assert(z._3 === t50.getOrElse((0, 1), 0L), "fp != t50 (label=0,pred=1)")
+    assert(z._4 === t50.getOrElse((1, 0), 0L), "fn != t50 (label=1,pred=0)")
+    assert(z._5 === t50.getOrElse((0, 0), 0L), "tn != t50 (label=0,pred=0)")
+    // raising the bar only shrinks the keep side; class totals conserved
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3)
+      assert(hi._4 >= lo._4 && hi._5 >= lo._5)
+    }
+    val pos = curve.map(r => r._2 + r._4).distinct
+    val neg = curve.map(r => r._3 + r._5).distinct
+    assert(pos.length === 1 && neg.length === 1,
+      "tp+fn and fp+tn must be θ-invariant class totals")
+    // the curve must actually move on the planted corpus (the sweep is
+    // pointless if every θ lands on the same confusion matrix)
+    assert(curve.map(r => (r._2, r._3)).distinct.length > 1)
+  }
+
   test("d34 cluster coherence flags a planted chain (A~B~C, A!~C) with " +
     "coverage 2/3 and reconciles with d16+d04 on the testdata") {
     val s = spark; import s.implicits._
