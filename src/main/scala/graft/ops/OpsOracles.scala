@@ -726,6 +726,50 @@ object OpsOracles {
        |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
   }
 
+  /** s39's ADC walk: the same base graph/entry as s29, but every hop
+    * ranks its expansion by the PQ approximate distance (sum of the
+    * query's DECIMAL(18,6) LUT entries over the node's 8 codes —
+    * s12's scoring inside s29's walk), and only the final beam pays an
+    * exact cosine re-rank. PQ CTEs carry a 'p' prefix because the
+    * semKmeans chain already owns c0/a1/m1/c1/a2/m2/c2. */
+  private val adcWalkCtes = {
+    def hop(t: Int) =
+      s"""ae$t AS (SELECT DISTINCT query_id, node FROM (
+         |  SELECT query_id, node FROM ab${t - 1}
+         |  UNION ALL
+         |  SELECT b.query_id, g.dst FROM ab${t - 1} b
+         |  JOIN graph g ON b.node = g.src)),
+         |az$t AS (
+         |  SELECT e.query_id, e.node, sum(l.d) AS adist
+         |  FROM ae$t e JOIN pcodes c ON e.node = c.cand_id
+         |  JOIN plut l ON l.query_id = e.query_id AND l.s = c.s
+         |    AND l.code = c.code
+         |  GROUP BY 1, 2),
+         |ab$t AS (SELECT query_id, node FROM (
+         |  SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist ASC, node ASC) AS rnk FROM az$t)
+         |  WHERE rnk <= ${Similarity.GraphAnnBeam})""".stripMargin
+    s"""$graphWalkBaseCtes,
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cell, v, norm FROM assigned
+       |  WHERE vec_id < 10),
+       |${walkEntryCtes("a", "q")},
+       |psub AS (SELECT vec_id, CAST(s AS INT) AS s, v[s*8+1 : s*8+8] AS sv
+       |         FROM n, range(8) AS t(s)),
+       |${pqTrainCtesP("p", "psub")},
+       |${pqAssignCte("pc2", "pa3", "psub")},
+       |pcodes AS MATERIALIZED (
+       |  SELECT vec_id AS cand_id, s, cid AS code FROM pa3 WHERE vec_id >= 10),
+       |plut AS MATERIALIZED (
+       |  SELECT q2.vec_id AS query_id, c.s, c.cid AS code,
+       |    CAST(round(list_sum(list_transform(range(8),
+       |      i -> (q2.sv[i+1] - c.cv[i+1]) * (q2.sv[i+1] - c.cv[i+1]))), 6)
+       |      AS DECIMAL(18,6)) AS d
+       |  FROM psub q2 JOIN pc2 c ON q2.s = c.s
+       |  WHERE q2.vec_id < 10),
+       |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
+  }
+
   /** s33's arrival walk: jittered arrivals (per-dim additive
     * (md5-nibble − 7.5)/1000 noise off parents 10–14, 6dp-rounded —
     * Similarity.insertArrivals exactly) beam-walk the BASE graph; the
@@ -859,6 +903,17 @@ object OpsOracles {
        |${pqMeansCte("a1", "m1", "c1")},
        |${pqAssignCte("c1", "a2")},
        |${pqMeansCte("a2", "m2", "c2")}""".stripMargin
+
+  /** Prefixed PQ-training chain for statements that already use the
+    * unprefixed c0/a1/m1/c1/a2/m2/c2 names (the semKmeans chain in the
+    * graph-walk CTEs — s39 composes both). Same 2-Lloyd-pass replay as
+    * [[pqTrainCtes]], over an explicit subvector CTE. */
+  private def pqTrainCtesP(p: String, src: String): String =
+    s"""${p}c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM $src WHERE vec_id < ${Similarity.PqK}),
+       |${pqAssignCte(s"${p}c0", s"${p}a1", src)},
+       |${pqMeansCte(s"${p}a1", s"${p}m1", s"${p}c1")},
+       |${pqAssignCte(s"${p}c1", s"${p}a2", src)},
+       |${pqMeansCte(s"${p}a2", s"${p}m2", s"${p}c2")}""".stripMargin
 
   /** s10-s12's base: raw-embedding subvectors + the shared training. */
   private val pqBaseCte =
@@ -2304,6 +2359,24 @@ object OpsOracles {
       s"""WITH $graphWalkCtes
         |SELECT query_id, node AS cand_id, cosine, rnk
         |FROM s${Similarity.GraphAnnHops}
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // s39: PQ-scored graph walk + exact refine (the DiskANN layout) —
+    // the ADC hop chain's final beam re-ranked by exact cosine.
+    "s39_pq_graph_ann" ->
+      s"""WITH $adcWalkCtes
+        |SELECT query_id, node AS cand_id, cosine, rnk FROM (
+        |  SELECT b.query_id, b.node,
+        |    round(list_sum(list_transform(range(64),
+        |      i -> qq.v[i+1] * c.v[i+1])) / (qq.norm * c.norm), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY b.query_id ORDER BY
+        |      round(list_sum(list_transform(range(64),
+        |        i -> qq.v[i+1] * c.v[i+1])) / (qq.norm * c.norm), 6) DESC,
+        |      b.node ASC) AS rnk
+        |  FROM ab${Similarity.GraphAnnHops} b
+        |  JOIN cand c ON b.node = c.cand_id
+        |  JOIN q qq ON b.query_id = qq.query_id)
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 

@@ -941,6 +941,26 @@ object Similarity {
     * hop's raw join chain for PlanSpec's in-loop strategy pin
     * (ADVICE r10 — the production lazy checkpoints hide the joins
     * behind Scan ExistingRDD in the final plan). */
+  /** Multi-probe entry beam shared by the exact walk (s29 family) and
+    * the ADC walk (s39): medoids of the query's GraphAnnProbes nearest
+    * cells — queries × cells is broadcast-sized, ranked flat. */
+  private def walkEntryBeam(spark: SparkSession, dir: String,
+                            medoid: DataFrame, queries: DataFrame): DataFrame = {
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("pcell").asc)
+    val qProbes = queries.select(col("query_id"), col("qv"))
+      .crossJoin(broadcast(semDedupCentroids(spark, dir)
+        .select(col("cell").as("pcell"), col("cv"))))
+      .withColumn("cdist", round(
+        expr("aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"), 6))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= GraphAnnProbes)
+      .select(col("query_id"), col("pcell").as("cell"))
+    qProbes.join(medoid, Seq("cell"))
+      .select(col("query_id"), col("entry").as("node"))
+      .distinct()
+  }
+
   private[graft] def beamWalkOver(spark: SparkSession, dir: String,
                                   graph: DataFrame, vecs: DataFrame,
                                   medoid: DataFrame, queries: DataFrame,
@@ -956,21 +976,7 @@ object Similarity {
             / (col("qnorm") * col("cnorm")), 6))
         .withColumn("rnk", row_number().over(w))
     }
-    // multi-probe entry: medoids of the query's GraphAnnProbes nearest
-    // cells — queries × cells is broadcast-sized, ranked flat
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("cdist").asc, col("pcell").asc)
-    val qProbes = queries.select(col("query_id"), col("qv"))
-      .crossJoin(broadcast(semDedupCentroids(spark, dir)
-        .select(col("cell").as("pcell"), col("cv"))))
-      .withColumn("cdist", round(
-        expr("aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"), 6))
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= GraphAnnProbes)
-      .select(col("query_id"), col("pcell").as("cell"))
-    var beamDf = qProbes.join(medoid, Seq("cell"))
-      .select(col("query_id"), col("entry").as("node"))
-      .distinct()
+    var beamDf = walkEntryBeam(spark, dir, medoid, queries)
     (1 to hops).map { h =>
       val expanded = beamDf.select("query_id", "node")
         .unionByName(graph.join(broadcast(beamDf), col("node") === col("src"))
@@ -1005,6 +1011,83 @@ object Similarity {
       .select(col("query_id"), col("node").as("cand_id"), col("cosine"),
         col("rnk"))
       .orderBy("query_id", "rnk")
+
+  /** PQ-SCORED GRAPH WALK + EXACT REFINE (s39) — the composition
+    * DiskANN actually ships (Subramanya et al. 2019 §3: the graph and
+    * the PQ codes live in RAM, full vectors on SSD): the beam walk
+    * ranks its expansions by the ADC APPROXIMATE distance (8 byte codes
+    * per node against the query's broadcast LUT — s12's scoring inside
+    * s29's walk), and only the FINAL beam pays an exact full-vector
+    * re-rank. At serving scale this is the difference between holding
+    * 8 bytes/vector and 256 bytes/vector in memory on the hot path —
+    * the walk touches ~beam·m·hops nodes per query, and under ADC each
+    * touch is a LUT fold instead of a 64-dim dot product.
+    *
+    * Semantics are deterministic end to end: the LUT entries are
+    * 6dp-rounded DECIMAL(18,6) (the s12 discipline — the 8-term sum is
+    * exact and order-independent), the walk ranks (adist ASC, node ASC),
+    * and the refine re-scores the last beam with the exact 6dp cosine —
+    * so the DuckDB oracle replays the identical walk hop by hop.
+    *
+    * Scale shape: same hop loop as s29 (beam-broadcast joins, constant
+    * scored volume per query); the extra inputs are the memoized PQ
+    * artifacts (s10/s11 — 8 bytes/candidate + a 4096-row codebook) and
+    * the per-query LUT (queries × 8 × 64 rows, broadcast). The refine
+    * is one beam-sized exact-scoring join. Recall is pinned against the
+    * exact walk in OpsSpec. */
+  def pqGraphAnn(spark: SparkSession, dir: String, k: Int = 3,
+                 m: Int = GraphAnnM, beam: Int = GraphAnnBeam,
+                 hops: Int = GraphAnnHops,
+                 checkpointBeams: Boolean = true): DataFrame = {
+    val idx = graphAnnIndex(spark, dir, m)
+    val queries = semDedupAssignment(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    // the query-side ADC lookup table: exact subvector→codeword
+    // distances, 6dp DECIMAL — queries × 8 subspaces × PqK codewords,
+    // broadcast to every hop (eagerly checkpointed: every hop joins it)
+    val lut = subvectors(spark, dir).filter(col("vec_id") < 10)
+      .join(broadcast(pqCodebooks(spark, dir)), Seq("s"))
+      .withColumn("d", round(
+        expr("aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"), 6)
+        .cast("decimal(18,6)"))
+      .select(col("vec_id").as("query_id"), col("s"),
+        col("cid").as("code"), col("d"))
+      .localCheckpoint()
+    val codes = pqCandidateCodes(spark, dir)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("node").asc)
+    var beamDf = walkEntryBeam(spark, dir, idx.medoid, queries)
+    (1 to hops).foreach { _ =>
+      val expanded = beamDf.select("query_id", "node")
+        .unionByName(idx.graph.join(broadcast(beamDf), col("node") === col("src"))
+          .select(col("query_id"), col("dst").as("node")))
+        .distinct()
+      val scored = codes
+        .join(broadcast(expanded), col("cand_id") === col("node"))
+        .join(broadcast(lut), Seq("query_id", "s", "code"))
+        .groupBy("query_id", "node")
+        .agg(sum("d").as("adist"))
+        .withColumn("rnk", row_number().over(w))
+      val nextBeam = scored.filter(col("rnk") <= beam)
+        .select("query_id", "node")
+      beamDf = if (checkpointBeams) nextBeam.localCheckpoint(eager = false)
+               else nextBeam
+    }
+    // exact refine: the final beam (and only it) pays full-vector cosine
+    val wx = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("node").asc)
+    idx.vecs.join(broadcast(beamDf), Seq("node"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine", round(
+        expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rnk", row_number().over(wx))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("node").as("cand_id"), col("cosine"),
+        col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
 
   /** HOP-DEPTH TUNING SWEEP for the graph walk (s30) — s28's
     * recall/cost-curve story applied to s29: how deep must the beam walk

@@ -717,6 +717,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("s39 ADC walk, UN-checkpointed: every hop's expansion and LUT " +
+       "join broadcasts — no sort-merge, no cartesian in the whole " +
+       "walk-and-refine chain (the s29 pin applied to the PQ scorer)") {
+    val full = graft.ops.Similarity.pqGraphAnn(spark, dir,
+      checkpointBeams = false)
+    val p = full.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("s33_graph_ann_insert: the arrival walk broadcasts the beam — " +
        "no cartesian, no sort-merge, and NO new index artifact (an " +
        "insert is never a rebuild)") {

@@ -2439,6 +2439,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, f"s29 graph-ANN recall@3 $recall%.3f < 0.9")
   }
 
+  test("s39 PQ-scored walk: refine returns EXACT cosines, structure " +
+       "holds on flat data, recall@3 clears the floor on the CLUSTERED " +
+       "corpus at 8 bytes/node walk cost") {
+    import org.apache.spark.sql.DataFrame
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = Similarity.pqGraphAnn(spark, dir).collect()
+    assert(flat.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 3))
+    flat.foreach(r => assert(r.getAs[Long]("cand_id") >= 10L))
+    // the refine step's cosines are EXACT: for every (query, cand) the
+    // walk returns, the cosine equals the brute-force exact value —
+    // the ADC approximation steers the walk but never leaks into scores
+    import org.apache.spark.sql.functions.{col, expr, round, sqrt}
+    val vs = graft.Tables.embeddings(spark, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val exact = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+      .crossJoin(vs.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+          col("norm").as("cnorm")))
+      .withColumn("cosine", round(
+        expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("qnorm") * col("cnorm")), 6))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    flat.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      assert(r.getAs[Double]("cosine") === exact(key),
+        s"refined cosine for $key is not the exact value")
+    }
+    // recall floor on the clustered corpus — the ADC walk must find
+    // (nearly) what the exact walk finds; measured 0.967 = s29's own
+    // level at m=8/beam=8/hops=4 (the 64-codeword LUT preserves the
+    // neighborhood ordering well enough to steer the same walk)
+    val d = graft.sources.gen.ClusteredEmbeddings.ensure(spark)
+    val truth = pairs(Similarity.knnBrute(spark, d))
+    val got = pairs(Similarity.pqGraphAnn(spark, d))
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"s39 clustered recall@3 = $recall%.3f")
+    assert(recall >= 0.85, f"s39 PQ-walk recall@3 $recall%.3f < 0.85")
+  }
+
   test("s33/s34: inserted arrivals are FINDABLE post-insert (every " +
        "parent retrieves its arrival) and the insert writes NO new " +
        "index artifact — an insert is never a rebuild") {
