@@ -232,6 +232,7 @@ object SparkEntry {
     "g12_harmonic_centrality" -> (graft.ops.GraphRank.harmonicCentrality _),
     "g13_lpa_modularity"     -> (graft.ops.GraphRank.lpaModularity _),
     "g14_incremental_components" -> (graft.ops.GraphRank.incrementalComponents _),
+    "g15_conductance"        -> (graft.ops.GraphRank.lpaConductance _),
     "s25_truncated_ann"      -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.truncatedAnn(s, d)),
     "s26_range_search"       -> ((s: SparkSession, d: String) =>

@@ -923,6 +923,53 @@ object GraphRank {
   def lpaModularity(spark: SparkSession, dir: String): DataFrame =
     lpaModularityOf(lpaSelfEdges(spark, dir), LpaRounds)
 
+  /** COMMUNITY CONDUCTANCE (g15) — the OTHER community-quality axis:
+    * g13's modularity says how much better-than-random a partition is
+    * GLOBALLY; conductance φ(C) = cut(C) / min(vol(C), 2m − vol(C))
+    * says how leaky each community is LOCALLY — the bottleneck measure
+    * sweep-cut algorithms optimize and the standard acceptance test for
+    * "is this community real or an artifact of the rounds budget".
+    * Low-φ + low-dq communities are padding; high-φ ones bleed into
+    * their neighborhood and merge under one more LPA round. Every
+    * quantity is an exact integer off the same label vector g09/g13
+    * score (cut counts each boundary edge once PER SIDE; vol = degree
+    * sum, so vol = 2·internal + cut — the identity OpsSpec pins against
+    * g13 row by row); φ is one IEEE divide of exact BIGINTs, round(,6).
+    *
+    * Scale shape: two label lookups on the once-per-edge frame + one
+    * explode-both-sides aggregate — all O(E) on uniform keys, the g13
+    * plan with the filter flipped; the report is #communities-sized. */
+  def lpaConductanceOf(withSelf: DataFrame, rounds: Int): DataFrame = {
+    val labels = lpaLabelsOf(withSelf, rounds).localCheckpoint(eager = false)
+    val und = withSelf.filter(col("src") =!= col("dst"))
+    val e0 = und.filter(col("src") < col("dst"))
+    val mdf = e0.agg(count(lit(1)).as("m"))
+    val la = labels.select(col("node").as("src"), col("lbl"))
+    val lb = labels.select(col("node").as("dst"), col("lbl").as("lblb"))
+    val cut = e0.join(la, Seq("src")).join(lb, Seq("dst"))
+      .filter(col("lbl") =!= col("lblb"))
+      .select(explode(array(col("lbl"), col("lblb"))).as("lbl"))
+      .groupBy("lbl").agg(count(lit(1)).as("cut_edges"))
+    val degc = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .join(labels.select(col("node").as("src"), col("lbl")), Seq("src"))
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("size"), sum("deg").as("volume"))
+    degc.join(cut, Seq("lbl"), "left")
+      .crossJoin(broadcast(mdf))
+      .select(col("lbl").as("community"), col("size"), col("volume"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        (col("m") * 2 - col("volume")).as("rest"))
+      .withColumn("conductance",
+        when(least(col("volume"), col("rest")) <= 0, lit(0.0))
+          .otherwise(round(col("cut_edges").cast("double")
+            / least(col("volume"), col("rest")), 6)))
+      .drop("rest")
+      .orderBy("community")
+  }
+
+  def lpaConductance(spark: SparkSession, dir: String): DataFrame =
+    lpaConductanceOf(lpaSelfEdges(spark, dir), LpaRounds)
+
   /** DETERMINISTIC RANDOM WALKS (g11) — the DeepWalk/node2vec corpus
     * step (Perozzi et al. 2014): sample fixed-length walks from every
     * node and hand the sequences to a skip-gram trainer; the walk corpus

@@ -462,6 +462,36 @@ object OpsOracles {
        |FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl CROSS JOIN mm
        |ORDER BY community""".stripMargin
 
+  /** g15: conductance of the LPA partition (mirrors
+    * GraphRank.lpaConductance) — cut counted once per boundary side,
+    * vol = degree sum, φ one IEEE divide of exact BIGINTs, round(,6). */
+  private def lpaConductanceOracleSql: String =
+    s"""WITH $lpaCtes,
+       |lab AS (SELECT node, lbl FROM p${GraphRank.LpaRounds}),
+       |mm AS (SELECT count(*) AS m FROM e0),
+       |degn AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |bedge AS (
+       |  SELECT a.lbl AS lbla, b.lbl AS lblb FROM e0
+       |  JOIN lab a ON e0.src = a.node
+       |  JOIN lab b ON e0.dst = b.node
+       |  WHERE a.lbl <> b.lbl),
+       |cutc AS (
+       |  SELECT lbl, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+       |    SELECT lbla AS lbl FROM bedge
+       |    UNION ALL SELECT lblb FROM bedge)
+       |  GROUP BY lbl),
+       |dc AS (
+       |  SELECT l.lbl, CAST(count(*) AS BIGINT) AS size,
+       |    CAST(sum(d.deg) AS BIGINT) AS volume
+       |  FROM lab l JOIN degn d ON l.node = d.node GROUP BY l.lbl)
+       |SELECT dc.lbl AS community, dc.size, dc.volume,
+       |  CAST(coalesce(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+       |  CASE WHEN least(dc.volume, mm.m * 2 - dc.volume) <= 0 THEN 0.0
+       |       ELSE round(CAST(coalesce(c.cut_edges, 0) AS DOUBLE)
+       |         / least(dc.volume, mm.m * 2 - dc.volume), 6) END AS conductance
+       |FROM dc LEFT JOIN cutc c ON dc.lbl = c.lbl CROSS JOIN mm
+       |ORDER BY community""".stripMargin
+
   /** MinHash signatures → 4 band keys per doc (mirrors
     * Dedup.minhashLshOf's signature/band construction; shared by the
     * full-corpus LSH CTEs and the d22 incremental split). */
@@ -4872,6 +4902,7 @@ object OpsOracles {
     "g08_kcore" -> kcoreOracleSql,
     "g09_lpa_communities" -> lpaOracleSql,
     "g13_lpa_modularity" -> lpaModularityOracleSql,
+    "g15_conductance" -> lpaConductanceOracleSql,
     "g07_components_converged" -> componentsConvergedOracleSql,
     // g14: incremental ≡ batch by construction (min-label over the merged
     // label groups IS the union component's min), so the oracle is the

@@ -2813,6 +2813,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q >= -0.5 && q <= 1.0, s"global modularity $q outside [-0.5, 1]")
   }
 
+  test("g15 conductance: hand-checked on the bridged cliques (φ = 1/13 " +
+    "each side), and vol = 2·internal + cut reconciles with g13 row by " +
+    "row on the corpus") {
+    val sp = spark
+    import sp.implicits._
+    def k4(p: String) = for {
+      x <- 1 to 4; y <- 1 to 4 if x != y
+    } yield (s"$p$x", s"$p$y")
+    val und = k4("a") ++ k4("b") ++ Seq(("a1", "b1"), ("b1", "a1"))
+    val nodes = und.map(_._1).distinct
+    val withSelf = (und ++ nodes.map(n => (n, n))).toDF("src", "dst")
+    val got = GraphRank.lpaConductanceOf(withSelf, GraphRank.LpaRounds)
+      .collect().map(r => (r.getAs[String]("community"),
+        r.getAs[Long]("size"), r.getAs[Long]("volume"),
+        r.getAs[Long]("cut_edges"), r.getAs[Double]("conductance")))
+    // each clique: vol = 4·3 + 1 bridge endpoint = 13, cut = 1,
+    // m = 13 so min(13, 26-13) = 13 → φ = 1/13
+    val phi = math.round(1.0 / 13 * 1e6) / 1e6
+    assert(got.toSeq === Seq(
+      ("a1", 4L, 13L, 1L, phi), ("b1", 4L, 13L, 1L, phi)))
+    // corpus reconciliation: the degree-sum identity against g13 —
+    // volume = 2·internal_edges + cut_edges for EVERY community
+    val cond = GraphRank.lpaConductance(spark, dir).collect()
+      .map(r => r.getAs[String]("community") ->
+        ((r.getAs[Long]("volume"), r.getAs[Long]("cut_edges"),
+          r.getAs[Double]("conductance")))).toMap
+    val mod = GraphRank.lpaModularity(spark, dir).collect()
+      .map(r => r.getAs[String]("community") ->
+        r.getAs[Long]("internal_edges")).toMap
+    assert(cond.keySet === mod.keySet)
+    cond.foreach { case (c, (vol, cut, phi2)) =>
+      assert(vol === 2 * mod(c) + cut, s"vol identity broken for $c")
+      assert(phi2 >= 0.0 && phi2 <= 1.0)
+    }
+  }
+
   test("t52 epoch allocation: hand-checked planted plan — the dominant " +
     "source runs 2 epochs, the low-resource one hits the 4-epoch cap " +
     "with unmet remainder; budget never oversubscribed") {
