@@ -215,6 +215,7 @@ object SparkEntry {
     "f13_data_skipping"      -> (graft.sources.DataSkipping.skippingQuery _),
     "f14_incremental_agg"    -> (graft.sources.IncrementalAgg.refreshedDailyView _),
     "f15_dynamic_pruning"    -> (graft.sources.DynamicPruning.pruningJoin _),
+    "f17_runtime_bloom"      -> (graft.sources.RuntimeBloom.bloomPrunedAgg _),
     "f16_corrupt_jsonl"      -> (graft.sources.CorruptJsonl.ingestReport _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),

@@ -3119,6 +3119,20 @@ object OpsOracles {
         |GROUP BY d.lang, region
         |ORDER BY d.lang""".stripMargin,
 
+    // f17: runtime bloom-filter join pruning — the oracle is the plain
+    // join (a bloom false positive just survives to the real join; the
+    // filter is a superset cut, never a semantics change — f15's stance
+    // at row grain).
+    "f17_runtime_bloom" ->
+      """SELECT s_suppkey,
+        |  CAST(count(*) AS BIGINT) AS line_count,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS qty_sum
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
     // t36: stratified split report — the md5-nibble three-way split with
     // per-source shares; pure integer counts and one rounded divide
     "t36_train_val_test" ->

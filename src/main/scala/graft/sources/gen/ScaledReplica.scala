@@ -103,6 +103,9 @@ object ScaledReplica {
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("customer", Seq("c_custkey"))
+    // l_suppkey shifts with lineitem, so the supplier dim must shift in
+    // lockstep for fact⋈dim surfaces (f17) to keep their join selectivity
+    replicate("supplier", Seq("s_suppkey"))
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"), swapTokens)
     // vec_id shifts like every other key; label is a distribution column

@@ -717,6 +717,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("f17 runtime bloom: the fact scan carries " +
+       "bloom_filter_might_contain built from the filtered dim (AFTER " +
+       "an action — runtime filters plan at execution), and the answer " +
+       "equals the filter-free plan's") {
+    val bloomed = graft.sources.RuntimeBloom.bloomPrunedAgg(spark, dir)
+    val rows = bloomed.collect()
+    val p = bloomed.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(p.contains("bloom_filter_agg"), p.take(3000))
+    // correctness never depends on the bloom: plain-session plan agrees
+    val plain = graft.sources.RuntimeBloom.query(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq === plain.map(_.toString).toSeq)
+  }
+
   test("s39 ADC walk, UN-checkpointed: every hop's expansion and LUT " +
        "join broadcasts — no sort-merge, no cartesian in the whole " +
        "walk-and-refine chain (the s29 pin applied to the PQ scorer)") {
