@@ -266,6 +266,8 @@ object SparkEntry {
     "d32_dedup_weights"      -> (Dedup.dedupWeights _),
     "d33_cross_source_matrix" -> (Dedup.crossSourceMatrix _),
     "d34_cluster_coherence"  -> (Dedup.clusterCoherence _),
+    "d35_incremental_semdedup" -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.incrementalSemDedup(s, d)),
     "s31_hard_negatives"     -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.hardNegatives(s, d)),
     "s32_triplet_margins"    -> ((s: SparkSession, d: String) =>

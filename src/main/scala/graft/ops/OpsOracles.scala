@@ -2695,6 +2695,57 @@ object OpsOracles {
     // closure (pair graph is duplicate-sized; multiply-referenced CTEs
     // MATERIALIZED against recursive re-inline), keeper = argmin
     // cosine-to-own-centroid per family.
+    // d35: incremental semdedup — the persisted route (assigned) split
+    // by the md5 arrival boundary; delta pairs only against same-cell
+    // index members and smaller-id batch peers. Verdict precedence:
+    // index wins (immutable tonight), sentinels -1/0.0 for unique.
+    "d35_incremental_semdedup" ->
+      s"""WITH $semKmeansCtes,
+        |assigned AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, norm FROM (
+        |    SELECT w.vec_id, r.cell, w.v, w.norm,
+        |      row_number() OVER (PARTITION BY w.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(64),
+        |          i -> (w.v[i+1] - r.cv[i+1]) * (w.v[i+1] - r.cv[i+1]))), 6) ASC,
+        |        r.cell ASC) AS rk
+        |    FROM vsup w JOIN routed r ON w.sup = r.sup)
+        |  WHERE rk = 1),
+        |delta AS MATERIALIZED (SELECT * FROM assigned
+        |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = 'f'),
+        |idx AS MATERIALIZED (SELECT * FROM assigned
+        |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> 'f'),
+        |mi AS (
+        |  SELECT d.vec_id, i.vec_id AS match_id,
+        |    round(list_sum(list_transform(range(64),
+        |      i2 -> d.v[i2+1] * i.v[i2+1])) / (d.norm * i.norm), 6) AS cosine
+        |  FROM delta d JOIN idx i ON d.cell = i.cell
+        |  WHERE round(list_sum(list_transform(range(64),
+        |      i2 -> d.v[i2+1] * i.v[i2+1])) / (d.norm * i.norm), 6) >= 0.3),
+        |mb AS (
+        |  SELECT d.vec_id, p.vec_id AS match_id,
+        |    round(list_sum(list_transform(range(64),
+        |      i2 -> d.v[i2+1] * p.v[i2+1])) / (d.norm * p.norm), 6) AS cosine
+        |  FROM delta d JOIN delta p ON d.cell = p.cell
+        |    AND p.vec_id < d.vec_id
+        |  WHERE round(list_sum(list_transform(range(64),
+        |      i2 -> d.v[i2+1] * p.v[i2+1])) / (d.norm * p.norm), 6) >= 0.3),
+        |bi AS (SELECT vec_id, match_id AS i_id, cosine AS i_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosine DESC, match_id ASC) AS rk FROM mi) WHERE rk = 1),
+        |bb AS (SELECT vec_id, match_id AS b_id, cosine AS b_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosine DESC, match_id ASC) AS rk FROM mb) WHERE rk = 1)
+        |SELECT d.vec_id, d.cell,
+        |  CASE WHEN bi.i_id IS NOT NULL THEN 'dup_vs_index'
+        |       WHEN bb.b_id IS NOT NULL THEN 'dup_in_batch'
+        |       ELSE 'unique' END AS verdict,
+        |  CAST(COALESCE(bi.i_id, bb.b_id, -1) AS BIGINT) AS best_match,
+        |  COALESCE(bi.i_cos, bb.b_cos, 0.0) AS best_cosine
+        |FROM delta d
+        |LEFT JOIN bi ON d.vec_id = bi.vec_id
+        |LEFT JOIN bb ON d.vec_id = bb.vec_id
+        |ORDER BY d.vec_id""".stripMargin,
+
     "d29_semdedup" ->
       s"""WITH RECURSIVE $semKmeansCtes,
         |assigned AS MATERIALIZED (

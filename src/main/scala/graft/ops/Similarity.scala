@@ -731,6 +731,68 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL SEMDEDUP (d35) — the d19/d22 nightly-arrival contract
+    * applied to the EMBEDDING family: semantic-dedup tonight's batch
+    * against the already-ingested corpus without re-pairing the corpus.
+    * The md5(vec_id) hash-split plays the arrival boundary (bucket 'f'
+    * = the delta; the rest = the index). The quantizer and the
+    * assignment are the PERSISTED ingest artifacts ([[semDedupAssignment]]
+    * — routed once when each vector landed; no retrain, the s16
+    * discipline), so tonight pays only the PAIRING: each delta vector
+    * meets the index members of its own cell plus its smaller-id batch
+    * peers — O(|delta| · targetCell) pairs, never corpus².
+    *
+    * Verdict rule, in precedence order: `dup_vs_index` if any index
+    * member of the cell clears θ (existing content wins — the index is
+    * immutable tonight, the d22 stance), else `dup_in_batch` if a
+    * SMALLER-id batch peer clears θ (the repo-wide keep-min rule), else
+    * `unique`. `best_match`/`best_cosine` name the evidence (cosine
+    * desc, id asc; sentinels -1/0.0 for unique — both engines emit the
+    * same literals, no NULL-hash ambiguity). A delta doc that would
+    * retro-claim an index doc drops neither side tonight — the standard
+    * retro-loser a compaction pass handles (d22's documented stance). */
+  def incrementalSemDedup(spark: SparkSession, dir: String,
+                          theta: Double = 0.3): DataFrame = {
+    val assigned = semDedupAssignment(spark, dir)
+    val bucket = substring(md5(col("vec_id").cast("string")), 1, 1)
+    // the delta feeds four branches (index probe, both batch sides, the
+    // verdict spine) — eager localCheckpoint, GC-scoped blocks
+    val delta = assigned.filter(bucket === "f").localCheckpoint()
+    val idx = assigned.filter(bucket =!= "f")
+    val d = delta.select(col("vec_id"), col("cell"),
+      col("v").as("dv"), col("norm").as("dn"))
+    def scoredAgainst(side: DataFrame): DataFrame =
+      d.join(side, Seq("cell"))
+        .withColumn("cosine", round(
+          expr("aggregate(zip_with(dv, mv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            / (col("dn") * col("mn")), 6))
+        .filter(col("cosine") >= theta)
+        .select(col("vec_id"), col("match_id"), col("cosine"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("match_id").asc)
+    def bestOf(m: DataFrame, tag: String): DataFrame =
+      m.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("match_id").as(s"${tag}_id"),
+          col("cosine").as(s"${tag}_cos"))
+    val bi = bestOf(scoredAgainst(idx.select(col("cell"),
+      col("vec_id").as("match_id"), col("v").as("mv"),
+      col("norm").as("mn"))), "i")
+    val bb = bestOf(scoredAgainst(delta.select(col("cell"),
+        col("vec_id").as("match_id"), col("v").as("mv"),
+        col("norm").as("mn")))
+      .filter(col("match_id") < col("vec_id")), "b")
+    delta.select("vec_id", "cell")
+      .join(bi, Seq("vec_id"), "left_outer")
+      .join(bb, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        when(col("i_id").isNotNull, lit("dup_vs_index"))
+          .when(col("b_id").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("unique")).as("verdict"),
+        coalesce(col("i_id"), col("b_id"), lit(-1L)).as("best_match"),
+        coalesce(col("i_cos"), col("b_cos"), lit(0.0)).as("best_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** NPROBE TUNING SWEEP (s28) — the recall/cost CURVE the s14 single
     * point sits on: run the trained-IVF search at several nprobe
     * settings in ONE pass and report, per setting, the recall@k against

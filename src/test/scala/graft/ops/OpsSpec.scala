@@ -2813,6 +2813,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q >= -0.5 && q <= 1.0, s"global modularity $q outside [-0.5, 1]")
   }
 
+  test("d35 incremental semdedup: verdicts reconcile with a driver-side " +
+    "recompute over the persisted route (index wins, then smaller-id " +
+    "batch peer, else unique) and the report covers the whole delta") {
+    val assigned = Similarity.semDedupAssignment(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Seq[Double]]("v").toArray, r.getAs[Double]("norm")))
+    def bucketF(id: Long): Boolean = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(dg(0)).charAt(0) == 'f'
+    }
+    def cos(a: (Long, Int, Array[Double], Double),
+            b: (Long, Int, Array[Double], Double)): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a._3.length) { acc += a._3(i) * b._3(i); i += 1 }
+      BigDecimal(acc / (a._4 * b._4))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (delta, idx) = assigned.partition(x => bucketF(x._1))
+    assert(delta.nonEmpty && idx.nonEmpty)
+    val byCellIdx = idx.groupBy(_._2)
+    val byCellDelta = delta.groupBy(_._2)
+    val expect = delta.map { dv =>
+      val im = byCellIdx.getOrElse(dv._2, Array.empty[(Long, Int, Array[Double], Double)])
+        .map(m => (m._1, cos(dv, m))).filter(_._2 >= 0.3)
+      val bm = byCellDelta(dv._2)
+        .filter(_._1 < dv._1).map(m => (m._1, cos(dv, m))).filter(_._2 >= 0.3)
+      def best(ms: Array[(Long, Double)]) =
+        ms.minBy(m => (-m._2, m._1))
+      val (verdict, mid, mcos) =
+        if (im.nonEmpty) { val b = best(im); ("dup_vs_index", b._1, b._2) }
+        else if (bm.nonEmpty) { val b = best(bm); ("dup_in_batch", b._1, b._2) }
+        else ("unique", -1L, 0.0)
+      dv._1 -> ((dv._2, verdict, mid, mcos))
+    }.toMap
+    val got = Similarity.incrementalSemDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === expect)
+    assert(got.size === delta.length, "one verdict row per delta vector")
+    // the planted corpus must exercise the dup path, not just 'unique'
+    assert(got.values.exists(_._2 != "unique"),
+      "delta should contain at least one semantic duplicate")
+  }
+
   test("g15 conductance: hand-checked on the bridged cliques (φ = 1/13 " +
     "each side), and vol = 2·internal + cut reconciles with g13 row by " +
     "row on the corpus") {
