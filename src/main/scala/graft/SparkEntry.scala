@@ -302,6 +302,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamModelScore(s, d)),
     "w18_stream_gate_drift"  -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamGateDrift(s, d)),
+    "w19_stream_ingest_ledger" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamIngestLedger(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j04_nearest_join"       -> (graft.operators.AsOfJoin.purchaseNearestClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),

@@ -5529,6 +5529,65 @@ object OpsOracles {
     // w16: t49's flags (minStopwords=1 driver stance) with first-failing-
     // rule attribution, aggregated per (reason, lang) — verifies the whole
     // stream route→sink→scan path since every column is row-local.
+    // w19: streaming ingest ledger — the funnel verdicts replayed in
+    // batch SQL: fingerprint index hit, band-min probe hit (an OLDER
+    // index doc shares a bucket), t49 quality at minStopwords=1, landed;
+    // the stream only accumulates monoid counts so the oracle is the
+    // batch rollup verbatim.
+    "w19_stream_ingest_ledger" ->
+      s"""WITH $shingleCte,
+        |$sigBandsCte,
+        |bb AS (SELECT doc_id, band, bkey,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket FROM bands),
+        |idxmin AS (SELECT band, bkey, min(doc_id) AS bmin
+        |  FROM bb WHERE bucket <> 'f' GROUP BY 1, 2),
+        |nearhit AS (
+        |  SELECT DISTINCT a.doc_id FROM bb a JOIN idxmin m
+        |    ON a.band = m.band AND a.bkey = m.bkey
+        |  WHERE a.bucket = 'f' AND m.bmin < a.doc_id),
+        |fpidx AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'),
+        |arr AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+        |mq2 AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> length(w))) AS BIGINT) AS word_chars,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS sym_hits,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |      AS stop_distinct
+        |  FROM arr),
+        |keepv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_words BETWEEN 50 AND 100000
+        |          AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+        |          AND 10 * sym_hits <= n_words
+        |          AND 5 * alpha_words >= 4 * n_words
+        |          AND stop_distinct >= 1 THEN 1 ELSE 0 END AS keep
+        |  FROM mq2),
+        |v2 AS (
+        |  SELECT a.lang, a.n_chars,
+        |    CASE WHEN a.fp IN (SELECT fp FROM fpidx) THEN 'exact_dup'
+        |         WHEN a.doc_id IN (SELECT doc_id FROM nearhit) THEN 'near_dup'
+        |         WHEN k.keep = 0 THEN 'quality_reject'
+        |         ELSE 'landed' END AS verdict
+        |  FROM arr a JOIN keepv k USING (doc_id))
+        |SELECT verdict, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM v2 GROUP BY 1, 2
+        |ORDER BY verdict, lang""".stripMargin,
+
     // w18: streaming gate-drift monitor — w16's verdict chain reduced to
     // survivor counts per lang, then t32's JS math against the full-corpus
     // reference profile. The stream side only accumulates monoid counts,

@@ -567,7 +567,10 @@ object EventStream {
   /** The guard as a frame-in/frame-out transform — identical plan for a
     * streaming or batch `arrivals` frame (StreamingSpec proves the two
     * agree row for row). */
-  def ingestDedupOf(arrivals: DataFrame, idx: DataFrame): DataFrame = {
+  /** The w08 probe chain with the 4 per-band index minima left-joined
+    * on (exposed so w19's ledger can read the SAME probe as flags
+    * instead of a filter). Keeps every arrival column. */
+  def bandProbeOf(arrivals: DataFrame, idx: DataFrame): DataFrame = {
     var keyed = graft.ops.Dedup.withShinglesOf(arrivals)
       .withColumn("sig",
         when(col("n") > 0, expr("minhash_sigs(shingles, 8)")))
@@ -581,11 +584,14 @@ object EventStream {
           .select(col("bkey").as(s"bk$b"), col("bmin").as(s"bmin$b")),
         Seq(s"bk$b"), "left")
     joined
+  }
+
+  def ingestDedupOf(arrivals: DataFrame, idx: DataFrame): DataFrame =
+    bandProbeOf(arrivals, idx)
       .filter((0 until 4)
         .map(b => col(s"bmin$b").isNull || col(s"bmin$b") > col("doc_id"))
         .reduce(_ && _))
       .select("doc_id", "lang", "n_chars")
-  }
 
   def ingestDedupStream(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.MinHashSigs.register(spark)
@@ -1133,5 +1139,88 @@ object EventStream {
     val keptCounts = spark.read.parquet(out)
       .groupBy("lang").agg(sum("n").as("kept_n"))
     gateDriftReport(graft.Tables.documents(spark, dir), keptCounts)
+  }
+
+  /** The w19 per-arrival verdict: t53's curation funnel evaluated IN
+    * FLIGHT against the persisted ingest artifacts, one verdict per doc
+    * in precedence order — `exact_dup` (normalized fingerprint already
+    * in the fingerprint index, d19's artifact), `near_dup` (w08's
+    * band-min probe says an OLDER index doc shares a bucket),
+    * `quality_reject` (t49's rules at the w16 calibration), `landed`.
+    * Pure per-row expressions plus left joins against two STATIC index
+    * frames — no stream-stream join, no state, so the identical plan
+    * runs over a batch or streaming frame and the verdict is
+    * arrival-order-free. */
+  def ingestLedgerVerdict(arrivals: DataFrame, fpIndex: DataFrame,
+                          idx: DataFrame): DataFrame = {
+    val withFp = arrivals.withColumn("fp",
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+    val probed = bandProbeOf(withFp, idx)
+      .join(fpIndex.withColumn("fphit", lit(1)), Seq("fp"), "left")
+    val near = (0 until 4)
+      .map(b => col(s"bmin$b").isNotNull && col(s"bmin$b") < col("doc_id"))
+      .reduce(_ || _)
+    graft.ops.TextAnalysis.gopherFlagsOf(probed, minStopwords = 1)
+      .withColumn("verdict",
+        when(col("fphit") === 1, lit("exact_dup"))
+          .when(near, lit("near_dup"))
+          .when(col("keep") === 0, lit("quality_reject"))
+          .otherwise(lit("landed")))
+      .select("doc_id", "lang", "n_chars", "verdict")
+  }
+
+  /** The fingerprint index (d19's persisted artifact shape): distinct
+    * normalized fingerprints of everything already ingested. */
+  def fpIndexOf(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "f")
+      .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .as("fp"))
+      .distinct()
+
+  /** STREAMING INGEST LEDGER (w19) — the ingest dashboard: t53 answers
+    * "what survived curation" for the corpus at rest; w19 answers it at
+    * the INGEST LINE, per micro-batch, against the persisted index
+    * artifacts (fingerprints, LSH band minima) and the in-flight
+    * quality rules. Each micro-batch appends its per-(verdict, lang)
+    * PARTIAL counts — counts and char sums are commutative monoids, so
+    * AvailableNow's backlog slicing cannot change the final report (the
+    * w14/w18 determinism stance) and the stream side keeps ZERO state.
+    * At 100 TB the two index sides are the ingest line's standing
+    * tables; the stream pays one narrow verdict pass per arrival plus a
+    * #verdicts×#langs-row aggregate per trigger. */
+  def streamIngestLedger(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashSigs.register(spark)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_ledger/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    graft.sources.StaleOutputs.sweep("graft_ingest_ledger",
+      spark.sparkContext.applicationId)
+    graft.sources.StaleOutputs.reset(base)
+    val out = s"$base/counts"
+    val countsSchema = StructType(Seq(
+      StructField("verdict", StringType), StructField("lang", StringType),
+      StructField("n", LongType), StructField("chars", LongType)))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), countsSchema)
+    empty.write.mode("append").parquet(out)
+    val verdicts = ingestLedgerVerdict(
+      readDocuments(spark, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f"),
+      fpIndexOf(spark, dir), indexBandMins(spark, dir))
+    val q = verdicts
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().groupBy("verdict", "lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("verdict", "lang")
+      .agg(sum("n").as("n_docs"), sum("chars").as("chars_sum"))
+      .orderBy("verdict", "lang")
   }
 }

@@ -501,4 +501,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(r => r.getDouble(5) > 0.0),
       "planted corpus should show a nonzero drift term")
   }
+
+  test("streaming ingest ledger: equals the batch verdict rollup " +
+    "(monoid partial counts), conserves the arrival slice, and the " +
+    "planted corpus exercises the dup verdicts") {
+    import org.apache.spark.sql.functions.{md5, substring, sum => fsum}
+    val got = EventStream.streamIngestLedger(spark, dir).collect()
+    val arrivals = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+    val batch = EventStream.ingestLedgerVerdict(arrivals,
+        EventStream.fpIndexOf(spark, dir),
+        EventStream.indexBandMins(spark, dir))
+      .groupBy("verdict", "lang")
+      .agg(count(lit(1)).as("n_docs"), fsum("n_chars").as("chars_sum"))
+      .orderBy("verdict", "lang").collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    assert(got.map(key).toSeq === batch.map(key).toSeq,
+      "streamed ledger must equal the batch verdict rollup")
+    assert(got.map(_.getLong(2)).sum === arrivals.count(),
+      "one verdict per arrival — nothing lost, nothing duplicated")
+    val verdicts = got.map(_.getString(0)).toSet
+    assert(verdicts.contains("landed"))
+    assert(verdicts.contains("near_dup") || verdicts.contains("exact_dup"),
+      "planted corpus should surface at least one dup verdict at ingest")
+  }
 }
