@@ -268,6 +268,7 @@ object SparkEntry {
     "d34_cluster_coherence"  -> (Dedup.clusterCoherence _),
     "d35_incremental_semdedup" -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.incrementalSemDedup(s, d)),
+    "d36_weighted_resample"  -> (Dedup.weightedResample _),
     "s31_hard_negatives"     -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.hardNegatives(s, d)),
     "s32_triplet_margins"    -> ((s: SparkSession, d: String) =>

@@ -393,6 +393,41 @@ object Dedup {
   def dedupWeights(spark: SparkSession, dir: String): DataFrame =
     dedupWeightsOf(Tables.documents(spark, dir), dedupClusters(spark, dir))
 
+  /** WEIGHTED-RESAMPLE APPLY (d36) — the APPLY step for d32's soft
+    * weights: materialize the actual training subset by a DETERMINISTIC
+    * Bernoulli draw, keep(doc) ⟺ u(doc) < 1/family_size, with
+    * u = the first 4 md5 nibbles of a salted doc key ('rs|' — a new
+    * salt is a new epoch's draw, the t46 reproducibility stance). Each
+    * family keeps ONE member in EXPECTATION — soft dedup's whole point
+    * vs d07/d17's hard keep-min-id: no deterministic survivor bias
+    * toward low ids, and repeated epochs see different family members
+    * (Muennighoff et al.'s data-constrained repeat setting).
+    *
+    * Exactness: the draw is the EXACT INTEGER comparison
+    * decode4 · family_size < 65536 (u < 1/n with u = decode4/65536 —
+    * no float ever materializes; the d30 calibrationSampleOf decode,
+    * salted). Singletons pass unconditionally (decode4 < 65536 always).
+    *
+    * Scale shape: d32's two uniform-key joins plus one narrow
+    * filter — O(corpus), nothing new shuffles; the family aggregate is
+    * pair-graph-sized. */
+  def weightedResampleOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val fam = clusters.groupBy("cluster_id").agg(count(lit(1)).as("fs"))
+    docs.select("doc_id", "lang", "n_chars")
+      .join(clusters, Seq("doc_id"), "left")
+      .join(fam, Seq("cluster_id"), "left")
+      .withColumn("family_size", coalesce(col("fs"), lit(1L)))
+      .withColumn("u16",
+        conv(substring(md5(concat(lit("rs|"), col("doc_id").cast("string"))), 1, 4),
+          16, 10).cast("long"))
+      .filter(col("u16") * col("family_size") < 65536L)
+      .select("doc_id", "lang", "n_chars", "family_size")
+      .orderBy("doc_id")
+  }
+
+  def weightedResample(spark: SparkSession, dir: String): DataFrame =
+    weightedResampleOf(Tables.documents(spark, dir), dedupClusters(spark, dir))
+
   /** CROSS-SOURCE DUPLICATION MATRIX (d33) — the production detector's
     * pair list aggregated to source grain (lang here, the corpus's
     * source axis): how many near-dup pairs land within each source and

@@ -3743,6 +3743,49 @@ object OpsOracles {
     // components (mirrors Dedup.dedupWeights); 1.0/n is one
     // correctly-rounded IEEE division of small integers, bit-identical
     // across engines.
+    // d36: weighted-resample apply — d32's weight chain with the exact
+    // integer Bernoulli draw decode4('rs|'||doc_id) * family_size < 65536
+    // (u < 1/n with no float ever materializing; the d30 decode, salted).
+    "d36_weighted_resample" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |bi AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |       UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(doc_id, node) AS (
+        |  SELECT DISTINCT a, a FROM bi
+        |  UNION
+        |  SELECT w.doc_id, e.b FROM walk w JOIN bi e ON w.node = e.a),
+        |labels AS (
+        |  SELECT doc_id, min(node) AS cluster_id FROM walk GROUP BY doc_id),
+        |fam AS (
+        |  SELECT cluster_id, count(*) AS fs FROM labels GROUP BY cluster_id),
+        |wtd AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    CAST(coalesce(fam.fs, 1) AS BIGINT) AS family_size,
+        |    md5('rs|' || CAST(d.doc_id AS VARCHAR)) AS m
+        |  FROM documents d
+        |  LEFT JOIN labels l ON d.doc_id = l.doc_id
+        |  LEFT JOIN fam ON l.cluster_id = fam.cluster_id)
+        |SELECT doc_id, lang, n_chars, family_size
+        |FROM wtd
+        |WHERE CAST((strpos('0123456789abcdef', m[1]) - 1) * 4096
+        |    + (strpos('0123456789abcdef', m[2]) - 1) * 256
+        |    + (strpos('0123456789abcdef', m[3]) - 1) * 16
+        |    + (strpos('0123456789abcdef', m[4]) - 1) AS BIGINT) * family_size
+        |  < 65536
+        |ORDER BY doc_id""".stripMargin,
+
     "d32_dedup_weights" ->
       s"""WITH RECURSIVE $shingleCte,
         |$lshCandCte,

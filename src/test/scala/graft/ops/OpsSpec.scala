@@ -2813,6 +2813,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q >= -0.5 && q <= 1.0, s"global modularity $q outside [-0.5, 1]")
   }
 
+  test("d36 weighted resample: the draw is the exact-integer Bernoulli " +
+    "over d32's weights — singletons always pass, big families thin out, " +
+    "kept set reconciles doc by doc") {
+    def u16(id: Long): Long = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rs|$id".getBytes("UTF-8"))
+      ((dg(0) & 0xff).toLong << 8) | (dg(1) & 0xff).toLong
+    }
+    val weights = Dedup.dedupWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectKept = weights.filter { case (id, fs) => u16(id) * fs < 65536L }
+      .keySet
+    val got = Dedup.weightedResample(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet === expectKept)
+    got.foreach(r => assert(r.getLong(3) === weights(r.getLong(0))))
+    // singletons pass unconditionally
+    val singles = weights.filter(_._2 == 1L).keySet
+    assert(singles.subsetOf(got.map(_.getLong(0)).toSet))
+    // soft dedup must actually thin the planted families
+    val famDocs = weights.count(_._2 > 1L)
+    val famKept = got.count(_.getLong(3) > 1L)
+    assert(famDocs > 0 && famKept < famDocs,
+      s"families kept $famKept of $famDocs members — the draw cut nothing")
+    // and, unlike hard keep-min-id, survivors are not biased to the
+    // family minimum: at least one kept member is NOT its family's min
+    val famMin = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).min }
+    val keptIds = got.map(_.getLong(0)).toSet
+    val clusterOf = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keptIds.exists(id =>
+      clusterOf.get(id).exists(c => famMin(c) != id)),
+      "every survivor is its family min — that is d07, not a resample")
+  }
+
   test("d35 incremental semdedup: verdicts reconcile with a driver-side " +
     "recompute over the persisted route (index wins, then smaller-id " +
     "batch peer, else unique) and the report covers the whole delta") {
