@@ -763,6 +763,66 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans === 1, s"expected 1 documents scan (assembly), got $scans")
   }
 
+  test("t53_pipeline_funnel: ONE #languages-sized aggregate over the " +
+       "narrow spine — all four gate sides fold in as flags, no " +
+       "cartesian, and the per-pair LSH output never reaches the plan " +
+       "top (no Sort over the detector)") {
+    val p = plan("t53_pipeline_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the funnel is gate-flag joins + one aggregate; the detector's
+    // sorted pair dump is eliminated under the aggregate
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("t54_filter_pr_curve: the 9-θ grid broadcasts against the " +
+       "doc-grain margin frame — the sweep never re-explodes the token " +
+       "stream (ONE documents scan feeds the scoring side)") {
+    val p = plan("t54_filter_pr_curve")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // t50's token explode is memoized/once; the θ sweep adds no scan
+    val scans = fileScans("t54_filter_pr_curve").count(_.contains("documents"))
+    assert(scans <= 2, s"θ sweep re-scanned documents: $scans scans")
+  }
+
+  test("d34_cluster_coherence: the pair list feeds loop and join from " +
+       "ONE eager checkpoint — coherence reads Scan ExistingRDD, no " +
+       "cartesian, no detector replay") {
+    val p = plan("d34_cluster_coherence")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    val scans = fileScans("d34_cluster_coherence").count(_.contains("documents"))
+    assert(scans === 0,
+      s"coherence must run on the checkpointed pair list, got $scans corpus scans")
+  }
+
+  test("d35_incremental_semdedup: both pairings are cell-equi joins off " +
+       "the delta's eager checkpoint — no cartesian, the route memo " +
+       "feeds the spine") {
+    val p = plan("d35_incremental_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+  }
+
+  test("d36_weighted_resample: d32's assembly shape — one corpus scan, " +
+       "labels from the loop checkpoint, the draw is a narrow filter " +
+       "(no new exchange)") {
+    val p = plan("d36_weighted_resample")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    val scans = fileScans("d36_weighted_resample").count(_.contains("documents"))
+    assert(scans === 1, s"expected 1 documents scan (assembly), got $scans")
+  }
+
+  test("g15_conductance: g13's plan with the filter flipped — m " +
+       "broadcasts as the 1-row cross join, labels read from the " +
+       "checkpoint, no cartesian") {
+    val p = plan("g15_conductance")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+  }
+
   test("g13_lpa_modularity: m rides as a broadcast 1-row cross join, " +
        "the label vector reads from its checkpoint — no cartesian") {
     val p = plan("g13_lpa_modularity")
