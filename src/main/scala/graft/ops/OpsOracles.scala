@@ -662,7 +662,8 @@ object OpsOracles {
     * post-insert serve walk (prefix "p" over the merged graph +
     * arrival-extended candidates). */
   private def walkHopCte(prefix: String, graphName: String,
-                         candName: String, qName: String)(t: Int) = {
+                         candName: String, qName: String,
+                         beam: Int = Similarity.GraphAnnBeam)(t: Int) = {
     val qcos = "round(list_sum(list_transform(range(64), " +
       "i -> q.v[i+1] * c.v[i+1])) / (q.norm * c.norm), 6)"
     s"""${prefix}e$t AS (SELECT DISTINCT query_id, node FROM (
@@ -677,7 +678,7 @@ object OpsOracles {
        |  FROM ${prefix}e$t e JOIN $candName c ON e.node = c.cand_id
        |  JOIN $qName q ON e.query_id = q.query_id),
        |${prefix}b$t AS (SELECT query_id, node FROM ${prefix}s$t
-       |  WHERE rnk <= ${Similarity.GraphAnnBeam})""".stripMargin
+       |  WHERE rnk <= $beam)""".stripMargin
   }
 
   /** Probe entry for a query CTE: the GraphAnnProbes nearest cells'
@@ -798,6 +799,22 @@ object OpsOracles {
        |  FROM psub q2 JOIN pc2 c ON q2.s = c.s
        |  WHERE q2.vec_id < 10),
        |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
+  }
+
+  /** s40's beam sweep: three parameterized walk chains (beam 4/8/16)
+    * off ONE shared base graph + entry; summary row per beam. */
+  private val beamSweepCtes = {
+    def chain(b: Int) = {
+      def hop(t: Int) = walkHopCte(s"w$b", "graph", "cand", "q", b)(t)
+      s"""w${b}b0 AS (SELECT query_id, node FROM zb0),
+         |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
+    }
+    s"""$graphWalkBaseCtes,
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cell, v, norm FROM assigned
+       |  WHERE vec_id < 10),
+       |${walkEntryCtes("z", "q")},
+       |${Seq(4, 8, 16).map(chain).mkString(",\n")}""".stripMargin
   }
 
   /** s33's arrival walk: jittered arrivals (per-dim additive
@@ -2409,6 +2426,36 @@ object OpsOracles {
         |  JOIN q qq ON b.query_id = qq.query_id)
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // s40: beam-width sweep — three walk chains (beam 4/8/16) off one
+    // base graph; per beam, last-hop top-3 vs exact + total scored
+    // volume across hops.
+    "s40_beam_sweep" -> {
+      val hops = Similarity.GraphAnnHops
+      def summary(b: Int) =
+        s"""SELECT $b AS beam,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 10) AS n_queries,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM (${(1 to hops)
+             .map(t => s"SELECT query_id FROM w${b}s$t").mkString(" UNION ALL ")})) AS cand_nodes,
+           |  (SELECT CAST(count(e.node) AS BIGINT)
+           |   FROM (SELECT query_id, node FROM w${b}s$hops WHERE rnk <= 3) a
+           |   LEFT JOIN exact e ON a.query_id = e.query_id AND a.node = e.node)
+           |    AS matched""".stripMargin
+      s"""WITH $beamSweepCtes,
+        |exact AS (SELECT query_id, node FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS node,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(64),
+        |          i -> a.v[i+1] * b.v[i+1])) / (a.norm * b.norm), 6) DESC,
+        |        b.vec_id ASC) AS rk
+        |    FROM n a CROSS JOIN n b
+        |    WHERE a.vec_id < 10 AND b.vec_id >= 10)
+        |  WHERE rk <= 3)
+        |SELECT beam, n_queries, cand_nodes, matched,
+        |  round(matched / (n_queries * 3.0), 4) AS recall
+        |FROM (${Seq(4, 8, 16).map(summary).mkString("\nUNION ALL\n")})
+        |ORDER BY beam""".stripMargin
+    },
 
     // s38: cross-tier recall frontier — each tier's SHIPPED search path
     // (s12 ADC / s23 SQ8 / s25 truncated two-stage, replayed with

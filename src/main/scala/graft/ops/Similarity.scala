@@ -1197,6 +1197,58 @@ object Similarity {
       .orderBy("hop")
   }
 
+  /** BEAM-WIDTH TUNING SWEEP (s40) — the OTHER knob of the graph walk:
+    * s30 swept depth (hops) at fixed width; s40 sweeps width (beam) at
+    * fixed depth. Together they are the complete graph-ANN tuning grid
+    * (HNSW's efSearch axis): width buys recall by scoring more
+    * candidates PER hop, depth by walking further — and the operator
+    * table a deployment reads is recall against the candidate volume
+    * paid, per setting. Unlike the hop sweep (one walk yields every
+    * point — beam_t is a prefix of the next hop's pool), beam settings
+    * are separate walks by construction; all three share the
+    * disk-memoized index and the broadcast entry probes, so the sweep
+    * pays 3 × the walk's constant scored volume, never 3 corpus scans.
+    *
+    * Same denominator discipline as s28/s30: n_queries counts the
+    * query SET; `cand_nodes` is the TOTAL scored expansion across all
+    * hops (the cost actually paid for that beam). */
+  def graphAnnBeamSweep(spark: SparkSession, dir: String, k: Int = 3,
+                        m: Int = GraphAnnM, hops: Int = GraphAnnHops,
+                        beams: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val n = vectors(spark, dir)
+    val exactW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    val exact = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+      .crossJoin(n.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+          col("norm").as("cnorm")))
+      .withColumn("cosine", round(
+        expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("rk", row_number().over(exactW))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id").as("node"), lit(1).as("hit"))
+      .localCheckpoint()
+    val nQueries = n.filter(col("vec_id") < 10)
+      .agg(count(lit(1)).as("n_queries"))
+    beams.map { b =>
+      val walks = beamWalkScored(spark, dir, m, b, hops)
+      val vol = walks.map(_.select("query_id")).reduce(_ unionByName _)
+        .agg(count(lit(1)).cast("long").as("cand_nodes"))
+      walks.last.filter(col("rnk") <= k)
+        .join(exact, Seq("query_id", "node"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("matched"))
+        .crossJoin(broadcast(vol))
+        .crossJoin(broadcast(nQueries))
+        .select(lit(b).as("beam"), col("n_queries"), col("cand_nodes"),
+          col("matched"),
+          round(col("matched") / (col("n_queries") * k).cast("double"), 4)
+            .as("recall"))
+    }.reduce(_ unionByName _).orderBy("beam")
+  }
+
   /** Id offset for inserted arrivals — keeps them disjoint from every
     * corpus vec_id at any gated SF or replica. */
   private[graft] val InsertIdBase = 100000L

@@ -2485,6 +2485,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.85, f"s39 PQ-walk recall@3 $recall%.3f < 0.85")
   }
 
+  test("s40 beam sweep: cost rises with width, the beam-8 point equals " +
+       "s30's final-hop row, and width buys recall on the clustered corpus") {
+    val rows = Similarity.graphAnnBeamSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Seq(4, 8, 16))
+    assert(rows.map(_._2).distinct.length === 1, "n_queries must be constant")
+    // width is paid for: scored volume non-decreasing in beam
+    assert(rows.sliding(2).forall { case Array(lo, hi) => hi._3 >= lo._3 })
+    // the beam-8 setting IS s29/s30's production point: matched must
+    // equal the hop sweep's final-hop row exactly
+    val s30last = Similarity.graphAnnSweep(spark, dir).collect()
+      .maxBy(_.getAs[Int]("hop"))
+    assert(rows.find(_._1 == 8).get._4 === s30last.getAs[Long]("matched"),
+      "beam-8 sweep point diverged from the s30 final hop")
+    // on the clustered corpus, width buys recall (and the production
+    // point clears the family floor)
+    val d = graft.sources.gen.ClusteredEmbeddings.ensure(spark)
+    val c = Similarity.graphAnnBeamSweep(spark, d).collect()
+      .map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    info(f"s40 clustered recall@3: beam4=${c(4)}%.3f beam8=${c(8)}%.3f " +
+      f"beam16=${c(16)}%.3f")
+    assert(c(16) >= c(4), "wider beam lost recall on the clustered corpus")
+    assert(c(8) >= 0.9, f"production beam-8 recall ${c(8)}%.3f < 0.9")
+  }
+
   test("s33/s34: inserted arrivals are FINDABLE post-insert (every " +
        "parent retrieves its arrival) and the insert writes NO new " +
        "index artifact — an insert is never a rebuild") {
