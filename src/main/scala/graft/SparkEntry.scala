@@ -271,6 +271,8 @@ object SparkEntry {
     "d35_incremental_semdedup" -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.incrementalSemDedup(s, d)),
     "d36_weighted_resample"  -> (Dedup.weightedResample _),
+    "d37_semdedup_sweep"     -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.semDedupSweep(s, d)),
     "s31_hard_negatives"     -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.hardNegatives(s, d)),
     "s32_triplet_margins"    -> ((s: SparkSession, d: String) =>

@@ -2736,6 +2736,35 @@ object OpsOracles {
         |FROM mt JOIN cc ON mt.hop = cc.hop CROSS JOIN nq
         |ORDER BY hop""".stripMargin,
 
+    // d37: semdedup threshold sweep — d23's tuning table for the
+    // semantic detector: one celled pair pass, the θ grid folded over
+    // the same 6dp cosines d29 thresholds.
+    "d37_semdedup_sweep" ->
+      s"""WITH $semKmeansCtes,
+        |assigned AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, norm FROM (
+        |    SELECT w.vec_id, r.cell, w.v, w.norm,
+        |      row_number() OVER (PARTITION BY w.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(64),
+        |          i -> (w.v[i+1] - r.cv[i+1]) * (w.v[i+1] - r.cv[i+1]))), 6) ASC,
+        |        r.cell ASC) AS rk
+        |    FROM vsup w JOIN routed r ON w.sup = r.sup)
+        |  WHERE rk = 1),
+        |pairsc AS MATERIALIZED (
+        |  SELECT b.vec_id AS d2,
+        |    round(list_sum(list_transform(range(64),
+        |      i -> a.v[i+1] * b.v[i+1])) / (a.norm * b.norm), 6) AS cosine
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |grid AS (SELECT CAST(unnest([0.2, 0.25, 0.3, 0.35, 0.4]) AS DOUBLE) AS theta)
+        |SELECT theta,
+        |  CAST(count(CASE WHEN cosine >= theta THEN 1 END) AS BIGINT) AS pairs,
+        |  CAST(count(DISTINCT CASE WHEN cosine >= theta THEN d2 END) AS BIGINT)
+        |    AS distinct_losers
+        |FROM pairsc CROSS JOIN grid
+        |GROUP BY theta
+        |ORDER BY theta""".stripMargin,
+
     // d29: SemDeDup — celled θ-graph (cosine ≥ 0.3) on the CORPUS-SIZED
     // k-means quantizer (semKmeansCtes: k = max(8, ceil(N/200)), so pair
     // volume stays ~N·200), transitive components via reachability

@@ -793,6 +793,43 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SEMDEDUP THRESHOLD SWEEP (d37) — d23's LSH threshold table applied
+    * to the SEMANTIC detector: how many same-cell pairs (and how many
+    * distinct would-be losers) each θ produces. The SemDeDup paper's θ
+    * is the single most destructive knob in the pipeline — at 0.2 it
+    * deletes paraphrase neighborhoods, at 0.4 only near-copies — and a
+    * deployment reads this curve BEFORE the d29 apply, exactly as d23
+    * is read before the d07 apply.
+    *
+    * ONE celled pair pass (the same O(N·targetCell) join d29 pays —
+    * the θ grid multiplies the scored pair frame against 5 broadcast
+    * literals and folds map-side, so the sweep costs one detector pass,
+    * not five). Counts are exact integers off the 6dp-rounded cosines
+    * d29 itself thresholds, so the θ=0.3 row is EXACTLY d29's edge
+    * set (spec-pinned via a driver-side recompute). */
+  def semDedupSweep(spark: SparkSession, dir: String,
+                    thetas: Seq[Double] = Seq(0.2, 0.25, 0.3, 0.35, 0.4)): DataFrame = {
+    val assigned = semDedupAssignment(spark, dir)
+    val a = assigned.select(col("vec_id").as("d1"), col("cell"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("vec_id").as("d2"), col("cell"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val scoredPairs = a.join(b, Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("cosine", round(
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("na") * col("nb")), 6))
+      .select("d2", "cosine")
+    val grid = spark.createDataFrame(thetas.map(Tuple1(_))).toDF("theta")
+    scoredPairs.crossJoin(broadcast(grid))
+      .groupBy("theta")
+      .agg(
+        sum(when(col("cosine") >= col("theta"), 1L).otherwise(0L)).as("pairs"),
+        count_distinct(when(col("cosine") >= col("theta"), col("d2")))
+          .as("distinct_losers"))
+      .orderBy("theta")
+  }
+
   /** NPROBE TUNING SWEEP (s28) — the recall/cost CURVE the s14 single
     * point sits on: run the trained-IVF search at several nprobe
     * settings in ONE pass and report, per setting, the recall@k against

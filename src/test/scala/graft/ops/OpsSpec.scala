@@ -2875,6 +2875,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every survivor is its family min — that is d07, not a resample")
   }
 
+  test("d37 semdedup sweep: monotone in θ, reconciles with a driver-side " +
+    "recompute over the persisted route, and the θ=0.3 row IS d29's " +
+    "edge set") {
+    val assigned = Similarity.semDedupAssignment(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Seq[Double]]("v").toArray, r.getAs[Double]("norm")))
+    def cos(a: (Long, Int, Array[Double], Double),
+            b: (Long, Int, Array[Double], Double)): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a._3.length) { acc += a._3(i) * b._3(i); i += 1 }
+      BigDecimal(acc / (a._4 * b._4))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val scored = assigned.groupBy(_._2).values.toSeq.flatMap { cell0 =>
+      val cell = cell0.toSeq
+      for (x <- cell; y <- cell if x._1 < y._1) yield (y._1, cos(x, y))
+    }
+    val thetas = Seq(0.2, 0.25, 0.3, 0.35, 0.4)
+    val expect = thetas.map { t =>
+      val hits = scored.filter(_._2 >= t)
+      t -> ((hits.size.toLong, hits.map(_._1).distinct.size.toLong))
+    }.toMap
+    val got = Similarity.semDedupSweep(spark, dir).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    // monotone: a higher bar never finds more
+    thetas.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(got(hi)._1 <= got(lo)._1 && got(hi)._2 <= got(lo)._2)
+    }
+    // the θ=0.3 row is exactly the edge set d29 clusters (same cosines,
+    // same cells, same threshold)
+    assert(got(0.3)._1 === scored.count(_._2 >= 0.3).toLong)
+    assert(got(0.2)._1 > got(0.4)._1,
+      "the planted corpus should spread pairs across the θ range")
+  }
+
   test("d35 incremental semdedup: verdicts reconcile with a driver-side " +
     "recompute over the persisted route (index wins, then smaller-id " +
     "batch peer, else unique) and the report covers the whole delta") {
