@@ -283,6 +283,8 @@ object SparkEntry {
     "t52_epoch_allocation"   -> (TextAnalysis.epochAllocation _),
     "t53_pipeline_funnel"    -> (TextAnalysis.pipelineFunnel _),
     "t54_filter_pr_curve"    -> (TextAnalysis.distilledPrCurve _),
+    "t55_curation_pipeline"  -> ((s: SparkSession, d: String) =>
+      TextAnalysis.curationPipeline(s, d)),
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "m13_audio_energy"       -> (graft.ops.Multimodal.audioEnergy _),

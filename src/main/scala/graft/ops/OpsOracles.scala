@@ -3063,6 +3063,94 @@ object OpsOracles {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
+    // t55: the composed curation pipeline capstone — the WHOLE chain
+    // replayed CTE-for-CTE: the dedup/quality gates as row-level
+    // survival (exact keepers, LSH losers, quality rejects — t53's g3),
+    // the t12 eval holdout plus t37's GRADED contamination drop (the
+    // `contaminated` band, ≥0.5 shared-shingle fraction — t11's
+    // any-overlap rule saturates at this eval-slice size), t17's
+    // temperature quota applied on the GATED corpus, t13/t23 chunk+pack
+    // over the sampled survivors, f08's seeded shard permutation over
+    // the packed sequences, manifest grain out.
+    "t55_curation_pipeline" ->
+      s"""WITH $shingleCte,
+        |$lshCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the','a','of','and','is')))
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+        |    round(1.0 - len(list_distinct(string_split(text, ' ')))
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS repetition_ratio
+        |  FROM documents),
+        |bkt AS (SELECT doc_id, shingle,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket FROM sh),
+        |ev AS (SELECT DISTINCT shingle FROM bkt WHERE bucket = 'f'),
+        |tr AS (SELECT doc_id, count(*) AS n_shingles
+        |  FROM bkt WHERE bucket != 'f' GROUP BY 1),
+        |sd AS (SELECT b.doc_id, count(*) AS shared
+        |  FROM bkt b JOIN ev USING (shingle) WHERE bucket != 'f' GROUP BY 1),
+        |contaminated AS (
+        |  SELECT tr.doc_id FROM tr JOIN sd USING (doc_id)
+        |  WHERE round(CAST(sd.shared AS DOUBLE) / tr.n_shingles, 6) >= 0.5),
+        |gated AS (
+        |  SELECT d.doc_id, d.lang, d.text
+        |  FROM documents d JOIN qual q USING (doc_id)
+        |  WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |    AND d.doc_id NOT IN (SELECT d2 FROM losers)
+        |    AND NOT (q.n_tokens < 10 OR q.repetition_ratio > 0.8
+        |             OR q.stop_ratio > 0.4)
+        |    AND substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) != 'f'
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |tgt AS (SELECT lang, CAST(floor(sqrt(count(*))) AS INT) AS target
+        |  FROM gated GROUP BY lang),
+        |mrk AS (SELECT lang, doc_id, text, row_number() OVER (
+        |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS mr
+        |  FROM gated),
+        |sampled AS (SELECT doc_id, text FROM mrk JOIN tgt USING (lang)
+        |  WHERE mr <= target),
+        |t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM sampled),
+        |c AS (SELECT doc_id, unnest(range(0, n, 24)) AS s, n FROM t),
+        |ch AS (SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+        |  CAST(least(32, n - s) AS INT) AS nt FROM c),
+        |dt AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS doc_tokens
+        |  FROM ch GROUP BY 1),
+        |db AS (SELECT doc_id, CAST(coalesce(sum(doc_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS doc_base
+        |  FROM dt),
+        |o AS (SELECT ch.doc_id, chunk_id, nt,
+        |  db.doc_base + CAST(coalesce(sum(nt) OVER (PARTITION BY ch.doc_id
+        |    ORDER BY chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS off
+        |  FROM ch JOIN db ON ch.doc_id = db.doc_id),
+        |seqs AS (SELECT CAST(off // 97 AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM o GROUP BY 1),
+        |srnk AS (SELECT seq_id, n_chunks, n_tokens,
+        |  row_number() OVER (ORDER BY md5('42:' || CAST(seq_id AS VARCHAR)),
+        |    seq_id) AS rank
+        |  FROM seqs)
+        |SELECT CAST((rank - 1) % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(CAST(seq_id AS VARCHAR), ',' ORDER BY rank)) AS ids_fp
+        |FROM srnk GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // t13: token-window chunking (window=32, stride=24) — DuckDB range()
     // excludes the end bound, Spark sequence(0, n-1) includes it: both
     // enumerate starts 0, 24, 48, ... < n. List slice l[a:b] is 1-based

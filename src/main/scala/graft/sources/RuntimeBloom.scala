@@ -48,16 +48,26 @@ object RuntimeBloom {
       .orderBy("s_suppkey")
   }
 
+  /** One child session per parent, MEMOIZED: its conf is fixed, and a
+    * fresh `newSession()` per invocation would accumulate SessionState
+    * (conf, catalog, listener registrations) on the shared SparkContext
+    * across bench reps for the life of the application (ADVICE r11). */
+  private val sessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
   /** Child session with the runtime-filter posture: shuffle join (no
     * broadcast), bloom injection thresholds sized for the test corpus. */
   def bloomSession(spark: SparkSession): SparkSession = {
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    s2.conf.set(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "1")
-    s2
+    sessions.keys.filter(_.sparkContext.isStopped).foreach(sessions.remove)
+    sessions.getOrElseUpdate(spark, {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1")
+      s2
+    })
   }
 
   def bloomPrunedAgg(spark: SparkSession, dir: String): DataFrame =

@@ -625,15 +625,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Scan ExistingRDD"), p.take(2000))
   }
 
-  test("s29_graph_ann: every hop broadcasts the beam against the " +
-       "disk-backed graph and vectors — no cartesian, no corpus-side " +
-       "exchange in the walk") {
+  test("s29_graph_ann: the search result is serving-sized — a " +
+       "LocalRelation ranked on the driver; every per-hop read was a " +
+       "pruned bucket fetch, so no corpus scan or join survives into " +
+       "the result plan") {
     val p = plan("s29_graph_ann")
+    assert(p.contains("LocalTableScan"), p.take(2000))
+    assert(!p.contains("Scan parquet"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    // the beam side broadcasts at every hop (expansion + scoring joins);
-    // a sort-merge or shuffled-hash join here means the corpus-sized
-    // side started exchanging per hop
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
@@ -699,9 +698,62 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
-  test("s29 in-loop hop, UN-checkpointed: the beam broadcasts against " +
-       "the graph and vector sides — BroadcastHashJoin only, no " +
-       "sort-merge, no cartesian (ADVICE r10)") {
+  /** Executed file scans with their driver metrics, descending through
+    * AQE wrappers (the walk-fetch pruning pins read these). */
+  private def scanExecs(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      self ++ kids.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("s29 hop fetch PRUNES (VERDICT r11 weak, closed): the vector " +
+       "point-read carries a planning-time partition filter on the " +
+       "bucket column plus parquet In pushdown on the id — the executed " +
+       "scan reads ≤ |ids| buckets of a corpus-sized artifact, so the " +
+       "per-hop read is O(beam), never O(N)") {
+    val idx = graft.ops.Similarity.graphAnnIndex(spark, dir)
+    // three ids in three distinct buckets of the 64-wide layout; the
+    // sf0.001 artifact holds ~8 buckets (490 nodes)
+    val ids = Seq(10L, 74L, 130L)
+    val fetched = idx.fetch.vec(ids)
+    assert(fetched.count() === 3L)
+    val scans = scanExecs(fetched)
+    assert(scans.nonEmpty, fetched.queryExecution.executedPlan.toString.take(2000))
+    val s = scans.head
+    val str = s.toString
+    assert(str.contains("PartitionFilters") && str.contains("pb"),
+      s"bucket partition filter missing: ${str.take(1500)}")
+    assert(str.contains("PushedFilters") && str.contains("In(node"),
+      s"id pushdown missing: ${str.take(1500)}")
+    // planning-time pruning actually happened: ≤ 3 of the ~8 bucket
+    // directories were read, and only their rows surfaced
+    assert(s.metrics("numFiles").value <= 3,
+      s"expected ≤3 files read, got ${s.metrics("numFiles").value}")
+    assert(s.metrics("numOutputRows").value < 490,
+      s"scan streamed the corpus: ${s.metrics("numOutputRows").value} rows")
+    // and the adjacency fetch prunes the same way
+    val adj = idx.fetch.adj(Seq(10L))
+    adj.collect()
+    val as = scanExecs(adj).head
+    assert(as.metrics("numFiles").value <= 1,
+      s"adjacency fetch read ${as.metrics("numFiles").value} buckets for 1 id")
+  }
+
+  test("s29 hop output is serving-sized: a hop frame is a LocalRelation " +
+       "(beam-ranked on the driver, DiskANN-style) — the corpus enters " +
+       "a hop only through the pruned bucket reads, never a stream") {
     import org.apache.spark.sql.functions._
     val idx = graft.ops.Similarity.graphAnnIndex(spark, dir)
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
@@ -709,12 +761,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         expr("transform(embedding, x -> cast(x as double))").as("qv"))
       .withColumn("qnorm", sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")))
     val hop = graft.ops.Similarity.beamWalkOver(spark, dir,
-      idx.graph, idx.vecs, idx.medoid, q, beam = 8, hops = 1,
-      checkpointBeams = false).last
+      idx.fetch, idx.medoid, q, beam = 8, hops = 1).last
     val p = hop.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("SortMergeJoin"), p.take(3000))
-    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("LocalTableScan"), p.take(2000))
+    assert(!p.contains("Scan parquet"), p.take(3000))
   }
 
   test("f17 runtime bloom: the fact scan carries " +
@@ -731,23 +781,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.toString).toSeq === plain.map(_.toString).toSeq)
   }
 
-  test("s39 ADC walk, UN-checkpointed: every hop's expansion and LUT " +
-       "join broadcasts — no sort-merge, no cartesian in the whole " +
-       "walk-and-refine chain (the s29 pin applied to the PQ scorer)") {
-    val full = graft.ops.Similarity.pqGraphAnn(spark, dir,
-      checkpointBeams = false)
+  test("s39 ADC walk refine: the exact re-rank is a PRUNED beam-sized " +
+       "vector fetch joined broadcast — partition-filtered scan, no " +
+       "sort-merge, no cartesian (the s29 pruning pin applied to the " +
+       "PQ walk's refine)") {
+    val full = graft.ops.Similarity.pqGraphAnn(spark, dir)
+    full.collect()
     val p = full.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+    val scans = scanExecs(full)
+    assert(scans.nonEmpty, p.take(2000))
+    // the refine reads only the final beam's buckets of walkvec: the
+    // scan is partition-filtered and emits at most buckets(beam)·width
+    // rows — at sf0.001 the ≤80-node beam can touch every one of the ~8
+    // buckets, so the bound is vacuously ≈N here, but it is a CONSTANT
+    // in corpus size (the s29 fetch pin shows the pruning bite directly)
+    scans.foreach { s =>
+      assert(s.toString.contains("PartitionFilters"), s.toString.take(1500))
+      assert(s.metrics("numOutputRows").value <=
+        80 * graft.ops.Similarity.WalkBucketWidth,
+        s"refine scan streamed ${s.metrics("numOutputRows").value} rows")
+    }
   }
 
-  test("s33_graph_ann_insert: the arrival walk broadcasts the beam — " +
-       "no cartesian, no sort-merge, and NO new index artifact (an " +
-       "insert is never a rebuild)") {
+  test("s33_graph_ann_insert: the attach list is serving-sized — the " +
+       "insert's output plan is a LocalRelation (the arrival walk's " +
+       "fetches are pruned bucket reads; no corpus scan, no join, no " +
+       "shuffle survives into the result)") {
     val p = plan("s33_graph_ann_insert")
+    assert(p.contains("LocalTableScan"), p.take(2000))
+    assert(!p.contains("Scan parquet"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
@@ -831,16 +897,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Scan ExistingRDD"), p.take(2000))
   }
 
-  test("s35_graph_ann_delete: one walk, a broadcast LeftAnti tombstone " +
-       "filter over the checkpointed final hop — no cartesian, no " +
-       "sort-merge, no second walk") {
+  test("s35_graph_ann_delete: one walk, a LeftAnti tombstone filter " +
+       "over the materialized final hop — no cartesian, no sort-merge, " +
+       "no second walk") {
     val p = plan("s35_graph_ann_delete")
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(p.contains("LeftAnti"), p.take(3000))
-    // the final hop checkpoints for its two consumers (tombstones +
-    // serve) — both read Scan ExistingRDD, never a walk replay
-    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    // the final hop is a driver-materialized LocalRelation — both
+    // consumers (tombstones + serve) read it, never a walk replay, and
+    // no corpus scan survives into the serve plan
+    assert(p.contains("LocalTableScan"), p.take(2000))
+    assert(!p.contains("Scan parquet"), p.take(3000))
   }
 
   test("g14_incremental_components: the base fixpoint reads from the " +
@@ -854,15 +922,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("InMemoryTableScan"), p.take(2000))
   }
 
-  test("s37_graph_ann_compact: the patch is broadcast anti/semi joins " +
-       "on the memoized graph, the patched walk reads a checkpointed " +
-       "frame — no cartesian, no sort-merge") {
+  test("s37_graph_ann_compact: the compaction WRITES BACK a bucketed " +
+       "graph artifact (the FreshDiskANN rewrite) and the post-compact " +
+       "serve is a pruned walk — its result is a LocalRelation with no " +
+       "corpus scan, no cartesian, no sort-merge") {
     val p = plan("s37_graph_ann_compact")
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
-    // the patched graph lazily checkpoints: all 4 hops read ExistingRDD
-    assert(p.contains("Scan ExistingRDD"), p.take(2000))
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("LocalTableScan"), p.take(2000))
+    assert(!p.contains("Scan parquet"), p.take(3000))
+    // the compacted artifacts exist on disk, versioned like the build's
+    val base = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_annartifacts")
+    val names = Option(base.listFiles()).map(_.map(_.getName).toSeq)
+      .getOrElse(Seq.empty)
+    assert(names.exists(_.startsWith("knncompact8e")),
+      s"no compacted graph artifact among: ${names.mkString(", ")}")
   }
 
   test("s36_quant_error: three narrow corpus passes (pq encode join, " +

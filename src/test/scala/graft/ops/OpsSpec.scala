@@ -2546,6 +2546,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertFindable(graft.sources.gen.ClusteredEmbeddings.ensure(spark))
   }
 
+  test("s34 serves from the PERSISTED attach log (VERDICT r11 item 2): " +
+       "once the knnattach artifact exists, post-insert serving runs " +
+       "exactly ONE beam walk — its own — never a re-run of the insert's") {
+    // ensure the log artifact is materialized (may run the insert walk)
+    Similarity.graphAnnAttachLog(spark, dir).collect()
+    val before = Similarity.walkRuns.get()
+    val served = Similarity.graphAnnServeAfterInsert(spark, dir).collect()
+    assert(served.nonEmpty)
+    assert(Similarity.walkRuns.get() - before === 1,
+      s"serve ran ${Similarity.walkRuns.get() - before} walks; the attach " +
+        "log should spare the insert re-walk")
+    // and the log's values ARE the insert's values (durability, not drift)
+    val log = Similarity.graphAnnAttachLog(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val ins = Similarity.graphAnnInsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(log === ins, "attach log diverged from a fresh insert walk")
+  }
+
   test("s30 hop sweep: cost grows with depth, recall never degrades, " +
        "and the last hop equals s29's answer set") {
     val sweep = Similarity.graphAnnSweep(spark, dir).collect()
@@ -3327,5 +3346,95 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tot = expect.values
     assert(tot.map(_.dr).sum > tot.map(_.df).sum,
       "the planted corpus should lose docs through the funnel")
+  }
+
+  test("t55 composed curation pipeline: the dedup+quality stages ARE " +
+    "t53's docs_quality stage (per-language doc and token counts " +
+    "reconcile row by row) and the strict t11 rule applied on top " +
+    "reproduces t53's docs_final; the mixture applies t17's floor-sqrt " +
+    "quota, every packed sequence respects the 128-token budget, and " +
+    "the shards balance ±1") {
+    import org.apache.spark.sql.functions.{col, size, split, substring, md5, sum => fsum, count => fcount, lit}
+    // 1a. reconciliation: dedup+quality survivors == the funnel's
+    // docs/tokens_quality stage
+    val qgated = TextAnalysis.curationQualityGated(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .localCheckpoint()
+    val qByLang = qgated.groupBy("lang")
+      .agg(fcount(lit(1)).as("d"), fsum("nt").as("t")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 1b. the STRICT rule (t11 any-overlap + holdout) on the same frame
+    // must reproduce the funnel's final stage — the graded/strict
+    // relation, pinned even where the strict rule keeps nothing
+    val strictByLang = qgated
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "f")
+      .join(TextAnalysis.decontaminate(spark, dir).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(fcount(lit(1)).as("d"), fsum("nt").as("t")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    TextAnalysis.pipelineFunnel(spark, dir).collect().foreach { r =>
+      val lang = r.getString(0)
+      val (qd, qt) = qByLang.getOrElse(lang, (0L, 0L))
+      assert(qd === r.getAs[Long]("docs_quality") &&
+             qt === r.getAs[Long]("tokens_quality"),
+        s"quality-gated corpus diverged from the funnel's g3 stage for $lang")
+      val (sd, st) = strictByLang.getOrElse(lang, (0L, 0L))
+      assert(sd === r.getAs[Long]("docs_final") &&
+             st === r.getAs[Long]("tokens_final"),
+        s"strict-rule survivors diverged from the funnel's final for $lang")
+    }
+    // 1c. the graded rule keeps a superset of the strict rule's
+    // survivors (any-overlap implies ≥0.5-overlap dropped too), and the
+    // pipeline corpus is non-vacuous where the strict rule may be empty
+    val gated = TextAnalysis.curationGated(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .localCheckpoint()
+    val gatedByLang = gated.groupBy("lang")
+      .agg(fcount(lit(1)).as("d"), fsum("nt").as("t")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    gatedByLang.foreach { case (lang, (d, _)) =>
+      assert(d >= strictByLang.getOrElse(lang, (0L, 0L))._1,
+        s"graded rule kept fewer docs than the strict rule for $lang")
+    }
+    assert(gatedByLang.values.map(_._1).sum > 0L,
+      "the graded pipeline corpus is empty")
+    // 2. mixture quota: per language, exactly floor(sqrt(gated docs))
+    val sampled = gated.join(
+      TextAnalysis.temperatureMixOf(
+        graft.Tables.documents(spark, dir).join(
+          gated.select("doc_id"), Seq("doc_id"), "left_semi"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val sampledCounts = sampled.groupBy("lang").agg(fcount(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    gatedByLang.foreach { case (lang, (d, _)) =>
+      assert(sampledCounts.getOrElse(lang, 0L) ===
+        math.floor(math.sqrt(d.toDouble)).toLong,
+        s"mixture quota wrong for $lang (gated $d docs)")
+    }
+    // 3. pack capacity + 4. shard balance and conservation
+    val sampledDocs = graft.Tables.documents(spark, dir)
+      .join(sampled.select("doc_id"), Seq("doc_id"), "left_semi")
+    val seqs = TextAnalysis.sequencePackOf(
+      TextAnalysis.chunkTokensOf(sampledDocs)).collect()
+    assert(seqs.nonEmpty)
+    seqs.foreach(r => assert(r.getAs[Long]("n_tokens") <= 128L,
+      s"sequence ${r.getAs[Long]("seq_id")} exceeds the 128-token budget"))
+    val manifest = TextAnalysis.curationPipeline(spark, dir).collect()
+    val perShard = manifest.map(_.getAs[Long]("n_seqs"))
+    assert(perShard.max - perShard.min <= 1L,
+      s"shards unbalanced: ${perShard.mkString(",")}")
+    assert(perShard.sum === seqs.length.toLong,
+      "manifest lost or duplicated packed sequences")
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum ===
+      seqs.map(_.getAs[Long]("n_tokens")).sum,
+      "token mass not conserved from packing to manifest")
+    // the manifest is deterministic: same seed => identical fingerprints
+    val again = TextAnalysis.curationPipeline(spark, dir).collect()
+    assert(manifest.map(_.getString(4)).toSeq ===
+      again.map(_.getString(4)).toSeq, "same-seed manifests diverged")
   }
 }
