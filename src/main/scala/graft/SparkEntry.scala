@@ -142,6 +142,7 @@ object SparkEntry {
     "t23_sequence_pack"      -> (TextAnalysis.sequencePack _),
     "t24_bpe_merges"         -> (TextAnalysis.bpeMerges _),
     "t25_bpe_encode"         -> (TextAnalysis.bpeEncode _),
+    "t56_bpe_batch_merges"   -> (TextAnalysis.bpeBatchMerges _),
     "t26_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "t27_vocab_growth"       -> (TextAnalysis.vocabGrowth _),
     "t20_mixture_report"     -> (TextAnalysis.mixtureReport _),

@@ -131,6 +131,66 @@ object OpsOracles {
        |  FROM $prev, t$k)""".stripMargin
   }
 
+  /** t56: one BATCHED round — the bounded ranked prefix (LIMIT mirrors
+    * TextAnalysis.BpePairScanBudget, the d30 bounded-in-code rule), a
+    * chain of `batch` greedy DISJOINT picks (pick k = the best-ranked
+    * pair sharing no symbol with picks 1..k-1; aggregate form so an
+    * exhausted chain yields NULL rows instead of empty cross joins), and
+    * one fold applying every non-NULL pick (disjointness makes the
+    * branch order irrelevant). */
+  private def bpeBatchStage(r: Int, batch: Int): String = {
+    val prev = if (r == 1) "v0" else s"v${r - 1}"
+    val pp =
+      s"""pp$r AS (
+         |  SELECT sp[u.i] AS a, sp[u.i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(repr, '|') AS sp FROM $prev) t,
+         |    UNNEST(list_transform(range(1, len(sp)), x -> x)) AS u(i)
+         |  GROUP BY 1, 2
+         |  ORDER BY cnt DESC, a, b LIMIT 4096)""".stripMargin
+    val picks = (1 to batch).map { k =>
+      val priors = (1 until k).map { j =>
+        s"(x$j.a IS NULL OR (p.a != x$j.a AND p.a != x$j.b AND p.b != x$j.a AND p.b != x$j.b))"
+      }
+      val priorFrom = (1 until k).map(j => s"s$r$j x$j").mkString(", ")
+      val from = if (k == 1) s"pp$r p" else s"pp$r p, $priorFrom"
+      val where = if (priors.isEmpty) "" else s"\n   WHERE ${priors.mkString("\n     AND ")}"
+      s"""s$r$k AS (SELECT max(a) AS a, max(b) AS b, max(cnt) AS cnt FROM
+         |  (SELECT p.a, p.b, p.cnt FROM $from$where
+         |   ORDER BY p.cnt DESC, p.a, p.b LIMIT 1))""".stripMargin
+    }
+    val branches = (1 to batch).map { k =>
+      s"""WHEN x$k.a IS NOT NULL AND regexp_extract(acc, '[^|]*$$') = x$k.a AND s = x$k.b
+         |      THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^|]*$$'))) || x$k.a || x$k.b""".stripMargin
+    }.mkString("\n      ")
+    val pickFrom = (1 to batch).map(k => s"s$r$k x$k").mkString(", ")
+    val v =
+      s"""v$r AS (
+         |  SELECT word, freq, list_reduce(string_split(repr, '|'), (acc, s) ->
+         |    CASE
+         |      $branches
+         |      ELSE acc || '|' || s END) AS repr
+         |  FROM $prev, $pickFrom)""".stripMargin
+    (Seq(pp) ++ picks ++ Seq(v)).mkString(",\n")
+  }
+
+  private def bpeBatchOracleSql(rounds: Int = 2, batch: Int = 4): String = {
+    val stages = (1 to rounds).map(bpeBatchStage(_, batch)).mkString(",\n")
+    val union = (for (r <- 1 to rounds; k <- 1 to batch) yield
+      s"SELECT CAST($r AS BIGINT) AS round, CAST($k AS INT) AS pick, a AS lhs, b AS rhs, cnt AS pair_count, a || b AS merged FROM s$r$k WHERE a IS NOT NULL")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) s
+       |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')
+       |  GROUP BY 1 ORDER BY freq DESC, word LIMIT 256),
+       |v0 AS (SELECT word, freq,
+       |  array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '|') AS repr
+       |  FROM w),
+       |$stages
+       |$union
+       |ORDER BY round, pick""".stripMargin
+  }
+
   private def bpeOracleSql: String = {
     val stages = (1 to 8).map(bpeStage).mkString(",\n")
     val union = (1 to 8).map(k =>
@@ -5076,6 +5136,8 @@ object OpsOracles {
         |ORDER BY format""".stripMargin,
 
     "t24_bpe_merges" -> bpeOracleSql,
+
+    "t56_bpe_batch_merges" -> bpeBatchOracleSql(),
 
     "m08_media_search" -> mediaSearchSql,
 

@@ -1215,6 +1215,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.map(_.getAs[String]("merged")).distinct.length === 8)
   }
 
+  test("t56 batched BPE: batch=1 degenerates to EXACTLY t24's greedy " +
+       "trainer, every round's picks are mutually symbol-disjoint, and " +
+       "the round-1 picks are a ranked prefix walk of t24's pair table") {
+    // batch=1, rounds=8 must reproduce t24's sequential merge table
+    val seq24 = TextAnalysis.bpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    val b1 = TextAnalysis.bpeBatchMergesOf(
+        graft.Tables.documents(spark, dir), rounds = 8, batch = 1).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3),
+        r.getLong(4), r.getString(5)))
+    assert(b1.toSeq === seq24.toSeq,
+      "batch=1 batched trainer diverged from the sequential greedy")
+    // production shape: rounds of disjoint picks
+    val batched = TextAnalysis.bpeBatchMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    assert(batched.nonEmpty)
+    batched.groupBy(_._1).foreach { case (round, picks) =>
+      val syms = picks.flatMap(p => Seq(p._3, p._4))
+      assert(syms.distinct.length === syms.length,
+        s"round $round picks share symbols: ${picks.mkString(",")}")
+      // picks are recorded in selection (rank) order with counts from
+      // the PRE-round table: counts non-increasing within the round
+      val cs = picks.sortBy(_._2).map(_._5)
+      assert(cs.sliding(2).forall(w => w.head >= w.last), cs.mkString(","))
+    }
+    // round 1's first pick IS t24's first merge (same table, same order)
+    val r1 = batched.filter(p => p._1 == 1L && p._2 == 1).head
+    assert((r1._3, r1._4, r1._5) === ((seq24.head._2, seq24.head._3, seq24.head._4)))
+  }
+
   test("BPE encode: merges compress, expansion bounded by chars, token conservation") {
     val s = spark; import s.implicits._
     // "aaaa aaaa b" induces (a,a) then (aa,aa): every "aaaa" encodes to ONE
