@@ -674,37 +674,96 @@ object Multimodal {
   }
 
   final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
-                               out_w: Long, out_h: Long, out_bytes: Long)
+                               out_w: Long, out_h: Long, out_bytes: Long,
+                               out_px_sum: Long)
 
-  /** STUB resize into a 224-box, aspect-preserving. All shape math is
-    * INTEGER arithmetic (w*224 div longSide) so Spark and the DuckDB
-    * oracle agree exactly — no float scale factor. The batch produces a
-    * REAL smaller payload (stride-sampled bytes, the shape a codec binding
-    * returns); the driver query projects its metadata.
+  /** Resize into a 224-box, aspect-preserving — REAL pixel work for the
+    * decodable image classes (r12, VERDICT r11 item 7): BMP/PNG/JPEG rows
+    * go through a genuine ImageIO decode and a nearest-neighbor integer
+    * resample (source pixel (ox·w div outW, oy·h div outH) — no float
+    * scale factor anywhere, so the DuckDB oracle replays the index map
+    * exactly), producing a real RGB24 payload whose sample sum
+    * (`out_px_sum`) the oracle recomputes from each format's synthesis
+    * law (BMP/PNG: channel bytes (3x+c) mod 16, rows identical; JPEG:
+    * the DC-exact uniform L mod 256 replicated across 3 channels).
+    * Per-source-row sample caching keeps the upscale O(out pixels)
+    * adds + O(in pixels) raster reads.
     *
-    * DELIBERATE stub-vs-real split (ADVICE r8): m03 (and m05) read
-    * [[DecodeStub]] dims for EVERY row — including the BMP/WAV/PNG/JPEG
-    * rows m01 decodes genuinely — so their oracles and the m06-m10 feature
-    * consumers stay closed-form in octet_length. A consumer joining m01
-    * to m03 therefore sees real dims on one side and stub dims on the
-    * other for media rows; the real-decode path is m01/m02/m11's. */
+    * The REMAINING stub split: WEBP rows (pixel decode is the declared
+    * permanent boundary — container dims only), WAV rows (audio has no
+    * resize), and plain-bytes rows keep [[DecodeStub]] dims + the
+    * stride-sampled payload, with out_px_sum = 0 as the explicit
+    * not-a-decoded-image sentinel. m05's features still read stub dims
+    * for every row (its oracle contract — see featureBatch). */
   def resizeBatch(spark: SparkSession, dir: String): Dataset[ResizedMeta] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRow].mapPartitions(_.map { r =>
-      val m = DecodeStub.decode(r)
-      val longSide = math.max(m.width, m.height)
-      val outW = math.max(1L, m.width * 224L / longSide)
-      val outH = math.max(1L, m.height * 224L / longSide)
-      val target = (outW * outH * 3L).toInt // fake RGB24 payload
-      val out = new Array[Byte](target)
-      if (r.media.nonEmpty) {
-        var i = 0
-        while (i < target) {
-          out(i) = r.media(((i.toLong * r.media.length) / target).toInt)
-          i += 1
-        }
+      val m = r.media
+      val isImage = m.length >= 54 &&
+        ((m(0) == 'B' && m(1) == 'M') ||
+         ((m(0) & 0xFF) == 0x89 && m(1) == 'P' && m(2) == 'N' && m(3) == 'G') ||
+         ((m(0) & 0xFF) == 0xFF && (m(1) & 0xFF) == 0xD8 && (m(2) & 0xFF) == 0xFF))
+      val img = if (isImage)
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m)))
+      else None
+      img match {
+        case Some(im) =>
+          val (w, h) = (im.getWidth.toLong, im.getHeight.toLong)
+          val longSide = math.max(w, h)
+          val outW = math.max(1L, w * 224L / longSide).toInt
+          val outH = math.max(1L, h * 224L / longSide).toInt
+          val raster = im.getRaster
+          val bands = raster.getNumBands
+          val sxMap = Array.tabulate(outW)(ox => (ox.toLong * w / outW).toInt)
+          val rowVals = Array.ofDim[Int](3, w.toInt)
+          val out = new Array[Byte](outW * outH * 3)
+          var sum = 0L
+          var lastSy = -1
+          var oy = 0
+          while (oy < outH) {
+            val sy = (oy.toLong * h / outH).toInt
+            if (sy != lastSy) {
+              var c = 0
+              while (c < 3) {
+                raster.getSamples(0, sy, w.toInt, 1,
+                  if (bands >= 3) c else 0, rowVals(c))
+                c += 1
+              }
+              lastSy = sy
+            }
+            var ox = 0
+            while (ox < outW) {
+              val sx = sxMap(ox)
+              var c = 0
+              while (c < 3) {
+                val v = rowVals(c)(sx)
+                out((oy * outW + ox) * 3 + c) = v.toByte
+                sum += v
+                c += 1
+              }
+              ox += 1
+            }
+            oy += 1
+          }
+          ResizedMeta(r.doc_id, w, h, outW.toLong, outH.toLong,
+            out.length.toLong, sum)
+        case None =>
+          val meta = DecodeStub.decode(r)
+          val longSide = math.max(meta.width, meta.height)
+          val outW = math.max(1L, meta.width * 224L / longSide)
+          val outH = math.max(1L, meta.height * 224L / longSide)
+          val target = (outW * outH * 3L).toInt // fake RGB24 payload
+          val out = new Array[Byte](target)
+          if (r.media.nonEmpty) {
+            var i = 0
+            while (i < target) {
+              out(i) = r.media(((i.toLong * r.media.length) / target).toInt)
+              i += 1
+            }
+          }
+          ResizedMeta(r.doc_id, meta.width, meta.height, outW, outH,
+            out.length.toLong, 0L)
       }
-      ResizedMeta(r.doc_id, m.width, m.height, outW, outH, out.length.toLong)
     })
   }
 

@@ -5072,18 +5072,46 @@ object OpsOracles {
         |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
 
+    // m03: REAL resize for the decodable image classes (r12) — real
+    // dims from the format laws, the nearest-neighbor index map
+    // replayed in integer arithmetic, and out_px_sum recomputed from
+    // each format's synthesized pixel law (BMP/PNG channel bytes
+    // (3x+c)%16 with identical rows; JPEG the DC-exact uniform L%256
+    // over 3 replicated channels). WEBP/WAV/plain rows keep the stub
+    // dims with the out_px_sum = 0 sentinel.
     "m03_resize_meta" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    64 + octet_length(encode(text)) % 512 AS width,
-        |    64 + (octet_length(encode(text)) * 7) % 512 AS height
-        |  FROM documents)
-        |SELECT doc_id, width, height,
-        |  greatest(1, width * 224 // greatest(width, height)) AS out_w,
-        |  greatest(1, height * 224 // greatest(width, height)) AS out_h,
-        |  greatest(1, width * 224 // greatest(width, height))
-        |    * greatest(1, height * 224 // greatest(width, height)) * 3 AS out_bytes
-        |FROM d
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+        |c AS (
+        |  SELECT doc_id, L,
+        |    CASE WHEN doc_id % 3 = 0 AND L >= 200 THEN 'bmp'
+        |         WHEN doc_id % 6 = 2 AND L >= 280 THEN 'png'
+        |         WHEN doc_id % 12 = 5 AND L >= 200 THEN 'jpeg'
+        |         ELSE 'stub' END AS cls
+        |  FROM b),
+        |d AS (
+        |  SELECT doc_id, L, cls,
+        |    CASE cls WHEN 'bmp' THEN 4 + L % 5 WHEN 'png' THEN 4 + L % 6
+        |      WHEN 'jpeg' THEN 3 + L % 6 ELSE 64 + L % 512 END AS width,
+        |    CASE cls WHEN 'bmp' THEN 4 + L % 3 WHEN 'png' THEN 4 + L % 4
+        |      WHEN 'jpeg' THEN 3 + L % 4 ELSE 64 + (L * 7) % 512 END AS height
+        |  FROM c),
+        |e AS (
+        |  SELECT doc_id, L, cls, width, height,
+        |    greatest(1, width * 224 // greatest(width, height)) AS out_w,
+        |    greatest(1, height * 224 // greatest(width, height)) AS out_h
+        |  FROM d)
+        |SELECT doc_id, width, height, out_w, out_h,
+        |  out_w * out_h * 3 AS out_bytes,
+        |  CAST(CASE cls
+        |    WHEN 'jpeg' THEN out_w * out_h * 3 * (L % 256)
+        |    WHEN 'stub' THEN 0
+        |    ELSE out_h * list_sum(list_transform(range(out_w), ox ->
+        |      (3 * (ox * width // out_w)) % 16 +
+        |      (3 * (ox * width // out_w) + 1) % 16 +
+        |      (3 * (ox * width // out_w) + 2) % 16))
+        |  END AS BIGINT) AS out_px_sum
+        |FROM e
         |ORDER BY doc_id""".stripMargin,
 
     "m04_frame_sample" ->

@@ -66,14 +66,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === distinctTexts)
   }
 
-  test("resize stub: aspect-preserving 224-box with RGB24-sized payload") {
+  test("m03 resize: aspect-preserving 224-box; decodable image rows get " +
+       "REAL decoded dims + a genuine pixel-sampled out_px_sum that " +
+       "matches m01's decode, stub rows keep the 0 sentinel") {
+    val decoded = Multimodal.decodeBatch(spark, dir).collect()
+      .map(d => d.doc_id -> d).toMap
+    var realRows = 0
     Multimodal.resizeBatch(spark, dir).collect().foreach { r =>
       assert(r.out_w <= 224 && r.out_h <= 224 && r.out_w >= 1 && r.out_h >= 1)
-      assert(math.max(r.out_w, r.out_h) === 224) // long side fills the box (inputs >= 64)
+      assert(math.max(r.out_w, r.out_h) === 224) // long side fills the box
       // aspect order survives the resize
       assert((r.width >= r.height) === (r.out_w >= r.out_h))
       assert(r.out_bytes === r.out_w * r.out_h * 3)
+      val d = decoded(r.doc_id)
+      if (Set("bmp", "png", "jpeg")(d.format) && d.px_sum > 0) {
+        // real-decode rows: dims must be m01's REAL decoded dims, and the
+        // nearest-neighbor upscale genuinely sampled pixels
+        realRows += 1
+        assert(r.width === d.width && r.height === d.height,
+          s"doc ${r.doc_id}: resize dims diverged from the real decode")
+        assert(r.out_px_sum > 0L, s"doc ${r.doc_id}: no pixels sampled")
+        // a uniform-upscale invariant: the sampled mean stays within the
+        // source byte range (0..255 per channel sample)
+        assert(r.out_px_sum <= r.out_w * r.out_h * 3 * 255)
+      } else {
+        assert(r.out_px_sum === 0L,
+          s"doc ${r.doc_id} (${d.format}): stub row must carry the sentinel")
+      }
     }
+    assert(realRows > 0, "corpus should contain decodable image rows")
   }
 
   test("frame sampling walks every 10th frame of the 1KiB-frame payload") {
