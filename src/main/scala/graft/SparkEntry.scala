@@ -217,6 +217,7 @@ object SparkEntry {
     "f14_incremental_agg"    -> (graft.sources.IncrementalAgg.refreshedDailyView _),
     "f15_dynamic_pruning"    -> (graft.sources.DynamicPruning.pruningJoin _),
     "f17_runtime_bloom"      -> (graft.sources.RuntimeBloom.bloomPrunedAgg _),
+    "f18_point_lookup"       -> (graft.sources.PointLookup.pointLookup _),
     "f16_corrupt_jsonl"      -> (graft.sources.CorruptJsonl.ingestReport _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),
@@ -312,6 +313,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamGateDrift(s, d)),
     "w19_stream_ingest_ledger" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamIngestLedger(s, d)),
+    "w20_stream_ann_ingest"  -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamAnnIngest(s, d)),
     "j01_asof_join"          -> (graft.operators.AsOfJoin.purchaseAsOfClick _),
     "j04_nearest_join"       -> (graft.operators.AsOfJoin.purchaseNearestClick _),
     "j02_range_join"         -> (graft.operators.AsOfJoin.purchaseClickWindow _),

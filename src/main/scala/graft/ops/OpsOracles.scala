@@ -2752,6 +2752,14 @@ object OpsOracles {
         |SELECT arrival_id, nbr, cosine, rnk FROM attach
         |ORDER BY arrival_id, rnk""".stripMargin,
 
+    // w20: the streamed attach log — slicing-invariant because every
+    // arrival's walk reads only the frozen base index, so the streamed
+    // ingest's final log IS the batch insert's table (s33's oracle).
+    "w20_stream_ann_ingest" ->
+      s"""WITH $insertWalkCtes
+        |SELECT arrival_id, nbr, cosine, rnk FROM attach
+        |ORDER BY arrival_id, rnk""".stripMargin,
+
     // s34: post-insert serving — the parents query the MERGED graph
     // (base ∪ attach ∪ reverse-attach, candidates extended by the
     // arrivals); each parent must surface its arrival, reachable only
@@ -3407,6 +3415,15 @@ object OpsOracles {
         |WHERE s_nationkey = 3
         |GROUP BY s_suppkey
         |ORDER BY s_suppkey""".stripMargin,
+
+    // f18: bucketed point lookup — the oracle is the PLAIN predicate on
+    // the raw table: the layout must only change the scan shape
+    // (partition-pruned buckets + pushed In), never the values.
+    "f18_point_lookup" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE doc_id % 97 = 3
+        |ORDER BY doc_id""".stripMargin,
 
     // t36: stratified split report — the md5-nibble three-way split with
     // per-source shares; pure integer counts and one rounded divide

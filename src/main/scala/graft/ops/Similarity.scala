@@ -1448,15 +1448,38 @@ object Similarity {
     * shape for a serving index — near-duplicates of in-index content —
     * and make findability MEASURABLE: each parent must retrieve its
     * arrival after the insert (s34). Shape: (query_id, qv, qnorm). */
-  private[graft] def insertArrivals(spark: SparkSession, dir: String): DataFrame =
-    vectors(spark, dir)
-      .filter(col("vec_id").between(10, 14))
+  /** The arrival jitter over EXPLICIT (vec_id, v) parent rows — the
+    * batch-shaped core [[insertArrivals]] adapts; the streaming ingest
+    * (w20) runs it per micro-batch with whatever parent slice arrived. */
+  private[graft] def insertArrivalsOf(parents: DataFrame): DataFrame =
+    parents
       .withColumn("qv", expr(
         "transform(v, (x, i) -> round(x + (cast(conv(substring(md5(" +
           "concat('ins|', cast(vec_id as string), '|', cast(i as string))" +
           "), 1, 1), 16, 10) as double) - 7.5) / 1000.0, 6))"))
       .select((col("vec_id") + lit(InsertIdBase)).as("query_id"), col("qv"))
       .withColumn("qnorm", sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")))
+
+  private[graft] def insertArrivals(spark: SparkSession, dir: String): DataFrame =
+    insertArrivalsOf(vectors(spark, dir)
+      .filter(col("vec_id").between(10, 14))
+      .select(col("vec_id"), col("v")))
+
+  /** The per-batch insert core the streaming ingest (w20) runs: jitter
+    * this batch's parents into arrivals, walk the BASE index with them
+    * (each arrival's walk is independent of every other arrival — the
+    * s33 contract — which is exactly what makes the streamed ingest
+    * slicing-invariant), and return their attach rows. Never rebuilds
+    * or rewrites a base artifact. */
+  private[graft] def insertAttachOf(spark: SparkSession, dir: String,
+                                    parents: DataFrame): DataFrame = {
+    val idx = graphAnnIndex(spark, dir)
+    beamWalkOver(spark, dir, idx.fetch, idx.medoid,
+        insertArrivalsOf(parents), GraphAnnBeam, GraphAnnHops).last
+      .filter(col("rnk") <= GraphAnnM)
+      .select(col("query_id").as("arrival_id"), col("node").as("nbr"),
+        col("cosine"), col("rnk"))
+  }
 
   /** GRAPH-ANN INSERT (s33) — the serving-index property s29 lacked
     * (VERDICT r10 item 2): arrivals fold into the built graph WITHOUT a
@@ -1484,6 +1507,8 @@ object Similarity {
         col("cosine"), col("rnk"))
       .orderBy("arrival_id", "rnk")
   }
+  // (graphAnnInsert is insertAttachOf over the full parent set — kept
+  // explicit so the s33 surface's m/beam/hops knobs stay overridable)
 
   /** THE ATTACH LOG — s33's insert, made DURABLE (VERDICT r11 item 2):
     * the computed attach list persists as a versioned, fingerprinted

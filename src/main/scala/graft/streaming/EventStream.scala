@@ -552,6 +552,72 @@ object EventStream {
     readBandIndex(spark, gen).orderBy("band", "bkey")
   }
 
+  private val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("label", IntegerType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
+  /** The per-batch half of the streaming ANN ingest (w20), exposed so
+    * StreamingSpec can drive arbitrary batch slicings: this batch's
+    * parent rows jitter into arrivals, beam-walk the FROZEN base index
+    * (pruned point-reads — the r12 serve path), and their attach rows
+    * APPEND to the delta log as new files. Per-batch sink I/O is
+    * O(batch·M); nothing existing is re-read or rewritten, and no base
+    * artifact is touched (an insert is never a rebuild). */
+  def ingestAttachBatch(batch: DataFrame, dir: String, gen: String): Unit = {
+    val parents = batch.filter(col("vec_id").between(10, 14))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    if (parents.limit(1).count() > 0)
+      graft.ops.Similarity.insertAttachOf(batch.sparkSession, dir, parents)
+        .write.mode("append").parquet(gen)
+  }
+
+  /** STREAMING GRAPH-ANN INGEST (w20) — the w12 delta-log discipline
+    * applied to the graph index's ATTACH LOG: arriving vectors fold into
+    * the serving index as they land, each micro-batch paying only its own
+    * arrivals' beam walks (the s33 insert rule — ONE walk + an M-row
+    * append per arrival, never a rebuild) and appending the attach rows
+    * to the log s34-style serving reads. Because every arrival's walk
+    * depends ONLY on the frozen base index, the log is
+    * SLICING-INVARIANT: any batch split of the same arrivals converges
+    * to the same attach table (StreamingSpec proves 1-row slices ≡
+    * all-at-once ≡ the batch s33), which is what makes the streamed
+    * ingest exactly the batch insert, not an approximation of it.
+    *
+    * Scale shape: per trigger, O(batch) walk point-reads + O(batch·M)
+    * appended rows; the base artifacts are immutable (spec-pinned); the
+    * read side is a plain union of delta files — attach rows are
+    * per-arrival disjoint, so no merge function is even needed (simpler
+    * than w12's bucket-min). Compaction is s37's job. */
+  def streamAnnIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_annlog/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+    graft.sources.StaleOutputs.sweep("graft_stream_annlog",
+      spark.sparkContext.applicationId)
+    graft.sources.StaleOutputs.reset(base)
+    val gen = s"$base/gen"
+    @volatile var batches = 0
+    val q = readEmbeddings(spark, dir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestAttachBatch(batch.toDF(), dir, gen)
+        batches += 1
+      }
+      .start()
+    q.awaitTermination()
+    if (batches == 0) sys.error("no ingest batch ran")
+    spark.read.parquet(gen).orderBy("arrival_id", "rnk")
+  }
+
   /** The in-flight dedup guard: each arriving document (md5 bucket 'f' —
     * the same arrival line as d19/d22) computes its MinHash band keys as
     * per-row expressions, and four stream-static hash joins probe the

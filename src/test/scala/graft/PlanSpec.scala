@@ -751,6 +751,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"adjacency fetch read ${as.metrics("numFiles").value} buckets for 1 id")
   }
 
+  test("f18 point lookup PRUNES: the id-list fetch reads ≤ |ids| bucket " +
+       "directories of the bucketed layout (planning-time partition " +
+       "filter + pushed In), never the table — the r12 serve-path " +
+       "discipline as a reusable layout") {
+    // three ids in three distinct 64-wide buckets; sf0.001 lands ~8
+    val ids = Seq(3L, 100L, 350L)
+    val fetched = graft.sources.PointLookup.fetch(spark, dir, ids)
+    assert(fetched.count() === 3L)
+    val s = scanExecs(fetched).head
+    val str = s.toString
+    assert(str.contains("PartitionFilters") && str.contains("pb"),
+      str.take(1500))
+    assert(str.contains("PushedFilters") && str.contains("In(doc_id"),
+      str.take(1500))
+    assert(s.metrics("numFiles").value <= 3,
+      s"expected ≤3 bucket files read, got ${s.metrics("numFiles").value}")
+    assert(s.metrics("numOutputRows").value < 450,
+      s"scan streamed the table: ${s.metrics("numOutputRows").value} rows")
+  }
+
   test("s29 hop output is serving-sized: a hop frame is a LocalRelation " +
        "(beam-ranked on the driver, DiskANN-style) — the corpus enters " +
        "a hop only through the pruned bucket reads, never a stream") {

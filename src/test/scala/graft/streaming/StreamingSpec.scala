@@ -526,4 +526,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(verdicts.contains("near_dup") || verdicts.contains("exact_dup"),
       "planted corpus should surface at least one dup verdict at ingest")
   }
+
+  test("w20 streamed attach log is SLICING-INVARIANT and equals the " +
+       "batch insert: per-parent micro-batches, the one-shot stream, and " +
+       "s33 all converge to the same table; no base artifact is touched") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("arrival_id", "nbr", "cosine", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val batch = rows(graft.ops.Similarity.graphAnnInsert(spark, dir))
+    // snapshot the artifact set AFTER the index build the batch run did
+    def artifactDirs: Set[String] = {
+      val base = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_annartifacts")
+      Option(base.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    }
+    val before = artifactDirs
+    // drive the per-batch core with ONE-PARENT slices — the finest
+    // slicing a file stream could ever deliver
+    val gen = java.nio.file.Files
+      .createTempDirectory("w20slices").toString + "/gen"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    (10L to 14L).foreach { p =>
+      EventStream.ingestAttachBatch(
+        emb.filter(col("vec_id") === p), dir, gen)
+    }
+    val sliced = rows(spark.read.parquet(gen))
+    assert(sliced === batch,
+      "one-parent-per-batch ingest diverged from the batch insert")
+    // the production one-shot stream converges to the same log
+    val streamed = rows(EventStream.streamAnnIngest(spark, dir))
+    assert(streamed === batch,
+      "streamed attach log diverged from the batch insert")
+    assert(artifactDirs === before,
+      "streaming ingest touched a base index artifact — that is a rebuild")
+  }
 }
