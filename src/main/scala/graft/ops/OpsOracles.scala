@@ -3134,12 +3134,14 @@ object OpsOracles {
     // t55: the composed curation pipeline capstone — the WHOLE chain
     // replayed CTE-for-CTE: the dedup/quality gates as row-level
     // survival (exact keepers, LSH losers, quality rejects — t53's g3),
-    // the t12 eval holdout plus t37's GRADED contamination drop (the
-    // `contaminated` band, ≥0.5 shared-shingle fraction — t11's
-    // any-overlap rule saturates at this eval-slice size), t17's
-    // temperature quota applied on the GATED corpus, t13/t23 chunk+pack
-    // over the sampled survivors, f08's seeded shard permutation over
-    // the packed sequences, manifest grain out.
+    // the t12 eval holdout plus the GRADED contamination drop measured
+    // against the BOUNDED eval suite (the 256 md5-lowest shingled docs
+    // of the 'f' bucket — CurationEvalBudget; both t11's any-overlap
+    // and a corpus-proportional graded slice saturate this corpus's
+    // bounded shingle vocabulary), t17's temperature quota applied on
+    // the GATED corpus, t13/t23 chunk+pack over the sampled survivors,
+    // f08's seeded shard permutation over the packed sequences,
+    // manifest grain out.
     "t55_curation_pipeline" ->
       s"""WITH $shingleCte,
         |$lshCandCte,
@@ -3165,7 +3167,10 @@ object OpsOracles {
         |  FROM documents),
         |bkt AS (SELECT doc_id, shingle,
         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket FROM sh),
-        |ev AS (SELECT DISTINCT shingle FROM bkt WHERE bucket = 'f'),
+        |evd AS (
+        |  SELECT doc_id FROM (SELECT DISTINCT doc_id FROM bkt WHERE bucket = 'f')
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 256),
+        |ev AS (SELECT DISTINCT shingle FROM bkt JOIN evd USING (doc_id)),
         |tr AS (SELECT doc_id, count(*) AS n_shingles
         |  FROM bkt WHERE bucket != 'f' GROUP BY 1),
         |sd AS (SELECT b.doc_id, count(*) AS shared

@@ -487,24 +487,55 @@ object TextAnalysis {
       .join(ok, Seq("doc_id"), "left_semi")
   }
 
+  /** The curation pipeline's EVAL SUITE size: a real benchmark suite is
+    * KB–MB whatever the corpus size (t11's own scale note), so the
+    * contamination reference is a FIXED-size md5-selected slice of the
+    * held-out bucket — bounded IN CODE (the d30 discipline, oracle-
+    * mirrored). An eval slice PROPORTIONAL to the corpus (the full 'f'
+    * bucket) saturates the synthetic corpus's fixed shingle vocabulary
+    * as N grows: at the sf1 replica every train doc crosses even the
+    * 50% graded threshold, emptying the pipeline — the proportional
+    * slice is the artifact, not the rule. */
+  val CurationEvalBudget = 256
+
+  /** Docs ≥50%-shingle-contaminated against the BOUNDED eval suite
+    * (t37's `contaminated` band measured vs the fixed benchmark slice):
+    * the suite is the [[CurationEvalBudget]] md5-lowest shingled docs of
+    * the held-out bucket; its shingle set broadcasts (suite-sized at any
+    * corpus scale) and each train doc pays one shared-count join. */
+  private[graft] def curationContaminated(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Dedup.docShingles(spark, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+    val evalDocs = ds.filter(col("bucket") === "f" && col("n") > 0)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(CurationEvalBudget)
+      .select("doc_id")
+    val evalSh = ds.join(evalDocs, Seq("doc_id"), "left_semi")
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val train = ds.filter(col("bucket") =!= "f" && col("n") > 0)
+    train.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+      .join(train.select(col("doc_id"), col("n")), Seq("doc_id"))
+      .filter(round(col("shared").cast("double") / col("n"), 6) >= 0.5)
+      .select("doc_id")
+  }
+
   /** The GATED corpus the full curation pipeline trains on:
     * [[curationQualityGated]] minus the held-out eval bucket (t12's
-    * split rule) minus docs in t37's `contaminated` band (≥50% of their
-    * shingles shared with the eval slice — the GRADED drop rule, not
-    * t11's drop-on-any-overlap: with an eval slice a sixteenth of the
-    * corpus, 3-gram any-overlap saturates as the corpus grows — at sf0.1
-    * it empties the corpus entirely — which is why production pipelines
-    * grade before they drop; t53's strict-rule final counts remain
-    * pinned in the reconciliation spec as the relation between the two
+    * split rule — the WHOLE bucket leaves training) minus docs in t37's
+    * `contaminated` band measured against the BOUNDED eval suite
+    * ([[curationContaminated]] — the graded ≥0.5 drop rule vs a
+    * fixed-size benchmark, not t11's any-overlap vs a corpus-
+    * proportional slice, both of which saturate on this corpus's
+    * bounded shingle vocabulary; t53's strict-rule final counts remain
+    * pinned in the reconciliation spec as the relation between the
     * rules). */
-  private[graft] def curationGated(spark: SparkSession, dir: String): DataFrame = {
-    val ct = contaminationReport(spark, dir)
-      .filter(col("band") === "contaminated")
-      .select("doc_id")
+  private[graft] def curationGated(spark: SparkSession, dir: String): DataFrame =
     curationQualityGated(spark, dir)
       .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "f")
-      .join(ct, Seq("doc_id"), "left_anti")
-  }
+      .join(curationContaminated(spark, dir), Seq("doc_id"), "left_anti")
 
   /** THE COMPOSED CURATION PIPELINE (t55) — the capstone contract: every
     * stage a training-data run ships, CHAINED as one operator from the
@@ -537,9 +568,15 @@ object TextAnalysis {
   def curationPipeline(spark: SparkSession, dir: String,
                        seed: String = "42", nShards: Int = 8): DataFrame = {
     val sampled = {
-      val gated = curationGated(spark, dir)
+      // the gate chain (LSH detection + quality + decontamination) feeds
+      // THREE consumers (the mixture's targets, its rank window, and the
+      // semi-join back) — eager localCheckpoint so it runs once, and the
+      // sampled survivors feed the pack's several passes the same way
+      // (the t42/t48 multi-consumer discipline)
+      val gated = curationGated(spark, dir).localCheckpoint()
       gated.join(temperatureMixOf(gated).select("doc_id"),
         Seq("doc_id"), "left_semi")
+        .localCheckpoint()
     }
     val seqs = sequencePackOf(chunkTokensOf(sampled))
     graft.sources.ShardExport.assignShards(
