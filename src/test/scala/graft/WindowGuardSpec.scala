@@ -72,7 +72,14 @@ class WindowGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (expected ~5000 rows at any corpus size; the d30 discipline). The
     // prover can't see the bound because the scores frame eagerly
     // localCheckpoints (its two consumers) into a Scan ExistingRDD.
-    "t51_perplexity_bands" -> 2
+    "t51_perplexity_bands" -> 2,
+    // f08's shard-rank bucket-base carry inside the t55 manifest: the
+    // window input is the groupBy(bucket) count of a 2-hex-char md5
+    // prefix — ≤256 rows by construction. (f08's own gate query never
+    // shows this window: shardExport materializes it during its eager
+    // write and the registered plan reads the files back; t55 keeps the
+    // sharding in its live tree.)
+    "t55_curation_pipeline" -> 1
     // The r7 list carried 14 ref_* entries (3-6 permitted windows each,
     // justified by the fixed CSV corpus); the r8 prover extensions
     // (broadcast-join streamed-side walk, bounded-input aggregates, the

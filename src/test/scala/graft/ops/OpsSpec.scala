@@ -2567,12 +2567,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("s33/s34: inserted arrivals are FINDABLE post-insert (every " +
        "parent retrieves its arrival) and the insert writes NO new " +
        "index artifact — an insert is never a rebuild") {
-    // force the index build, then snapshot the artifact set
+    // force the index build, then snapshot THIS dir's base BUILD
+    // artifacts (restricted so parallel suites creating unrelated
+    // artifacts — other corpora, attach logs, pq — cannot race it)
     Similarity.graphAnn(spark, dir).collect()
     def artifactDirs: Set[String] = {
+      val sfName = new java.io.File(dir).getName
       val base = new java.io.File(
         s"${sys.props("java.io.tmpdir")}/graft_annartifacts")
       Option(base.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+        .filter(n => n.contains(s"_${sfName}_") &&
+          Seq("knngraph", "walkvec", "knnmedoid", "cents", "km")
+            .exists(n.startsWith))
     }
     val before = artifactDirs
     val attach = Similarity.graphAnnInsert(spark, dir).collect()

@@ -536,13 +536,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .toSet
     val batch = rows(graft.ops.Similarity.graphAnnInsert(spark, dir))
-    // snapshot the artifact set AFTER the index build the batch run did
-    def artifactDirs: Set[String] = {
+    // snapshot THIS dir's base BUILD artifacts after the batch run built
+    // them (restricted to the base tags so concurrently-running suites
+    // creating unrelated artifacts — knnattach, pq, other corpora —
+    // cannot race the assertion; suites run in parallel under sbt)
+    def baseArtifacts: Set[String] = {
+      val sfName = new java.io.File(dir).getName
       val base = new java.io.File(
         s"${sys.props("java.io.tmpdir")}/graft_annartifacts")
       Option(base.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+        .filter(n => n.contains(s"_${sfName}_") &&
+          Seq("knngraph", "walkvec", "knnmedoid", "cents", "km")
+            .exists(n.startsWith))
     }
-    val before = artifactDirs
+    val before = baseArtifacts
     // drive the per-batch core with ONE-PARENT slices — the finest
     // slicing a file stream could ever deliver
     val gen = java.nio.file.Files
@@ -559,7 +566,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamed = rows(EventStream.streamAnnIngest(spark, dir))
     assert(streamed === batch,
       "streamed attach log diverged from the batch insert")
-    assert(artifactDirs === before,
+    assert(baseArtifacts === before,
       "streaming ingest touched a base index artifact — that is a rebuild")
   }
 }
