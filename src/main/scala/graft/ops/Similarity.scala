@@ -1177,8 +1177,13 @@ object Similarity {
                                   beam: Int, hops: Int): Seq[DataFrame] = {
     walkRuns.incrementAndGet()
     val sess = spark; import sess.implicits._
-    val qSide = broadcast(
+    // the query side is serving-request-sized: localize it once so every
+    // hop's broadcast is a LocalRelation (collected driver-side, no
+    // scheduler job per hop — each broadcast of a memo-backed frame was
+    // one job on the serve's hot path; JobCountSpec pins the budget)
+    val qLocal = localized(
       queries.select(col("query_id"), col("qv"), col("qnorm")))
+    val qSide = broadcast(qLocal)
     val outSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("node", LongType, nullable = false),
@@ -1186,7 +1191,7 @@ object Similarity {
       StructField("rnk", IntegerType, nullable = false),
       StructField("hop", IntegerType, nullable = false)))
     var beamPairs: Seq[(Long, Long)] =
-      walkEntryBeam(spark, dir, medoid, queries)
+      walkEntryBeam(spark, dir, medoid, qLocal)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     (1 to hops).map { h =>
       val beamIds = beamPairs.map(_._2).distinct.sorted
@@ -1272,20 +1277,23 @@ object Similarity {
     walkRuns.incrementAndGet()
     val sess = spark; import sess.implicits._
     val idx = graphAnnIndex(spark, dir, m)
-    val queries = semDedupAssignment(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"),
-        col("v").as("qv"), col("norm").as("qnorm"))
+    // query side and LUT are serving-request-sized: LOCALIZED so every
+    // hop broadcasts a LocalRelation without a scheduler job (the s29
+    // job-budget discipline — JobCountSpec)
+    val queries = localized(
+      semDedupAssignment(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("v").as("qv"), col("norm").as("qnorm")))
     // the query-side ADC lookup table: exact subvector→codeword
     // distances, 6dp DECIMAL — queries × 8 subspaces × PqK codewords,
-    // broadcast to every hop (eagerly checkpointed: every hop joins it)
-    val lut = subvectors(spark, dir).filter(col("vec_id") < 10)
+    // broadcast to every hop
+    val lut = localized(subvectors(spark, dir).filter(col("vec_id") < 10)
       .join(broadcast(pqCodebooks(spark, dir)), Seq("s"))
       .withColumn("d", round(
         expr("aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x)"), 6)
         .cast("decimal(18,6)"))
       .select(col("vec_id").as("query_id"), col("s"),
-        col("cid").as("code"), col("d"))
-      .localCheckpoint()
+        col("cid").as("code"), col("d")))
     // the walk's code table, bucketed for the per-hop point-read
     val codesPath = diskMemoDir(spark, dir, s"walkcodesw$WalkBucketWidth",
         Seq("pb")) {

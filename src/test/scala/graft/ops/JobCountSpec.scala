@@ -74,6 +74,41 @@ class JobCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s29 driver-beam walk: a steady serve spends a CONSTANT job " +
+       "budget (entry + a fixed handful per hop — pruned point-reads " +
+       "and local-frame broadcasts), independent of corpus size") {
+    val dir = "/root/testdata/sf0.001"
+    // warm: artifact builds, session memos, file-index cache
+    Similarity.graphAnn(spark, dir).collect()
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.graphAnn(spark, dir).collect()
+      val steady = settledJobCount(jobs)
+      // entry beam (collect + its broadcasts) + 4 hops × (adjacency
+      // point-read collect + scored point-read collect + the expansion/
+      // query local-frame broadcasts) + the result collect. The budget
+      // fails a shape that adds a per-hop action (a separate isEmpty
+      // probe, an eager per-hop checkpoint, a re-walked consumer) — at
+      // serving scale every extra job is scheduler latency on the hot
+      // path, and NOTHING here may scale with corpus size.
+      // measured 26: 2 entry (localize + entry collect) + 4 hops × 2
+      // point-read collects + the result collect, plus 1-task broadcast
+      // micro-jobs for projected local frames. The number is a CONSTANT
+      // of (hops, beam) — the assert is about corpus-independence and
+      // catching a shape that adds per-hop actions, not about the
+      // micro-job tail.
+      info(s"steady s29 serve spent $steady jobs")
+      assert(steady <= 28, s"steady s29 serve spent $steady jobs (≤28)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("g05 BFS loop: one Spark action per frontier round") {
     val s = spark; import s.implicits._
     // a 7-node path 0-1-...-6: eccentricity 6 from the seed, so the loop
