@@ -143,6 +143,7 @@ object SparkEntry {
     "t24_bpe_merges"         -> (TextAnalysis.bpeMerges _),
     "t25_bpe_encode"         -> (TextAnalysis.bpeEncode _),
     "t56_bpe_batch_merges"   -> (TextAnalysis.bpeBatchMerges _),
+    "t57_packing_sweep"      -> (TextAnalysis.packingSweep _),
     "t26_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "t27_vocab_growth"       -> (TextAnalysis.vocabGrowth _),
     "t20_mixture_report"     -> (TextAnalysis.mixtureReport _),

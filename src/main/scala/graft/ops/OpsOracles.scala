@@ -191,6 +191,40 @@ object OpsOracles {
        |ORDER BY round, pick""".stripMargin
   }
 
+  /** t57: the packing-budget sweep — t23's offset chain (budget-
+    * independent) shared by every point; per budget one seq-grain
+    * aggregate on `off // base`. */
+  private def packingSweepOracleSql(budgets: Seq[Int] = Seq(64, 128, 256)): String = {
+    val perBudget = budgets.map { b =>
+      val base = b - 32 + 1
+      s"""SELECT CAST($b AS INT) AS budget,
+         |  CAST(count(*) AS BIGINT) AS n_seqs,
+         |  CAST(sum(c) AS BIGINT) AS n_chunks,
+         |  CAST(sum(t) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) * $b AS BIGINT) AS capacity,
+         |  round(1.0 - CAST(sum(t) AS DOUBLE) / (count(*) * $b), 6) AS padding_frac,
+         |  CAST(max(t) AS BIGINT) AS max_seq_tokens
+         |FROM (SELECT off // $base AS seq_id, count(*) AS c,
+         |      CAST(sum(nt) AS BIGINT) AS t
+         |      FROM o GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+       |c AS (SELECT doc_id, unnest(range(0, n, 24)) AS s, n FROM t),
+       |ch AS (SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+       |  CAST(least(32, n - s) AS INT) AS nt FROM c),
+       |dt AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS doc_tokens FROM ch GROUP BY 1),
+       |db AS (SELECT doc_id, CAST(coalesce(sum(doc_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_base
+       |  FROM dt),
+       |o AS (SELECT ch.doc_id, chunk_id, nt,
+       |  db.doc_base + CAST(coalesce(sum(nt) OVER (PARTITION BY ch.doc_id
+       |    ORDER BY chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS BIGINT) AS off
+       |  FROM ch JOIN db ON ch.doc_id = db.doc_id)
+       |$perBudget
+       |ORDER BY budget""".stripMargin
+  }
+
   private def bpeOracleSql: String = {
     val stages = (1 to 8).map(bpeStage).mkString(",\n")
     val union = (1 to 8).map(k =>
@@ -5188,6 +5222,8 @@ object OpsOracles {
     "t24_bpe_merges" -> bpeOracleSql,
 
     "t56_bpe_batch_merges" -> bpeBatchOracleSql(),
+
+    "t57_packing_sweep" -> packingSweepOracleSql(),
 
     "m08_media_search" -> mediaSearchSql,
 

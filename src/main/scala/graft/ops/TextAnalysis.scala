@@ -676,9 +676,11 @@ object TextAnalysis {
     * cluster-width offset window, broadcast add-back — NOT an
     * unpartitioned window (which would drag all ~10⁹ doc rows through
     * one task at 100 TB); the corpus itself never globally sorts. */
-  def sequencePackOf(chunks: DataFrame, budget: Int = 128, window: Int = 32): DataFrame = {
-    require(budget >= window, s"budget $budget must fit a $window-token chunk")
-    val base = budget - window + 1
+  /** Each chunk's global token OFFSET in packing order — the budget-
+    * INDEPENDENT half of sequence packing (seq assignment is one integer
+    * division on top), shared by [[sequencePackOf]] and the budget sweep
+    * (t57). */
+  private def chunkOffsetsOf(chunks: DataFrame): DataFrame = {
     val docTotals = chunks.groupBy("doc_id")
       .agg(sum(col("n_chunk_tokens")).as("doc_tokens"))
     val docBase = GlobalOrder.withPrefixSums(docTotals, Seq(col("doc_id")),
@@ -688,6 +690,12 @@ object TextAnalysis {
     chunks.join(docBase.select("doc_id", "doc_base"), Seq("doc_id"))
       .withColumn("off",
         col("doc_base") + coalesce(sum(col("n_chunk_tokens")).over(intraDoc), lit(0L)))
+  }
+
+  def sequencePackOf(chunks: DataFrame, budget: Int = 128, window: Int = 32): DataFrame = {
+    require(budget >= window, s"budget $budget must fit a $window-token chunk")
+    val base = budget - window + 1
+    chunkOffsetsOf(chunks)
       .withColumn("seq_id", expr(s"off div $base"))
       .groupBy("seq_id")
       .agg(
@@ -697,6 +705,51 @@ object TextAnalysis {
         max(col("doc_id")).as("last_doc"))
       .orderBy("seq_id")
   }
+
+  /** PACKING-BUDGET SWEEP (t57) — the tuning table read BEFORE t23's
+    * budget is committed (the d23/d37/s28/s30 tuning-table discipline
+    * applied to sequence packing): per candidate budget, how many
+    * training sequences the corpus packs into, the capacity paid
+    * (n_seqs × budget), the padding fraction a trainer wastes on it,
+    * and the max sequence fill (must respect the budget — the t23
+    * capacity guarantee, re-asserted per point). Longer budgets waste
+    * more padding on this chunk grain; shorter ones multiply sequence
+    * count — the table is the trade-off, and seq-length is a knob real
+    * training runs tune by exactly this number.
+    *
+    * ONE chunk pass and ONE offset computation serve every point: the
+    * global offset is budget-independent (eagerly checkpointed for its
+    * |budgets| consumers), and each budget pays only the integer
+    * division plus a #sequences-sized aggregate. padding_frac is a
+    * single IEEE divide of exact BIGINTs, 6dp-rounded. */
+  def packingSweepOf(chunks0: DataFrame,
+                     budgets: Seq[Int] = Seq(64, 128, 256),
+                     window: Int = 32): DataFrame = {
+    val offsets = chunkOffsetsOf(chunks0).localCheckpoint()
+    budgets.map { b =>
+      require(b >= window, s"budget $b must fit a $window-token chunk")
+      val base = b - window + 1
+      offsets
+        .withColumn("seq_id", expr(s"off div $base"))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("c"), sum(col("n_chunk_tokens")).as("t"))
+        .agg(
+          count(lit(1)).as("n_seqs"),
+          sum("c").as("n_chunks"),
+          sum("t").as("n_tokens"),
+          max("t").as("max_seq_tokens"))
+        .select(lit(b).as("budget"),
+          col("n_seqs"), col("n_chunks"), col("n_tokens"),
+          (col("n_seqs") * lit(b.toLong)).as("capacity"),
+          round(lit(1.0) - col("n_tokens").cast("double") /
+            (col("n_seqs") * lit(b.toLong)).cast("double"), 6)
+            .as("padding_frac"),
+          col("max_seq_tokens"))
+    }.reduce(_ unionByName _).orderBy("budget")
+  }
+
+  def packingSweep(spark: SparkSession, dir: String): DataFrame =
+    packingSweepOf(chunkTokens(spark, dir))
 
   def sequencePack(spark: SparkSession, dir: String): DataFrame =
     sequencePackOf(chunkTokens(spark, dir))

@@ -1212,6 +1212,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids === (0L until ids.length.toLong).toSeq)
   }
 
+  test("t57 packing sweep: every budget point respects its capacity, " +
+       "conserves the chunk mass, and the budget-128 row IS t23's own " +
+       "aggregate; padding falls as the budget tightens toward the " +
+       "chunk grain") {
+    val chunks = TextAnalysis.chunkTokens(spark, dir)
+    val nChunks = chunks.count()
+    val nTokens = chunks.agg(sum("n_chunk_tokens")).first().getLong(0)
+    val sweep = TextAnalysis.packingSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))
+    assert(sweep.map(_._1).toSeq === Seq(64, 128, 256))
+    sweep.foreach { case (b, nSeqs, c, t, cap, frac, maxT) =>
+      // conservation at every point: the sweep repartitions the SAME
+      // chunk mass, never loses or duplicates it
+      assert(c === nChunks && t === nTokens, s"budget $b lost chunk mass")
+      // the t23 capacity contract holds per point
+      assert(maxT <= b.toLong, s"budget $b overflowed: $maxT")
+      assert(cap === nSeqs * b)
+      assert(frac >= 0.0 && frac < 1.0)
+    }
+    // the budget-128 row must equal t23's own aggregate exactly
+    val packed = TextAnalysis.sequencePackOf(chunks).collect()
+    val (s128, _, _, _, _, m128) =
+      sweep.find(_._1 == 128).map(x => (x._2, x._3, x._4, x._5, x._6, x._7)).get
+    assert(s128 === packed.length.toLong, "budget-128 n_seqs != t23")
+    assert(m128 === packed.map(_.getAs[Long]("n_tokens")).max,
+      "budget-128 max fill != t23")
+    // more sequences at smaller budgets (the trade the table shows)
+    assert(sweep.map(_._2).toSeq === sweep.map(_._2).toSeq.sorted.reverse,
+      "n_seqs should fall as the budget grows")
+  }
+
   test("BPE merges: greedy overlap semantics, monotone counts, early stop, " +
        "one new symbol per merge") {
     val s = spark; import s.implicits._
