@@ -291,6 +291,7 @@ object SparkEntry {
     "m10_media_phash"        -> (graft.ops.Multimodal.mediaPerceptualNearDup _),
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "m13_audio_energy"       -> (graft.ops.Multimodal.audioEnergy _),
+    "m14_audio_resample"     -> (graft.ops.Multimodal.audioResampled _),
     "m12_image_stats"        -> (graft.ops.Multimodal.imageStats _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),

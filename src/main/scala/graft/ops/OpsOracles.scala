@@ -4686,6 +4686,40 @@ object OpsOracles {
         |  CAST(CASE WHEN n > 0 THEN 100 ELSE 0 END AS BIGINT) AS peak_abs
         |FROM e ORDER BY doc_id""".stripMargin,
 
+    // m14: frame-strided audio decimation (k=4) — the kept predicate
+    // (j div c) % 4 = 0 and the sample law |(j%200)-100| are BOTH
+    // periodic with period 200 for c ∈ {1,2} (200 ≡ 0 mod 4c), so the
+    // per-period kept-count and kept-amp constants come from one bounded
+    // 200-fold and the tail from a remainder fold — never a per-sample
+    // unnest (the m13 closed-form discipline, fold-assisted).
+    "m14_audio_resample" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+        |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 64),
+        |d AS (
+        |  SELECT doc_id, CAST(8000 + L % 4000 AS BIGINT) AS rate,
+        |    CAST(1 + L % 2 AS BIGINT) AS c,
+        |    (L - 44) // 2 AS n
+        |  FROM b),
+        |e AS (SELECT doc_id, rate, c, n, n // 200 AS f, n % 200 AS r FROM d),
+        |g AS (
+        |  SELECT doc_id, rate, c, n,
+        |    COALESCE(list_sum(list_transform(range(200),
+        |      j -> CASE WHEN (j // c) % 4 = 0 THEN 1 ELSE 0 END)), 0) AS kper,
+        |    COALESCE(list_sum(list_transform(range(r),
+        |      j -> CASE WHEN (j // c) % 4 = 0 THEN 1 ELSE 0 END)), 0) AS krem,
+        |    COALESCE(list_sum(list_transform(range(200),
+        |      j -> CASE WHEN (j // c) % 4 = 0 THEN abs(j - 100) ELSE 0 END)), 0) AS aper,
+        |    COALESCE(list_sum(list_transform(range(r),
+        |      j -> CASE WHEN (j // c) % 4 = 0 THEN abs(j - 100) ELSE 0 END)), 0) AS arem,
+        |    f
+        |  FROM e)
+        |SELECT doc_id, rate, CAST(rate // 4 AS BIGINT) AS out_rate,
+        |  c AS channels, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(f * kper + krem AS BIGINT) AS out_samples,
+        |  CAST(f * aper + arem AS BIGINT) AS out_amp_sum
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     // m12: real-decode image stats — BMP (doc_id%3=0, L≥200), PNG
     // (doc_id%6=2, L≥280), and JPEG (doc_id%12=5, L≥200) rows — webp is
     // dims-only by declared boundary, so it has no pixel-stats row; dims and

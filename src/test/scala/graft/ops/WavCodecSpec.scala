@@ -141,6 +141,33 @@ class WavCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("m14 decimation: k=1 is the identity of the full decode, k=4 " +
+       "keeps whole frames (all channels), and a brute strided recompute " +
+       "agrees on synthesized payloads of both channel widths") {
+    // even lengths → mono, odd → stereo (channels = 1 + L%2)
+    Seq(64, 101, 226, 245, 444, 1001, 2000).foreach { len =>
+      val p = WavCodec.synthesize(len)
+      val Some((rate, c, n, amp)) =
+        WavCodec.decode(p).map(d => (d._1, d._2, d._3, d._4))
+      // k=1 keeps everything: identity with the full decode
+      val Some((_, _, _, kept1, sum1)) = WavCodec.decimate(p, 1)
+      assert(kept1 === n && sum1 === amp, s"len=$len k=1")
+      // k=4: brute strided recompute from the synthesis law
+      val Some((r4, c4, n4, kept4, sum4)) = WavCodec.decimate(p, 4)
+      assert(r4 === rate && c4 === c && n4 === n)
+      val pat = (0L until n).map(j => ((j % 200) - 100, (j / c) % 4 == 0))
+      assert(kept4 === pat.count(_._2).toLong, s"len=$len kept")
+      assert(sum4 === pat.collect { case (s, true) => math.abs(s) }.sum,
+        s"len=$len amp")
+      // whole frames: the kept count is channels × ceil(frames/4) when
+      // the final frame is complete
+      if (n % c == 0) {
+        val frames = n / c
+        assert(kept4 === c * ((frames + 3) / 4), s"len=$len frame count")
+      }
+    }
+  }
+
   test("non-WAV and non-PCM16 payloads are rejected") {
     assert(WavCodec.decode("RIFFxxxxWAVE but then garbage".getBytes("UTF-8")).isEmpty)
     assert(WavCodec.decode("plain text, no RIFF header here at all ok"
