@@ -722,13 +722,28 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRow].mapPartitions(_.map { r =>
       val m = r.media
-      val isImage = m.length >= 54 &&
-        ((m(0) == 'B' && m(1) == 'M') ||
-         ((m(0) & 0xFF) == 0x89 && m(1) == 'P' && m(2) == 'N' && m(3) == 'G') ||
-         ((m(0) & 0xFF) == 0xFF && (m(1) & 0xFF) == 0xD8 && (m(2) & 0xFF) == 0xFF))
-      val img = if (isImage)
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m)))
-      else None
+      // classify by the codecs' own (doc_id, length) residue rules —
+      // the SAME law the oracle replays, so classification can never
+      // drift from it (ADVICE r12: magic-byte sniffing rerouted any
+      // decode failure to the stub SILENTLY, surfacing only as a gate
+      // diff; synthesize() emits exactly the original byte length, so
+      // m.length is the eligibility length)
+      val isImage = BmpCodec.eligible(r.doc_id, m.length) ||
+        PngCodec.eligible(r.doc_id, m.length) ||
+        JpegCodec.eligible(r.doc_id, m.length)
+      val img = if (isImage) {
+        val im =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m))
+          catch {
+            case e: java.io.IOException => throw new IllegalStateException(
+              s"decode threw on ELIGIBLE image row ${r.doc_id} " +
+                s"(${m.length} bytes) — corrupt payload, fail loudly", e)
+          }
+        if (im == null) throw new IllegalStateException(
+          s"no ImageIO reader decoded ELIGIBLE image row ${r.doc_id} " +
+            s"(${m.length} bytes) — fail loudly, never stub a real image")
+        Some(im)
+      } else None
       img match {
         case Some(im) =>
           val (w, h) = (im.getWidth.toLong, im.getHeight.toLong)

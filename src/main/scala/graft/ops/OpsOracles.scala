@@ -3457,12 +3457,15 @@ object OpsOracles {
 
     // f18: bucketed point lookup — the oracle is the PLAIN predicate on
     // the raw table: the layout must only change the scan shape
-    // (partition-pruned buckets + pushed In), never the values.
+    // (partition-pruned buckets + pushed In), never the values. LIMIT
+    // 200 mirrors PointLookup.LookupBudget: the request is fixed-size
+    // in code, never corpus-proportional (ADVICE r12).
     "f18_point_lookup" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents
         |WHERE doc_id % 97 = 3
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id
+        |LIMIT 200""".stripMargin,
 
     // t36: stratified split report — the md5-nibble three-way split with
     // per-source shares; pure integer counts and one rounded divide

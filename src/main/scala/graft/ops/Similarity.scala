@@ -229,7 +229,7 @@ object Similarity {
   /** Format version of the on-disk ANN artifacts ([[diskMemo]]): bump
     * whenever a trainer's SEMANTICS change so a fresh build can never
     * consume an artifact an older code version wrote. */
-  private val ArtifactVersion = "r11a" // r11: Lloyd trainer input bounded (identity at gated SFs, but sampled beyond TrainerSampleBudget — replica-scale artifacts must rebuild)
+  private val ArtifactVersion = "r13" // r13: artifacts carry a _SOURCE provenance sidecar (pre-r13 dirs lack it and sweep out as version-stale)
 
   /** Source-table fingerprint (size + mtime of embeddings.parquet):
     * regeneration of the testdata invalidates every artifact keyed on it
@@ -238,6 +238,35 @@ object Similarity {
     val f = new java.io.File(s"$dir/embeddings.parquet")
     s"${f.length()}_${f.lastModified()}"
   }
+
+  /** Provenance sidecar written inside every published artifact (three
+    * lines: source dir, format version, source fingerprint at build
+    * time). It serves two lifecycle roles. (1) [[artifactCurrent]]
+    * replays the currency check from it — the sweep's documented policy
+    * ("its testdata generation is gone or its format version was
+    * bumped") becomes the IMPLEMENTED policy, with no directory-name
+    * parsing. (2) Its mtime is the artifact's GENERATION marker: written
+    * once per build, rewritten only by a rebuild, never touched on reuse
+    * (the reuse lease lands on `_SUCCESS`), so [[readCache]] can key on
+    * it and a rebuild under the same path invalidates cached manifests. */
+  private val SourceMeta = "_SOURCE"
+
+  /** Sweep policy for the shared artifact store (VERDICT r12 item 1a):
+    * a published entry is current iff its provenance sidecar names this
+    * format version AND its source table still exists with the recorded
+    * fingerprint. Age plays NO role — an artifact other processes are
+    * actively reading stays current forever until its source moves on.
+    * Entries with no sidecar (pre-r13 format, or a vanished read race)
+    * are version-stale by construction. */
+  private[graft] def artifactCurrent(d: java.io.File): Boolean =
+    scala.util.Try {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(new java.io.File(d, SourceMeta).toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n")
+      lines.length >= 3 && lines(1) == ArtifactVersion &&
+        new java.io.File(s"${lines(0)}/embeddings.parquet").exists() &&
+        sourceFingerprint(lines(0)) == lines(2)
+    }.getOrElse(false)
 
   /** DISK-backed memo — [[memo]]'s build-once/consume-many contract
     * extended ACROSS PROCESSES, which is the real production shape of an
@@ -268,23 +297,39 @@ object Similarity {
                           partitionCols: Seq[String] = Nil)
                          (build: => DataFrame): String = {
     val base = s"${sys.props("java.io.tmpdir")}/graft_annartifacts"
-    graft.sources.StaleOutputs.sweepAged(base)
+    graft.sources.StaleOutputs.sweepStale(base, artifactCurrent)
     val sfName = new java.io.File(dir).getName
     val dest = new java.io.File(
       s"$base/${tag}_${ArtifactVersion}_${sfName}_${sourceFingerprint(dir)}")
-    if (!new java.io.File(dest, "_SUCCESS").exists()) {
+    val success = new java.io.File(dest, "_SUCCESS")
+    if (!success.exists()) {
       val t0 = System.nanoTime()
       val tmp = new java.io.File(
         s"$base/.build_${java.util.UUID.randomUUID().toString.take(8)}")
       val w = build.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp.toString)
+      // provenance sidecar inside the temp dir so publication (the
+      // rename) is atomic with it — a visible artifact always carries
+      // its own currency proof
+      java.nio.file.Files.write(
+        new java.io.File(tmp, SourceMeta).toPath,
+        s"${new java.io.File(dir).getAbsolutePath}\n$ArtifactVersion\n${sourceFingerprint(dir)}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (!tmp.renameTo(dest)) graft.sources.StaleOutputs.reset(tmp.toString)
       if (sys.env.contains("GRAFT_TRACE_COLD"))
         System.err.println(
           f"[cold] diskMemo $tag built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    } else if (sys.env.contains("GRAFT_TRACE_COLD"))
-      System.err.println(s"[cold] diskMemo $tag read from artifact")
+    } else {
+      // lease renewal on every reuse — defense in depth against any
+      // EXTERNAL age-based janitor (the in-repo sweep no longer ages):
+      // an actively-read artifact keeps a fresh mtime even though
+      // parquet reads never write (VERDICT r12 item 1b). `_SOURCE`
+      // stays untouched — it is the generation marker.
+      success.setLastModified(System.currentTimeMillis())
+      if (sys.env.contains("GRAFT_TRACE_COLD"))
+        System.err.println(s"[cold] diskMemo $tag read from artifact")
+    }
     dest.toString
   }
 
@@ -1004,12 +1049,46 @@ object Similarity {
     * read against it is exactly DiskANN's split — the MANIFEST lives in
     * RAM, the vectors stay on disk. */
   private val readCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
+
+  /** The artifact's generation: `_SOURCE`'s mtime — written once per
+    * build, rewritten only by a rebuild under the same path, never
+    * touched on reuse (the lease touch lands on `_SUCCESS`). Keying the
+    * relation cache on it means a rebuilt artifact (same path, fresh
+    * part-file UUIDs) can never be served through a dead cached file
+    * index (VERDICT r12 item 1c). */
+  private def artifactGen(path: String): Long =
+    new java.io.File(path, SourceMeta).lastModified()
 
   private def artifactRelation(spark: SparkSession, path: String): DataFrame = {
     readCache.keys.filter(_._1.sparkContext.isStopped).foreach(readCache.remove)
-    readCache.getOrElseUpdate((spark, path), spark.read.parquet(path))
+    val gen = artifactGen(path)
+    readCache.keys.filter(k => k._2 == path && k._3 != gen)
+      .foreach(readCache.remove)
+    readCache.getOrElseUpdate((spark, path, gen), spark.read.parquet(path))
   }
+
+  /** True iff `e`'s cause chain is the one failure a cached manifest can
+    * produce: a part file deleted out from under the listed index. */
+  private def manifestDead(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        (t.getMessage != null && t.getMessage.contains("FAILED_READ_FILE"))
+    }
+
+  /** Run an ACTION over relations planned against cached artifact
+    * manifests; if it dies because an external janitor deleted-and-
+    * rebuilt part files under a still-cached path, drop this session's
+    * cached relations and retry ONCE against the relisted store — a
+    * serving node's reopen-the-index move (VERDICT r12 item 1c). Any
+    * other failure propagates untouched, and a second manifest death
+    * does too (the store itself is gone, not just the cache). */
+  private[graft] def withManifestRetry[A](spark: SparkSession)(run: => A): A =
+    try run catch {
+      case e: Throwable if manifestDead(e) =>
+        readCache.keys.filter(_._1 == spark).foreach(readCache.remove)
+        run
+    }
 
   /** Partition-pruned point-fetch over a pb-partitioned artifact: the
     * DiskANN SSD-read, expressed as a lakehouse scan. `pb IN buckets`
@@ -1196,7 +1275,7 @@ object Similarity {
     (1 to hops).map { h =>
       val beamIds = beamPairs.map(_._2).distinct.sorted
       // pruned point-read 1: the frontier's adjacency lists
-      val nbrs = fetch.adj(beamIds).collect()
+      val nbrs = withManifestRetry(spark)(fetch.adj(beamIds).collect())
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2)) }
       val expanded = (beamPairs ++ beamPairs.flatMap { case (q, n) =>
@@ -1204,18 +1283,25 @@ object Similarity {
         .distinct.sorted
       // pruned point-read 2: the expansion's vectors, scored in-plan
       // (the 6dp cosine stays Spark-computed for oracle bit-parity)
-      val scoredRows = fetch.vec(expanded.map(_._2).distinct)
-        .join(broadcast(expanded.toDF("query_id", "node")), Seq("node"))
-        .join(qSide, Seq("query_id"))
-        .withColumn("cosine", round(
-          expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-            / (col("qnorm") * col("cnorm")), 6))
-        .select("query_id", "node", "cosine")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val scoredRows = withManifestRetry(spark)(
+        fetch.vec(expanded.map(_._2).distinct)
+          .join(broadcast(expanded.toDF("query_id", "node")), Seq("node"))
+          .join(qSide, Seq("query_id"))
+          .withColumn("cosine", round(
+            expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+              / (col("qnorm") * col("cnorm")), 6))
+          .select("query_id", "node", "cosine")
+          .collect()).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       // driver-side rank: (cosine DESC, node ASC) per query — the same
-      // total order the former window used
+      // total order the former window used, INCLUDING its NaN placement:
+      // Spark orders NaN greater than every double, so desc ranks a NaN
+      // cosine (a zero-norm vector) FIRST; java.lang.Double.compare
+      // agrees, where Scala tuple Ordering on -c would rank it last
       val ranked = scoredRows.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
-        xs.sortBy { case (_, n, c) => (-c, n) }.zipWithIndex
+        xs.sortWith { case ((_, n1, c1), (_, n2, c2)) =>
+          val byCos = java.lang.Double.compare(c2, c1) // desc, NaN first
+          if (byCos != 0) byCos < 0 else n1 < n2
+        }.zipWithIndex
           .map { case ((q, n, c), i) => Row(q, n, c, i + 1, h) }
       }
       beamPairs = ranked.collect {
@@ -1307,21 +1393,22 @@ object Similarity {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     (1 to hops).foreach { _ =>
       val beamIds = beamPairs.map(_._2).distinct.sorted
-      val nbrs = idx.fetch.adj(beamIds).collect()
+      val nbrs = withManifestRetry(spark)(idx.fetch.adj(beamIds).collect())
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2)) }
       val expanded = (beamPairs ++ beamPairs.flatMap { case (q, n) =>
         nbrs.getOrElse(n, Array.empty[Long]).map(d => (q, d)) })
         .distinct.sorted
       // ADC scoring: pruned 8-byte code fetch folded against the LUT
-      val scored = prunedFetch(spark, codesPath, "cand_id",
-          expanded.map(_._2).distinct)
-        .join(broadcast(expanded.toDF("query_id", "node")),
-          col("cand_id") === col("node"))
-        .join(broadcast(lut), Seq("query_id", "s", "code"))
-        .groupBy("query_id", "node")
-        .agg(sum("d").as("adist"))
-        .collect()
+      val scored = withManifestRetry(spark)(
+        prunedFetch(spark, codesPath, "cand_id",
+            expanded.map(_._2).distinct)
+          .join(broadcast(expanded.toDF("query_id", "node")),
+            col("cand_id") === col("node"))
+          .join(broadcast(lut), Seq("query_id", "s", "code"))
+          .groupBy("query_id", "node")
+          .agg(sum("d").as("adist"))
+          .collect())
         .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2)))
       // driver-side rank: (adist ASC, node ASC) per query
       beamPairs = scored.groupBy(_._1).toSeq.flatMap { case (_, xs) =>

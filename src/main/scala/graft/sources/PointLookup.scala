@@ -30,15 +30,25 @@ object PointLookup {
   val BucketWidth = 64L
 
   private val built =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
   private val relations =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Source fingerprint (size + mtime of documents.parquet) keying both
+    * memo tiers: regenerating the testdata under a live session evicts
+    * and relands the layout instead of silently serving the stale one
+    * (ADVICE r12 — the SessionMemo discipline applied here). */
+  private def srcFingerprint(dir: String): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    s"${f.length()}_${f.lastModified()}"
+  }
 
   /** Land (or reuse) the bucketed layout of documents(doc_id, lang,
-    * n_chars) for this (session, dir); returns the layout path. */
+    * n_chars) for this (session, dir, source generation); returns the
+    * layout path. */
   def layoutDir(spark: SparkSession, dir: String): String = {
     built.keys.filter(_._1.sparkContext.isStopped).foreach(built.remove)
-    built.getOrElseUpdate((spark, dir), {
+    built.getOrElseUpdate((spark, dir, srcFingerprint(dir)), {
       val out = s"${sys.props("java.io.tmpdir")}/graft_pointlookup/" +
         s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
       StaleOutputs.sweep("graft_pointlookup", spark.sparkContext.applicationId)
@@ -59,7 +69,7 @@ object PointLookup {
   def fetch(spark: SparkSession, dir: String, ids: Seq[Long]): DataFrame = {
     val path = layoutDir(spark, dir)
     relations.keys.filter(_._1.sparkContext.isStopped).foreach(relations.remove)
-    val rel = relations.getOrElseUpdate((spark, path),
+    val rel = relations.getOrElseUpdate((spark, path, srcFingerprint(dir)),
       spark.read.parquet(path))
     if (ids.isEmpty) rel.filter(lit(false)).drop("pb")
     else {
@@ -71,15 +81,25 @@ object PointLookup {
     }
   }
 
-  /** Driver surface (f18): a deterministic sparse id set (doc_id % 97 =
-    * 3 — the driver-known id list a serving lookup would bring; ~1% of
-    * the corpus, collected bounded) fetched through the bucketed
-    * layout. The oracle runs the plain predicate on the raw table — the
-    * layout must never change values, only the scan shape. */
+  /** The f18 demo request size — FIXED in code (the d30 bounded-in-code
+    * discipline, ADVICE r12): a serving lookup brings a request-sized
+    * id list, never a corpus-proportional one. The old unbounded
+    * `doc_id % 97` set grew with N and, 97-spaced over 64-wide buckets,
+    * touched ~2/3 of all bucket directories — a near-full scan wearing
+    * a point-lookup costume. 200 ids read ≤200 buckets of [[BucketWidth]]
+    * rows at ANY table size; mirrored in the f18 oracle's LIMIT. */
+  val LookupBudget = 200
+
+  /** Driver surface (f18): a deterministic sparse id set (the FIRST
+    * [[LookupBudget]] ids with doc_id % 97 = 3 — the driver-known id
+    * list a serving lookup would bring) fetched through the bucketed
+    * layout. The oracle runs the plain predicate + LIMIT on the raw
+    * table — the layout must never change values, only the scan shape. */
   def pointLookup(spark: SparkSession, dir: String): DataFrame = {
     val ids = graft.Tables.documents(spark, dir)
       .filter(col("doc_id") % 97 === 3)
-      .select("doc_id").collect().map(_.getLong(0)).toSeq
+      .select("doc_id").orderBy("doc_id").limit(LookupBudget)
+      .collect().map(_.getLong(0)).toSeq
     fetch(spark, dir, ids)
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")

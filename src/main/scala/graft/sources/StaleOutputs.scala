@@ -34,18 +34,29 @@ object StaleOutputs {
     (f.lastModified() +: children.map(latestMtime)).max
   }
 
-  /** Age-based sweep for SHARED (non-applicationId-scoped) scratch
-    * parents — e.g. the cross-process ANN artifact store, whose entries
-    * are keyed by content fingerprint rather than by application: any
-    * subdirectory quiet for longer than [[SweepTtlMs]] is dead weight
-    * (its testdata generation is gone or its format version was bumped)
-    * and is removed; everything recent is presumed live, including
-    * entries other concurrent processes are reading. */
-  def sweepAged(parentPath: String): Unit = {
+  /** Policy-based sweep for SHARED (non-applicationId-scoped) artifact
+    * stores — e.g. the cross-process ANN artifact store, whose entries
+    * are keyed by content fingerprint rather than by application.
+    *
+    * r12 lesson (VERDICT r12 item 1): parquet READS never bump mtime, so
+    * any age-based rule here deletes a fingerprint-current artifact
+    * while other processes hold its file manifest in RAM — the gate-
+    * built `knngraph` aged past the TTL mid-`sbt test`, was swept and
+    * rebuilt with fresh part-file UUIDs, and every session holding the
+    * cached relation threw FAILED_READ_FILE. A PUBLISHED entry is
+    * therefore deleted ONLY when the caller's `isCurrent` policy says it
+    * no longer matches a live source generation or the current format
+    * version — never on age alone. Dot-prefixed scratch (`.build_*`
+    * crashed/loser temp dirs, which are never readable artifacts) still
+    * ages out by [[SweepTtlMs]]. */
+  def sweepStale(parentPath: String, isCurrent: java.io.File => Boolean): Unit = {
     val now = System.currentTimeMillis()
     val parent = new java.io.File(parentPath)
     Option(parent.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && now - latestMtime(f) > SweepTtlMs)
+      .filter(f => f.isDirectory && {
+        if (f.getName.startsWith(".")) now - latestMtime(f) > SweepTtlMs
+        else !isCurrent(f)
+      })
       .foreach(deleteRecursively)
   }
 

@@ -728,7 +728,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sf0.001 artifact holds ~8 buckets (490 nodes)
     val ids = Seq(10L, 74L, 130L)
     val fetched = idx.fetch.vec(ids)
-    assert(fetched.count() === 3L)
+    // execute the INSPECTED plan itself — count() would run a separate
+    // QueryExecution and leave this plan's scan metrics at 0, making
+    // the numOutputRows pin vacuous (ADVICE r12)
+    assert(fetched.collect().length === 3)
     val scans = scanExecs(fetched)
     assert(scans.nonEmpty, fetched.queryExecution.executedPlan.toString.take(2000))
     val s = scans.head
@@ -758,7 +761,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // three ids in three distinct 64-wide buckets; sf0.001 lands ~8
     val ids = Seq(3L, 100L, 350L)
     val fetched = graft.sources.PointLookup.fetch(spark, dir, ids)
-    assert(fetched.count() === 3L)
+    // collect, not count: metrics must come from the inspected plan's
+    // own execution (ADVICE r12 — the count() pin was vacuous)
+    assert(fetched.collect().length === 3)
     val s = scanExecs(fetched).head
     val str = s.toString
     assert(str.contains("PartitionFilters") && str.contains("pb"),

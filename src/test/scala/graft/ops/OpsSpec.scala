@@ -1717,13 +1717,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // build-index/query-index split, now CROSS-PROCESS (diskMemo): the
     // first call trains and publishes a parquet artifact; every later
     // call — this session or a fresh JVM — must read that artifact
-    // without rewriting it. Witness: the artifact tree's newest mtime is
-    // unchanged across a repeat call (a retrain would republish), and the
-    // repeat frame carries the same values.
+    // without rewriting it. Witness: the artifact tree's newest DATA
+    // mtime is unchanged across a repeat call (a retrain would
+    // republish). `_SUCCESS` is excluded: reuse deliberately touches it
+    // as the lease renewal (r13 lifecycle fix) — a lease touch is not a
+    // republish, and the part files + `_SOURCE` generation marker must
+    // stay byte-identical.
     def newestMtime(f: java.io.File): Long =
       if (f.isDirectory)
         (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
           .map(newestMtime)).max
+      else if (f.getName == "_SUCCESS") 0L
       else f.lastModified()
     val store = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_annartifacts")
     for (f <- Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
