@@ -667,8 +667,95 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
-    incrementalDedupOf(Tables.documents(spark, dir))
+  /** One-hex-nibble probe bucket of a normalized fingerprint — 16 index
+    * partitions, so pruning is observable at test SFs and the delta's
+    * bucket list is bounded BY BUCKET SPACE (≤16 values in code,
+    * whatever the corpus size). Production sizes the bucket count so a
+    * partition is a row-group-sized file set; the bound stays the
+    * bucket count either way. */
+  private[graft] def fpBucket(fp: org.apache.spark.sql.Column) =
+    conv(substring(fp, 1, 1), 16, 10).cast("int")
+
+  private def normalizedFp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+
+  /** d19's standing side as a PERSISTED, PROBE-PRUNABLE artifact
+    * (VERDICT r12 item 4): the fingerprint index of everything already
+    * ingested, hive-partitioned by [[fpBucket]] — the f18 bucketed
+    * point-lookup layout applied to the dedup index. At 100 TB this
+    * table is written once at ingest; tonight's probe reads only the
+    * delta's buckets instead of streaming the whole index frame. */
+  def fpIndexPath(spark: SparkSession, dir: String): String =
+    graft.sources.PointLookup.landIndex(spark, "fpindex", dir,
+        "documents.parquet", Seq("pb")) {
+      Tables.documents(spark, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "f")
+        .select(normalizedFp.as("fp"))
+        .distinct()
+        .withColumn("pb", fpBucket(col("fp")))
+        .repartition(col("pb"))
+        .sortWithinPartitions("fp")
+    }
+
+  private def fpIndexRelation(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.PointLookup.indexRelation(spark, dir,
+      "documents.parquet", fpIndexPath(spark, dir))
+
+  /** Pruned point-probe of the fingerprint index — the serving-side
+    * access pattern (an ingest node asking "are these fingerprints
+    * already known?"): planning-time partition filter on the keys'
+    * buckets + parquet In pushdown on the fingerprints, so the fetch
+    * reads O(|fps|) buckets whatever the index size (PlanSpec pins
+    * files-read, like the s29/f18 pins). */
+  def fpProbe(spark: SparkSession, dir: String, fps: Seq[String]): DataFrame = {
+    val rel = fpIndexRelation(spark, dir)
+    if (fps.isEmpty) rel.filter(lit(false)).drop("pb")
+    else {
+      val sorted = fps.distinct.sorted
+      rel.filter(
+          col("pb").isin(sorted.map(f => Integer.parseInt(f.take(1), 16))
+            .distinct.sorted: _*) &&
+          col("fp").isin(sorted: _*))
+        .drop("pb")
+    }
+  }
+
+  /** Pruned bucket-slice of the fingerprint index for a DISTRIBUTED
+    * delta (the nightly-batch shape, where the keys are a frame, not a
+    * driver list): only the delta's fingerprint buckets are read — a
+    * bounded-by-bucket-space collect (≤16 values) drives planning-time
+    * partition pruning. Sound because the bucket is a function of the
+    * fingerprint: index rows outside the delta's buckets cannot match
+    * any delta fingerprint. */
+  private def fpIndexForDelta(spark: SparkSession, dir: String,
+                              deltaFps: DataFrame): DataFrame = {
+    val pbs = deltaFps.select(fpBucket(col("fp")).as("pb")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    fpIndexRelation(spark, dir)
+      .filter(col("pb").isin(pbs.toSeq: _*))
+      .select("fp")
+  }
+
+  /** The registered d19 surface: [[incrementalDedupOf]]'s semantics with
+    * the index side served from the PERSISTED bucketed artifact and the
+    * probe PRUNED to the delta's fingerprint buckets (VERDICT r12
+    * item 4 — the f18 serving discipline on the nightly dedup path). A
+    * sparse delta reads only its own buckets; a uniform full-rate night
+    * degenerates gracefully to the full index read the anti-join always
+    * paid. Values are layout-independent (OpsSpec pins equality with
+    * the inline form). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val delta = docs
+      .withColumn("fp", normalizedFp)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+    val keepers = delta
+      .join(fpIndexForDelta(spark, dir, delta), Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
 
   /** INCREMENTAL NEAR-dup dedup — the LSH analog of [[incrementalDedupOf]]
     * (which is exact-fingerprint only): dedup tonight's batch against the

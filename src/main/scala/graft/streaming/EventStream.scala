@@ -454,6 +454,65 @@ object EventStream {
       .groupBy("band", "bkey").agg(min("doc_id").as("bmin"))
   }
 
+  /** Probe bucket of a band key: band (0..3) × a crc32 nibble of the
+    * key — 64 index partitions, so pruning is observable at test SFs
+    * and any probe's bucket list is bounded BY BUCKET SPACE (≤64 values
+    * in code, whatever the corpus or batch size). Production sizes the
+    * bucket count so a partition is a row-group-sized file set. */
+  private[graft] def bandBucket(band: org.apache.spark.sql.Column,
+                                bkey: org.apache.spark.sql.Column) =
+    (band * 16 + pmod(crc32(bkey.cast("binary")), lit(16))).cast("int")
+
+  /** [[bandBucket]] replayed on the driver for a literal key list —
+    * java.util.zip.CRC32 is the same CRC-32 Spark's `crc32` computes. */
+  private[graft] def bandBucketOf(band: Int, bkey: String): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(bkey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    band * 16 + (c.getValue % 16).toInt
+  }
+
+  /** The band-min index as a PERSISTED, PROBE-PRUNABLE artifact (VERDICT
+    * r12 item 4): [[indexBandMins]] hive-partitioned by [[bandBucket]] —
+    * the f18 bucketed point-lookup layout applied to the ingest line's
+    * standing signature table. At 100 TB this is written once at ingest
+    * (the docstring's claim, now an actual artifact); w08's stream-static
+    * join reads it instead of re-deriving corpus signatures per run, and
+    * w19's per-batch probe prunes to the batch's buckets. */
+  def bandIndexPath(spark: SparkSession, dir: String): String =
+    graft.sources.PointLookup.landIndex(spark, "bandindex", dir,
+        "documents.parquet", Seq("pb")) {
+      indexBandMins(spark, dir)
+        .withColumn("pb", bandBucket(col("band"), col("bkey")))
+        .repartition(col("pb"))
+        .sortWithinPartitions("band", "bkey")
+    }
+
+  def bandIndexRelation(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.PointLookup.indexRelation(spark, dir,
+      "documents.parquet", bandIndexPath(spark, dir))
+
+  /** Pruned point-probe of the band-min index — the serving access
+    * pattern (an ingest node asking "which of these buckets hold an
+    * older doc?"): partition filter on the keys' buckets + pushed In on
+    * the keys, reading O(|keys|) buckets whatever the index size
+    * (PlanSpec pins files-read, like the s29/f18 pins). */
+  def bandFetch(spark: SparkSession, dir: String,
+                keys: Seq[(Int, String)]): DataFrame = {
+    val rel = bandIndexRelation(spark, dir)
+    if (keys.isEmpty) rel.filter(lit(false)).drop("pb")
+    else {
+      val pbs = keys.map { case (b, k) => bandBucketOf(b, k) }.distinct.sorted
+      val ks = keys.map(_._2).distinct.sorted
+      val pairs = keys.map { case (b, k) => s"$b|$k" }.distinct.sorted
+      // bucket prune + bkey pushdown reach the scan; the exact (band,
+      // bkey) pair filter runs post-scan so a same-key-different-band
+      // row can never leak through
+      rel.filter(col("pb").isin(pbs: _*) && col("bkey").isin(ks: _*) &&
+          concat_ws("|", col("band"), col("bkey")).isin(pairs: _*))
+        .drop("pb")
+    }
+  }
+
   /** (doc_id, band, bkey) LSH band keys of every shingled document —
     * the per-row half of [[indexBandMins]], reusable over a streamed
     * micro-batch frame. */
@@ -661,10 +720,13 @@ object EventStream {
 
   def ingestDedupStream(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.MinHashSigs.register(spark)
+    // static side = the PERSISTED band-min artifact (VERDICT r12 item 4):
+    // the stream-static join probes the standing table through its cached
+    // file manifest instead of re-deriving corpus signatures every run
     ingestDedupOf(
       readDocuments(spark, dir)
         .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f"),
-      indexBandMins(spark, dir))
+      bandIndexRelation(spark, dir).select("band", "bkey", "bmin"))
   }
 
   /** Run [[ingestDedupStream]] with AvailableNow into a memory sink.
@@ -1236,13 +1298,42 @@ object EventStream {
   }
 
   /** The fingerprint index (d19's persisted artifact shape): distinct
-    * normalized fingerprints of everything already ingested. */
+    * normalized fingerprints of everything already ingested. The inline
+    * derivation — the batch-mirror form specs compare against; the
+    * stream itself probes d19's PERSISTED bucketed artifact. */
   def fpIndexOf(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.documents(spark, dir)
       .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "f")
       .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
         .as("fp"))
       .distinct()
+
+  /** The w19 per-batch index slices (VERDICT r12 item 4): BOTH standing
+    * indexes pruned to the batch's probe buckets before the verdict
+    * joins — the f18 serving discipline at the ingest line. The bucket
+    * lists are bounded BY BUCKET SPACE in code (≤16 fingerprint
+    * buckets, ≤64 band buckets), whatever the corpus or batch size;
+    * pruning is sound because each bucket is a function of the probe
+    * key, so index rows outside the batch's buckets cannot match any
+    * batch key. */
+  def prunedIngestIndexes(spark: SparkSession, dir: String,
+                          batch: DataFrame): (DataFrame, DataFrame) = {
+    val fpPbs = batch
+      .select(graft.ops.Dedup.fpBucket(
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))).as("pb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val fpIdx = graft.sources.PointLookup.indexRelation(spark, dir,
+        "documents.parquet", graft.ops.Dedup.fpIndexPath(spark, dir))
+      .filter(col("pb").isin(fpPbs.toSeq: _*))
+      .select("fp")
+    val bandPbs = bandKeysOf(batch)
+      .select(bandBucket(col("band"), col("bkey")).as("pb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val bandIdx = bandIndexRelation(spark, dir)
+      .filter(col("pb").isin(bandPbs.toSeq: _*))
+      .select("band", "bkey", "bmin")
+    (fpIdx, bandIdx)
+  }
 
   /** STREAMING INGEST LEDGER (w19) — the ingest dashboard: t53 answers
     * "what survived curation" for the corpus at rest; w19 answers it at
@@ -1269,16 +1360,25 @@ object EventStream {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), countsSchema)
     empty.write.mode("append").parquet(out)
-    val verdicts = ingestLedgerVerdict(
-      readDocuments(spark, dir)
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f"),
-      fpIndexOf(spark, dir), indexBandMins(spark, dir))
-    val q = verdicts
+    // land both standing indexes BEFORE the stream starts — at the real
+    // ingest line they are written once at ingest, not derived in-flight
+    graft.ops.Dedup.fpIndexPath(spark, dir)
+    bandIndexPath(spark, dir)
+    val q = readDocuments(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
       .writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.toDF().groupBy("verdict", "lang")
+        // the verdict runs PER BATCH against bucket-pruned slices of the
+        // persisted indexes (VERDICT r12 item 4): the probe reads only
+        // the batch's buckets, never the corpus-sized index frames
+        val s = batch.sparkSession
+        graft.functions.MinHashSigs.register(s)
+        val b = batch.toDF().localCheckpoint()
+        val (fpIdx, bandIdx) = prunedIngestIndexes(s, dir, b)
+        ingestLedgerVerdict(b, fpIdx, bandIdx)
+          .groupBy("verdict", "lang")
           .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
           .write.mode("append").parquet(out)
       }

@@ -776,6 +776,53 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scan streamed the table: ${s.metrics("numOutputRows").value} rows")
   }
 
+  test("d19/w08/w19 standing-index probes PRUNE (VERDICT r12 item 4): " +
+       "the fingerprint and band-min point-probes carry a planning-time " +
+       "partition filter on the probe bucket plus parquet In pushdown, " +
+       "reading O(|keys|) buckets of a corpus-sized index") {
+    import org.apache.spark.sql.functions._
+    graft.functions.MinHashSigs.register(spark)
+    // two REAL index fingerprints, probed through the bucketed artifact
+    val fps = Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "f")
+      .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .as("fp"))
+      .orderBy("fp").limit(2).collect().map(_.getString(0)).toSeq
+    val fpProbe = graft.ops.Dedup.fpProbe(spark, dir, fps)
+    assert(fpProbe.collect().map(_.getString(0)).toSet === fps.toSet)
+    val fs = scanExecs(fpProbe).head
+    val fstr = fs.toString
+    assert(fstr.contains("PartitionFilters") && fstr.contains("pb"),
+      fstr.take(1500))
+    assert(fstr.contains("PushedFilters") && fstr.contains("In(fp"),
+      fstr.take(1500))
+    assert(fs.metrics("numFiles").value <= 2,
+      s"fp probe read ${fs.metrics("numFiles").value} of 16 buckets for 2 keys")
+    // two REAL band keys, probed through the bucketed band-min artifact
+    val keys = graft.streaming.EventStream.indexBandMins(spark, dir)
+      .orderBy("band", "bkey").limit(2).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    val bandProbe = graft.streaming.EventStream.bandFetch(spark, dir, keys)
+    assert(bandProbe.collect().length === 2)
+    val bs = scanExecs(bandProbe).head
+    val bstr = bs.toString
+    assert(bstr.contains("PartitionFilters") && bstr.contains("pb"),
+      bstr.take(1500))
+    assert(bstr.contains("PushedFilters") && bstr.contains("In(bkey"),
+      bstr.take(1500))
+    assert(bs.metrics("numFiles").value <= 2,
+      s"band probe read ${bs.metrics("numFiles").value} of 64 buckets for 2 keys")
+    // and the registered d19 plan's index side is the partition-filtered
+    // artifact scan, not an inline corpus re-derivation
+    val d19 = SparkEntry.queries("d19_incremental_dedup")(spark, dir)
+    val idxScans = scanExecs(d19)
+      .filter(_.relation.location.rootPaths.mkString(",").contains("fpindex"))
+    assert(idxScans.nonEmpty, "d19 no longer reads the fpindex artifact")
+    assert(idxScans.forall(_.partitionFilters.nonEmpty),
+      s"d19 index scan carries no partition filter: " +
+        idxScans.head.toString.take(1500))
+  }
+
   test("s29 hop output is serving-sized: a hop frame is a LocalRelation " +
        "(beam-ranked on the driver, DiskANN-style) — the corpus enters " +
        "a hop only through the pruned bucket reads, never a stream") {

@@ -1017,6 +1017,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       case (id, (fp, "f")) if !indexFps.contains(fp) => fp
     }.toSet
     assert(survFps.toSet === expected)
+    // layout-independence (VERDICT r12 item 4): the pruned-artifact form
+    // the registry serves equals the inline derivation row for row
+    val inline = Dedup.incrementalDedupOf(graft.Tables.documents(spark, dir))
+      .collect().map(_.toString).toSeq
+    assert(Dedup.incrementalDedup(spark, dir).collect().map(_.toString).toSeq
+      === inline)
   }
 
   test("media near-dup: identical payloads always surface, pairs canonical, apply drops exactly the losers") {
