@@ -262,6 +262,8 @@ object SparkEntry {
       graft.ops.Similarity.pqGraphAnn(s, d)),
     "s40_beam_sweep"         -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnBeamSweep(s, d)),
+    "s41_filtered_ann"       -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.filteredGraphAnn(s, d)),
     "s34_graph_ann_serve"    -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnServeAfterInsert(s, d)),
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>

@@ -2503,6 +2503,24 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s41: filtered ANN serve — the SAME walk as s29 (the beam
+    // traverses the full graph; Filtered-DiskANN's navigate-over-
+    // everything), answered by the best PREDICATE-MATCHING nodes across
+    // every hop's scored expansion (UNION dedups: a node rescored on a
+    // later hop carries the identical 6dp cosine).
+    "s41_filtered_ann" ->
+      s"""WITH $graphWalkCtes,
+        |fall AS (${(1 to Similarity.GraphAnnHops)
+          .map(t => s"SELECT query_id, node, cosine FROM s$t")
+          .mkString(" UNION ")})
+        |SELECT query_id, node AS cand_id, cosine, rnk FROM (
+        |  SELECT query_id, node, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, node ASC) AS rnk
+        |  FROM fall WHERE node % 3 = 0)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     // s39: PQ-scored graph walk + exact refine (the DiskANN layout) —
     // the ADC hop chain's final beam re-ranked by exact cosine.
     "s39_pq_graph_ann" ->

@@ -1332,6 +1332,42 @@ object Similarity {
         col("rnk"))
       .orderBy("query_id", "rnk")
 
+  /** FILTERED GRAPH-ANN SERVE (s41) — predicate-constrained vector
+    * search, the serving shape every production retrieval system needs
+    * (license gates, language gates, tenant isolation: "return only
+    * rows matching this metadata filter"). The walk itself is
+    * UNCHANGED: the beam traverses the FULL graph, because restricting
+    * traversal to allowed nodes fragments the graph into islands the
+    * walk cannot cross (Filtered-DiskANN's core observation — Gollapudi
+    * et al. 2023: navigate over everything, return only matches). The
+    * answer is the best ALLOWED nodes across EVERY hop's scored
+    * expansion, not just the final hop's: a hop may score an allowed
+    * node and then beam past it toward better unfiltered ones, and
+    * discarding non-final hops would lose it (OpsSpec pins recall
+    * against exact filtered brute force on the clustered corpus).
+    *
+    * Demo predicate: cand_id % 3 = 0 (a third of the corpus
+    * "licensed"). Cost: exactly the s29 walk plus a union-filter-rank
+    * over the hop frames — which are driver-resident LocalRelations, so
+    * the filter adds ZERO distributed work (PlanSpec pins no parquet
+    * scan survives into the result). Oracle replays the same hops and
+    * takes the allowed top-k over the unioned scored expansions. */
+  def filteredGraphAnn(spark: SparkSession, dir: String,
+                       k: Int = 3): DataFrame = {
+    val hops = beamWalkScored(spark, dir, GraphAnnM, GraphAnnBeam,
+      GraphAnnHops)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("node").asc)
+    hops.reduce(_.unionByName(_))
+      .filter(col("node") % 3 === 0)
+      .select("query_id", "node", "cosine").distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("node").as("cand_id"), col("cosine"),
+        col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** PQ-SCORED GRAPH WALK + EXACT REFINE (s39) — the composition
     * DiskANN actually ships (Subramanya et al. 2019 §3: the graph and
     * the PQ codes live in RAM, full vectors on SSD): the beam walk

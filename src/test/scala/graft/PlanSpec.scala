@@ -878,6 +878,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s41_filtered_ann: the predicate filter adds ZERO distributed " +
+       "work — the result plan is a union-filter-rank over the walk's " +
+       "driver-resident hop frames (LocalRelations), no corpus scan, no " +
+       "join, no shuffle beyond the 10-query window") {
+    val p = plan("s41_filtered_ann")
+    assert(p.contains("LocalTableScan"), p.take(2000))
+    assert(!p.contains("Scan parquet"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("s33_graph_ann_insert: the attach list is serving-sized — the " +
        "insert's output plan is a LocalRelation (the arrival walk's " +
        "fetches are pruned bucket reads; no corpus scan, no join, no " +

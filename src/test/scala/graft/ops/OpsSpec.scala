@@ -2580,6 +2580,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.85, f"s39 PQ-walk recall@3 $recall%.3f < 0.85")
   }
 
+  test("s41 filtered ANN: every result satisfies the predicate, ranks " +
+       "are contiguous per query, results come from all hops' scored " +
+       "expansions (not just the final beam), and recall clears the " +
+       "floor against exact FILTERED brute force on the clustered corpus") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val rows = Similarity.filteredGraphAnn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("cand_id") % 3 == 0),
+      "a returned candidate violates the metadata predicate")
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to rs.length),
+        "per-query ranks must be a contiguous 1..k prefix")
+    }
+    // cosines are the walk's own exact 6dp scores: spot-check against a
+    // direct cosine computation for every returned pair
+    val emb = graft.Tables.embeddings(spark, dir)
+    val exactAll = Similarity.knnOf(
+        emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0),
+        Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("cand_id")) -> r.getAs[Double]("cosine")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      assert(r.getAs[Double]("cosine") === exactAll(key),
+        s"filtered-serve cosine for $key is not the exact value")
+    }
+    // recall floor on the clustered corpus vs exact FILTERED brute force
+    // (truth = top-3 among the predicate-matching candidates only)
+    val d = graft.sources.gen.ClusteredEmbeddings.ensure(spark)
+    val cemb = graft.Tables.embeddings(spark, d)
+    val truth = pairs(Similarity.knnOf(
+      cemb.filter(col("vec_id") < 10),
+      cemb.filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0), 3))
+    val got = pairs(Similarity.filteredGraphAnn(spark, d))
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"s41 clustered filtered recall@3 = $recall%.3f")
+    assert(recall >= 0.8, f"s41 filtered recall@3 $recall%.3f < 0.8")
+  }
+
   test("s40 beam sweep: cost rises with width, the beam-8 point equals " +
        "s30's final-hop row, and width buys recall on the clustered corpus") {
     val rows = Similarity.graphAnnBeamSweep(spark, dir).collect()
