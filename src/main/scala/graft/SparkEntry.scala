@@ -219,6 +219,7 @@ object SparkEntry {
     "f15_dynamic_pruning"    -> (graft.sources.DynamicPruning.pruningJoin _),
     "f17_runtime_bloom"      -> (graft.sources.RuntimeBloom.bloomPrunedAgg _),
     "f18_point_lookup"       -> (graft.sources.PointLookup.pointLookup _),
+    "f19_bucketed_join"      -> (graft.sources.BucketedJoin.bucketedJoin _),
     "f16_corrupt_jsonl"      -> (graft.sources.CorruptJsonl.ingestReport _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),

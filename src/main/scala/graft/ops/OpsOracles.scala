@@ -3485,6 +3485,19 @@ object OpsOracles {
         |ORDER BY doc_id
         |LIMIT 200""".stripMargin,
 
+    // f19: shuffle-free co-located fact⋈fact join — the oracle is the
+    // PLAIN join on the raw tables: bucketing must only change the scan
+    // and exchange shape, never the values. Per-row DECIMAL(18,6) cast
+    // before the sum (the cross-engine sum discipline).
+    "f19_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS line_count,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // t36: stratified split report — the md5-nibble three-way split with
     // per-source shares; pure integer counts and one rounded divide
     "t36_train_val_test" ->

@@ -839,6 +839,55 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Scan parquet"), p.take(3000))
   }
 
+  test("f19 bucketed co-located join: the fact⋈fact SortMergeJoin plans " +
+       "with ZERO Exchange and ZERO Sort beneath it (both bucketed scans " +
+       "report the hash partitioning + sort order — data never moves), " +
+       "while the raw-layout control in the SAME no-broadcast session " +
+       "shuffles and sorts both sides; values identical") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    def smjSubtrees(df: org.apache.spark.sql.DataFrame): Seq[Seq[SparkPlan]] =
+      nodes(df.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => nodes(j).drop(1) }
+    val bucketed = graft.sources.BucketedJoin.bucketedJoin(spark, dir)
+    val rows = bucketed.collect()
+    val bs = smjSubtrees(bucketed)
+    assert(bs.nonEmpty, "bucketed join did not plan as SortMergeJoin: " +
+      bucketed.queryExecution.executedPlan.toString.take(2000))
+    bs.foreach { sub =>
+      assert(!sub.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "bucketed join shuffled a side — co-location failed")
+      assert(!sub.exists(_.isInstanceOf[SortExec]),
+        "bucketed join re-sorted a side — the sortBy order was lost " +
+          "(multi-file buckets?)")
+    }
+    // counterfactual: the identical query on the raw layout must pay
+    // the shuffles and sorts the bucketing removed
+    val raw = graft.sources.BucketedJoin.rawJoin(spark, dir)
+    val rawRows = raw.collect()
+    val rs = smjSubtrees(raw)
+    assert(rs.nonEmpty, raw.queryExecution.executedPlan.toString.take(2000))
+    assert(rs.exists(_.exists(_.isInstanceOf[ShuffleExchangeLike])),
+      "control join did not shuffle — the counterfactual is vacuous")
+    assert(rs.exists(_.exists(_.isInstanceOf[SortExec])),
+      "control join did not sort — the counterfactual is vacuous")
+    // the layout never changes values
+    assert(rows.map(_.toString).toSeq === rawRows.map(_.toString).toSeq)
+  }
+
   test("f17 runtime bloom: the fact scan carries " +
        "bloom_filter_might_contain built from the filtered dim (AFTER " +
        "an action — runtime filters plan at execution), and the answer " +
