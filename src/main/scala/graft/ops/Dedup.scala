@@ -676,7 +676,8 @@ object Dedup {
   private[graft] def fpBucket(fp: org.apache.spark.sql.Column) =
     conv(substring(fp, 1, 1), 16, 10).cast("int")
 
-  private def normalizedFp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+  private[graft] def normalizedFp =
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
 
   /** d19's standing side as a PERSISTED, PROBE-PRUNABLE artifact
     * (VERDICT r12 item 4): the fingerprint index of everything already

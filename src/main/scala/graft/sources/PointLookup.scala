@@ -29,8 +29,12 @@ object PointLookup {
     * observable; a production deployment sizes it to a row group. */
   val BucketWidth = 64L
 
+  // keyed by applicationId, NOT session: a streaming foreachBatch runs
+  // under a CLONED session, and a session-keyed memo would re-land the
+  // index per stream run — resetting a path that live relations in
+  // sibling sessions have already listed (the r13 lifecycle race class)
   private val built =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
   private val relations =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
@@ -54,16 +58,21 @@ object PointLookup {
   def landIndex(spark: SparkSession, tag: String, dir: String,
                 srcFile: String, partCols: Seq[String])
                (build: => DataFrame): String = {
-    built.keys.filter(_._1.sparkContext.isStopped).foreach(built.remove)
-    built.getOrElseUpdate((spark, s"$tag/$dir", srcFingerprint(dir, srcFile)), {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_pointlookup/" +
-        s"${spark.sparkContext.applicationId}/" +
-        s"${tag}_${new java.io.File(dir).getName}"
-      StaleOutputs.sweep("graft_pointlookup", spark.sparkContext.applicationId)
-      StaleOutputs.reset(out)
-      build.write.mode("overwrite").partitionBy(partCols: _*).parquet(out)
-      out
-    })
+    val fp = srcFingerprint(dir, srcFile)
+    built.getOrElseUpdate(
+      (spark.sparkContext.applicationId, s"$tag/$dir", fp), {
+        // the source generation is IN the path: a regenerated source
+        // lands a NEW directory, so relations already listed by other
+        // sessions are never rewritten underneath their cached manifest
+        val out = s"${sys.props("java.io.tmpdir")}/graft_pointlookup/" +
+          s"${spark.sparkContext.applicationId}/" +
+          s"${tag}_${new java.io.File(dir).getName}_$fp"
+        StaleOutputs.sweep("graft_pointlookup",
+          spark.sparkContext.applicationId)
+        StaleOutputs.reset(out)
+        build.write.mode("overwrite").partitionBy(partCols: _*).parquet(out)
+        out
+      })
   }
 
   /** One relation per (session, landed path, source generation), listed

@@ -695,13 +695,23 @@ object EventStream {
   /** The w08 probe chain with the 4 per-band index minima left-joined
     * on (exposed so w19's ledger can read the SAME probe as flags
     * instead of a filter). Keeps every arrival column. */
-  def bandProbeOf(arrivals: DataFrame, idx: DataFrame): DataFrame = {
+  /** The per-row half of the probe: arrival columns + sig + bk0..bk3.
+    * Split out so w19's per-batch path can MATERIALIZE the keyed frame
+    * once and share it between the bucket-list collects and the verdict
+    * joins (shingling is the batch's dominant narrow cost — computing
+    * it twice per trigger showed up whole at sf10). */
+  private[graft] def bandKeyed(arrivals: DataFrame): DataFrame = {
     var keyed = graft.ops.Dedup.withShinglesOf(arrivals)
       .withColumn("sig",
         when(col("n") > 0, expr("minhash_sigs(shingles, 8)")))
     for (b <- 0 until 4)
       keyed = keyed.withColumn(s"bk$b",
         when(col("n") > 0, expr(s"concat(sig[${2 * b}], sig[${2 * b + 1}])")))
+    keyed
+  }
+
+  /** The four per-band index joins over an already-keyed frame. */
+  private def bandProbeJoins(keyed: DataFrame, idx: DataFrame): DataFrame = {
     var joined: DataFrame = keyed
     for (b <- 0 until 4)
       joined = joined.join(
@@ -710,6 +720,9 @@ object EventStream {
         Seq(s"bk$b"), "left")
     joined
   }
+
+  def bandProbeOf(arrivals: DataFrame, idx: DataFrame): DataFrame =
+    bandProbeJoins(bandKeyed(arrivals), idx)
 
   def ingestDedupOf(arrivals: DataFrame, idx: DataFrame): DataFrame =
     bandProbeOf(arrivals, idx)
@@ -1280,10 +1293,19 @@ object EventStream {
     * runs over a batch or streaming frame and the verdict is
     * arrival-order-free. */
   def ingestLedgerVerdict(arrivals: DataFrame, fpIndex: DataFrame,
-                          idx: DataFrame): DataFrame = {
-    val withFp = arrivals.withColumn("fp",
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
-    val probed = bandProbeOf(withFp, idx)
+                          idx: DataFrame): DataFrame =
+    ingestLedgerVerdictKeyed(
+      bandKeyed(arrivals.withColumn("fp",
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))),
+      fpIndex, idx)
+
+  /** [[ingestLedgerVerdict]] over an ALREADY keyed-and-fingerprinted
+    * frame — w19's per-batch path materializes the keyed frame once
+    * (shingles + sigs + fp are the batch's dominant narrow cost) and
+    * feeds both the bucket-list collects and this verdict from it. */
+  private[graft] def ingestLedgerVerdictKeyed(
+      keyed: DataFrame, fpIndex: DataFrame, idx: DataFrame): DataFrame = {
+    val probed = bandProbeJoins(keyed, idx)
       .join(fpIndex.withColumn("fphit", lit(1)), Seq("fp"), "left")
     val near = (0 until 4)
       .map(b => col(s"bmin$b").isNotNull && col(s"bmin$b") < col("doc_id"))
@@ -1317,16 +1339,17 @@ object EventStream {
     * key, so index rows outside the batch's buckets cannot match any
     * batch key. */
   def prunedIngestIndexes(spark: SparkSession, dir: String,
-                          batch: DataFrame): (DataFrame, DataFrame) = {
-    val fpPbs = batch
-      .select(graft.ops.Dedup.fpBucket(
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))).as("pb"))
+                          keyed: DataFrame): (DataFrame, DataFrame) = {
+    val fpPbs = keyed
+      .select(graft.ops.Dedup.fpBucket(col("fp")).as("pb"))
       .distinct().collect().map(_.getInt(0)).sorted
     val fpIdx = graft.sources.PointLookup.indexRelation(spark, dir,
         "documents.parquet", graft.ops.Dedup.fpIndexPath(spark, dir))
       .filter(col("pb").isin(fpPbs.toSeq: _*))
       .select("fp")
-    val bandPbs = bandKeysOf(batch)
+    val bandPbs = keyed
+      .selectExpr("stack(4, 0, bk0, 1, bk1, 2, bk2, 3, bk3) as (band, bkey)")
+      .filter(col("bkey").isNotNull)
       .select(bandBucket(col("band"), col("bkey")).as("pb"))
       .distinct().collect().map(_.getInt(0)).sorted
     val bandIdx = bandIndexRelation(spark, dir)
@@ -1375,9 +1398,14 @@ object EventStream {
         // the batch's buckets, never the corpus-sized index frames
         val s = batch.sparkSession
         graft.functions.MinHashSigs.register(s)
-        val b = batch.toDF().localCheckpoint()
-        val (fpIdx, bandIdx) = prunedIngestIndexes(s, dir, b)
-        ingestLedgerVerdict(b, fpIdx, bandIdx)
+        // key the batch ONCE (shingles + sigs + fp are the trigger's
+        // dominant narrow cost) and feed the bucket collects AND the
+        // verdict from the materialized frame
+        val keyed = bandKeyed(batch.toDF()
+            .withColumn("fp", graft.ops.Dedup.normalizedFp))
+          .localCheckpoint()
+        val (fpIdx, bandIdx) = prunedIngestIndexes(s, dir, keyed)
+        ingestLedgerVerdictKeyed(keyed, fpIdx, bandIdx)
           .groupBy("verdict", "lang")
           .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
           .write.mode("append").parquet(out)
