@@ -59,20 +59,34 @@ object PointLookup {
                 srcFile: String, partCols: Seq[String])
                (build: => DataFrame): String = {
     val fp = srcFingerprint(dir, srcFile)
-    built.getOrElseUpdate(
-      (spark.sparkContext.applicationId, s"$tag/$dir", fp), {
-        // the source generation is IN the path: a regenerated source
-        // lands a NEW directory, so relations already listed by other
-        // sessions are never rewritten underneath their cached manifest
-        val out = s"${sys.props("java.io.tmpdir")}/graft_pointlookup/" +
-          s"${spark.sparkContext.applicationId}/" +
-          s"${tag}_${new java.io.File(dir).getName}_$fp"
-        StaleOutputs.sweep("graft_pointlookup",
-          spark.sparkContext.applicationId)
-        StaleOutputs.reset(out)
-        build.write.mode("overwrite").partitionBy(partCols: _*).parquet(out)
-        out
-      })
+    // synchronized: parallel test suites (and a stream's cloned session
+    // alongside its parent) can request the same landing concurrently;
+    // TrieMap.getOrElseUpdate may evaluate the builder twice under a
+    // race, and two jobs overwriting ONE output path corrupt each other.
+    // Build-into-temp + atomic rename keeps a visible path complete even
+    // against a crashed builder (the diskMemo publication discipline).
+    built.synchronized {
+      built.getOrElseUpdate(
+        (spark.sparkContext.applicationId, s"$tag/$dir", fp), {
+          // the source generation is IN the path: a regenerated source
+          // lands a NEW directory, so relations already listed by other
+          // sessions are never rewritten underneath their cached manifest
+          val out = new java.io.File(
+            s"${sys.props("java.io.tmpdir")}/graft_pointlookup/" +
+              s"${spark.sparkContext.applicationId}/" +
+              s"${tag}_${new java.io.File(dir).getName}_$fp")
+          StaleOutputs.sweep("graft_pointlookup",
+            spark.sparkContext.applicationId)
+          if (!new java.io.File(out, "_SUCCESS").exists()) {
+            val tmp = new java.io.File(out.getParent,
+              s".land_${java.util.UUID.randomUUID().toString.take(8)}")
+            build.write.mode("overwrite").partitionBy(partCols: _*)
+              .parquet(tmp.toString)
+            if (!tmp.renameTo(out)) StaleOutputs.reset(tmp.toString)
+          }
+          out.toString
+        })
+    }
   }
 
   /** One relation per (session, landed path, source generation), listed
