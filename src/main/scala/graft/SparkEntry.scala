@@ -144,6 +144,7 @@ object SparkEntry {
     "t25_bpe_encode"         -> (TextAnalysis.bpeEncode _),
     "t56_bpe_batch_merges"   -> (TextAnalysis.bpeBatchMerges _),
     "t57_packing_sweep"      -> (TextAnalysis.packingSweep _),
+    "t58_substring_dup"      -> (TextAnalysis.substringDup _),
     "t26_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "t27_vocab_growth"       -> (TextAnalysis.vocabGrowth _),
     "t20_mixture_report"     -> (TextAnalysis.mixtureReport _),

@@ -5293,6 +5293,40 @@ object OpsOracles {
 
     "t57_packing_sweep" -> packingSweepOracleSql(),
 
+    // t58: exact-substring duplication at 16-token window grain (Lee
+    // et al. 2022) — per-doc DISTINCT window hashes, a hash shared by
+    // ≥2 docs is cross-document verbatim material; integer permille,
+    // no rounding surface. DuckDB list slice t[i:i+15] is inclusive
+    // (16 elements) and range(1, n) excludes n — both mirrored from
+    // Spark's slice(toks, i, 16) over sequence(1, size-15).
+    "t58_substring_dup" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= ${TextAnalysis.SubstrWindow}),
+        |wins AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(t) - ${TextAnalysis.SubstrWindow - 2}),
+        |    i -> substring(md5(array_to_string(t[i:i+${TextAnalysis.SubstrWindow - 1}], ' ')), 1, 16))) AS whs
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(whs) AS wh FROM wins),
+        |shared AS (SELECT wh FROM ex GROUP BY wh HAVING count(*) >= 2),
+        |dup AS (
+        |  SELECT e.doc_id, count(*) AS dup_w
+        |  FROM ex e JOIN shared s ON e.wh = s.wh GROUP BY 1)
+        |SELECT w.doc_id,
+        |  CAST(len(w.whs) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(d.dup_w, 0) AS BIGINT) AS dup_windows,
+        |  CAST((1000 * coalesce(d.dup_w, 0)) // len(w.whs) AS BIGINT)
+        |    AS dup_permille,
+        |  CASE WHEN (1000 * coalesce(d.dup_w, 0)) // len(w.whs) >= 500
+        |         THEN 'drop'
+        |       WHEN (1000 * coalesce(d.dup_w, 0)) // len(w.whs) >= 200
+        |         THEN 'trim'
+        |       ELSE 'keep' END AS verdict
+        |FROM wins w LEFT JOIN dup d ON w.doc_id = d.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
     "m08_media_search" -> mediaSearchSql,
 
     // m09: SQ8-compressed media search — m05's closed-form feature

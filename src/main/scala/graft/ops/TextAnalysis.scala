@@ -2692,4 +2692,68 @@ object TextAnalysis {
 
   def epochAllocation(spark: SparkSession, dir: String): DataFrame =
     epochAllocationOf(Tables.documents(spark, dir))
+
+  /** Window width for [[substringDupOf]] — 16 whitespace tokens, the
+    * granularity Lee et al. use (50 BPE tokens ≈ a few dozen words)
+    * scaled to the demo corpus's short documents. */
+  val SubstrWindow = 16
+
+  /** EXACT-SUBSTRING DUPLICATION (t58) — the training-data signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): document-level dedup (d01/d04) misses documents
+    * that are mostly distinct but SHARE long verbatim spans
+    * (boilerplate, quotations, templated text), which drive verbatim
+    * memorization. Their suffix-array ExactSubstr is re-expressed at
+    * WINDOW granularity: every doc's [[SubstrWindow]]-token sliding
+    * windows hash (md5 of the space-joined slice — a per-row array
+    * higher-order fold, NO corpus explode until the hash aggregate),
+    * a window hash held by ≥2 documents is a cross-document verbatim
+    * span, and each document reports how much of it is such shared
+    * material. `dup_permille = (1000·dup_windows) div n_windows` stays
+    * in exact integer math (no cross-engine rounding surface); the
+    * verdict bands are the paper's action — drop (≥50% duplicated),
+    * trim (≥20%: cut the spans, keep the rest), keep.
+    *
+    * Scale shape: per-doc DISTINCT window hashes (array_distinct caps a
+    * doc's contribution at its distinct-span count), ONE hash-partition
+    * aggregate over uniform 16-char md5-prefix keys with map-side
+    * combine, one semi-join back — the d01 exact-dedup cost class, paid
+    * at window grain. The windows frame is eagerly checkpointed for its
+    * two consumers (the hash pass runs ONCE). At 100 TB the hash
+    * becomes xxhash64 (8-byte binary keys — the 16-hex-char prefix here
+    * keeps the oracle replayable while halving shuffle width vs full
+    * md5); full suffix-array exactness (arbitrary-length spans)
+    * is the single-node specialist's job — the window form is what
+    * distributes. Docs shorter than the window carry no signal and are
+    * excluded by contract (mirrored in the oracle). */
+  def substringDupOf(docs: DataFrame, w: Int = SubstrWindow): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .withColumn("whs", expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> substring(md5(array_join(slice(toks, i, $w), ' ')), 1, 16)))"))
+      .select(col("doc_id"), col("whs"))
+      .localCheckpoint()
+    val ex = wins.select(col("doc_id"), explode(col("whs")).as("wh"))
+    // whs is distinct PER DOC, so count(*) per hash = #docs holding it
+    val shared = ex.groupBy("wh").agg(count(lit(1)).as("docs"))
+      .filter(col("docs") >= 2).select("wh")
+    val dup = ex.join(shared, Seq("wh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_w"))
+    wins.select(col("doc_id"), size(col("whs")).cast("long").as("n_windows"))
+      .join(dup, Seq("doc_id"), "left_outer")
+      .withColumn("dup_windows", coalesce(col("dup_w"), lit(0L)))
+      .withColumn("dup_permille",
+        expr("cast((1000 * dup_windows) div n_windows as bigint)"))
+      .withColumn("verdict",
+        when(col("dup_permille") >= 500, lit("drop"))
+          .when(col("dup_permille") >= 200, lit("trim"))
+          .otherwise(lit("keep")))
+      .select("doc_id", "n_windows", "dup_windows", "dup_permille", "verdict")
+      .orderBy("doc_id")
+  }
+
+  def substringDup(spark: SparkSession, dir: String): DataFrame =
+    substringDupOf(Tables.documents(spark, dir))
 }

