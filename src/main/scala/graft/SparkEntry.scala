@@ -108,6 +108,7 @@ object SparkEntry {
     "d17_cluster_apply"      -> (Dedup.dropClusteredDuplicates _),
     "d19_incremental_dedup"  -> (Dedup.incrementalDedup _),
     "d22_incremental_neardup"-> (Dedup.incrementalNearDup _),
+    "d38_retro_compaction"   -> (Dedup.retroCompaction _),
     "d21_cluster_sizes"      -> (Dedup.clusterSizeHistogram _),
     "d20_minhash_estimate"   -> (Dedup.minhashEstimate _),
     "t07_top_tfidf"          -> (TextAnalysis.topTfidf _),

@@ -838,6 +838,65 @@ object Dedup {
   def incrementalNearDup(spark: SparkSession, dir: String): DataFrame =
     incrementalNearDupOf(Tables.documents(spark, dir), docShingles(spark, dir))
 
+  /** RETRO-LOSER COMPACTION (d38) — the reconciliation pass
+    * [[incrementalNearDupOf]]'s contract explicitly defers: the index is
+    * immutable during tonight's ingest (d22 drops only ARRIVALS), so an
+    * index doc out-kept by a SMALLER-id arrival survives the night even
+    * though a from-scratch rebuild would drop it. This pass computes
+    * exactly those TOMBSTONES for the next index compaction (the
+    * FreshDiskANN delete-then-rewrite stance, s35/s37, applied to the
+    * dedup index): candidates are the MIRROR orientation of d22's
+    * delta-vs-index join — (delta doc d1 < index doc d2) on a shared
+    * band bucket — verified by d04's exact Jaccard ≥ 0.5. Output is the
+    * tombstone list itself; the compaction writer drops these rows when
+    * it next folds the index (w12's delta-log fold is the writer shape).
+    *
+    * Scale: the join probes the persisted band index with the DELTA's
+    * band keys (O(delta collisions), never index×index), verification
+    * touches only candidate docs' shingles, and the tombstone list is
+    * detection-sized. Together d22 + d38 reproduce the from-scratch
+    * detector across the arrival boundary: d22 drops the delta-side
+    * losers, d38 the index-side ones (OpsSpec pins both directions
+    * against the exact all-pairs detector). */
+  private def retroCompactionWith(docs: DataFrame, ds: DataFrame,
+                                  bands: DataFrame): DataFrame = {
+    val bb = bands.withColumn("bucket",
+      substring(md5(col("doc_id").cast("string")), 1, 1))
+    // retro orientation: a DELTA doc with the smaller id out-keeps an
+    // index doc sharing its bucket — the one case d22 cannot act on
+    val cand = bb.filter(col("bucket") === "f")
+      .select(col("doc_id").as("d1"), col("band"), col("bkey"))
+      .join(bb.filter(col("bucket") =!= "f")
+        .select(col("doc_id").as("d2"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val sh = ds.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val inter = broadcast(cand)
+      .join(sh.select(col("doc_id").as("d1"), col("shingle").as("sh1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2b"), col("shingle").as("sh2")),
+        col("d2") === col("d2b") && col("sh1") === col("sh2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    val tombstones = jaccardOf(inter, ds, 0.5)
+      .select(col("d2").as("doc_id")).distinct()
+    docs.join(broadcast(tombstones), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  def retroCompactionOf(docs: DataFrame, ds: DataFrame): DataFrame =
+    retroCompactionWith(docs, ds, bandsOf(ds).localCheckpoint())
+
+  /** The production entry reads the DECLARED `d04-bands` SessionMemo —
+    * the same materialized band table minhashLsh serves from, so a gate
+    * session computes corpus signatures once across d04/d38. */
+  def retroCompaction(spark: SparkSession, dir: String): DataFrame =
+    retroCompactionWith(Tables.documents(spark, dir),
+      docShingles(spark, dir),
+      graft.SessionMemo(spark, dir, "d04-bands") {
+        bandsOf(docShingles(spark, dir))
+      })
+
   /** Sketch CALIBRATION: per exact near-dup pair, the MinHash ESTIMATE of
     * Jaccard (fraction of the 8 signature components that agree — the
     * unbiased estimator E[est] = J from Broder 1997) next to the exact

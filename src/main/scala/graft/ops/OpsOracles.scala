@@ -3718,6 +3718,35 @@ object OpsOracles {
         |  AND doc_id NOT IN (SELECT d2 FROM losers)
         |ORDER BY doc_id""".stripMargin,
 
+    // d38: retro-loser compaction — the mirror orientation of d22's
+    // delta-vs-index candidates: an index doc out-kept by a SMALLER-id
+    // arrival is a tombstone for the next index compaction.
+    "d38_retro_compaction" ->
+      s"""WITH $shingleCte,
+        |$sigBandsCte,
+        |bb AS (
+        |  SELECT doc_id, band, bkey,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        |  FROM bands),
+        |cand AS (
+        |  SELECT DISTINCT d.doc_id AS d1, i.doc_id AS d2
+        |  FROM bb d JOIN bb i ON d.band = i.band AND d.bkey = i.bkey
+        |  WHERE d.bucket = 'f' AND i.bucket != 'f' AND d.doc_id < i.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  JOIN cand ON a.doc_id = cand.d1 AND b.doc_id = cand.d2
+        |  GROUP BY 1, 2),
+        |tomb AS (
+        |  SELECT DISTINCT d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT d2 FROM tomb)
+        |ORDER BY doc_id""".stripMargin,
+
     // w08: streaming ingest dedup — arriving docs (md5 bucket 'f') are
     // dropped on ANY band-bucket collision with an OLDER index doc; no
     // Jaccard verify (the streaming recall-first gate; d22 is the exact

@@ -1754,6 +1754,55 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.storageLevel.useMemory, "memoized frame is not persisted")
   }
 
+  test("d38 retro compaction completes d22 across the arrival boundary: " +
+       "tombstones are exactly the index docs the exact all-pairs " +
+       "detector pairs with a SMALLER-id delta doc — the drops a " +
+       "from-scratch rebuild would make that the immutable-index night " +
+       "cannot") {
+    def bucket(id: Long): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+    }
+    val exact = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty)
+    val tomb = Dedup.retroCompaction(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    // soundness: every tombstone is an index doc out-kept by a delta doc
+    tomb.foreach { t =>
+      assert(bucket(t) != 'f', s"tombstone $t is a delta doc")
+      assert(exact.exists { case (a, b) => b == t && bucket(a) == 'f' },
+        s"tombstone $t has no exact cross-boundary pair")
+    }
+    // completeness: every exact (delta < index) pair tombstones its
+    // index side — together with d22's delta-side drops, the
+    // incremental pair reproduces the from-scratch detector across the
+    // boundary (within-index pairs belong to earlier nights)
+    val expected = exact.collect {
+      case (a, b) if bucket(a) == 'f' && bucket(b) != 'f' => b
+    }.toSet
+    assert(tomb === expected)
+    // sf0.001's planted pairs happen never to put the delta doc first
+    // (tomb may be empty here; sf0.01 carries 1, sf0.1 carries 17 in
+    // the gate) — prove the non-vacuous path on a constructed corpus:
+    // identical text, the SMALLER id on the arrival side
+    val sess = spark; import sess.implicits._
+    val deltaId = Iterator.from(0).map(_.toLong).find(bucket(_) == 'f').get
+    val indexId = Iterator.from(deltaId.toInt + 1).map(_.toLong)
+      .find(bucket(_) != 'f').get
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (deltaId, body, "en", body.length.toLong),
+      (indexId, body, "en", body.length.toLong),
+      (indexId + 1, (1 to 40).map(i => s"other$i").mkString(" "), "en", 10L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val synth = Dedup.retroCompactionOf(docs, Dedup.docShinglesOf(docs))
+      .collect().map(_.getLong(0)).toSet
+    assert(synth === Set(indexId),
+      s"expected exactly the out-kept index doc $indexId, got $synth")
+  }
+
   test("t58 substring duplication: accounting bounded, window counts " +
        "match a driver recompute, planted verbatim spans cross the drop " +
        "band from both sides of an LSH pair, and the two detectors " +
