@@ -37,8 +37,13 @@ object BucketedJoin {
     * at sf0.001). */
   val NumBuckets = 8
 
+  // keyed by applicationId, NOT session (the landIndex discipline): the
+  // catalog (SharedState) and the warehouse path are shared by every
+  // session of the context, so a session-keyed memo would let two
+  // parallel suites DROP+rewrite the same table out from under each
+  // other; one land serves all sessions
   private val built =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), (String, String)]
 
   private def srcFingerprint(dir: String): String = {
     val f = new java.io.File(s"$dir/lineitem.parquet")
@@ -66,14 +71,17 @@ object BucketedJoin {
     })
   }
 
-  /** Land (or reuse) the two bucketed tables for this (session, dir,
-    * source generation); returns their catalog names. Managed-table
+  /** Land (or reuse) the two bucketed tables for this (application,
+    * dir, source generation); returns their catalog names — the
+    * catalog entry is in the context-shared SharedState, so one land
+    * serves every session. Managed-table
     * location is cleared first so a leftover directory from a previous
     * process (the in-memory catalog dies with its JVM, the files do
     * not) can never block or shadow the re-land. */
-  def ensureTables(spark: SparkSession, dir: String): (String, String) = {
-    built.keys.filter(_._1.sparkContext.isStopped).foreach(built.remove)
-    built.getOrElseUpdate((spark, dir, srcFingerprint(dir)), {
+  def ensureTables(spark: SparkSession, dir: String): (String, String) =
+    built.synchronized {
+      built.getOrElseUpdate(
+        (spark.sparkContext.applicationId, dir, srcFingerprint(dir)), {
       val sfTag = new java.io.File(dir).getName.replace(".", "_")
       val lName = s"graft_bkt_lineitem_$sfTag"
       val oName = s"graft_bkt_orders_$sfTag"
@@ -96,7 +104,7 @@ object BucketedJoin {
         .select("o_orderkey", "o_orderpriority"), "o_orderkey")
       (lName, oName)
     })
-  }
+    }
 
   /** The fact⋈fact aggregate over whatever frames the session hands
     * it — the bucketed pair and the raw-layout control run the SAME
