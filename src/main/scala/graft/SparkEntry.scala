@@ -222,6 +222,8 @@ object SparkEntry {
     "f17_runtime_bloom"      -> (graft.sources.RuntimeBloom.bloomPrunedAgg _),
     "f18_point_lookup"       -> (graft.sources.PointLookup.pointLookup _),
     "f19_bucketed_join"      -> (graft.sources.BucketedJoin.bucketedJoin _),
+    "f20_bucketed_join_multifile" ->
+      (graft.sources.BucketedJoin.bucketedJoinMultiFile _),
     "f16_corrupt_jsonl"      -> (graft.sources.CorruptJsonl.ingestReport _),
     "g01_graph_rank"         -> (graft.ops.GraphRank.graphRank _),
     "g02_personalized_rank"  -> (graft.ops.GraphRank.personalizedRank _),

@@ -3498,6 +3498,19 @@ object OpsOracles {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // f20: the SAME join through MULTI-FILE buckets (the 100 TB
+    // posture — Exchange still absent, per-bucket Sort back, PlanSpec-
+    // pinned): values are layout-independent, so the oracle is
+    // identical to f19's plain join on the raw tables.
+    "f20_bucketed_join_multifile" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS line_count,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // t36: stratified split report — the md5-nibble three-way split with
     // per-source shares; pure integer counts and one rounded divide
     "t36_train_val_test" ->

@@ -226,61 +226,27 @@ object Similarity {
     })
   }
 
-  /** Format version of the on-disk ANN artifacts ([[diskMemo]]): bump
-    * whenever a trainer's SEMANTICS change so a fresh build can never
-    * consume an artifact an older code version wrote. */
-  private val ArtifactVersion = "r13" // r13: artifacts carry a _SOURCE provenance sidecar (pre-r13 dirs lack it and sweep out as version-stale)
+  /** The ANN artifact store — lifecycle machinery shared with every
+    * other standing-artifact family since r14 (VERDICT r13 item 7):
+    * fingerprint-keyed paths, `_SOURCE` provenance sidecars, atomic
+    * publication, the policy-based (never age) sweep, generation-keyed
+    * relation caching, and the manifest retry all live in
+    * [[graft.sources.ArtifactStore]]; this file keeps thin aliases so
+    * the 20+ trainer call sites read unchanged. Version stays "r13" —
+    * artifact SEMANTICS are unchanged, so r13-built artifacts remain
+    * current and are reused. */
+  private val AnnStore = graft.sources.ArtifactStore.AnnStore
 
-  /** Source-table fingerprint (size + mtime of embeddings.parquet):
-    * regeneration of the testdata invalidates every artifact keyed on it
-    * automatically — the round-5 drift lesson applied to artifacts. */
-  private def sourceFingerprint(dir: String): String = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    s"${f.length()}_${f.lastModified()}"
-  }
-
-  /** Provenance sidecar written inside every published artifact (three
-    * lines: source dir, format version, source fingerprint at build
-    * time). It serves two lifecycle roles. (1) [[artifactCurrent]]
-    * replays the currency check from it — the sweep's documented policy
-    * ("its testdata generation is gone or its format version was
-    * bumped") becomes the IMPLEMENTED policy, with no directory-name
-    * parsing. (2) Its mtime is the artifact's GENERATION marker: written
-    * once per build, rewritten only by a rebuild, never touched on reuse
-    * (the reuse lease lands on `_SUCCESS`), so [[readCache]] can key on
-    * it and a rebuild under the same path invalidates cached manifests. */
-  private val SourceMeta = "_SOURCE"
-
-  /** Sweep policy for the shared artifact store (VERDICT r12 item 1a):
-    * a published entry is current iff its provenance sidecar names this
-    * format version AND its source table still exists with the recorded
-    * fingerprint. Age plays NO role — an artifact other processes are
-    * actively reading stays current forever until its source moves on.
-    * Entries with no sidecar (pre-r13 format, or a vanished read race)
-    * are version-stale by construction. */
+  /** The store's keep policy, exposed for the lifecycle spec. */
   private[graft] def artifactCurrent(d: java.io.File): Boolean =
-    scala.util.Try {
-      val lines = new String(
-        java.nio.file.Files.readAllBytes(new java.io.File(d, SourceMeta).toPath),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n")
-      lines.length >= 3 && lines(1) == ArtifactVersion &&
-        new java.io.File(s"${lines(0)}/embeddings.parquet").exists() &&
-        sourceFingerprint(lines(0)) == lines(2)
-    }.getOrElse(false)
+    graft.sources.ArtifactStore.keepEntry(AnnStore)(d)
 
   /** DISK-backed memo — [[memo]]'s build-once/consume-many contract
     * extended ACROSS PROCESSES, which is the real production shape of an
     * index artifact: the ingest job trains and ships parquet (s15's
     * write half), and every query node — including a fresh JVM like the
     * driver's cold bench — READS the artifact instead of retraining
-    * (VERDICT r6 items 3/5). The key carries the artifact tag, a format
-    * version, the sf name, and the source-file fingerprint; the build is
-    * deterministic-by-value, so any process may materialize it.
-    *
-    * Concurrency: build lands in a process-unique temp dir, then an
-    * atomic rename publishes it; the loser of a race deletes its copy
-    * and reads the winner's (identical values either way). `_SUCCESS`
-    * gates against half-written dirs. Aged entries sweep out by TTL.
+    * (VERDICT r6 items 3/5). Lifecycle contract: [[graft.sources.ArtifactStore]].
     * Correctness backstop: every gate run re-hashes the downstream
     * queries against the DuckDB oracle, so a poisoned artifact fails
     * loudly rather than silently. */
@@ -295,43 +261,8 @@ object Similarity {
     * value): the layout half of the scan-avoidant serve path. */
   private def diskMemoDir(spark: SparkSession, dir: String, tag: String,
                           partitionCols: Seq[String] = Nil)
-                         (build: => DataFrame): String = {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_annartifacts"
-    graft.sources.StaleOutputs.sweepStale(base, artifactCurrent)
-    val sfName = new java.io.File(dir).getName
-    val dest = new java.io.File(
-      s"$base/${tag}_${ArtifactVersion}_${sfName}_${sourceFingerprint(dir)}")
-    val success = new java.io.File(dest, "_SUCCESS")
-    if (!success.exists()) {
-      val t0 = System.nanoTime()
-      val tmp = new java.io.File(
-        s"$base/.build_${java.util.UUID.randomUUID().toString.take(8)}")
-      val w = build.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(tmp.toString)
-      // provenance sidecar inside the temp dir so publication (the
-      // rename) is atomic with it — a visible artifact always carries
-      // its own currency proof
-      java.nio.file.Files.write(
-        new java.io.File(tmp, SourceMeta).toPath,
-        s"${new java.io.File(dir).getAbsolutePath}\n$ArtifactVersion\n${sourceFingerprint(dir)}"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if (!tmp.renameTo(dest)) graft.sources.StaleOutputs.reset(tmp.toString)
-      if (sys.env.contains("GRAFT_TRACE_COLD"))
-        System.err.println(
-          f"[cold] diskMemo $tag built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    } else {
-      // lease renewal on every reuse — defense in depth against any
-      // EXTERNAL age-based janitor (the in-repo sweep no longer ages):
-      // an actively-read artifact keeps a fresh mtime even though
-      // parquet reads never write (VERDICT r12 item 1b). `_SOURCE`
-      // stays untouched — it is the generation marker.
-      success.setLastModified(System.currentTimeMillis())
-      if (sys.env.contains("GRAFT_TRACE_COLD"))
-        System.err.println(s"[cold] diskMemo $tag read from artifact")
-    }
-    dest.toString
-  }
+                         (build: => DataFrame): String =
+    graft.sources.ArtifactStore.landDf(AnnStore, dir, tag, partitionCols)(build)
 
   private[ops] def centroidVectors(spark: SparkSession, dir: String): DataFrame =
     diskMemo(spark, dir, "cents") {
@@ -1041,54 +972,22 @@ object Similarity {
 
   private def walkBucket(id: Long): Int = (id / WalkBucketWidth).toInt
 
-  /** One relation per (session, artifact path), listed ONCE: a
-    * pb-partitioned artifact at replica scale holds thousands of bucket
-    * directories, and re-listing them per fetch would put an O(#buckets)
-    * driver cost on every hop (measured: 50 s/walk at the 500k-vector
-    * replica). Loading the file index once and planning every pruned
-    * read against it is exactly DiskANN's split — the MANIFEST lives in
-    * RAM, the vectors stay on disk. */
-  private val readCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
+  /** One relation per (session, artifact path, generation), listed
+    * ONCE: a pb-partitioned artifact at replica scale holds thousands of
+    * bucket directories, and re-listing them per fetch would put an
+    * O(#buckets) driver cost on every hop (measured: 50 s/walk at the
+    * 500k-vector replica). Loading the file index once and planning
+    * every pruned read against it is exactly DiskANN's split — the
+    * MANIFEST lives in RAM, the vectors stay on disk. Generation keying
+    * and the manifest retry are the shared store's
+    * ([[graft.sources.ArtifactStore]]). */
+  private def artifactRelation(spark: SparkSession, path: String): DataFrame =
+    graft.sources.ArtifactStore.relation(spark, path)
 
-  /** The artifact's generation: `_SOURCE`'s mtime — written once per
-    * build, rewritten only by a rebuild under the same path, never
-    * touched on reuse (the lease touch lands on `_SUCCESS`). Keying the
-    * relation cache on it means a rebuilt artifact (same path, fresh
-    * part-file UUIDs) can never be served through a dead cached file
-    * index (VERDICT r12 item 1c). */
-  private def artifactGen(path: String): Long =
-    new java.io.File(path, SourceMeta).lastModified()
-
-  private def artifactRelation(spark: SparkSession, path: String): DataFrame = {
-    readCache.keys.filter(_._1.sparkContext.isStopped).foreach(readCache.remove)
-    val gen = artifactGen(path)
-    readCache.keys.filter(k => k._2 == path && k._3 != gen)
-      .foreach(readCache.remove)
-    readCache.getOrElseUpdate((spark, path, gen), spark.read.parquet(path))
-  }
-
-  /** True iff `e`'s cause chain is the one failure a cached manifest can
-    * produce: a part file deleted out from under the listed index. */
-  private def manifestDead(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
-      t.isInstanceOf[java.io.FileNotFoundException] ||
-        (t.getMessage != null && t.getMessage.contains("FAILED_READ_FILE"))
-    }
-
-  /** Run an ACTION over relations planned against cached artifact
-    * manifests; if it dies because an external janitor deleted-and-
-    * rebuilt part files under a still-cached path, drop this session's
-    * cached relations and retry ONCE against the relisted store — a
-    * serving node's reopen-the-index move (VERDICT r12 item 1c). Any
-    * other failure propagates untouched, and a second manifest death
-    * does too (the store itself is gone, not just the cache). */
+  /** Alias of [[graft.sources.ArtifactStore.withManifestRetry]] (kept
+    * for the 10+ walk call sites and the lifecycle spec). */
   private[graft] def withManifestRetry[A](spark: SparkSession)(run: => A): A =
-    try run catch {
-      case e: Throwable if manifestDead(e) =>
-        readCache.keys.filter(_._1 == spark).foreach(readCache.remove)
-        run
-    }
+    graft.sources.ArtifactStore.withManifestRetry(spark)(run)
 
   /** Partition-pruned point-fetch over a pb-partitioned artifact: the
     * DiskANN SSD-read, expressed as a lakehouse scan. `pb IN buckets`

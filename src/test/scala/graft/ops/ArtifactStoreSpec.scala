@@ -16,7 +16,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * fingerprint-mismatched entries (and aged `.build_*` scratch) are;
   * (3) a rebuild under the same path invalidates the cached relation
   * via the `_SOURCE` generation marker; (4) a mid-action manifest death
-  * retries once after dropping the cache. */
+  * retries once after dropping the cache. Since r14 the machinery under
+  * test is the SHARED [[graft.sources.ArtifactStore]] (one lifecycle
+  * for the ANN tier, the standing dedup/ingest indexes, and the
+  * bucketed join landings — VERDICT r13 item 7), with the
+  * foreign-version grace window of ADVICE r13; the cross-process half
+  * of the contract is CrossProcessStoreSpec. */
 class ArtifactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
@@ -107,38 +112,65 @@ class ArtifactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idx.fetch.vec(ids).collect().map(_.toString).sorted.toSeq === expect)
   }
 
-  test("the sweep implements its documented policy: version-stale, " +
-       "source-gone, fingerprint-mismatched, and sidecar-less entries " +
-       "go; aged .build_ scratch goes; current entries stay") {
+  test("the sweep implements its documented policy: current-version " +
+       "entries die ONLY when source-gone/fingerprint-stale (never on " +
+       "age); foreign-version and sidecar-less entries get the TTL " +
+       "grace window (ADVICE r13 — a mixed-version overlap must not " +
+       "kill an artifact an older process is still reading); aged " +
+       ".build_ scratch goes") {
+    val aged = System.currentTimeMillis() - 3L * 60 * 60 * 1000
     val fp = fingerprint(dir)
-    val noSidecar = mkArtifact("spectestA_r13_sfX_0_0", None)
-    val wrongVer = mkArtifact("spectestB_r13_sfX_0_0",
-      Some(s"$dir\nr0-stale\n$fp"))
+    // sidecar-less: fresh survives the grace window, aged goes
+    val noSidecarFresh = mkArtifact("spectestA1_r13_sfX_0_0", None)
+    val noSidecarAged = mkArtifact("spectestA2_r13_sfX_0_0", None)
+    backdate(noSidecarAged, aged)
+    // foreign version, source still current: fresh survives (grace),
+    // aged goes (grace expired)
+    val wrongVerFresh = mkArtifact("spectestB1_r13_sfX_0_0",
+      Some(s"$dir\nr0-stale\n$fp\nembeddings.parquet"))
+    val wrongVerAged = mkArtifact("spectestB2_r13_sfX_0_0",
+      Some(s"$dir\nr0-stale\n$fp\nembeddings.parquet"))
+    backdate(wrongVerAged, aged)
+    // foreign version AND source-stale: goes immediately, fresh or not
+    val wrongVerStale = mkArtifact("spectestB3_r13_sfX_0_0",
+      Some(s"/nonexistent/graft_spec_dir\nr0-stale\n0_0"))
+    // current version: source-gone / fingerprint-stale go immediately
     val srcGone = mkArtifact("spectestC_r13_sfX_0_0",
       Some(s"/nonexistent/graft_spec_dir\nr13\n0_0"))
     val wrongFp = mkArtifact("spectestD_r13_sfX_0_0",
       Some(s"$dir\nr13\n1_1"))
+    // current version + live source: survives at ANY age
     val current = mkArtifact("spectestE_r13_sfX_0_0",
       Some(s"$dir\nr13\n$fp"))
-    backdate(current, System.currentTimeMillis() - 3L * 60 * 60 * 1000)
+    backdate(current, aged)
     val freshTmp = new java.io.File(store, ".build_spectest_fresh")
     freshTmp.mkdirs()
     val agedTmp = new java.io.File(store, ".build_spectest_aged")
     agedTmp.mkdirs()
-    backdate(agedTmp, System.currentTimeMillis() - 3L * 60 * 60 * 1000)
+    backdate(agedTmp, aged)
+    val all = Seq(noSidecarFresh, noSidecarAged, wrongVerFresh,
+      wrongVerAged, wrongVerStale, srcGone, wrongFp, current, freshTmp,
+      agedTmp)
     try {
       // any diskMemoDir call runs the sweep with the real policy
       Similarity.pqCodebooks(spark, dir).collect()
-      assert(!noSidecar.exists(), "sidecar-less (pre-r13) entry survived")
-      assert(!wrongVer.exists(), "version-stale entry survived")
+      assert(noSidecarFresh.exists(),
+        "fresh sidecar-less entry was swept inside its grace window")
+      assert(!noSidecarAged.exists(), "aged sidecar-less entry survived")
+      assert(wrongVerFresh.exists(),
+        "fresh foreign-version entry with a live source was swept — " +
+          "an older-version process reading it would die (ADVICE r13)")
+      assert(!wrongVerAged.exists(),
+        "foreign-version entry survived past its grace window")
+      assert(!wrongVerStale.exists(),
+        "source-stale foreign-version entry survived")
       assert(!srcGone.exists(), "source-gone entry survived")
       assert(!wrongFp.exists(), "fingerprint-mismatched entry survived")
       assert(current.exists(), "aged-but-current entry was swept")
       assert(freshTmp.exists(), "fresh in-flight .build_ scratch was swept")
       assert(!agedTmp.exists(), "abandoned aged .build_ scratch survived")
     } finally {
-      Seq(noSidecar, wrongVer, srcGone, wrongFp, current, freshTmp, agedTmp)
-        .foreach(deleteRecursively)
+      all.foreach(deleteRecursively)
     }
   }
 
