@@ -269,6 +269,8 @@ object SparkEntry {
       graft.ops.Similarity.graphAnnBeamSweep(s, d)),
     "s41_filtered_ann"       -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.filteredGraphAnn(s, d)),
+    "s42_batched_ann"        -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.batchedGraphAnn(s, d)),
     "s34_graph_ann_serve"    -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnServeAfterInsert(s, d)),
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>

@@ -851,6 +851,20 @@ object OpsOracles {
        |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
   }
 
+  /** s42's batched serve: the IDENTICAL walk chain over the batched
+    * query set (s29's 10 held-out queries plus 90 corpus members) —
+    * each query's hops replayed independently, which is exactly the
+    * per-query-identity claim the engine's shared-hop batching makes. */
+  private val batchedWalkCtes = {
+    def hop(t: Int) = walkHopCte("m", "graph", "cand", "qb")(t)
+    s"""$graphWalkBaseCtes,
+       |qb AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cell, v, norm FROM assigned
+       |  WHERE vec_id < ${Similarity.BatchedServeQueries}),
+       |${walkEntryCtes("m", "qb")},
+       |${(1 to Similarity.GraphAnnHops).map(hop).mkString(",\n")}""".stripMargin
+  }
+
   /** s39's ADC walk: the same base graph/entry as s29, but every hop
     * ranks its expansion by the PQ approximate distance (sum of the
     * query's DECIMAL(18,6) LUT entries over the node's 8 codes —
@@ -2500,6 +2514,16 @@ object OpsOracles {
       s"""WITH $graphWalkCtes
         |SELECT query_id, node AS cand_id, cosine, rnk
         |FROM s${Similarity.GraphAnnHops}
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // s42: batched ANN serving — the s29 walk over the 100-query batch,
+    // replayed query by query (the engine's per-hop batching must be
+    // observationally identical to independent walks).
+    "s42_batched_ann" ->
+      s"""WITH $batchedWalkCtes
+        |SELECT query_id, node AS cand_id, cosine, rnk
+        |FROM ms${Similarity.GraphAnnHops}
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 

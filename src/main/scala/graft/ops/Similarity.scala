@@ -1267,6 +1267,43 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Query count of the batched serving demo (s42) — 10× s29's request
+    * set, shared with the oracle template. */
+  val BatchedServeQueries = 100
+
+  /** BATCHED GRAPH-ANN SERVING (s42, VERDICT r13 item 2) — the serving
+    * TIER's shape, not the single lookup's: a real vector-search
+    * frontend amortizes the walk over a request batch. The hop loop
+    * ([[beamWalkOver]]) already unions the per-query beams' node ids
+    * into ONE pruned point-read per side per hop; this surface drives
+    * it with [[BatchedServeQueries]] queries (s29's 10 held-out vectors
+    * plus 90 corpus members — live traffic queries over the full index,
+    * where a corpus member's top-1 is itself at cosine 1).
+    *
+    * The scale claim is the pruning law under batch: each hop still
+    * issues exactly TWO point-reads (adjacency, vectors) whatever the
+    * batch size — files read ≤ Σ distinct beam buckets (the per-hop
+    * union of ≤ batch × beam ids over [[WalkBucketWidth]]-wide
+    * buckets), and the number of DRIVER ROUND-TRIPS is a constant of
+    * (hops), never of batch size or corpus size (JobCountSpec pins the
+    * same job budget as the 10-query walk). Per-query results are
+    * IDENTICAL to independent walks — hops never mix queries (the beam
+    * is ranked per query_id) — which OpsSpec pins against s29 and the
+    * oracle replays query by query. */
+  def batchedGraphAnn(spark: SparkSession, dir: String, k: Int = 3,
+                      nQueries: Int = BatchedServeQueries): DataFrame = {
+    val idx = graphAnnIndex(spark, dir, GraphAnnM)
+    val q = semDedupAssignment(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    beamWalkOver(spark, dir, idx.fetch, idx.medoid, q,
+        GraphAnnBeam, GraphAnnHops).last
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("node").as("cand_id"), col("cosine"),
+        col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** PQ-SCORED GRAPH WALK + EXACT REFINE (s39) — the composition
     * DiskANN actually ships (Subramanya et al. 2019 §3: the graph and
     * the PQ codes live in RAM, full vectors on SSD): the beam walk

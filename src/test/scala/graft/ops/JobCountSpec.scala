@@ -109,6 +109,33 @@ class JobCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s42 batched serve: the job budget at 10× the queries is the " +
+       "SAME constant as the 10-query walk — each hop stays exactly " +
+       "two pruned point-reads whatever the batch size (the union of " +
+       "per-query beams is an I/O batching, never a per-query loop)") {
+    val dir = "/root/testdata/sf0.001"
+    Similarity.batchedGraphAnn(spark, dir).collect() // warm
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.batchedGraphAnn(spark, dir).collect()
+      val steady = settledJobCount(jobs)
+      info(s"steady s42 batched serve spent $steady jobs for " +
+        s"${Similarity.BatchedServeQueries} queries")
+      // s29's budget, unchanged: a shape that walked queries one at a
+      // time would spend ~10× this (100 queries × per-hop actions)
+      assert(steady <= 28,
+        s"steady s42 batched serve spent $steady jobs (≤28) — the hop " +
+          "loop is no longer batch-size-independent")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("g05 BFS loop: one Spark action per frontier round") {
     val s = spark; import s.implicits._
     // a 7-node path 0-1-...-6: eccentricity 6 from the seed, so the loop

@@ -2719,6 +2719,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, f"s41 filtered recall@3 $recall%.3f < 0.8")
   }
 
+  test("s42 batched serving: per-query results are IDENTICAL to the " +
+       "10-query walk on the shared queries (batching never mixes " +
+       "queries), ranks are a contiguous 1..k prefix, and the large " +
+       "majority of corpus-member queries find themselves top-1 at " +
+       "cosine 1") {
+    val batched = Similarity.batchedGraphAnn(spark, dir).collect()
+    assert(batched.map(_.getAs[Long]("query_id")).distinct.length ===
+      Similarity.BatchedServeQueries)
+    // identity with s29 on the 10 held-out queries: the per-hop union
+    // of beams is an I/O batching, not a semantic change
+    val s29 = Similarity.graphAnn(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+    val shared = batched.filter(_.getAs[Long]("query_id") < 10)
+      .map(_.toString).sorted.toSeq
+    assert(shared === s29,
+      "batched serve diverged from the independent walk on the shared " +
+        "query set")
+    batched.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to rs.length))
+    }
+    // live-traffic half: a corpus-member query that reaches itself
+    // scores cosine exactly 1 (6dp round of a self-dot), and the walk
+    // finds itself top-1 for the large majority — an approximate walk
+    // may legitimately miss a poorly-inbound-connected node (that IS
+    // the recall < 1 of ANN), so this is a floor, not an identity
+    val members = batched.filter(_.getAs[Long]("query_id") >= 10)
+    members.filter(r =>
+        r.getAs[Long]("cand_id") == r.getAs[Long]("query_id")).foreach { r =>
+      assert(r.getAs[Double]("cosine") === 1.0)
+      assert(r.getAs[Int]("rnk") === 1,
+        s"query ${r.getAs[Long]("query_id")} scored itself at 1.0 but " +
+          "ranked something above it")
+    }
+    val selfHits = members.filter(r => r.getAs[Int]("rnk") == 1 &&
+      r.getAs[Long]("cand_id") == r.getAs[Long]("query_id")).length
+    val nMembers = members.map(_.getAs[Long]("query_id")).distinct.length
+    info(s"s42 self-recall: $selfHits/$nMembers")
+    assert(selfHits >= (nMembers * 8) / 10,
+      s"only $selfHits/$nMembers corpus-member queries found themselves")
+  }
+
   test("s40 beam sweep: cost rises with width, the beam-8 point equals " +
        "s30's final-hop row, and width buys recall on the clustered corpus") {
     val rows = Similarity.graphAnnBeamSweep(spark, dir).collect()
