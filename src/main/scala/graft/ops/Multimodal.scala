@@ -167,11 +167,12 @@ object Multimodal {
     /** 44-byte canonical header + at least a few samples. */
     val MinWavBytes = 64
 
-    /** Which corpus rows carry a WAV payload — the residue class after
-      * BMP's (doc_id % 3 = 0): mirrored in the oracle as
-      * `doc_id % 3 = 1 AND L >= 64`. */
+    /** Which corpus rows carry a WAV payload — the even half of the
+      * doc_id % 3 = 1 residue class (the odd half is [[AviCodec]]'s
+      * video rows since r14): mirrored in the oracle as
+      * `doc_id % 6 = 1 AND L >= 64`. */
     def eligible(docId: Long, len: Int): Boolean =
-      docId % 3 == 1 && len >= MinWavBytes
+      docId % 6 == 1 && len >= MinWavBytes
 
     private def putInt(a: Array[Byte], off: Int, v: Int): Unit = {
       a(off) = v.toByte; a(off + 1) = (v >> 8).toByte
@@ -627,6 +628,196 @@ object Multimodal {
     }
   }
 
+  /** REAL decode path for the VIDEO modality (VERDICT r13 item 5 — the
+    * m03/m14 realism ladder applied to the frame-sampling row): an
+    * uncompressed RIFF/AVI container ('vids'/'DIB ' stream, 24-bpp DIB
+    * frames in '00db' chunks), fully parseable with pure JVM byte
+    * arithmetic. [[sampleFrames]] genuinely DEMUXES the payload: RIFF/
+    * 'AVI ' magic, a top-level LIST walk (hdrl → avih for dims + frame
+    * count, strl → strh stream-type check; movi → the frame chunk
+    * list — a parser that assumed fixed frame offsets instead of
+    * walking '00db' chunks would break on any layout change), then a
+    * frame-STRIDED decode of every sampled frame's 4-byte-padded DIB
+    * rows summing the 3·w pixel bytes and skipping the padding. The
+    * pixel law makes the sum FRAME-DEPENDENT (byte j of frame f is
+    * (f + j) % 16, padding 0xFF), so a demuxer that reads the wrong
+    * frames, the wrong stride, or the row padding returns a different
+    * px_sum and fails the oracle.
+    *
+    * [[synthesize]] builds AVI payloads deterministically from the
+    * document's byte length (dims `2 + L%3 × 2 + L%2`, frame count
+    * `2 + L%4`, trailing filler beyond the RIFF size to EXACTLY the
+    * original length — the same-length rule that keeps every
+    * length-derived stub value downstream untouched). Real codecs'
+    * inter-frame compression (and hence keyframe-seek) is the declared
+    * boundary — frames here are independent DIBs, which is exactly
+    * what makes a closed-form oracle possible. */
+  object AviCodec {
+    /** Worst-case container: 224-byte headers + 5 frames × (8 + 36). */
+    val MinAviBytes = 448
+
+    /** Which corpus rows carry an AVI payload — the odd half of the
+      * doc_id % 3 = 1 residue class (the even half stays WAV): mirrored
+      * in the oracle as `doc_id % 6 = 4 AND L >= 448`. */
+    def eligible(docId: Long, len: Int): Boolean =
+      docId % 6 == 4 && len >= MinAviBytes
+
+    def dims(len: Int): (Int, Int) = (2 + len % 3, 2 + len % 2)
+    def frameCount(len: Int): Int = 2 + len % 4
+
+    private def putInt(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = v.toByte; a(off + 1) = (v >> 8).toByte
+      a(off + 2) = (v >> 16).toByte; a(off + 3) = (v >> 24).toByte
+    }
+    private def putShort(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = v.toByte; a(off + 1) = (v >> 8).toByte
+    }
+    private def put4(a: Array[Byte], off: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, a, off, 4)
+    private def le32(a: Array[Byte], off: Int): Int =
+      (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8) |
+        ((a(off + 2) & 0xFF) << 16) | ((a(off + 3) & 0xFF) << 24)
+    private def fourcc(a: Array[Byte], off: Int): String =
+      new String(a, off, 4, "US-ASCII")
+
+    /** A REAL single-stream uncompressed AVI of exactly `len` total
+      * bytes (len ≥ [[MinAviBytes]]; bytes past the RIFF size are
+      * zero trailing filler, the BMP discipline). */
+    def synthesize(len: Int): Array[Byte] = {
+      require(len >= MinAviBytes, s"payload too small for an AVI: $len")
+      val (w, h) = dims(len)
+      val n = frameCount(len)
+      val rs = BmpCodec.rowSize(w)
+      val fb = rs * h
+      val out = new Array[Byte](len)
+      put4(out, 0, "RIFF"); putInt(out, 4, 216 + n * (8 + fb))
+      put4(out, 8, "AVI ")
+      put4(out, 12, "LIST"); putInt(out, 16, 192); put4(out, 20, "hdrl")
+      put4(out, 24, "avih"); putInt(out, 28, 56)
+      putInt(out, 32, 33333)      // dwMicroSecPerFrame (≈30 fps)
+      putInt(out, 32 + 16, n)     // dwTotalFrames
+      putInt(out, 32 + 24, 1)     // dwStreams
+      putInt(out, 32 + 32, w); putInt(out, 32 + 36, h)
+      put4(out, 88, "LIST"); putInt(out, 92, 116); put4(out, 96, "strl")
+      put4(out, 100, "strh"); putInt(out, 104, 56)
+      put4(out, 108, "vids"); put4(out, 112, "DIB ")
+      putInt(out, 108 + 20, 1)    // dwScale
+      putInt(out, 108 + 24, 30)   // dwRate
+      putInt(out, 108 + 32, n)    // dwLength
+      put4(out, 164, "strf"); putInt(out, 168, 40)
+      putInt(out, 172, 40)        // biSize
+      putInt(out, 176, w); putInt(out, 180, h)
+      putShort(out, 184, 1)       // biPlanes
+      putShort(out, 186, 24)      // biBitCount
+      putInt(out, 192, fb)        // biSizeImage
+      put4(out, 212, "LIST"); putInt(out, 216, 4 + n * (8 + fb))
+      put4(out, 220, "movi")
+      var f = 0
+      while (f < n) {
+        val base = 224 + f * (8 + fb)
+        put4(out, base, "00db"); putInt(out, base + 4, fb)
+        var r = 0
+        while (r < h) {
+          var j = 0
+          while (j < rs) {
+            out(base + 8 + r * rs + j) =
+              if (j < 3 * w) ((f + (r * 3 * w + j)) % 16).toByte
+              else 0xFF.toByte
+            j += 1
+          }
+          r += 1
+        }
+        f += 1
+      }
+      out // trailing filler beyond the RIFF size stays 0
+    }
+
+    /** Genuine container parse: RIFF walk → avih dims/frame count,
+      * strh 'vids' check, movi '00db' frame-chunk offsets (each
+      * validated against the DIB frame size). None = not a parseable
+      * single-vids-stream AVI — the caller falls back to the stub. */
+    def parse(media: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (media.length < 224 || fourcc(media, 0) != "RIFF" ||
+        fourcc(media, 8) != "AVI ") return None
+      val riffEnd = 8L + (le32(media, 4) & 0xFFFFFFFFL)
+      if (riffEnd > media.length) return None
+      var w = 0; var h = 0; var total = -1; var streams = 0
+      var vids = false
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var off = 12
+      while (off + 8 <= riffEnd) {
+        val id = fourcc(media, off)
+        val size = le32(media, off + 4)
+        if (size < 0 || off + 8L + size > riffEnd) return None
+        if (id == "LIST" && size >= 4) {
+          val listEnd = off + 8 + size
+          fourcc(media, off + 8) match {
+            case "hdrl" =>
+              var in = off + 12
+              while (in + 8 <= listEnd) {
+                val cid = fourcc(media, in)
+                val csz = le32(media, in + 4)
+                if (csz < 0 || in + 8L + csz > listEnd) return None
+                if (cid == "avih" && csz >= 56) {
+                  total = le32(media, in + 8 + 16)
+                  streams = le32(media, in + 8 + 24)
+                  w = le32(media, in + 8 + 32)
+                  h = le32(media, in + 8 + 36)
+                } else if (cid == "LIST" && csz >= 4 &&
+                  fourcc(media, in + 8) == "strl") {
+                  if (fourcc(media, in + 12) == "strh" &&
+                    fourcc(media, in + 20) == "vids") vids = true
+                }
+                in += 8 + csz + (csz & 1)
+              }
+            case "movi" =>
+              var in = off + 12
+              while (in + 8 <= listEnd) {
+                val cid = fourcc(media, in)
+                val csz = le32(media, in + 4)
+                if (csz < 0 || in + 8L + csz > listEnd) return None
+                if (cid == "00db") frames += in + 8
+                in += 8 + csz + (csz & 1)
+              }
+            case _ => ()
+          }
+        }
+        off += 8 + size + (size & 1)
+      }
+      if (!vids || streams != 1 || w <= 0 || h <= 0 ||
+        frames.length != total) return None
+      val fb = BmpCodec.rowSize(w) * h
+      if (frames.exists(o => le32(media, o - 4) != fb)) return None
+      Some((w, h, frames.toArray))
+    }
+
+    /** Frame-STRIDED decode: demux, then decode every `stride`-th
+      * frame's padded DIB rows, summing pixel bytes (3·w per row, the
+      * 0xFF padding skipped). Returns (n_frames, frames_sampled,
+      * idx_sum, px_sum). */
+    def sampleFrames(media: Array[Byte],
+                     stride: Int): Option[(Long, Long, Long, Long)] =
+      parse(media).map { case (w, h, frames) =>
+        val rs = BmpCodec.rowSize(w)
+        var sampled = 0L; var idxSum = 0L; var pxSum = 0L
+        var f = 0
+        while (f < frames.length) {
+          val base = frames(f)
+          var r = 0
+          while (r < h) {
+            var j = 0
+            while (j < 3 * w) {
+              pxSum += media(base + r * rs + j) & 0xFF; j += 1
+            }
+            r += 1
+          }
+          sampled += 1; idxSum += f
+          f += stride
+        }
+        (frames.length.toLong, sampled, idxSum, pxSum)
+      }
+  }
+
   /** Per-row decode dispatch: real BMP/PNG/JPEG/WEBP parse when the
     * payload is one, the deterministic stub otherwise. */
   def decodeRow(r: MediaRow): DecodedMeta =
@@ -651,13 +842,15 @@ object Multimodal {
   /** documents re-typed as an opaque binary media column — a MIXED-
     * modality corpus covering every residue class: doc_id % 3 = 0 rows
     * (length ≥ [[BmpCodec.MinBmpBytes]]) carry a REAL synthesized BMP,
-    * doc_id % 3 = 1 rows (length ≥ [[WavCodec.MinWavBytes]]) a REAL
-    * PCM16 WAV, doc_id % 6 = 2 rows (length ≥ [[PngCodec.MinPngBytes]])
-    * a REAL deflate-compressed PNG, doc_id % 12 = 5 rows (length ≥
-    * [[JpegCodec.MinJpegBytes]]) a REAL baseline JPEG, doc_id % 12 = 11
-    * rows (length ≥ [[WebpCodec.MinWebpBytes]]) a REAL RIFF/VP8L WEBP
-    * container — each of the SAME byte length as the raw text — and
-    * short rows the raw text bytes. */
+    * doc_id % 6 = 1 rows (length ≥ [[WavCodec.MinWavBytes]]) a REAL
+    * PCM16 WAV, doc_id % 6 = 4 rows (length ≥ [[AviCodec.MinAviBytes]])
+    * a REAL uncompressed RIFF/AVI video, doc_id % 6 = 2 rows (length ≥
+    * [[PngCodec.MinPngBytes]]) a REAL deflate-compressed PNG,
+    * doc_id % 12 = 5 rows (length ≥ [[JpegCodec.MinJpegBytes]]) a REAL
+    * baseline JPEG, doc_id % 12 = 11 rows (length ≥
+    * [[WebpCodec.MinWebpBytes]]) a REAL RIFF/VP8L WEBP container — each
+    * of the SAME byte length as the raw text — and short rows the raw
+    * text bytes. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -668,6 +861,7 @@ object Multimodal {
         val media =
           if (BmpCodec.eligible(id, raw.length)) BmpCodec.synthesize(raw.length)
           else if (WavCodec.eligible(id, raw.length)) WavCodec.synthesize(raw.length)
+          else if (AviCodec.eligible(id, raw.length)) AviCodec.synthesize(raw.length)
           else if (PngCodec.eligible(id, raw.length)) PngCodec.synthesize(raw.length)
           else if (JpegCodec.eligible(id, raw.length)) JpegCodec.synthesize(raw.length)
           else if (WebpCodec.eligible(id, raw.length)) WebpCodec.synthesize(raw.length)
@@ -846,23 +1040,37 @@ object Multimodal {
   }
 
   final case class FrameSample(doc_id: Long, n_frames: Long,
-                               frames_sampled: Long, idx_sum: Long)
+                               frames_sampled: Long, idx_sum: Long,
+                               px_sum: Long)
 
-  /** STUB frame sampling: payload treated as a "video" of 1 KiB frames,
-    * every 10th frame sampled. The loop WALKS the actual sampled offsets
-    * (what a demuxer seek would do); the driver query reports the count
-    * and the index checksum, which the oracle recomputes in closed form —
-    * matching proves the sampling schedule, not just the count. */
+  /** Frame sampling (m04) — REAL for the video rows since r14: every
+    * AVI payload pays [[AviCodec.sampleFrames]]'s genuine RIFF demux +
+    * frame-strided DIB decode (stride 2), reporting the true frame
+    * count, the sampled count/index checksum, and the decoded pixel sum
+    * — the frame-dependent pixel law means px_sum proves the demuxer
+    * read exactly the scheduled frames. Dispatch trusts the BYTES
+    * (parse Option, m11's discipline), never the doc_id residue.
+    *
+    * Non-video rows keep the STUB: payload treated as a "video" of
+    * 1 KiB frames, every 10th sampled, px_sum = 0 as the explicit
+    * not-a-decoded-video sentinel. The stub loop still WALKS the
+    * sampled offsets (what a demuxer seek would do); the oracle
+    * recomputes both branches in closed form. */
   def frameSampleBatch(spark: SparkSession, dir: String): Dataset[FrameSample] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRow].mapPartitions(_.map { r =>
-      val nFrames = r.media.length.toLong / 1024L + 1L
-      var idx = 0L; var k = 0L; var sum = 0L
-      while (idx < nFrames) {
-        // a real demuxer would decode media[idx*1024, +1024) here
-        k += 1; sum += idx; idx += 10
+      AviCodec.sampleFrames(r.media, stride = 2) match {
+        case Some((n, k, idxSum, pxSum)) =>
+          FrameSample(r.doc_id, n, k, idxSum, pxSum)
+        case None =>
+          val nFrames = r.media.length.toLong / 1024L + 1L
+          var idx = 0L; var k = 0L; var sum = 0L
+          while (idx < nFrames) {
+            // a real demuxer would decode media[idx*1024, +1024) here
+            k += 1; sum += idx; idx += 10
+          }
+          FrameSample(r.doc_id, nFrames, k, sum, 0L)
       }
-      FrameSample(r.doc_id, nFrames, k, sum)
     })
   }
 

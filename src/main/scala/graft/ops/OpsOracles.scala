@@ -4745,7 +4745,7 @@ object OpsOracles {
     "m11_audio_meta" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
-        |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 64),
+        |  WHERE doc_id % 6 = 1 AND octet_length(encode(text)) >= 64),
         |d AS (
         |  SELECT doc_id, L AS bytes,
         |    CAST(8000 + L % 4000 AS BIGINT) AS sample_rate,
@@ -4769,7 +4769,7 @@ object OpsOracles {
     "m13_audio_energy" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
-        |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 64),
+        |  WHERE doc_id % 6 = 1 AND octet_length(encode(text)) >= 64),
         |d AS (
         |  SELECT doc_id, CAST(8000 + L % 4000 AS BIGINT) AS sample_rate,
         |    (L - 44) // 2 AS n
@@ -4795,7 +4795,7 @@ object OpsOracles {
     "m14_audio_resample" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
-        |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 64),
+        |  WHERE doc_id % 6 = 1 AND octet_length(encode(text)) >= 64),
         |d AS (
         |  SELECT doc_id, CAST(8000 + L % 4000 AS BIGINT) AS rate,
         |    CAST(1 + L % 2 AS BIGINT) AS c,
@@ -5304,14 +5304,41 @@ object OpsOracles {
         |FROM e
         |ORDER BY doc_id""".stripMargin,
 
+    // m04: REAL frame sampling for the AVI video rows (r14) — frame
+    // count/dims from the synthesis laws, stride-2 schedule, px_sum
+    // from the frame-dependent pixel law (byte j of frame f is
+    // (f+j)%16 over P = 3wh pixel bytes): per frame S(f) =
+    // (P//16)*120 + a bounded <16-element remainder fold; the sampled
+    // frames are f ∈ {0,2,4} (n ≤ 5 by synthesis), so the stride sum
+    // expands to at most three S(f) terms. Non-video rows keep the
+    // 1KiB-frame stub with the px_sum = 0 sentinel.
     "m04_frame_sample" ->
       """WITH f AS (
-        |  SELECT doc_id,
-        |    octet_length(encode(text)) // 1024 + 1 AS n_frames
-        |  FROM documents),
-        |k AS (SELECT doc_id, n_frames, (n_frames + 9) // 10 AS frames_sampled FROM f)
-        |SELECT doc_id, n_frames, frames_sampled,
-        |  10 * (frames_sampled * (frames_sampled - 1) // 2) AS idx_sum
+        |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+        |c AS (
+        |  SELECT doc_id, L, (doc_id % 6 = 4 AND L >= 448) AS is_avi FROM f),
+        |a AS (
+        |  SELECT doc_id, is_avi,
+        |    CASE WHEN is_avi THEN 2 + L % 4 ELSE L // 1024 + 1 END AS n_frames,
+        |    CASE WHEN is_avi THEN 3 * (2 + L % 3) * (2 + L % 2) ELSE 0 END AS P
+        |  FROM c),
+        |k AS (
+        |  SELECT doc_id, is_avi, n_frames, P,
+        |    CASE WHEN is_avi THEN (n_frames + 1) // 2
+        |         ELSE (n_frames + 9) // 10 END AS s
+        |  FROM a)
+        |SELECT doc_id, n_frames, s AS frames_sampled,
+        |  CAST(CASE WHEN is_avi THEN s * (s - 1)
+        |       ELSE 10 * (s * (s - 1) // 2) END AS BIGINT) AS idx_sum,
+        |  CAST(CASE WHEN is_avi THEN
+        |    s * (P // 16) * 120
+        |    + COALESCE(list_sum(list_transform(range(P % 16),
+        |        u -> u % 16)), 0)
+        |    + CASE WHEN s >= 2 THEN COALESCE(list_sum(list_transform(
+        |        range(P % 16), u -> (2 + u) % 16)), 0) ELSE 0 END
+        |    + CASE WHEN s >= 3 THEN COALESCE(list_sum(list_transform(
+        |        range(P % 16), u -> (4 + u) % 16)), 0) ELSE 0 END
+        |  ELSE 0 END AS BIGINT) AS px_sum
         |FROM k
         |ORDER BY doc_id""".stripMargin,
 

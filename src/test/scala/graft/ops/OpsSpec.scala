@@ -97,12 +97,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(realRows > 0, "corpus should contain decodable image rows")
   }
 
-  test("frame sampling walks every 10th frame of the 1KiB-frame payload") {
+  test("frame sampling: real stride-2 AVI demux on video rows (px_sum " +
+       "matches an independent replay of the pixel law), 1KiB-frame " +
+       "stub elsewhere") {
+    val lens = Multimodal.mediaTable(spark, dir)
+      .select(col("doc_id"), length(col("media")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var aviRows = 0
     Multimodal.frameSampleBatch(spark, dir).collect().foreach { r =>
-      assert(r.frames_sampled === (r.n_frames + 9) / 10)
-      val k = r.frames_sampled
-      assert(r.idx_sum === 10 * (k * (k - 1) / 2))
+      val len = lens(r.doc_id).toInt
+      if (Multimodal.AviCodec.eligible(r.doc_id, len)) {
+        aviRows += 1
+        val (w, h) = Multimodal.AviCodec.dims(len)
+        val n = Multimodal.AviCodec.frameCount(len)
+        assert(r.n_frames === n.toLong, s"doc ${r.doc_id}: frame count")
+        val sampled = 0 until n by 2
+        assert(r.frames_sampled === sampled.size.toLong)
+        assert(r.idx_sum === sampled.map(_.toLong).sum)
+        // independent replay of the synthesis pixel law (f+j)%16
+        val expected = sampled.map { f =>
+          (0 until 3 * w * h).map(j => ((f + j) % 16).toLong).sum
+        }.sum
+        assert(r.px_sum === expected, s"doc ${r.doc_id}: px_sum")
+      } else {
+        assert(r.n_frames === len.toLong / 1024L + 1L)
+        assert(r.frames_sampled === (r.n_frames + 9) / 10)
+        val k = r.frames_sampled
+        assert(r.idx_sum === 10 * (k * (k - 1) / 2))
+        assert(r.px_sum === 0L,
+          s"doc ${r.doc_id}: stub row must carry the sentinel")
+      }
     }
+    assert(aviRows > 0, "corpus should contain decodable video rows")
   }
 
   test("trained IVF: full ranked answer per query, never beating brute force") {

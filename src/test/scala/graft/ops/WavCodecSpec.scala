@@ -179,12 +179,16 @@ class WavCodecSpec extends AnyFunSuite {
     assert(WavCodec.decode(trunc).isEmpty)
   }
 
-  test("eligibility mirrors the oracle predicate and never overlaps BMP") {
+  test("eligibility mirrors the oracle predicate and never overlaps " +
+       "BMP or AVI") {
     assert(WavCodec.eligible(1L, 64))
     assert(!WavCodec.eligible(0L, 500))  // doc_id % 3 != 1 (BMP class)
+    assert(!WavCodec.eligible(4L, 500))  // the AVI half of % 3 = 1 (r14)
     assert(!WavCodec.eligible(1L, 63))   // too small to hold a WAV
-    for (id <- 0L to 12L; len <- Seq(64, 200, 500))
+    for (id <- 0L to 12L; len <- Seq(64, 200, 448, 500)) {
       assert(!(WavCodec.eligible(id, len) && Multimodal.BmpCodec.eligible(id, len)))
+      assert(!(WavCodec.eligible(id, len) && Multimodal.AviCodec.eligible(id, len)))
+    }
   }
 
   test("mediaTable payload length always equals the raw text byte length") {

@@ -67,10 +67,11 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(WebpCodec.eligible(23L, 64))
     assert(!WebpCodec.eligible(11L, 63)) // too small for the container
     assert(!WebpCodec.eligible(5L, 500)) // the JPEG quarter
-    for (id <- 0L to 24L; len <- Seq(64, 200, 280, 500)) {
+    for (id <- 0L to 24L; len <- Seq(64, 200, 280, 448, 500)) {
       val picks = Seq(
         Multimodal.BmpCodec.eligible(id, len),
         Multimodal.WavCodec.eligible(id, len),
+        Multimodal.AviCodec.eligible(id, len),
         Multimodal.PngCodec.eligible(id, len),
         Multimodal.JpegCodec.eligible(id, len),
         WebpCodec.eligible(id, len)).count(identity)
