@@ -301,6 +301,7 @@ object SparkEntry {
     "m11_audio_meta"         -> (graft.ops.Multimodal.audioMeta _),
     "m13_audio_energy"       -> (graft.ops.Multimodal.audioEnergy _),
     "m14_audio_resample"     -> (graft.ops.Multimodal.audioResampled _),
+    "m15_motion_energy"      -> (graft.ops.Multimodal.motionEnergyTable _),
     "m12_image_stats"        -> (graft.ops.Multimodal.imageStats _),
     "w09_stream_sketch"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.runStreamCmsAvailableNow(s, d)),

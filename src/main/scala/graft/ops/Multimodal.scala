@@ -791,6 +791,35 @@ object Multimodal {
       Some((w, h, frames.toArray))
     }
 
+    /** CONSECUTIVE-FRAME motion energy: demux, then decode every
+      * adjacent frame pair summing |pixel_f − pixel_f+1| over the 3·w·h
+      * pixel bytes (padding skipped) — the shot-boundary / static-video
+      * statistic a video-curation pipeline computes before keeping a
+      * clip. Returns (n_frames, w, h, frame_pairs, motion_sum). */
+    def motionEnergy(media: Array[Byte])
+        : Option[(Long, Long, Long, Long, Long)] =
+      parse(media).map { case (w, h, frames) =>
+        val rs = BmpCodec.rowSize(w)
+        var motion = 0L
+        var f = 0
+        while (f + 1 < frames.length) {
+          val a = frames(f); val b = frames(f + 1)
+          var r = 0
+          while (r < h) {
+            var j = 0
+            while (j < 3 * w) {
+              motion += math.abs((media(a + r * rs + j) & 0xFF) -
+                (media(b + r * rs + j) & 0xFF))
+              j += 1
+            }
+            r += 1
+          }
+          f += 1
+        }
+        (frames.length.toLong, w.toLong, h.toLong,
+          math.max(0L, frames.length - 1L), motion)
+      }
+
     /** Frame-STRIDED decode: demux, then decode every `stride`-th
       * frame's padded DIB rows, summing pixel bytes (3·w per row, the
       * 0xFF padding skipped). Returns (n_frames, frames_sampled,
@@ -1078,6 +1107,40 @@ object Multimodal {
   def frameSampled(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     frameSampleBatch(spark, dir).toDF().orderBy("doc_id")
+  }
+
+  final case class MotionEnergy(doc_id: Long, n_frames: Long, width: Long,
+                                height: Long, frame_pairs: Long,
+                                motion_sum: Long)
+
+  /** VIDEO MOTION ENERGY (m15) — the curation statistic computed before
+    * keeping a clip (static/near-static videos carry no training signal
+    * for motion-conditioned models; shot-boundary detectors threshold
+    * exactly this quantity): every AVI row pays a REAL demux + decode of
+    * ALL consecutive frame pairs, summing |pixel_f − pixel_f+1| over the
+    * pixel bytes ([[AviCodec.motionEnergy]] — padding skipped, so a
+    * stride or padding bug shifts the sum). Dispatch trusts the BYTES
+    * (parse Option, m11's discipline). Integers only — a consumer
+    * derives mean motion per pixel-pair from the exact counts.
+    *
+    * The oracle recomputes motion_sum in CLOSED FORM from the synthesis
+    * law: adjacent frames' pixel j differ by 1 except at the 16-cycle
+    * wrap ((f+j)%16 = 15 → |15−0| = 15), so each pair contributes
+    * P + 14·W(f) with W(f) = #{j < P : j ≡ 15−f (mod 16)} — a bounded
+    * ≤4-element fold per row, never a per-pixel unnest.
+    *
+    * Scale shape: per-row narrow decode, zero shuffles (the order-by is
+    * presentation-only); payload bytes stream through the scan once. */
+  def motionEnergyTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        AviCodec.motionEnergy(r.media).map { case (n, w, h, pairs, motion) =>
+          MotionEnergy(r.doc_id, n, w, h, pairs, motion)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
   }
 
   final case class MediaFeatures(doc_id: Long, features: Array[Double])

@@ -4792,6 +4792,30 @@ object OpsOracles {
     // per-period kept-count and kept-amp constants come from one bounded
     // 200-fold and the tail from a remainder fold — never a per-sample
     // unnest (the m13 closed-form discipline, fold-assisted).
+    // m15: video motion energy over the REAL AVI decode — adjacent
+    // frames' pixel j differ by 1 except at the 16-cycle wrap
+    // ((f+j)%16 = 15 -> |15-0| = 15), so pair f contributes
+    // P + 14*W(f), W(f) = #{j < P : j % 16 = 15-f} (f <= 3 < 16 by
+    // synthesis) — a bounded <=4-element fold per row.
+    "m15_motion_energy" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+        |  WHERE doc_id % 6 = 4 AND octet_length(encode(text)) >= 448),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(2 + L % 4 AS BIGINT) AS n_frames,
+        |    CAST(2 + L % 3 AS BIGINT) AS width,
+        |    CAST(2 + L % 2 AS BIGINT) AS height,
+        |    3 * (2 + L % 3) * (2 + L % 2) AS P
+        |  FROM b)
+        |SELECT doc_id, n_frames, width, height,
+        |  CAST(n_frames - 1 AS BIGINT) AS frame_pairs,
+        |  CAST(COALESCE(list_sum(list_transform(range(n_frames - 1),
+        |    g -> P + 14 * (CASE WHEN 15 - g < P
+        |                   THEN (P - 1 - (15 - g)) // 16 + 1
+        |                   ELSE 0 END))), 0) AS BIGINT) AS motion_sum
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     "m14_audio_resample" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents

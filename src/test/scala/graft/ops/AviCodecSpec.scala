@@ -77,6 +77,30 @@ class AviCodecSpec extends AnyFunSuite {
     assert(same === base)
   }
 
+  test("motion energy matches a brute per-pixel |diff| replay of " +
+       "adjacent frames") {
+    for (len <- lens) {
+      val p = AviCodec.synthesize(len)
+      val (w, h) = AviCodec.dims(len)
+      val n = AviCodec.frameCount(len)
+      val pix = (f: Int) => (0 until 3 * w * h).map(j => (f + j) % 16)
+      val brute = (0 until n - 1).map { f =>
+        pix(f).zip(pix(f + 1)).map { case (x, y) => math.abs(x - y).toLong }.sum
+      }.sum
+      val Some((n2, w2, h2, pairs, motion)) = AviCodec.motionEnergy(p)
+      assert(n2 === n.toLong && w2 === w.toLong && h2 === h.toLong)
+      assert(pairs === (n - 1).toLong)
+      assert(motion === brute, s"len=$len")
+      // and the oracle's closed form agrees: P + 14*W(f) per pair
+      val P = 3 * w * h
+      val closed = (0 until n - 1).map { f =>
+        val wf = if (15 - f < P) (P - 1 - (15 - f)) / 16 + 1 else 0
+        (P + 14 * wf).toLong
+      }.sum
+      assert(motion === closed, s"len=$len closed form")
+    }
+  }
+
   test("malformed containers are rejected, never mis-decoded") {
     // other modalities' payloads
     assert(AviCodec.parse(Multimodal.WavCodec.synthesize(200)).isEmpty)
