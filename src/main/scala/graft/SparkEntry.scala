@@ -271,6 +271,8 @@ object SparkEntry {
       graft.ops.Similarity.filteredGraphAnn(s, d)),
     "s42_batched_ann"        -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.batchedGraphAnn(s, d)),
+    "s43_merged_shard_ann"   -> ((s: SparkSession, d: String) =>
+      graft.ops.Similarity.mergedShardAnn(s, d)),
     "s34_graph_ann_serve"    -> ((s: SparkSession, d: String) =>
       graft.ops.Similarity.graphAnnServeAfterInsert(s, d)),
     "d29_semdedup"           -> ((s: SparkSession, d: String) =>

@@ -2517,6 +2517,17 @@ object OpsOracles {
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // s43: shard-parallel build + merge — the oracle replays the
+    // MONOLITHIC build + walk while Spark serves from the MERGED
+    // artifact (two per-shard builds + a cross-pair-only merge): the
+    // hash equality IS the merge ≡ rebuild claim, end to end.
+    "s43_merged_shard_ann" ->
+      s"""WITH $graphWalkCtes
+        |SELECT query_id, node AS cand_id, cosine, rnk
+        |FROM s${Similarity.GraphAnnHops}
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     // s42: batched ANN serving — the s29 walk over the 100-query batch,
     // replayed query by query (the engine's per-hop batching must be
     // observationally identical to independent walks).

@@ -1034,13 +1034,19 @@ object Similarity {
         .select("node", "cv2", "cnorm"))
   }
 
-  private[graft] def graphAnnIndex(spark: SparkSession, dir: String,
-                                   m: Int = GraphAnnM): GraphAnnIndex = {
-    val assigned = semDedupAssignment(spark, dir)
-    val cand = assigned.filter(col("vec_id") >= 10)
+  /** The graph family's candidate table (corpus-level metadata shared
+    * by the monolithic build AND the shard-merge build — s43). */
+  private def graphCand(spark: SparkSession, dir: String): DataFrame =
+    semDedupAssignment(spark, dir).filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cand_id"), col("cell"),
         col("v").as("cv2"), col("norm").as("cnorm"))
-    val medoid = diskMemo(spark, dir, "knnmedoidv2") {
+
+  /** Per-cell entry medoids (corpus-level metadata, one shared disk
+    * memo — the shard-merge path reuses the exact artifact the
+    * monolithic build elects). */
+  private def graphMedoid(spark: SparkSession, dir: String,
+                          cand: DataFrame): DataFrame =
+    diskMemo(spark, dir, "knnmedoidv2") {
       val w = Window.partitionBy("cell").orderBy(col("cdist").asc, col("cand_id").asc)
       cand.join(broadcast(semDedupCentroids(spark, dir)), Seq("cell"))
         .withColumn("cdist", round(
@@ -1049,6 +1055,22 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("cell"), col("cand_id").as("entry"))
     }
+
+  /** The walk's bucketed vector artifact (node, cv2, cnorm) —
+    * graph-independent, shared by every serve path over this corpus. */
+  private def walkVecPath(spark: SparkSession, dir: String,
+                          cand: DataFrame): String =
+    diskMemoDir(spark, dir, s"walkvecw$WalkBucketWidth", Seq("pb")) {
+      cand.select(col("cand_id").as("node"), col("cv2"), col("cnorm"))
+        .withColumn("pb", expr(s"cast(node div $WalkBucketWidth as int)"))
+        .repartition(col("pb"))
+        .sortWithinPartitions("node")
+    }
+
+  private[graft] def graphAnnIndex(spark: SparkSession, dir: String,
+                                   m: Int = GraphAnnM): GraphAnnIndex = {
+    val cand = graphCand(spark, dir)
+    val medoid = graphMedoid(spark, dir, cand)
     // graph = per-node top-m SAME-CELL cosine edges (the near layer)
     // UNION m STRIDE-SAMPLED long-range edges from the medoid across the
     // cell's whole distance spectrum (the HNSW upper-layer effect): near
@@ -1090,14 +1112,8 @@ object Similarity {
     }
     // the walk's vector side as its own bucketed artifact: the hop fetch
     // reads O(beam) buckets of it, never the corpus-sized frame
-    val vecPath = diskMemoDir(spark, dir, s"walkvecw$WalkBucketWidth",
-        Seq("pb")) {
-      cand.select(col("cand_id").as("node"), col("cv2"), col("cnorm"))
-        .withColumn("pb", expr(s"cast(node div $WalkBucketWidth as int)"))
-        .repartition(col("pb"))
-        .sortWithinPartitions("node")
-    }
-    GraphAnnIndex(spark, cand, medoid, graphPath, vecPath)
+    GraphAnnIndex(spark, cand, medoid, graphPath,
+      walkVecPath(spark, dir, cand))
   }
 
   /** Multi-probe entry beam shared by the exact walk (s29 family) and
@@ -1356,6 +1372,148 @@ object Similarity {
       .select(col("vec_id").as("query_id"),
         col("v").as("qv"), col("norm").as("qnorm"))
     beamWalkOver(spark, dir, idx.fetch, idx.medoid, q,
+        GraphAnnBeam, GraphAnnHops).last
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("node").as("cand_id"), col("cosine"),
+        col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** SHARD-PARALLEL INDEX BUILD + MERGE (s43) — how a 1000-executor
+    * cluster actually builds the serving graph: each ingest partition
+    * builds its OWN index over its shard (embarrassingly parallel —
+    * here two disjoint halves by id parity, each paying only its
+    * intra-shard same-cell pair join), and a merge pass combines them
+    * WITHOUT rerunning the monolithic build. The merge's only pair
+    * join is the CROSS-shard one (Σ|cellA|·|cellB| pairs — for a
+    * nightly delta shard that is delta-proportional, never
+    * rebuild-proportional); the shard near-layers enter as candidate
+    * EDGES (≤ m per node, rescored edge-linearly), and the long-range
+    * layer re-derives from medoid-sourced pairs only (O(N) pairs).
+    *
+    * The claim is BIT-IDENTITY, not approximation: per node, the true
+    * top-m over its whole cell is contained in (same-shard top-m ∪
+    * all cross-shard cellmates) — a per-group top-m union always
+    * contains the global top-m under the same total order — and the
+    * medoid/stride far layer sees exactly the monolithic build's
+    * medoid pair frame. OpsSpec pins the merged edge SET equal to the
+    * monolithic artifact's and the serve row-identical to s29; the
+    * GATE pins it end-to-end — the oracle replays the MONOLITHIC
+    * build + walk in DuckDB while Spark serves from the MERGED
+    * artifact, so any divergence (rounding, tie-break, stride law)
+    * hash-fails.
+    *
+    * Scale shape: shard builds are the build's O(Σ|cell|²) split
+    * across shards (parallel, each a separate job/machine in
+    * production); the merge is one cross join + edge-linear rescoring
+    * + O(N) far pairs; serving reuses the corpus-level quantizer,
+    * medoid table, and bucketed vector artifact unchanged. */
+  private[graft] def shardGraphPath(spark: SparkSession, dir: String,
+                                    parity: Int,
+                                    m: Int = GraphAnnM): String = {
+    val cand = graphCand(spark, dir)
+    diskMemoDir(spark, dir,
+        s"knngraphshard${parity}m${m}w$WalkBucketWidth", Seq("pb")) {
+      val sc = cand.filter(pmod(col("cand_id"), lit(2)) === parity)
+      val a = sc.select(col("cand_id").as("src"), col("cell"),
+        col("cv2").as("sv"), col("cnorm").as("sn"))
+      val b = sc.select(col("cand_id").as("dst"), col("cell"),
+        col("cv2").as("dv"), col("cnorm").as("dn"))
+      val w = Window.partitionBy("src").orderBy(col("gcos").desc, col("dst").asc)
+      a.join(b, Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("gcos", round(
+          expr("aggregate(zip_with(sv, dv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            / (col("sn") * col("dn")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= m)
+        .select("src", "dst")
+        .withColumn("pb", expr(s"cast(src div $WalkBucketWidth as int)"))
+        .repartition(col("pb"))
+        .sortWithinPartitions("src")
+    }
+  }
+
+  private[graft] def mergedGraphPath(spark: SparkSession, dir: String,
+                                     m: Int = GraphAnnM): String = {
+    val cand = graphCand(spark, dir)
+    val medoid = graphMedoid(spark, dir, cand)
+    val pA = shardGraphPath(spark, dir, 0, m)
+    val pB = shardGraphPath(spark, dir, 1, m)
+    diskMemoDir(spark, dir,
+        s"knngraphmergedm${m}e${GraphAnnEntryDegree}w$WalkBucketWidth",
+        Seq("pb")) {
+      val cSrc = cand.select(col("cand_id").as("src"), col("cell"),
+        col("cv2").as("sv"), col("cnorm").as("sn"))
+      val cDst = cand.select(col("cand_id").as("dst"), col("cell"),
+        col("cv2").as("dv"), col("cnorm").as("dn"))
+      val gcos = round(
+        expr("aggregate(zip_with(sv, dv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("sn") * col("dn")), 6)
+      // (1) shard near-layers rescored EDGE-LINEARLY (≤ N·m rows joined
+      // to their endpoint vectors — never a pair join)
+      val rescored = artifactRelation(spark, pA).select("src", "dst")
+        .unionByName(artifactRelation(spark, pB).select("src", "dst"))
+        .join(cSrc.drop("cell"), Seq("src"))
+        .join(cDst.drop("cell"), Seq("dst"))
+        .withColumn("gcos", gcos)
+        .select("src", "dst", "gcos")
+      // (2) the merge's ONLY pair join: cross-shard same-cell pairs,
+      // both orientations from one join (cosine is symmetric)
+      val crossAB = cSrc.filter(pmod(col("src"), lit(2)) === 0)
+        .join(cDst.filter(pmod(col("dst"), lit(2)) === 1), Seq("cell"))
+        .withColumn("gcos", gcos)
+        .select("src", "dst", "gcos")
+      val cross = crossAB.unionByName(crossAB.select(
+        col("dst").as("src"), col("src").as("dst"), col("gcos")))
+      // (3) merged near layer: the global top-m lives inside
+      // (same-shard top-m ∪ all cross cellmates); same order, same
+      // rounding ⇒ bit-identical to the monolithic near layer
+      val nearW = Window.partitionBy("src").orderBy(col("gcos").desc, col("dst").asc)
+      val near = rescored.unionByName(cross)
+        .withColumn("rk", row_number().over(nearW))
+        .filter(col("rk") <= m)
+        .select("src", "dst")
+      // (4) far layer from medoid-sourced pairs only (O(N) pairs) —
+      // exactly the monolithic build's medoid frame, stride-sampled
+      // with the identical law
+      val ed = GraphAnnEntryDegree
+      val farW = Window.partitionBy("cell").orderBy(col("gcos").asc, col("dst").asc)
+      val far = cSrc
+        .join(medoid.select(col("cell"), col("entry").as("src")), Seq("cell", "src"))
+        .join(cDst, Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("gcos", gcos)
+        .withColumn("fk", row_number().over(farW))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("cell")))
+        .filter(pmod(col("fk") - 1, expr(s"(cnt + ${ed - 1}) div $ed")) === 0)
+        .select("src", "dst")
+      near.unionByName(far).distinct()
+        .withColumn("pb", expr(s"cast(src div $WalkBucketWidth as int)"))
+        .repartition(col("pb"))
+        .sortWithinPartitions("src")
+    }
+  }
+
+  /** The s43 serve: s29's walk, fetching adjacency from the MERGED
+    * artifact (vectors/medoids/quantizer are the shared corpus-level
+    * artifacts). Row-identical to s29 because the merged graph is
+    * edge-identical to the monolithic one — which is what the gate's
+    * monolithic-replay oracle checks. */
+  def mergedShardAnn(spark: SparkSession, dir: String,
+                     k: Int = 3): DataFrame = {
+    val cand = graphCand(spark, dir)
+    val medoid = graphMedoid(spark, dir, cand)
+    val graphPath = mergedGraphPath(spark, dir)
+    val vecPath = walkVecPath(spark, dir, cand)
+    val fetch = WalkFetch(
+      ids => prunedFetch(spark, graphPath, "src", ids).select("src", "dst"),
+      ids => prunedFetch(spark, vecPath, "node", ids)
+        .select("node", "cv2", "cnorm"))
+    val q = semDedupAssignment(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    beamWalkOver(spark, dir, fetch, medoid, q,
         GraphAnnBeam, GraphAnnHops).last
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("node").as("cand_id"), col("cosine"),

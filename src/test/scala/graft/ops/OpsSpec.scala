@@ -2841,6 +2841,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only $selfHits/$nMembers corpus-member queries found themselves")
   }
 
+  test("s43 shard merge: per-shard builds + a cross-pair-only merge " +
+       "produce a graph EDGE-IDENTICAL to the monolithic build, and " +
+       "the serve is row-identical to s29") {
+    // shard artifacts: parity-pure, near-layer only (≤ m edges per src)
+    for (p <- 0 to 1) {
+      val edges = spark.read
+        .parquet(Similarity.shardGraphPath(spark, dir, p))
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(edges.nonEmpty, s"shard $p built no edges")
+      assert(edges.forall { case (s, d) => s % 2 == p && d % 2 == p },
+        s"shard $p leaked a cross-parity edge — its build saw the " +
+          "other shard")
+      assert(edges.groupBy(_._1).values.forall(
+        _.length <= Similarity.GraphAnnM),
+        s"shard $p near layer exceeds m edges for some node")
+    }
+    // the bit-identity claim: merged edge set == monolithic edge set
+    val idx = Similarity.graphAnnIndex(spark, dir)
+    val full = spark.read.parquet(idx.graphPath).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val merged = spark.read
+      .parquet(Similarity.mergedGraphPath(spark, dir)).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((merged -- full).isEmpty && (full -- merged).isEmpty,
+      s"merge ≠ rebuild: ${(merged -- full).size} extra, " +
+        s"${(full -- merged).size} missing of ${full.size}")
+    info(s"s43 merged graph: ${merged.size} edges, identical to the " +
+      "monolithic build")
+    // and therefore the serve is row-identical to s29's
+    val a = Similarity.graphAnn(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Similarity.mergedShardAnn(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(b === a, "merged-index serve diverged from s29")
+  }
+
   test("s40 beam sweep: cost rises with width, the beam-8 point equals " +
        "s30's final-hop row, and width buys recall on the clustered corpus") {
     val rows = Similarity.graphAnnBeamSweep(spark, dir).collect()
