@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Diagnostic harness (optimization guide §1 / §7.1 with the UI disabled):
+  * run each named query twice (cold, then warm) and report, for the WARM
+  * run, the listener-observed job/stage/task counts, summed task time,
+  * shuffle bytes and spill — separating scheduler/plan overhead (wall ≫
+  * task-time/cores) from genuine compute. Not part of the driver contract.
+  *
+  * Usage: JobStats <sfDir> <queryName> [queryName ...]   ("ALL" = registry)
+  */
+object JobStats {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names: Seq[String] =
+      if (args.length == 2 && args(1) == "ALL")
+        SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("ref_"))
+      else args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!sys.env.contains("GRAFT_NO_REWRITE"))
+      graft.functions.RewriteDotProduct.install(spark)
+
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val taskTimeMs = new AtomicLong(0)
+    val shuffleRead = new AtomicLong(0)
+    val shuffleWrite = new AtomicLong(0)
+    val spill = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        val m = te.taskMetrics
+        if (m != null) {
+          taskTimeMs.addAndGet(m.executorRunTime)
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spill.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+
+    println(f"${"query"}%-28s ${"warm_s"}%8s ${"cold_s"}%8s ${"jobs"}%5s ${"stg"}%5s ${"tasks"}%6s ${"taskt_s"}%8s ${"shR_MB"}%7s ${"shW_MB"}%7s ${"spill_MB"}%8s")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => println(s"ERR cold $name: ${e.getClass.getSimpleName}") }
+      val cold = (System.nanoTime() - t0) / 1e9
+      // settle listener events from the cold run before zeroing
+      Thread.sleep(200)
+      jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0)
+      shuffleRead.set(0); shuffleWrite.set(0); spill.set(0)
+      val t1 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => println(s"ERR warm $name: ${e.getClass.getSimpleName}") }
+      val warm = (System.nanoTime() - t1) / 1e9
+      Thread.sleep(200)
+      println(f"$name%-28s $warm%8.2f $cold%8.2f ${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d ${taskTimeMs.get / 1e3}%8.2f ${shuffleRead.get / 1e6}%7.1f ${shuffleWrite.get / 1e6}%7.1f ${spill.get / 1e6}%8.1f")
+    }
+    spark.stop()
+  }
+}
