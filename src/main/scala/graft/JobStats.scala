@@ -35,17 +35,31 @@ object JobStats {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val taskTimeMs = new AtomicLong(0)
+    val gcMs = new AtomicLong(0)
     val shuffleRead = new AtomicLong(0)
     val shuffleWrite = new AtomicLong(0)
     val spill = new AtomicLong(0)
+    // per-stage "name -> (tasks, taskTimeMs)" for the optional -stages mode
+    val stageDetail = sys.env.contains("GRAFT_STAGE_DETAIL")
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        if (stageDetail) {
+          val si = sc.stageInfo
+          val tm = si.taskMetrics
+          val tt = if (tm != null) tm.executorRunTime else -1L
+          val gc = if (tm != null) tm.jvmGCTime else -1L
+          stageRows.add(f"    stage ${si.stageId}%4d tasks=${si.numTasks}%4d taskt=${tt / 1e3}%7.2fs gc=${gc / 1e3}%6.2fs ${si.name.take(90)}")
+        }
+      }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = te.taskMetrics
         if (m != null) {
           taskTimeMs.addAndGet(m.executorRunTime)
+          gcMs.addAndGet(m.jvmGCTime)
           shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spill.addAndGet(m.diskBytesSpilled)
@@ -53,7 +67,7 @@ object JobStats {
       }
     })
 
-    println(f"${"query"}%-28s ${"warm_s"}%8s ${"cold_s"}%8s ${"jobs"}%5s ${"stg"}%5s ${"tasks"}%6s ${"taskt_s"}%8s ${"shR_MB"}%7s ${"shW_MB"}%7s ${"spill_MB"}%8s")
+    println(f"${"query"}%-28s ${"warm_s"}%8s ${"cold_s"}%8s ${"jobs"}%5s ${"stg"}%5s ${"tasks"}%6s ${"taskt_s"}%8s ${"gc_s"}%6s ${"shR_MB"}%7s ${"shW_MB"}%7s ${"spill_MB"}%8s")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -62,14 +76,15 @@ object JobStats {
       val cold = (System.nanoTime() - t0) / 1e9
       // settle listener events from the cold run before zeroing
       Thread.sleep(200)
-      jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0)
-      shuffleRead.set(0); shuffleWrite.set(0); spill.set(0)
+      jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0); gcMs.set(0)
+      shuffleRead.set(0); shuffleWrite.set(0); spill.set(0); stageRows.clear()
       val t1 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable => println(s"ERR warm $name: ${e.getClass.getSimpleName}") }
       val warm = (System.nanoTime() - t1) / 1e9
       Thread.sleep(200)
-      println(f"$name%-28s $warm%8.2f $cold%8.2f ${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d ${taskTimeMs.get / 1e3}%8.2f ${shuffleRead.get / 1e6}%7.1f ${shuffleWrite.get / 1e6}%7.1f ${spill.get / 1e6}%8.1f")
+      println(f"$name%-28s $warm%8.2f $cold%8.2f ${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d ${taskTimeMs.get / 1e3}%8.2f ${gcMs.get / 1e3}%6.2f ${shuffleRead.get / 1e6}%7.1f ${shuffleWrite.get / 1e6}%7.1f ${spill.get / 1e6}%8.1f")
+      if (stageDetail) stageRows.forEach(r => println(r))
     }
     spark.stop()
   }
