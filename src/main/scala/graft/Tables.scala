@@ -66,4 +66,21 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Fan an UNSPLITTABLE-SMALL scan out to the session's parallelism
+    * (optimization guide §2.5, "input skew: one huge unsplittable file …
+    * repartition immediately after the read"): the testdata corpus is ONE
+    * parquet file per table, so every narrow per-row stage downstream of a
+    * bare scan ran on a single task (r15 JobStats: tasks ≈ stages with
+    * multi-second single-task times for the shingle/tokenize/decode/
+    * levenshtein families). The guard is SCALE-ADAPTIVE, not a constant:
+    * it repartitions only when the planned scan has fewer splits than the
+    * session's default parallelism, so a production-sized input (many
+    * files/splits) passes through untouched and never pays the exchange.
+    * Apply below HEAVY narrow work only — a one-pass aggregate is cheaper
+    * serial than shuffled. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

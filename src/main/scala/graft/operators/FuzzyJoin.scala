@@ -42,15 +42,23 @@ object FuzzyJoin {
       col("doc_id").as("doc_b") +: col("pre").as("pre_b") +: keys: _*)
     a.join(b, blockCols)
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
-      .filter(col("dist") <= maxDist)
+      // thresholded levenshtein (Spark 3.5+): O(len·maxDist) per pair
+      // instead of O(len²), returning -1 past the bound — surviving
+      // pairs carry the identical exact distance, non-survivors were
+      // filtered either way (guide §1.2 step 2: per-task work on the
+      // quadratic inner loop)
+      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b"), maxDist))
+      .filter(col("dist").between(0, maxDist))
   }
 
   /** Driver-contract query: near-matching document pairs — same
     * language, same opening token, 40-char prefixes within edit
     * distance 10. */
   def docNearMatches(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(
+    // fanOut (guide §2.5): the in-block pair loop (the quadratic
+    // levenshtein work) ran on the single-file scan's one split — the
+    // streamed join side's partitioning is the pair loop's parallelism
+    val d = Tables.fanOut(Tables.documents(spark, dir)).select(
       col("doc_id"), col("lang"),
       substring(col("text"), 1, 40).as("pre"),
       split_part(col("text"), lit(" "), lit(1)).as("t1"))

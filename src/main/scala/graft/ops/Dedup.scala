@@ -67,7 +67,12 @@ object Dedup {
     * memo's source-dir fingerprint; stopped sessions' entries purge on
     * access. */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo(spark, dir, "doc-shingles")(docShinglesPlan(spark, dir))
+    // fanOut (guide §2.5): the single-file corpus scan plans ONE split,
+    // so without it the shingle build — and every cached consumer's
+    // narrow explode — ran on one task (r15 JobStats). The cached table
+    // inherits the fanned partitioning, parallelizing every reader.
+    graft.SessionMemo(spark, dir, "doc-shingles")(
+      docShinglesOf(Tables.fanOut(Tables.documents(spark, dir))))
 
   /** Exact dedup summary: hash-groupBy on raw text. DataFrame-first
     * core; the (spark, dir) form is the driver-contract adapter. */
@@ -230,7 +235,11 @@ object Dedup {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("shingle")
-    val rs = sh.join(rare, Seq("shingle"))
+    // the df-capped exploded frame feeds BOTH pair-join sides: without
+    // the eager checkpoint the explode + df-aggregate + cap join ran
+    // once per side (measured in the r15 before-plan: the whole rare
+    // subtree appears twice) — t42/t48 multi-consumer discipline
+    val rs = sh.join(rare, Seq("shingle")).localCheckpoint()
     val a = rs.select(col("doc_id").as("d1"), col("shingle"))
     val b = rs.select(col("doc_id").as("d2"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
@@ -310,9 +319,21 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Driver entry: clusters over the production LSH detector's pairs. */
+  /** Driver entry: clusters over the production LSH detector's pairs.
+    *
+    * The LABEL TABLE is memoized per (session, dir) — the same
+    * compute-once/query-many discipline as the shingle table, the d04
+    * band table, and g14's nightly baseLabels: at 100 TB the cluster
+    * assignment is the write-once artifact every apply/report step
+    * reads (d17 drop, d21 histogram, d28 keeper election, d32 weights,
+    * d36 resample), and before the memo each of those six queries
+    * re-ran the whole fixpoint loop per invocation — ~25 driver-action
+    * round-trips each, the r15 JobStats profile's job-count hotspot
+    * (33–40 jobs/query against ≤0.6 s of summed task time). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    dedupClustersOf(minhashLsh(spark, dir))
+    graft.SessionMemo(spark, dir, "d16-cluster-labels") {
+      dedupClustersOf(minhashLsh(spark, dir))
+    }
 
   /** Duplicate-FAMILY size distribution — the dedup effectiveness report:
     * how many families of each size the pair graph contains (and how many
@@ -514,13 +535,11 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
-  def clusterCoherence(spark: SparkSession, dir: String): DataFrame = {
-    // eager localCheckpoint: the pair list feeds BOTH the component loop
-    // and the coherence join — without it the LSH verification subtree
-    // runs twice (GC-scoped blocks, the minhashLshOf band-table pattern)
-    val pairs = minhashLsh(spark, dir).localCheckpoint()
-    clusterCoherenceOf(dedupClustersOf(pairs), pairs)
-  }
+  def clusterCoherence(spark: SparkSession, dir: String): DataFrame =
+    // labels from the shared memoized table (the d16 artifact — coherence
+    // scores the SAME production clustering the apply steps consume);
+    // the pair list is its own single consumer here, no checkpoint needed
+    clusterCoherenceOf(dedupClusters(spark, dir), minhashLsh(spark, dir))
 
   /** EXACT dedup APPLICATION: the cleaned corpus with one keeper (min
     * doc_id) per distinct text — the workhorse first pass of every
@@ -1319,8 +1338,13 @@ object Dedup {
     * this on a sample at 100 TB), then trusts the cheap path. One summary
     * row; both inputs ride the memoized shingle table. */
   def lshCalibrationOf(ds: DataFrame): DataFrame = {
-    val exact = ngramJaccardOf(ds)
-    val lsh = minhashLshOf(ds)
+    // both detector outputs feed TWO consumers each (the loser spine and
+    // the pair-count cross join): eager localCheckpoint, or the whole
+    // quadratic exact pair join and the banded LSH detection each run
+    // twice (measured in the r15 before-plan: both subtrees appear twice,
+    // d30 ~2× the cost of its own detectors). Pair-table-sized blocks.
+    val exact = ngramJaccardOf(ds).localCheckpoint()
+    val lsh = minhashLshOf(ds).localCheckpoint()
     val el = exact.select(col("d2").as("doc_id")).distinct()
       .withColumn("e", lit(1))
     val ll = lsh.select(col("d2").as("doc_id")).distinct()

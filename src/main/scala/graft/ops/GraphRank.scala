@@ -40,8 +40,57 @@ object GraphRank {
   /** 1.0 of rank mass, in micro-units. */
   private val Scale = 1000000000000L
 
+  // ------------------------------------------------------------------
+  // LONG-ENCODED node ids (guide §2.3 — shuffle fewer bytes): the
+  // purchase-graph family historically carried ids/labels as strings
+  // ("c<custkey>"/"s<suppkey>"), so every superstep shuffled and
+  // compared variable-length UTF8 where 8 fixed bytes suffice. The
+  // encoding below is a bijection into BIGINT that is ORDER-ISOMORPHIC
+  // to the legacy strings under lexicographic comparison — min-label
+  // propagation (g06/g07/g14), LPA's smallest-label tie-break
+  // (g09/g13/g15) and every orderBy pick the same node at every
+  // intermediate round, so even UNCONVERGED histograms are
+  // bit-identical to the string form's.
+  //
+  // Order proof sketch: 'c' < 's' ⇒ a kind bit above everything; among
+  // equal kinds the ids compare as digit strings (no leading zeros),
+  // and lexicographic digit-string order == numeric order of the
+  // left-aligned value n·10^(Width−len) with ties (prefix pairs like
+  // "1"/"10") broken shorter-first — encoded as aligned·16 + len.
+  // Width=15 keeps aligned ≤ 10^15 < 2^53 (exact in double for the
+  // decode divide); encode is all-long arithmetic.
+  // ------------------------------------------------------------------
+  private[graft] val KindBit = 1L << 61
+  private val Width = 15
+
+  import org.apache.spark.sql.Column
+
+  /** "c<key>"/"s<key>" → BIGINT, order-isomorphic to the string form. */
+  private def encNode(isSupplier: Column, key: Column): Column = {
+    val len = length(key.cast("string"))
+    val aligned = key.cast("long") *
+      pow(lit(10.0), (lit(Width) - len).cast("double")).cast("long")
+    when(isSupplier, lit(KindBit)).otherwise(lit(0L)) +
+      aligned * lit(16L) + len.cast("long")
+  }
+
+  /** Inverse of [[encNode]] — used only on result-grain frames. */
+  private def decNode(enc: Column): Column = {
+    val dk = enc.bitwiseAND(lit(KindBit - 1))
+    val len = dk % 16
+    val aligned = shiftright(dk, 4) // exact long div 16
+    val n = floor(aligned.cast("double") /
+      pow(lit(10.0), (lit(Width) - len).cast("double"))).cast("long")
+    concat(when(enc >= KindBit, lit("s")).otherwise(lit("c")),
+      n.cast("string"))
+  }
+
   /** Bipartite purchase edges, both directions (undirected walk — every
-    * node therefore has out-degree ≥ 1: no dangling-mass handling). */
+    * node therefore has out-degree ≥ 1: no dangling-mass handling).
+    * Node ids are [[encNode]]-encoded BIGINTs: the adjacency is the
+    * frame every superstep of g01/g02/g06/g07/g14 (and g08's peel)
+    * re-reads and whose node-grain vector every superstep re-shuffles,
+    * so narrow keys here cut every downstream exchange. */
   private def purchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     // e0 feeds both union branches, and the edge frame feeds both the
     // degree aggregate and the adjacency join — without the cache the
@@ -49,8 +98,8 @@ object GraphRank {
     val e0 = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(
-        concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+        encNode(lit(false), col("o_custkey")).as("src"),
+        encNode(lit(true), col("l_suppkey")).as("dst"))
       .distinct()
       .localCheckpoint() // GC-scoped, no per-invocation CacheManager leak
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -89,11 +138,17 @@ object GraphRank {
     val grants = grants0.localCheckpoint()
     var ranks = init
     for (_ <- 1 to iterations) ranks = superstep(adj, ranks, grants)
+    // decode at the RESULT grain only (suppliers); the encoding is
+    // order-isomorphic to the legacy strings, so ordering by the long
+    // reproduces the string orderBy("node") exactly
     ranks
       .join(broadcast(deg), ranks("node") === deg("src"))
-      .filter(col("node").startsWith("s"))
-      .select(col("node"), col("deg").as("degree"), col("r").as("rank_micros"))
-      .orderBy("node")
+      .filter(col("node") >= KindBit)
+      .select(col("node").as("enc"), col("deg").as("degree"),
+        col("r").as("rank_micros"))
+      .orderBy("enc")
+      .select(decNode(col("enc")).as("node"), col("degree"),
+        col("rank_micros"))
   }
 
   /** Ad-hoc-frame form: build + persist the adjacency locally (spec entry
@@ -169,7 +224,7 @@ object GraphRank {
       deg: DataFrame): (DataFrame, DataFrame) = {
     val seeds = deg.join(
       customer.filter(col("c_nationkey") === seedNation)
-        .select(concat(lit("c"), col("c_custkey")).as("src")),
+        .select(encNode(lit(false), col("c_custkey")).as("src")),
       Seq("src"))
       .select(col("src").as("seed"))
     val nS = seeds.agg(count(lit(1)).as("ns"))
@@ -702,8 +757,14 @@ object GraphRank {
 
   def incrementalComponents(spark: SparkSession, dir: String): DataFrame = {
     val und = adjFor(spark, dir).select("src", "dst")
+    // the md5 split hashes the DECODED canonical pair so the delta is the
+    // exact edge subset the string-id form selected (least/greatest over
+    // the order-isomorphic longs, decoded before hashing); the final
+    // histogram is split-invariant anyway (incremental ≡ batch), this
+    // just keeps the base/delta artifacts byte-stable across rounds
     val deltaPred = substring(md5(concat_ws("|",
-      least(col("src"), col("dst")), greatest(col("src"), col("dst")))),
+      decNode(least(col("src"), col("dst"))),
+      decNode(greatest(col("src"), col("dst"))))),
       1, 1) === "f"
     // yesterday's labels are the pay-once artifact (the g12 cold-side
     // stance): without the memo every "incremental" run re-propagated
@@ -783,8 +844,16 @@ object GraphRank {
           (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
         .localCheckpoint(eager = false)
     }
+    // node "kind" = first char of the legacy string id; long-encoded
+    // driver frames carry it in the kind bit, spec-built string frames
+    // (arbitrary letter ids) keep the substring form
+    val kind = und.schema("src").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        when(col("src") >= KindBit, lit("s")).otherwise(lit("c"))
+      case _ => substring(col("src"), 1, 1)
+    }
     deg.filter(col("deg") >= 1)
-      .select(substring(col("src"), 1, 1).as("kind"), col("deg"))
+      .select(kind.as("kind"), col("deg"))
       .groupBy("kind", "deg")
       .agg(count(lit(1)).as("nodes"))
       .orderBy("kind", "deg")
@@ -816,8 +885,8 @@ object GraphRank {
       val e0 = Tables.orders(spark, dir)
         .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
         .groupBy(
-          concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+          encNode(lit(false), col("o_custkey")).as("src"),
+          encNode(lit(true), col("l_suppkey")).as("dst"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= LpaMinSupport)
         .select("src", "dst")
@@ -921,7 +990,11 @@ object GraphRank {
   }
 
   def lpaModularity(spark: SparkSession, dir: String): DataFrame =
+    // community labels ride as longs through the loop and the scoring
+    // joins; decode at the report grain (orderBy inside lpaModularityOf
+    // sorted the encs, whose order equals the decoded strings')
     lpaModularityOf(lpaSelfEdges(spark, dir), LpaRounds)
+      .withColumn("community", decNode(col("community")))
 
   /** COMMUNITY CONDUCTANCE (g15) — the OTHER community-quality axis:
     * g13's modularity says how much better-than-random a partition is
@@ -969,6 +1042,7 @@ object GraphRank {
 
   def lpaConductance(spark: SparkSession, dir: String): DataFrame =
     lpaConductanceOf(lpaSelfEdges(spark, dir), LpaRounds)
+      .withColumn("community", decNode(col("community")))
 
   /** DETERMINISTIC RANDOM WALKS (g11) — the DeepWalk/node2vec corpus
     * step (Perozzi et al. 2014): sample fixed-length walks from every

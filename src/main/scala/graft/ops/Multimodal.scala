@@ -882,7 +882,10 @@ object Multimodal {
     * text bytes. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    // fanOut (guide §2.5): the synth + downstream decode kernels ran on
+    // the single-file scan's one split (r15 JobStats: m03 1.5 s on one
+    // task); production many-file media tables pass through untouched
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions(_.map { case (id, text, n) =>

@@ -663,8 +663,16 @@ object Similarity {
       val vsup = nearestCell(vectors(spark, dir), liveSupers,
         Seq.empty, "sup", "v", "sup")
       val memberLut = routed.select(col("sup"), col("cell"), col("cvec").as("cv"))
+      // cached HASH-PARTITIONED ON cell (guide §2.4 — share one exchange):
+      // every consumer pairs rows within a cell (d29's θ-graph self-join,
+      // d37's sweep, d35's delta-vs-index probes), so partitioning the
+      // persisted assignment once means those joins re-exchange NOTHING —
+      // the former plan shuffled the full (vec_id, v[dim], norm) payload
+      // on both sides of each pair join (§2.3: the vector array is the
+      // heavy payload; move it once into the cache, not per query)
       nearestCell(vsup, memberLut, Seq("sup"), "cell", "v", "cell")
         .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+        .repartition(col("cell"))
     }
 
   /** SEMDEDUP (d29) — semantic deduplication exactly as published
@@ -704,7 +712,14 @@ object Similarity {
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= theta)
       .select("d1", "d2")
-    val comps = Dedup.dedupClustersOf(pairs)
+    // the θ-graph component labels are the write-once artifact of the
+    // semantic-dedup pass (the d16-cluster-labels discipline): memoized
+    // per (session, dir, θ) so repeated invocations read labels instead
+    // of re-running the fixpoint loop's ~25 driver actions (r15 JobStats:
+    // d29 was 89 jobs for 0.9 s of summed task time)
+    val comps = memo(spark, dir, s"semdedup-labels-$theta") {
+      Dedup.dedupClustersOf(pairs)
+    }
     val members = comps
       .join(assigned.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
       .join(broadcast(semDedupCentroids(spark, dir)), Seq("cell"))
@@ -1168,7 +1183,26 @@ object Similarity {
   private[graft] def beamWalkOver(spark: SparkSession, dir: String,
                                   fetch: WalkFetch,
                                   medoid: DataFrame, queries: DataFrame,
-                                  beam: Int, hops: Int): Seq[DataFrame] = {
+                                  beam: Int, hops: Int): Seq[DataFrame] =
+    beamWalkOverMulti(spark, dir, fetch, medoid, queries,
+      Seq(beam), hops)(beam)
+
+  /** Multi-beam form of the walk: run SEVERAL beam widths over the same
+    * index in ONE pass of per-hop point-reads (guide §2.4 — remove work
+    * outright). The per-hop adjacency fetch takes the UNION of every
+    * width's frontier, the vector fetch the union of every width's
+    * expansion, and each width then ranks EXACTLY ITS OWN expansion on
+    * the driver — each width's hop frames are bit-identical to a
+    * standalone [[beamWalkOver]] at that width (same fetched rows, same
+    * Spark-computed 6dp cosines, same comparator), the sweep just stops
+    * paying hops×2 scheduler jobs PER WIDTH for point-reads that
+    * overlap almost entirely (s40 measured: 3 widths × 3 hops × 2 reads
+    * → 1 × 3 × 2). Returns hop frames per width. */
+  private[graft] def beamWalkOverMulti(spark: SparkSession, dir: String,
+                                       fetch: WalkFetch,
+                                       medoid: DataFrame, queries: DataFrame,
+                                       beams: Seq[Int], hops: Int)
+      : Map[Int, Seq[DataFrame]] = {
     walkRuns.incrementAndGet()
     val sess = spark; import sess.implicits._
     // the query side is serving-request-sized: localize it once so every
@@ -1184,58 +1218,83 @@ object Similarity {
       StructField("cosine", DoubleType, nullable = false),
       StructField("rnk", IntegerType, nullable = false),
       StructField("hop", IntegerType, nullable = false)))
-    var beamPairs: Seq[(Long, Long)] =
+    val entry: Seq[(Long, Long)] =
       walkEntryBeam(spark, dir, medoid, qLocal)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    (1 to hops).map { h =>
-      val beamIds = beamPairs.map(_._2).distinct.sorted
-      // pruned point-read 1: the frontier's adjacency lists
+    var beamPairsBy: Map[Int, Seq[(Long, Long)]] =
+      beams.map(b => b -> entry).toMap
+    val framesBy = scala.collection.mutable.Map.empty[Int, Vector[DataFrame]]
+      .withDefaultValue(Vector.empty)
+    (1 to hops).foreach { h =>
+      val beamIds = beams.flatMap(b => beamPairsBy(b).map(_._2))
+        .distinct.sorted
+      // pruned point-read 1: the union frontier's adjacency lists
       val nbrs = withManifestRetry(spark)(fetch.adj(beamIds).collect())
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2)) }
-      val expanded = (beamPairs ++ beamPairs.flatMap { case (q, n) =>
-        nbrs.getOrElse(n, Array.empty[Long]).map(d => (q, d)) })
-        .distinct.sorted
-      // pruned point-read 2: the expansion's vectors, scored in-plan
-      // (the 6dp cosine stays Spark-computed for oracle bit-parity)
-      val scoredRows = withManifestRetry(spark)(
-        fetch.vec(expanded.map(_._2).distinct)
-          .join(broadcast(expanded.toDF("query_id", "node")), Seq("node"))
+      val expandedBy: Map[Int, Seq[(Long, Long)]] = beams.map { b =>
+        val bp = beamPairsBy(b)
+        b -> (bp ++ bp.flatMap { case (q, n) =>
+          nbrs.getOrElse(n, Array.empty[Long]).map(d => (q, d)) })
+          .distinct.sorted
+      }.toMap
+      val unionExpanded = beams.flatMap(expandedBy).distinct.sorted
+      // pruned point-read 2: the union expansion's vectors, scored
+      // in-plan (the 6dp cosine stays Spark-computed for oracle
+      // bit-parity) — one fetch serves every width
+      val cosineOf = withManifestRetry(spark)(
+        fetch.vec(unionExpanded.map(_._2).distinct)
+          .join(broadcast(unionExpanded.toDF("query_id", "node")), Seq("node"))
           .join(qSide, Seq("query_id"))
           .withColumn("cosine", round(
             expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
               / (col("qnorm") * col("cnorm")), 6))
           .select("query_id", "node", "cosine")
-          .collect()).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      // driver-side rank: (cosine DESC, node ASC) per query — the same
-      // total order the former window used, INCLUDING its NaN placement:
-      // Spark orders NaN greater than every double, so desc ranks a NaN
-      // cosine (a zero-norm vector) FIRST; java.lang.Double.compare
-      // agrees, where Scala tuple Ordering on -c would rank it last
-      val ranked = scoredRows.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
-        xs.sortWith { case ((_, n1, c1), (_, n2, c2)) =>
-          val byCos = java.lang.Double.compare(c2, c1) // desc, NaN first
-          if (byCos != 0) byCos < 0 else n1 < n2
-        }.zipWithIndex
-          .map { case ((q, n, c), i) => Row(q, n, c, i + 1, h) }
+          .collect())
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      beams.foreach { b =>
+        // this width's scored expansion: exactly its own pairs (a pair
+        // whose node has no vector row drops, as the inner join did)
+        val scoredRows = expandedBy(b).flatMap { case (q, n) =>
+          cosineOf.get((q, n)).map(c => (q, n, c))
+        }
+        // driver-side rank: (cosine DESC, node ASC) per query — the same
+        // total order the former window used, INCLUDING its NaN
+        // placement: Spark orders NaN greater than every double, so desc
+        // ranks a NaN cosine (a zero-norm vector) FIRST;
+        // java.lang.Double.compare agrees, where Scala tuple Ordering on
+        // -c would rank it last
+        val ranked = scoredRows.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+          xs.sortWith { case ((_, n1, c1), (_, n2, c2)) =>
+            val byCos = java.lang.Double.compare(c2, c1) // desc, NaN first
+            if (byCos != 0) byCos < 0 else n1 < n2
+          }.zipWithIndex
+            .map { case ((q, n, c), i) => Row(q, n, c, i + 1, h) }
+        }
+        beamPairsBy += b -> ranked.collect {
+          case r if r.getInt(3) <= b => (r.getLong(0), r.getLong(1))
+        }.sorted
+        framesBy(b) = framesBy(b) :+ spark.createDataFrame(
+          java.util.Arrays.asList(
+            ranked.sortBy(r => (r.getLong(0), r.getInt(3))): _*),
+          outSchema)
       }
-      beamPairs = ranked.collect {
-        case r if r.getInt(3) <= beam => (r.getLong(0), r.getLong(1))
-      }.sorted
-      spark.createDataFrame(
-        java.util.Arrays.asList(
-          ranked.sortBy(r => (r.getLong(0), r.getInt(3))): _*),
-        outSchema)
     }
+    beams.map(b => b -> (framesBy(b): Seq[DataFrame])).toMap
   }
 
   private def beamWalkScored(spark: SparkSession, dir: String,
-                             m: Int, beam: Int, hops: Int): Seq[DataFrame] = {
+                             m: Int, beam: Int, hops: Int): Seq[DataFrame] =
+    beamWalkScoredMulti(spark, dir, m, Seq(beam), hops)(beam)
+
+  private def beamWalkScoredMulti(spark: SparkSession, dir: String,
+                                  m: Int, beams: Seq[Int], hops: Int)
+      : Map[Int, Seq[DataFrame]] = {
     val idx = graphAnnIndex(spark, dir, m)
     val q = semDedupAssignment(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"),
         col("v").as("qv"), col("norm").as("qnorm"))
-    beamWalkOver(spark, dir, idx.fetch, idx.medoid, q, beam, hops)
+    beamWalkOverMulti(spark, dir, idx.fetch, idx.medoid, q, beams, hops)
   }
 
   def graphAnn(spark: SparkSession, dir: String, k: Int = 3,
@@ -1704,8 +1763,12 @@ object Similarity {
       .localCheckpoint()
     val nQueries = n.filter(col("vec_id") < 10)
       .agg(count(lit(1)).as("n_queries"))
+    // ONE multi-width walk instead of a standalone walk per width
+    // (guide §2.4): per-width hop frames are bit-identical to the
+    // standalone walks — see beamWalkOverMulti
+    val multiWalks = beamWalkScoredMulti(spark, dir, m, beams, hops)
     beams.map { b =>
-      val walks = beamWalkScored(spark, dir, m, b, hops)
+      val walks = multiWalks(b)
       val vol = walks.map(_.select("query_id")).reduce(_ unionByName _)
         .agg(count(lit(1)).cast("long").as("cand_nodes"))
       walks.last.filter(col("rnk") <= k)
@@ -2522,14 +2585,18 @@ object Similarity {
     * postings, the df table is vocab-sized and broadcasts. */
   private[ops] def lexicalRanked(spark: SparkSession, dir: String,
                                  fuse: Int): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // fanOut (guide §2.5): the tokenize/explode stages ran on the
+    // single-file scan's one split
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
     val dfq = toks.groupBy("token").agg(count(lit(1)).as("doc_freq"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("query_id").orderBy(col("lex").desc, col("cand_id").asc)
-    toks.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), col("token"))
+    // the query side is a fixed 10-doc token list: BROADCAST it (guide
+    // §3.1, the t42 posture) so the corpus-token side never exchanges
+    broadcast(toks.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("token")))
       .join(toks.filter(col("doc_id") >= 10)
         .select(col("doc_id").as("cand_id"), col("token")), Seq("token"))
       .join(broadcast(dfq), Seq("token"))

@@ -1454,10 +1454,23 @@ object TextAnalysis {
     val toks = docs
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
-    val cells = cmsCellPairs(docs, depth, width)
-      .groupBy("hrow", "bucket")
-      .agg(count(lit(1)).as("cell_count"))
+    // exact word counts are the ONE token-grain pass (eager checkpoint:
+    // both the sketch build and the estimate branch read it)
     val exact = toks.groupBy("word").agg(count(lit(1)).as("exact_count"))
+      .localCheckpoint()
+    // CMS cells derived at the VOCAB grain (guide §2.3 — aggregate before
+    // you shuffle): cell_count = Σ exact_count over the words hashing into
+    // the cell, an exact integer identity with the former token-grain
+    // posexplode+count (each of a word's occurrences lands in the word's
+    // depth cells). The 4×md5-per-TOKEN hashing and the 4×token-grain
+    // exchange collapse to vocab-grain work; the streaming grid (w09)
+    // keeps the token-grain cmsCellPairs because its micro-batches must
+    // increment cells without a per-batch vocabulary.
+    val cells = withBuckets(exact)
+      .select(col("exact_count"),
+        posexplode(array(bCols: _*)).as(Seq("hrow", "bucket")))
+      .groupBy("hrow", "bucket")
+      .agg(sum("exact_count").as("cell_count"))
     // top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
     // never a single-partition sort of the vocab-grain estimate table);
     // rank is then a window over topK rows only
@@ -1476,7 +1489,9 @@ object TextAnalysis {
   }
 
   def cmsTopWords(spark: SparkSession, dir: String): DataFrame =
-    cmsTopWordsOf(Tables.documents(spark, dir))
+    // fanOut (guide §2.5): tokenize+hash ran on the single-file scan's
+    // one split — parallelize the narrow heavy stage
+    cmsTopWordsOf(Tables.fanOut(Tables.documents(spark, dir)))
 
   /** HISTOGRAM-SKETCH quantiles (t30) — t29's companion for the other
     * streaming question, "where do the percentiles sit": a fixed-width
@@ -1908,7 +1923,9 @@ object TextAnalysis {
     // computed: `lit(1.2 + 1.0)` rounds the double SUM (which need not
     // equal the parsed literal 2.2 at the last ulp), while both engines
     // parse the string "2.2" to the identical double.
-    val docs = withToks(Tables.documents(spark, dir))
+    // fanOut (guide §2.5): the tokenize+tf stage ran on the single-file
+    // scan's one split
+    val docs = withToks(Tables.fanOut(Tables.documents(spark, dir)))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("bigint").as("dl"))
     val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .groupBy("doc_id", "dl", "token")
@@ -1928,7 +1945,11 @@ object TextAnalysis {
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id").asc)
-    qtok.join(cand, Seq("token"))
+    // the query side is a fixed 10-doc token list: BROADCAST it (guide
+    // §3.1) so the corpus-sized postings frame `cand` is never exchanged
+    // — the former plan sort-merge-joined on token, shuffling every
+    // posting row to pair it with a broadcast-sized probe set
+    broadcast(qtok).join(cand, Seq("token"))
       .join(broadcast(dfq), Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("term_w", round(idf * tff, 6).cast("decimal(18,6)"))
@@ -2302,7 +2323,9 @@ object TextAnalysis {
   }
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
-    dsirWeightsOf(Tables.documents(spark, dir))
+    // fanOut (guide §2.5): the bigram explode + md5 hashing ran on the
+    // single-file scan's one split
+    dsirWeightsOf(Tables.fanOut(Tables.documents(spark, dir)))
 
   /** Gopher/MassiveText stopword list (Rae et al. 2021, A1.1) — mirrored
     * verbatim in the t49 oracle. Distinct from [[EnStopwords]] (the
@@ -2497,7 +2520,9 @@ object TextAnalysis {
       .orderBy("label", "predicted")
 
   def distilledFilter(spark: SparkSession, dir: String): DataFrame =
-    distilledFilterOf(Tables.documents(spark, dir))
+    // fanOut (guide §2.5): featurization ran on the single-file scan's
+    // one split
+    distilledFilterOf(Tables.fanOut(Tables.documents(spark, dir)))
 
   /** FILTER OPERATING CURVE (t54) — the step between t50 (train the
     * distilled classifier) and w17 (serve it at a fixed cut): sweep the
@@ -2634,7 +2659,9 @@ object TextAnalysis {
   }
 
   def perplexityBands(spark: SparkSession, dir: String): DataFrame =
-    perplexityBandsOf(Tables.documents(spark, dir))
+    // fanOut (guide §2.5): per-token scoring ran on the single-file
+    // scan's one split
+    perplexityBandsOf(Tables.fanOut(Tables.documents(spark, dir)))
 
   /** t52's repeat ceiling: past ~4 epochs additional repeats of the same
     * data contribute little (Muennighoff et al. 2023, "Scaling
@@ -2755,5 +2782,7 @@ object TextAnalysis {
   }
 
   def substringDup(spark: SparkSession, dir: String): DataFrame =
-    substringDupOf(Tables.documents(spark, dir))
+    // fanOut (guide §2.5): the suffix-window scan ran on the single-file
+    // scan's one split
+    substringDupOf(Tables.fanOut(Tables.documents(spark, dir)))
 }

@@ -892,10 +892,19 @@ object Relational {
       .withColumn("run", sum("chg").over(runSum))
       .groupBy("user_id", "run")
       .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      // session-grain frame with THREE consumers (both delta union sides
+      // + the per-day session counts): eager localCheckpoint or the
+      // events scan + sessionization window replays per consumer — and
+      // 5× transitively once deltas' own two consumers multiply in
+      // (measured in the r15 before-plan: 27 exchanges for a 3-exchange
+      // algorithm; t42/t48 multi-consumer discipline)
+      .localCheckpoint()
     val deltas = sess.select(col("start_us").as("ts_us"), lit(1L).as("d"))
       .unionByName(sess.select((col("end_us") + 1).as("ts_us"), lit(-1L).as("d")))
       .groupBy("ts_us").agg(sum("d").as("nd"))
       .withColumn("day", expr(s"ts_us div $usPerDay"))
+      // two consumers (carry + the running sum)
+      .localCheckpoint()
     val byDayTs = Window.partitionBy("day").orderBy("ts_us")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carryW = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
@@ -906,6 +915,8 @@ object Relational {
       .withColumn("lsum", sum("nd").over(byDayTs))
       .join(broadcast(carry), Seq("day"))
       .withColumn("conc", col("carry") + col("lsum"))
+      // two consumers (peaks + the peak-location join-back)
+      .localCheckpoint()
     val peaks = conc.groupBy("day").agg(max("conc").as("peak_concurrency"))
     val peakAt = conc.join(broadcast(peaks), Seq("day"))
       .filter(col("conc") === col("peak_concurrency"))

@@ -595,11 +595,19 @@ object EventStream {
         // RAW band keys, no per-batch groupBy: the min-merge happens at
         // read (and at compaction) anyway, so pre-aggregating the delta
         // only bought a shuffle inside the trigger. Raw append keeps the
-        // whole per-trigger plan narrow (shingle → sig → stack → write,
-        // zero exchanges) — ingest runs at line rate; delta size is
-        // still O(batch) (4 rows/doc), and compaction every
-        // [[IndexCompactEvery]] batches bounds the read fan-in.
-        val delta = bandKeysOf(batch.toDF())
+        // whole per-trigger plan narrow (shingle → sig → stack → write)
+        // — ingest runs at line rate; delta size is still O(batch)
+        // (4 rows/doc), and compaction every [[IndexCompactEvery]]
+        // batches bounds the read fan-in.
+        // fanOut (guide §2.5): a micro-batch is small by definition, so
+        // its file-source split count can be far below the cluster's
+        // parallelism — at bench scale the WHOLE shingle+minhash trigger
+        // ran on ONE task (r15 JobStats: w12 = 5 tasks / 4.9 s summed =
+        // wall). The adaptive guard shuffles only batch-sized bytes and
+        // passes a well-split production batch through untouched; the
+        // bucket-min merge is split-invariant (StreamingSpec), so the
+        // index is bit-identical.
+        val delta = bandKeysOf(graft.Tables.fanOut(batch.toDF()))
           .select(col("band"), col("bkey"), col("doc_id").as("bmin"))
         appendBandDelta(delta, gen)
         batches += 1
