@@ -517,8 +517,16 @@ object EventStream {
     * the per-row half of [[indexBandMins]], reusable over a streamed
     * micro-batch frame. */
   def bandKeysOf(arrivals: DataFrame): DataFrame =
-    graft.ops.Dedup.withShinglesOf(arrivals)
-      .filter(col("n") > 0)
+    // shingle-emptiness pre-filtered on the CHEAP equivalent predicate:
+    // n > 0 ⟺ the doc has ≥ 3 tokens (a 3-gram exists iff toks ≥ 3, and
+    // distinct concat strings are non-empty). Filtering on the DERIVED
+    // `n` let predicate pushdown drag the whole shingle transform below
+    // w12's fan-out exchange — the full array built per row on the map
+    // side just to be size-tested, then rebuilt above (guide §4.4's
+    // duplicated-evaluation trap, JVM-expression flavor; measured 3.9 s
+    // single-task map stage on a 594 KB scan).
+    graft.ops.Dedup.withShinglesOf(
+        arrivals.filter(size(split(col("text"), " ")) >= 3))
       .select(col("doc_id"), expr("minhash_sigs(shingles, 8)").as("sig"))
       .selectExpr("doc_id",
         """stack(4, 0, concat(sig[0], sig[1]), 1, concat(sig[2], sig[3]),
