@@ -51,7 +51,13 @@ object JobStats {
           val tm = si.taskMetrics
           val tt = if (tm != null) tm.executorRunTime else -1L
           val gc = if (tm != null) tm.jvmGCTime else -1L
-          stageRows.add(f"    stage ${si.stageId}%4d tasks=${si.numTasks}%4d taskt=${tt / 1e3}%7.2fs gc=${gc / 1e3}%6.2fs ${si.name.take(90)}")
+          // first graft frame in the stage's long callsite — names the
+          // operator code that submitted the stage (si.name alone is the
+          // AQE thread-pool frame for every adaptive stage)
+          val site = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("JobStats"))
+            .map(_.trim.take(80)).getOrElse("")
+          stageRows.add(f"    stage ${si.stageId}%4d tasks=${si.numTasks}%4d taskt=${tt / 1e3}%7.2fs gc=${gc / 1e3}%6.2fs ${si.name.take(60)} | $site")
         }
       }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {

@@ -43,8 +43,28 @@ object Bucketing {
     * once at ingest, then every downstream join on the key reads
     * co-located sorted buckets — zero exchange, zero sort
     * (BucketingSpec asserts the exchange-free join subplan). */
+  /** One landed bucket-table pair per (session, dir, source-fingerprint)
+    * — the f18 landIndex discipline applied to the bucketed ingest: the
+    * docstring's "pay the bucket shuffle once at ingest" was previously
+    * paid on EVERY invocation (two writeBucketed table writes per call —
+    * r15 JobStats: 1.4 s of each warm f03 run was the rewrite). The
+    * fingerprint keys on the source files' identity so a regenerated
+    * testdata dir re-lands instead of serving stale buckets. */
+  private val landedPairs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Unit]
+
+  private def sourceFp(dir: String): String = {
+    val fs = Seq("lineitem.parquet", "orders.parquet").map { n =>
+      val f = new java.io.File(dir, n)
+      s"$n:${f.length()}:${f.lastModified()}"
+    }
+    java.lang.Long.toHexString(
+      fs.mkString("|").hashCode.toLong & 0xffffffffL)
+  }
+
   def bucketedRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
-    val token = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val token = (spark.sparkContext.applicationId + "_" + sourceFp(dir))
+      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     // GC: a finished application's table pair can never be read again —
     // drop graft-bucketed tables from OTHER applications before writing
     // this run's, so the warehouse converges to one live pair per running
@@ -64,12 +84,16 @@ object Bucketing {
         !loc.exists() || now - loc.lastModified() > StaleOutputs.SweepTtlMs
       }
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_extendedprice"))
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    writeBucketed(li, s"graft_li_$token", "l_orderkey", 16)
-    writeBucketed(o, s"graft_ord_$token", "l_orderkey", 16)
+    landedPairs.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(landedPairs.remove)
+    landedPairs.getOrElseUpdate((spark, token), {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      writeBucketed(li, s"graft_li_$token", "l_orderkey", 16)
+      writeBucketed(o, s"graft_ord_$token", "l_orderkey", 16)
+    })
     bucketedJoin(spark, s"graft_li_$token", s"graft_ord_$token", "l_orderkey")
       .groupBy("o_orderpriority")
       .agg(
