@@ -882,10 +882,7 @@ object Multimodal {
     * text bytes. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // fanOut (guide §2.5): the synth + downstream decode kernels ran on
-    // the single-file scan's one split (r15 JobStats: m03 1.5 s on one
-    // task); production many-file media tables pass through untouched
-    Tables.fanOut(Tables.documents(spark, dir))
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions(_.map { case (id, text, n) =>
@@ -946,7 +943,12 @@ object Multimodal {
     * for every row (its oracle contract — see featureBatch). */
   def resizeBatch(spark: SparkSession, dir: String): Dataset[ResizedMeta] = {
     import spark.implicits._
-    mediaTable(spark, dir).as[MediaRow].mapPartitions(_.map { r =>
+    // fanOut (guide §2.5) on the ONE decode-heavy m-family path (m03's
+    // per-pixel resize, 1.5 s single-task in the r15 profile) — the
+    // lighter meta/energy passes keep the bare scan: for them the
+    // exchange cost more than the serial decode (mid-round bench:
+    // m06/m07/m10 each regressed ~0.5 s with a table-wide fan-out)
+    Tables.fanOut(mediaTable(spark, dir)).as[MediaRow].mapPartitions(_.map { r =>
       val m = r.media
       // classify by the codecs' own (doc_id, length) residue rules —
       // the SAME law the oracle replays, so classification can never
