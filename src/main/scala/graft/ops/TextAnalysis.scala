@@ -202,9 +202,16 @@ object TextAnalysis {
     * (map-side combining, shuffles (shingle, min) pairs, never text) and
     * one doc-grain rollup; no pairs anywhere. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // the exploded shingle frame feeds TWO consumers (first-owner
+    // aggregate + the ownership join): eager localCheckpoint or the
+    // corpus-wide explode over the cached shingle table runs twice —
+    // measurable once the shingle cache went 32-partition (r15 final
+    // bench: t38 was the one shingle consumer still paying a double
+    // explode; t42/t48 multi-consumer discipline)
     val sh = Dedup.docShingles(spark, dir)
       .filter(col("n") > 0)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .localCheckpoint()
     val firstOwner = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
     sh.join(firstOwner, Seq("shingle"))
       .groupBy("doc_id")
